@@ -1,0 +1,27 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's scale-aware defaults.
+  *
+  * Local mode here is a correctness/bench harness; the settings are chosen
+  * to behave the same way a 1000-executor cluster session would:
+  *  - AQE on (runtime coalescing + skew-join splitting),
+  *  - shuffle partitions sized to the machine, not the 200 default,
+  *  - UTC so timestamp semantics match the DuckDB oracle,
+  *  - nanosAsLong so the nanosecond-precision `events` parquet is readable
+  *    (normalized back to TIMESTAMP_NTZ in [[Tables.events]]).
+  */
+object Sessions {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    withDefaults(SparkSession.builder().master(s"local[$cores]"), cores)
+      .appName("graft")
+      .getOrCreate()
+
+  def withDefaults(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

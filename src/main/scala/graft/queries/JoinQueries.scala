@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import Ops._
+
+/** Join surface (SURVEY.md §2.4). The reference implements joins three
+  * ways — map-side sort-merge over pre-sorted inputs
+  * (`lib/join/CompositeInputFormat.java:56`), reduce-side tagged join
+  * (`hadoop-tools/hadoop-datajoin/.../DataJoinReducerBase.java:230`), and
+  * map-side hash join via DistributedCache (`CORE/mapreduce/Job.java:1088`).
+  * All three collapse to declarative `join`: Catalyst picks SortMergeJoin /
+  * ShuffledHashJoin for big-big and BroadcastHashJoin for small dims
+  * (dimension tables here are ≤ a few thousand rows — always broadcast,
+  * which is exactly the DistributedCache pattern made automatic).
+  */
+object JoinQueries {
+
+  /** TPC-H Q3-shaped 3-way inner join + agg + top-k. customer is small →
+    * broadcast; orders⋈lineitem shuffles on the join key once and the
+    * groupBy reuses that key (no extra exchange on o_orderkey). */
+  private def joinInner(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp_ntz"))
+    val revenue = cents(col("l_extendedprice")) *
+      (lit(100) - round(col("l_discount") * 100).cast("long"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(revenue) / 10000.0).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val joinInnerSql: String = {
+    val rev = s"${sqlCents("l_extendedprice")}*(100-${sqlCents("l_discount")})"
+    s"""SELECT o_orderkey, sum($rev)/10000.0 AS revenue,
+       |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+       |FROM customer, orders, lineitem
+       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+       |  AND l_orderkey = o_orderkey
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate  > TIMESTAMP '1997-01-01'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin
+  }
+
+  /** Full-outer n-way join (`lib/join/OuterJoinRecordReader.java:34`):
+    * emit a tuple if ANY source has the key, missing slots null. */
+  private def joinOuter(s: SparkSession, d: String): DataFrame = {
+    val custPerNation = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val suppPerNation = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+    custPerNation.join(suppPerNation, Seq("nationkey"), "full_outer")
+      .orderBy(col("nationkey"))
+  }
+
+  /** Override join (`lib/join/OverrideRecordReader.java:42`): per key, the
+    * value from the RIGHTMOST source that has it — full outer + coalesce
+    * right-to-left (SURVEY.md §7.3 decision table). Sources: customer
+    * balance overridden by a "corrections" feed derived from orders. */
+  private def joinOverride(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("bal_base"))
+    // Rightmost source: customers with >=1 URGENT order get bal from there.
+    val overrideSrc = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg((max(cents(col("o_totalprice"))) / 100.0).as("bal_override"))
+    base.join(overrideSrc, Seq("custkey"), "full_outer")
+      .select(col("custkey"),
+        coalesce(col("bal_override"), col("bal_base")).as("bal"))
+      .orderBy(col("custkey"))
+  }
+
+  private val joinOverrideSql: String =
+    s"""SELECT COALESCE(b.custkey, o.custkey) AS custkey,
+       |  COALESCE(o.bal_override, b.bal_base) AS bal
+       |FROM (SELECT c_custkey AS custkey, c_acctbal AS bal_base FROM customer) b
+       |FULL OUTER JOIN (
+       |  SELECT o_custkey AS custkey,
+       |    max(${sqlCents("o_totalprice")})/100.0 AS bal_override
+       |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) o
+       |ON b.custkey = o.custkey
+       |ORDER BY custkey""".stripMargin
+
+  /** Left-semi join — EXISTS (beyond-reference built-in, SURVEY.md §2.4
+    * "not present in reference"): customers that placed an URGENT order. */
+  private def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join — NOT EXISTS: customers with no URGENT order. */
+  private def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Theta (non-equi) join — the datajoin contrib's custom-predicate
+    * `combine()` generalization: bucket events by value range against a
+    * small broadcast ranges table → BroadcastNestedLoopJoin. */
+  private def joinTheta(s: SparkSession, d: String): DataFrame = {
+    val buckets = s.createDataFrame(Seq(
+      ("tiny", 0.0, 10.0), ("small", 10.0, 25.0), ("mid", 25.0, 50.0),
+      ("large", 50.0, 100.0), ("huge", 100.0, 1e18)))
+      .toDF("bucket", "lo", "hi")
+    Tables.events(s, d)
+      .join(broadcast(buckets), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
+  private val joinThetaSql: String =
+    s"""SELECT bucket, count(*) AS n, sum(${sqlCents("value")})/100.0 AS sum_value
+       |FROM events JOIN (VALUES
+       |  ('tiny', 0.0, 10.0), ('small', 10.0, 25.0), ('mid', 25.0, 50.0),
+       |  ('large', 50.0, 100.0), ('huge', 100.0, 1e18)) AS b(bucket, lo, hi)
+       |ON value >= lo AND value < hi
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Secondary sort (`EX/SecondarySort.java:57`): partition by natural key,
+    * values arrive sorted by secondary key. Window row_number is the
+    * declarative equivalent (partition ≙ FirstPartitioner, order ≙
+    * setSortComparatorClass); deterministic via full tiebreak. */
+  private def secondarySort(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("join_inner", joinInner, Some(joinInnerSql)),
+    Q("join_outer", joinOuter,
+      Some("""SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp
+             |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+             |      FROM customer GROUP BY 1) c
+             |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+             |      FROM supplier GROUP BY 1) s
+             |ON c.nationkey = s.nationkey
+             |ORDER BY nationkey""".stripMargin)),
+    Q("join_override", joinOverride, Some(joinOverrideSql)),
+    Q("join_semi", joinSemi,
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+    Q("join_anti", joinAnti,
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+    Q("join_theta", joinTheta, Some(joinThetaSql)),
+    Q("secondary_sort", secondarySort,
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+             |  CAST(row_number() OVER (PARTITION BY o_custkey
+             |       ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
+             |FROM orders ORDER BY o_custkey, rn""".stripMargin)),
+  )
+}
