@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+
+/** Sort / partition / top-k surface (SURVEY.md §2.5).
+  *
+  * The reference's cluster-wide total sort = InputSampler split points +
+  * TotalOrderPartitioner + per-reducer sort (`lib/partition/
+  * TotalOrderPartitioner.java:50`, `InputSampler.java:314`, `EX/Sort
+  * .java:57`). Spark's `orderBy` IS that design: reservoir-sample →
+  * RangePartitioning exchange → per-partition sort, with codegen'd
+  * comparators (the reference's byte-trie optimization is unnecessary).
+  */
+object Sorting {
+
+  /** Total-order sort; part-file index order = global order, which is the
+    * TeraSort output contract (concatenable sorted part files). */
+  def totalSort(df: DataFrame, keys: Seq[Column]): DataFrame =
+    df.orderBy(keys: _*)
+
+  /** Explicit two-step form when the caller wants to keep the range
+    * partitioning for a downstream stage (avoids a second exchange). */
+  def rangeSorted(df: DataFrame, numPartitions: Int, keys: Seq[Column]): DataFrame =
+    df.repartitionByRange(numPartitions, keys: _*).sortWithinPartitions(keys: _*)
+
+  /** Top-k: TakeOrderedAndProjectExec — per-partition heap + driver merge
+    * of k rows, never the reference's single-reducer bottleneck
+    * (`EX/Grep.java:89-92`). */
+  def topK(df: DataFrame, k: Int, keys: Seq[Column]): DataFrame =
+    df.orderBy(keys: _*).limit(k)
+
+  /** Secondary sort (`EX/SecondarySort.java:57,133,145,165`): partition by
+    * the natural key, values arrive sorted by the secondary key within
+    * each group. `partitionCols` ≙ FirstPartitioner, `sortCols` ≙
+    * setSortComparatorClass, group-break detection ≙
+    * FirstGroupingComparator. The caller's `mapPartitions` sees each
+    * partition's rows natural-key-grouped and secondary-sorted — the exact
+    * reducer-input contract, streaming (no per-group buffering).
+    */
+  def secondarySorted(df: DataFrame, numPartitions: Int,
+      partitionCols: Seq[Column], sortCols: Seq[Column]): DataFrame =
+    df.repartition(numPartitions, partitionCols: _*)
+      .sortWithinPartitions(partitionCols ++ sortCols: _*)
+
+  /** KeyFieldBasedComparator spec (`lib/partition/KeyFieldBasedComparator
+    * .java:53`): unix sort(1)-style flags over key fields. Supported:
+    * `-kPOS1[,POS2][n][r]` — field positions are 1-based, `n` = numeric
+    * compare, `r` = reverse. Compiled to `orderBy` columns over the split
+    * line (SURVEY.md §7.3: a small spec compiler, not a Catalyst
+    * extension).
+    */
+  def keyFieldSortColumns(lineCol: Column, spec: String,
+      sep: String = "\t"): Seq[Column] = {
+    val arr = split(lineCol, java.util.regex.Pattern.quote(sep))
+    spec.trim.split("\\s+").toIndexedSeq.filter(_.nonEmpty).map { tok =>
+      require(tok.startsWith("-k"), s"bad key spec token: $tok")
+      val body = tok.drop(2)
+      val flags = body.reverse.takeWhile(c => c == 'n' || c == 'r').reverse
+      val pos = body.dropRight(flags.length)
+      val from = pos.split(",").head.toInt // single-field specs: POS1[,POS2=POS1]
+      val field = get(arr, lit(from - 1))
+      val typed = if (flags.contains('n')) field.cast("double") else field
+      if (flags.contains('r')) typed.desc else typed.asc
+    }
+  }
+
+  /** KeyFieldBasedPartitioner analog (`lib/partition/
+    * KeyFieldBasedPartitioner.java:51`): hash-partition on key sub-fields
+    * so all lines sharing those fields land in one partition. */
+  def keyFieldPartition(df: DataFrame, lineCol: Column, fields: Seq[Int],
+      numPartitions: Int, sep: String = "\t"): DataFrame = {
+    val arr = split(lineCol, java.util.regex.Pattern.quote(sep))
+    val keys = fields.map(i => get(arr, lit(i - 1)))
+    df.repartition(numPartitions, keys: _*)
+  }
+}

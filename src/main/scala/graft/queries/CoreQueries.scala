@@ -49,7 +49,7 @@ object CoreQueries {
     val disc = sqlCents("l_discount")
     val tax  = sqlCents("l_tax")
     s"""SELECT l_returnflag, l_linestatus,
-       |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        |  sum($ext)/100.0 AS sum_base_price,
        |  sum($ext*(100-$disc))/10000.0 AS sum_disc_price,
        |  sum($ext*(100-$disc)*(100+$tax))/1000000.0 AS sum_charge,

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{CompositeJoin, FieldSelection, Pipes, Sorting, ValueAggregators}
+
+/** Queries driving the operator library (SURVEY.md §2.2, §2.3, §2.4, §2.5,
+  * §2.9) — field-selection specs, the ValueAggregator DSL, the composite
+  * join expression DSL, key-field sort specs, and the Hadoop-Streaming
+  * pipe surface.
+  */
+object OpsQueries {
+
+  /** FieldSelection spec `"1,0:2-4"` over space-separated document text
+    * (`lib/fieldsel/FieldSelectionMapper.java:61`). */
+  private def fieldsel(s: SparkSession, d: String): DataFrame =
+    FieldSelection.selectFields(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "text", "1,0:2-4", sep = " ")
+      .select(col("doc_id"), col("fs_key"), col("fs_value"))
+      .orderBy(col("doc_id"))
+
+  /** ValueAggregator DSL over events keyed by event_type
+    * (`lib/aggregate/ValueAggregatorBaseDescriptor.java:36`); includes the
+    * capped UniqValueCount (`UniqValueCount.java:74-78`). */
+  private def valueAgg(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    e.groupBy(col("event_type")).agg(
+        ValueAggregators.compile("LongValueSum", col("user_id")).as("sum_uid"),
+        ValueAggregators.compile("LongValueMax", col("user_id")).as("max_uid"),
+        ValueAggregators.compile("LongValueMin", col("user_id")).as("min_uid"),
+        ValueAggregators.compile("StringValueMax", col("props")).as("max_props"),
+        ValueAggregators.compile("UniqValueCount", col("user_id"), cap = 50).as("uniq_uid_capped"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ValueHistogram report (`lib/aggregate/ValueHistogram.java:38,83`):
+    * per event_type, stats over per-user event counts. */
+  private def histogram(s: SparkSession, d: String): DataFrame =
+    ValueAggregators.valueHistogram(Tables.events(s, d), "event_type", "user_id")
+      .orderBy(col("event_type"))
+
+  /** KeyFieldBasedComparator spec `-k2,2 -k1,1r` with sep ' '
+    * (`lib/partition/KeyFieldBasedComparator.java:53`). */
+  private def keyfieldSort(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val keys = Sorting.keyFieldSortColumns(col("text"), "-k2,2 -k1,1r", sep = " ")
+    Sorting.totalSort(docs, keys :+ col("doc_id").asc)
+  }
+
+  /** Composite join DSL `inner(cust,supp)` (`lib/join/CompositeInputFormat
+    * .java:56`, `InnerJoinRecordReader.java:34`). */
+  private def compositeInner(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val supp = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+    CompositeJoin.run("inner(cust,supp)", "nationkey",
+        Map("cust" -> cust, "supp" -> supp))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Composite join DSL `override(base,upd)` — rightmost source wins
+    * (`lib/join/OverrideRecordReader.java:42,56`). */
+  private def compositeOverride(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.nation(s, d)
+      .select(col("n_nationkey").as("nationkey"), col("n_name").as("v"))
+    val upd = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 50)
+      .select(col("nationkey"), concat(lit("BIG:"), col("cnt")).as("v2"))
+    CompositeJoin.run("override(base,upd)", "nationkey",
+        Map("base" -> base, "upd" -> upd))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Hadoop-Streaming wordcount, the canonical pipe job (§2.9 / §3.2):
+    * mapper `awk` emits `word\t1` per token, shuffle+sort on the key, and
+    * the reducer does its own group-break detection over key-sorted lines
+    * — both stages are REAL subprocesses via `Pipes.streamJob`. Parsed
+    * back to columns; the oracle is plain SQL wordcount (uppercased so the
+    * mapper visibly transformed the data). */
+  private def pipeWordcount(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("text"))
+    val mapper = Seq("sh", "-c",
+      """tr 'a-z' 'A-Z' | awk '{for(i=1;i<=NF;i++) print $i"\t1"}'""")
+    val reducer = Seq("awk", "-F", "\t",
+      """{ if ($1 != prev && NR > 1) { print prev "\t" sum; sum = 0 }
+         | prev = $1; sum += $2 }
+         |END { if (NR > 0) print prev "\t" sum }""".stripMargin)
+    Pipes.streamJob(docs, mapper, reducer,
+        numPartitions = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(
+        split(col("line"), "\t").getItem(0).as("word"),
+        split(col("line"), "\t").getItem(1).cast("long").as("cnt"))
+      .orderBy(col("word"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("fieldsel", fieldsel,
+      Some("""SELECT doc_id, l[2] || ' ' || l[1] AS fs_key,
+             |  array_to_string(l[3:5], ' ') AS fs_value
+             |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+    Q("value_agg", valueAgg,
+      Some("""SELECT event_type, CAST(sum(user_id) AS BIGINT) AS sum_uid, max(user_id) AS max_uid,
+             |  min(user_id) AS min_uid, max(props) AS max_props,
+             |  least(count(DISTINCT user_id), 50) AS uniq_uid_capped
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    Q("histogram", histogram,
+      Some("""SELECT event_type, count(*) AS n_unique, min(freq) AS min_freq,
+             |  median(freq) AS median_freq, max(freq) AS max_freq,
+             |  CAST(sum(freq) AS DOUBLE)/count(*) AS avg_freq,
+             |  CASE WHEN count(*) > 1 THEN
+             |    sqrt((CAST(sum(freq*freq) AS DOUBLE)
+             |          - CAST(sum(freq) AS DOUBLE)*CAST(sum(freq) AS DOUBLE)/count(*))
+             |         / (count(*) - 1))
+             |  ELSE 0.0 END AS stddev_freq
+             |FROM (SELECT event_type, user_id, count(*) AS freq
+             |      FROM events GROUP BY 1, 2) t
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    Q("keyfield_sort", keyfieldSort,
+      Some("""SELECT doc_id, text FROM documents
+             |ORDER BY split_part(text, ' ', 2) ASC, split_part(text, ' ', 1) DESC,
+             |  doc_id""".stripMargin)),
+    Q("composite_inner", compositeInner,
+      Some("""SELECT c.nationkey, n_cust, n_supp
+             |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+             |      FROM customer GROUP BY 1) c
+             |JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+             |      FROM supplier GROUP BY 1) s USING (nationkey)
+             |ORDER BY nationkey""".stripMargin)),
+    Q("composite_override", compositeOverride,
+      Some("""SELECT n_nationkey AS nationkey,
+             |  COALESCE(u.v2, n.n_name) AS value
+             |FROM nation n LEFT JOIN (
+             |  SELECT c_nationkey, 'BIG:' || count(*) AS v2 FROM customer
+             |  GROUP BY c_nationkey HAVING count(*) > 50) u
+             |ON n.n_nationkey = u.c_nationkey
+             |ORDER BY nationkey""".stripMargin)),
+    Q("pipe_wordcount", pipeWordcount,
+      Some("""SELECT upper(w) AS word, count(*) AS cnt
+             |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+             |WHERE w <> '' GROUP BY 1 ORDER BY word""".stripMargin)),
+  )
+}
