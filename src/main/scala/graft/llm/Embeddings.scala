@@ -1,0 +1,140 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column — the
+  * north-star ANN surface (SURVEY.md §7.1 `engine.llm`). Brute-force
+  * cosine is the exact baseline; sign-LSH (random hyperplanes) is the
+  * scale path that avoids the all-pairs product.
+  *
+  * Numeric determinism: all arithmetic is a left-to-right fold in double
+  * precision (`aggregate(sequence(...), 0.0D, ...)`), which the DuckDB
+  * oracle mirrors with `list_reduce` — bit-identical results, so the
+  * driver's exact double compare passes without rounding fudge.
+  */
+object Embeddings {
+
+  /** Left-to-right double dot product of two array<float/double> columns
+    * of length `dim` (codegen'd higher-order function, no UDF). */
+  def dot(a: String, b: String, dim: Int): Column =
+    expr(s"""aggregate(sequence(1, $dim), CAST(0.0 AS DOUBLE),
+            |  (acc, i) -> acc + CAST(element_at($a, i) AS DOUBLE)
+            |                  * CAST(element_at($b, i) AS DOUBLE))""".stripMargin)
+
+  /** (id, vec, norm) with norm = sqrt(left-to-right sum of squares). */
+  def withNorm(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(dot(vecCol, vecCol, dim)).as("nrm"))
+
+  /** Exact all-pairs cosine near-duplicates: (id1, id2, cos) for
+    * cos >= threshold. This is the exact baseline — at scale replace the
+    * raw cross join with [[signLshCandidates]] + this verify arithmetic
+    * (same expression, candidate pairs only), or a block-matrix sweep. */
+  def cosineDedup(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  threshold: Double): DataFrame = {
+    val v = withNorm(emb, idCol, vecCol, dim)
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        (dot("a.vec", "b.vec", dim) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Exact brute-force cosine top-k: for each query row, the k nearest
+    * non-self vectors by (cos desc, id asc). The query side is broadcast
+    * (small by construction); ranking is a window over the query id — at
+    * 1000 executors this is a map-side broadcast join plus one shuffle on
+    * query_id, never an all-pairs shuffle. */
+  def bruteForceKnn(emb: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, dim: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = withNorm(emb, idCol, vecCol, dim)
+    val q = withNorm(queries, idCol, vecCol, dim)
+      .withColumnRenamed("id", "qid").withColumnRenamed("vec", "qvec")
+      .withColumnRenamed("nrm", "qnrm")
+    val scored = base.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("neighbor_id"),
+        (dot("qvec", "vec", dim) / (col("qnrm") * col("nrm"))).as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Sign-LSH signature: bit b = sign of <v, r_b> where hyperplane r_b has
+    * deterministic +-1 components s(i,b) = parity of xxhash64(i, b).
+    * Vectors with high cosine agree on most bits (P[bit differs] =
+    * theta/pi), so band-bucketing the signature yields near-neighbor
+    * candidates without comparing all pairs. */
+  def signLshSignatures(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        bits: Int = 64): DataFrame = {
+    // Deterministic +-1 hyperplanes as a literal (bits x dim) matrix —
+    // a splitmix64-style mix of (b, i), fixed forever, shipped to
+    // executors as a constant. Each bit is then one compact fold, not a
+    // 4096-node expression tree (keeps whole-stage codegen happy).
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val planes: Seq[Seq[Double]] = (0 until bits).map(b =>
+      (0 until dim).map(i => if ((mix(b.toLong * 131071 + i) & 1L) == 0L) 1.0 else -1.0))
+    val bitCols = (0 until bits).map { b =>
+      val proj = expr(
+        s"""aggregate(sequence(1, $dim), CAST(0.0 AS DOUBLE),
+           |  (acc, i) -> acc + CAST(element_at(vec, i) AS DOUBLE)
+           |                  * element_at(element_at(planes, ${b + 1}), i))""".stripMargin)
+      when(proj > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        typedLit(planes).as("planes"))
+      .select(col("id"), col("vec"), bitCols.reduce(_.bitwiseOR(_)).as("lsh"))
+  }
+
+  /** Candidate pairs sharing at least one of `bands` signature bands. */
+  def signLshCandidates(sigs: DataFrame, bits: Int = 64, bands: Int = 16): DataFrame = {
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val bandDf = sigs.select(col("id"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("lsh"), j * bandBits).bitwiseAND(mask).as("bh"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bandDf.as("x")
+      .join(bandDf.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+  }
+
+  /** Approximate top-k: exact cosine ranking restricted to sign-LSH
+    * candidate pairs. Recall measured against [[bruteForceKnn]] in the
+    * spec; at 100 TB the candidate join replaces the O(n^2) product with
+    * bucket-local joins. */
+  def annLshKnn(emb: DataFrame, queryIds: Seq[Long],
+                idCol: String, vecCol: String, dim: Int, k: Int,
+                bits: Int = 64, bands: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = signLshSignatures(emb, idCol, vecCol, dim, bits).cache()
+    val cands = signLshCandidates(sigs, bits, bands)
+    // symmetrize, keep pairs touching a query id
+    val sym = cands.select(col("id1").as("qid"), col("id2").as("nid"))
+      .union(cands.select(col("id2").as("qid"), col("id1").as("nid")))
+      .filter(col("qid").isInCollection(queryIds))
+    val v = withNorm(emb, idCol, vecCol, dim)
+    val scored = sym
+      .join(v.as("a"), col("qid") === col("a.id"))
+      .join(v.as("b"), col("nid") === col("b.id"))
+      .select(col("qid"), col("nid"),
+        (dot("a.vec", "b.vec", dim) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+}

@@ -1,0 +1,185 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text deduplication for large-scale training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH, SimHash, and exact n-gram Jaccard with
+  * prefix filtering. Beyond-reference north-star surface (SURVEY.md §7.1
+  * `engine.llm`); the reference's only dedup is the `(record,null)` +
+  * identity-reduce idiom (SURVEY.md §2.6).
+  *
+  * Scale design (100 TB): no all-pairs comparison anywhere on the Spark
+  * side. Candidate pairs come from LSH band buckets (MinHash / SimHash) or
+  * from a lossless prefix filter (AllPairs/PPJoin family); the exact
+  * verification join only touches candidate pairs. Per-document state
+  * (shingle set, 64-hash signature) is bounded by document length, never
+  * by corpus size, and every step is a shuffle on a key Catalyst can hash-
+  * partition — no driver-side collect.
+  */
+object TextDedup {
+
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    * Codegen-friendly: split + transform over a sequence + explode — no
+    * UDFs (higher-order functions stay inside WholeStageCodegen).
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(j => s"element_at(w, i + $j)").mkString(", ' ', ")
+    docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
+      .select(col("id"),
+        explode(expr(
+          s"""CASE WHEN size(w) >= $n
+             |THEN array_distinct(transform(sequence(1, size(w) - ${n - 1}),
+             |     i -> concat($parts)))
+             |ELSE array() END""".stripMargin)).as("shingle"))
+  }
+
+  /** Exact dedup: hash-groupBy on a normalized content digest; keeps the
+    * smallest id as the representative. Output: (digest, keep_id, copies).
+    * At 100 TB this is one shuffle on a 128-bit key with map-side partial
+    * aggregation — the canonical scalable exact dedup. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), md5(lower(col(textCol))).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** MinHash signatures: for each doc, an array of `numHashes` min-hash
+    * values over its shingle set. Hash family: xxhash64(shingle, k) for
+    * k = 0..numHashes-1 (independent enough for LSH; all codegen'd). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val mins = (0 until numHashes).map(k =>
+      min(xxhash64(col("shingle"), lit(k))).as(s"h$k"))
+    sh.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
+  }
+
+  /** LSH banding: (id, band, band_hash) — one row per band. Docs sharing
+    * any (band, band_hash) bucket become candidate pairs. bands*rowsPerBand
+    * must equal the signature length. */
+  def lshBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Candidate pairs (id1 < id2) from any shared LSH bucket. The self-join
+    * shuffles on (band, bh) — bucket sizes are small by construction, so
+    * no quadratic blowup; skewed buckets are split by AQE. */
+  def candidatesFromBands(bandDf: DataFrame): DataFrame =
+    bandDf.as("x")
+      .join(bandDf.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+
+  /** Exact Jaccard over shingle sets for the given candidate pairs only.
+    * Output: (id1, id2, jaccard). The intersection is computed by joining
+    * the exploded shingle relation twice — distributed, never collects a
+    * document list to the driver. */
+  def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("a"), col("id1") === col("a.id"))
+      .join(sh.as("b"), col("id2") === col("b.id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), col("id1") === col("s1.id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.id"))
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") / (col("s1.n") + col("s2.n") - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    * With 32 bands x 4 rows, a pair at J >= 0.85 is missed with
+    * probability (1 - J^4)^32 < 1e-13 — LSH prunes candidates, the exact
+    * verify step decides, so the output matches an all-pairs oracle. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 threshold: Double = 0.8, shingleN: Int = 3,
+                 numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleN)
+    val cands = candidatesFromBands(
+      lshBands(minhashSignatures(sh, numHashes), bands, numHashes / bands))
+    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard similarity join with lossless prefix filtering
+    * (AllPairs/Bayardo): order each doc's shingles by ascending global
+    * document frequency; two docs with J >= t must share a shingle within
+    * their first (n - ceil(t*n) + 1) rarest shingles, so joining prefixes
+    * finds every qualifying pair without an all-pairs product. */
+  def ngramJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(docs, idCol, textCol, shingleN)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val prefix = ranked
+      .filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold) + lit(1))
+      .select(col("id"), col("shingle"))
+    val cands = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over word-frequency features. bit b = sign of
+    * sum(count * (+1 if bit b of xxhash64(word) else -1)). Identical word
+    * multisets get identical signatures (deterministic recall for exact
+    * dups); near-dups land within a small Hamming distance. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wc = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$b"))
+    wc.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: pairs within `maxHamming` of each other.
+    * Candidates come from 8 x 8-bit LSH bands (pigeonhole: any pair with
+    * Hamming <= 7 shares at least one untouched band, so recall for
+    * maxHamming <= 7 is guaranteed, not probabilistic).
+    * Output: (id1, id2, hamming). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 7, "8-band pigeonhole guarantee holds up to Hamming 7")
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    val bands = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until 8).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("simhash"), j * 8).bitwiseAND(0xFF).as("bh"))): _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

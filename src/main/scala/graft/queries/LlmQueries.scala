@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.llm.{Embeddings, TextDedup, TextStats}
+
+/** North-star LLM-pipeline queries (SURVEY.md §7.1 `engine.llm`):
+  * deduplication, embedding similarity, text analysis over the
+  * `documents` and `embeddings` tables. Oracle SQL mirrors the Spark
+  * arithmetic operation-for-operation (same fold order, same integer →
+  * double single divisions) so the driver's bit-exact double compare
+  * passes; probabilistic ops (SimHash, sign-LSH ANN) are registered
+  * rows-only and property-tested in LlmSpec instead.
+  */
+object LlmQueries {
+
+  private val dim = 64
+
+  // ---- dedup ----
+
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    TextDedup.exact(Tables.documents(s, d), "doc_id", "text")
+
+  /** Shared all-pairs exact-Jaccard oracle (word 3-gram shingles). The
+    * Spark side never runs all-pairs — MinHash-LSH / prefix filtering
+    * generate candidates — but the verified output equals the exact
+    * answer (LSH miss probability < 1e-13 at the thresholds used). */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM docs)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id1, id2, jaccard FROM (
+       |  SELECT id1, id2,
+       |    CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+       |  FROM pairs JOIN sizes s1 ON id1 = s1.doc_id
+       |             JOIN sizes s2 ON id2 = s2.doc_id) t
+       |WHERE jaccard >= $threshold""".stripMargin
+
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    TextDedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.8)
+
+  private def dedupNgram(s: SparkSession, d: String): DataFrame =
+    TextDedup.ngramJaccardJoin(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.5)
+
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 3)
+
+  // ---- embeddings ----
+
+  /** DuckDB mirror of [[Embeddings.dot]]: left-to-right list_reduce fold
+    * in double precision — bit-identical to Spark's `aggregate`. */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${dim + 1}),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  private val sqlNorms: String =
+    s"""v AS (SELECT vec_id, embedding,
+       |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)""".stripMargin
+
+  private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Embeddings.cosineDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+      dim, threshold = 0.45)
+
+  private val dedupEmbeddingSql: String =
+    s"""WITH $sqlNorms
+       |SELECT id1, id2, cos FROM (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id) t
+       |WHERE cos >= 0.45""".stripMargin
+
+  private def knnBrute(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Embeddings.bruteForceKnn(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", dim, k = 5)
+  }
+
+  private val knnBruteSql: String =
+    s"""WITH $sqlNorms,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    ${sqlDot("q.embedding", "v.embedding")} / (q.nrm * v.nrm) AS cos
+       |  FROM v q JOIN v ON q.vec_id < 8 AND v.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5""".stripMargin
+
+  private def knnAnnLsh(s: SparkSession, d: String): DataFrame =
+    Embeddings.annLshKnn(Tables.embeddings(s, d), queryIds = (0L until 8L),
+      "vec_id", "embedding", dim, k = 5)
+
+  // ---- text analysis ----
+
+  private def langId(s: SparkSession, d: String): DataFrame =
+    TextStats.langId(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("id"))
+
+  private val langIdSql: String = {
+    val scores = TextStats.lexicons.map { case (l, lex) =>
+      val arr = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(text, ' '), w -> list_contains($arr, w))) AS score_$l"
+    }.mkString(",\n  ")
+    val langs = TextStats.lexicons.map(_._1)
+    val arms = langs.dropRight(1).map { l =>
+      val cond = langs.map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n    ")
+    s"""SELECT id, ${langs.map(l => s"score_$l").mkString(", ")},
+       |  CASE $arms ELSE '${langs.last}' END AS pred_lang
+       |FROM (SELECT doc_id AS id, $scores FROM documents) t
+       |ORDER BY id""".stripMargin
+  }
+
+  private def tokenCount(s: SparkSession, d: String): DataFrame =
+    TextStats.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("id"))
+
+  private def quality(s: SparkSession, d: String): DataFrame =
+    TextStats.qualityScore(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("id"))
+
+  private val qualitySql: String = {
+    val stopArr = TextStats.lexicons.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT id, n_chars, n_tokens,
+       |  CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+       |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+       |  CAST(stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       |  CAST(stop AS DOUBLE) / n_tokens * CAST(2.0 AS DOUBLE)
+       |    - CAST(n_punct AS DOUBLE) / n_chars * CAST(4.0 AS DOUBLE)
+       |    + (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+       |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS quality
+       |FROM (SELECT doc_id AS id, length(text) AS n_chars,
+       |        len(string_split(text, ' ')) AS n_tokens,
+       |        len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+       |        len(list_filter(string_split(text, ' '),
+       |            w -> list_contains($stopArr, w))) AS stop
+       |      FROM documents) t
+       |ORDER BY id""".stripMargin
+  }
+
+  private def docFingerprint(s: SparkSession, d: String): DataFrame =
+    TextStats.fingerprint(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("id"))
+
+  val all: Seq[Q] = Seq(
+    Q("dedup_exact", dedupExact,
+      Some("""SELECT md5(lower(text)) AS digest, min(doc_id) AS keep_id,
+             |  count(*) AS copies
+             |FROM documents GROUP BY 1""".stripMargin)),
+    Q("dedup_minhash_lsh", dedupMinhash, Some(jaccardOracle(0.8))),
+    Q("dedup_ngram_jaccard", dedupNgram, Some(jaccardOracle(0.5))),
+    Q("dedup_simhash", dedupSimhash, None), // probabilistic — LlmSpec properties
+    Q("dedup_embedding_cosine", dedupEmbedding, Some(dedupEmbeddingSql)),
+    Q("knn_bruteforce", knnBrute, Some(knnBruteSql)),
+    Q("knn_ann_lsh", knnAnnLsh, None), // approximate — recall vs brute in LlmSpec
+    Q("lang_id", langId, Some(langIdSql)),
+    Q("token_count", tokenCount,
+      Some("""SELECT doc_id AS id, len(string_split(text, ' ')) AS n_ws_tokens,
+             |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens,
+             |  length(text) AS n_chars
+             |FROM documents ORDER BY id""".stripMargin)),
+    Q("quality_score", quality, Some(qualitySql)),
+    Q("doc_fingerprint", docFingerprint,
+      Some("""SELECT doc_id AS id,
+             |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+             |    i -> md5(substr(text, i, 8)))) AS fp
+             |FROM documents ORDER BY id""".stripMargin)),
+  )
+}

@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase}
+import graft.core.Tables
+
+/** Properties for the LLM-pipeline ops whose outputs are probabilistic
+  * (SimHash, sign-LSH ANN) or need invariants beyond the DuckDB oracle. */
+class LlmSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.documents(spark, sf0001).cache()
+  private lazy val emb = Tables.embeddings(spark, sf0001).cache()
+
+  test("exact dedup collapses planted duplicate texts") {
+    import spark.implicits._
+    val dup = docs.limit(3).select($"doc_id" + 10000, $"text")
+      .toDF("doc_id", "text")
+    val d = docs.select($"doc_id", $"text").union(dup)
+    val res = TextDedup.exact(d, "doc_id", "text")
+    assert(res.count() == docs.count()) // dup texts merged into one group
+    assert(res.filter($"copies" === 2).count() == 3)
+    assert(res.agg(sum($"copies")).first().getLong(0) == docs.count() + 3)
+  }
+
+  test("minhash-LSH pairs equal exact all-pairs Jaccard at the threshold") {
+    val sh = TextDedup.shingles(docs, "doc_id", "text")
+    // exact all-pairs via unrestricted candidate set (any shared shingle)
+    val allCands = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2")).distinct()
+    val exact = TextDedup.verifyJaccard(allCands, sh)
+      .filter(col("jaccard") >= 0.8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashLsh(docs, "doc_id", "text", threshold = 0.8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty) // testdata plants near-dups; guard against vacuity
+  }
+
+  test("simhash: identical word multisets collide at hamming 0; bound holds") {
+    import spark.implicits._
+    val rows = TextDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getInt(2) <= 3))
+    // planted exact dup: same text under two ids must be found at hamming 0
+    val dup = docs.limit(2).select($"doc_id" + 10000, $"text").toDF("doc_id", "text")
+    val found = TextDedup.simhashPairs(
+        docs.select($"doc_id", $"text").union(dup), "doc_id", "text", 3)
+      .filter($"hamming" === 0 && $"id2" >= 10000)
+    assert(found.count() >= 2)
+  }
+
+  test("sign-LSH ANN attains high recall vs brute-force top-k") {
+    val qids = (0L until 8L)
+    val brute = Embeddings.bruteForceKnn(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 64, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Embeddings.annLshKnn(emb, qids, "vec_id", "embedding", 64, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"ANN recall $recall too low")
+  }
+
+  test("fingerprint is deterministic and edit-sensitive") {
+    import spark.implicits._
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+                (2L, "the quick brown fox jumps over the lazy dog"),
+                (3L, "an entirely different document body here")).toDF("doc_id", "text")
+    val fp = TextStats.fingerprint(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("ngram prefix-filter join loses no qualifying pair (lossless filter)") {
+    val sh = TextDedup.shingles(docs, "doc_id", "text")
+    val allCands = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2")).distinct()
+    val exact = TextDedup.verifyJaccard(allCands, sh)
+      .filter(col("jaccard") >= 0.5).count()
+    val prefix = TextDedup.ngramJaccardJoin(docs, "doc_id", "text", 0.5).count()
+    assert(prefix == exact)
+  }
+}
