@@ -15,17 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
-  /** Left-to-right double dot product of two array<float/double> columns
-    * of length `dim` (codegen'd higher-order function, no UDF). */
-  def dot(a: String, b: String, dim: Int): Column =
-    expr(s"""aggregate(sequence(1, $dim), CAST(0.0 AS DOUBLE),
-            |  (acc, i) -> acc + CAST(element_at($a, i) AS DOUBLE)
-            |                  * CAST(element_at($b, i) AS DOUBLE))""".stripMargin)
+  /** Left-to-right double dot product of two array<float> columns —
+    * the codegen'd [[graft.functions.FloatDotProduct]] expression (`dim`
+    * kept for API symmetry; the expression iterates the arrays). */
+  def dot(a: String, b: String, dim: Int): Column = expr(s"graft_dot($a, $b)")
 
   /** (id, vec, norm) with norm = sqrt(left-to-right sum of squares). */
-  def withNorm(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame =
+  def withNorm(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sqrt(dot(vecCol, vecCol, dim)).as("nrm"))
+  }
 
   /** Exact all-pairs cosine near-duplicates: (id1, id2, cos) for
     * cos >= threshold. This is the exact baseline — at scale replace the
@@ -79,13 +79,11 @@ object Embeddings {
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
-    val planes: Seq[Seq[Double]] = (0 until bits).map(b =>
-      (0 until dim).map(i => if ((mix(b.toLong * 131071 + i) & 1L) == 0L) 1.0 else -1.0))
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val planes: Seq[Seq[Float]] = (0 until bits).map(b =>
+      (0 until dim).map(i => if ((mix(b.toLong * 131071 + i) & 1L) == 0L) 1.0f else -1.0f))
     val bitCols = (0 until bits).map { b =>
-      val proj = expr(
-        s"""aggregate(sequence(1, $dim), CAST(0.0 AS DOUBLE),
-           |  (acc, i) -> acc + CAST(element_at(vec, i) AS DOUBLE)
-           |                  * element_at(element_at(planes, ${b + 1}), i))""".stripMargin)
+      val proj = expr(s"graft_dot(vec, element_at(planes, ${b + 1}))")
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }
     emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
