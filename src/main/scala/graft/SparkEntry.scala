@@ -12,7 +12,8 @@ import graft.queries._
   */
 object SparkEntry {
   def registry: Seq[Q] =
-    CoreQueries.all ++ JoinQueries.all ++ OpsQueries.all ++ LlmQueries.all
+    CoreQueries.all ++ JoinQueries.all ++ OpsQueries.all ++ LlmQueries.all ++
+      AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import Ops._
+
+/** Word-statistics programs, multi-dimensional aggregates, event-time
+  * windows, heterogeneous-input union, and the TeraSort analog.
+  *
+  * References: WordMean/WordMedian/WordStandardDeviation
+  * (`EX/WordMean.java:54`, `EX/WordMedian.java:52`,
+  * `EX/WordStandardDeviation.java:56`), MultipleInputs
+  * (`lib/input/MultipleInputs.java:40`), TeraGen/TeraSort
+  * (`EX/terasort/TeraGen.java`, `TeraSort.java`), rollup/cube (absent in
+  * the reference — SURVEY.md §2.3 "missing vs SQL engines", exposed as
+  * built-ins), event-time windows (beyond-reference §2.11, shared with the
+  * streaming surface in [[graft.streaming.EventStreams]]).
+  */
+object AnalyticsQueries {
+
+  private def tokens(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+
+  /** WordMean: total letters / total words via two global sums — the
+    * reference emits special ("length", x)/("count", 1) keys; here it is
+    * one partial-aggregated global agg, mean = single double division. */
+  private def wordMean(s: SparkSession, d: String): DataFrame =
+    tokens(s, d)
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("total_len"))
+      .select(col("n_words"), col("total_len"),
+        (col("total_len").cast("double") / col("n_words")).as("mean_len"))
+
+  /** WordMedian: the reference histograms lengths then scans sorted output
+    * in the driver (`EX/WordMedian.java:121`); `percentile` is the
+    * declarative exact equivalent (distributed sort + interpolation). */
+  private def wordMedian(s: SparkSession, d: String): DataFrame =
+    tokens(s, d)
+      .agg(percentile(length(col("word")), lit(0.5)).as("median_len"))
+
+  /** WordStandardDeviation: sqrt(E[x^2] - E[x]^2) from exact integer sums
+    * (`EX/WordStandardDeviation.java:56` uses the same two-moment trick);
+    * expression order mirrored in the oracle for bit-exact doubles. */
+  private def wordStddev(s: SparkSession, d: String): DataFrame = {
+    val len = length(col("word")).cast("long")
+    val mean = col("s").cast("double") / col("n")
+    tokens(s, d)
+      .agg(count(lit(1)).as("n"), sum(len).as("s"), sum(len * len).as("ss"))
+      .select(col("n"), col("s"), col("ss"),
+        sqrt(col("ss").cast("double") / col("n") - mean * mean).as("stddev_len"))
+  }
+
+  /** Rollup over (returnflag, linestatus): subtotals + grand total with
+    * grouping_id — beyond-reference multi-dimensional agg (built-in). */
+  private def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"))
+
+  /** Cube over (orderstatus, orderpriority). */
+  private def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("sum_price"))
+
+  /** GROUPING SETS via the SQL surface. */
+  private def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  sum(${sqlCents("l_extendedprice")}) / 100.0 AS sum_price
+         |FROM graft_lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  /** Tumbling 1-hour event-time windows (beyond-reference streaming
+    * surface run in batch mode — same plan shape as readStream). */
+  private def windowTumbling(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.tumbling(Tables.events(s, d), "1 hour")
+
+  /** Sliding 2-hour windows advancing by 1 hour. */
+  private def windowSliding(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.sliding(Tables.events(s, d), "2 hours", "1 hour")
+
+  /** Session windows: 30-minute inactivity gap per user. */
+  private def windowSession(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.sessionized(Tables.events(s, d), "30 minutes")
+
+  /** MultipleInputs: per-source schema adaptation + unionByName
+    * (`lib/input/MultipleInputs.java:40`, `DelegatingMapper`). */
+  private def multiInputsUnion(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey").as("id"),
+      col("c_name").as("name"), lit("customer").as("src"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey").as("id"),
+      col("s_name").as("name"), lit("supplier").as("src"))
+    cust.unionByName(supp).orderBy(col("src"), col("id"))
+  }
+
+  /** TeraGen + TeraSort + rank: deterministic synthetic records (pure
+    * function of the row index, like TeraGen's skip-ahead PRNG —
+    * `EX/terasort/TeraGen.java`), total-order sort (sampler + range
+    * exchange, `EX/Sort.java:57`), then a distributed rank via
+    * zipWithIndex (two-pass offset scan — no single-reducer bottleneck;
+    * the reference needs TotalOrderPartitioner + 1-file concat for this).
+    */
+  private val teraRows = 200000
+  private def teraSort(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sorted = s.range(teraRows)
+      .select(md5(concat(lit("row-"), col("id").cast("string"))).as("k"),
+        col("id"))
+      .orderBy(col("k"))
+    sorted.rdd.zipWithIndex
+      .map { case (r, i) => (i, r.getString(0), r.getLong(1)) }
+      .toDF("rank", "k", "id")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("word_mean", wordMean,
+      Some("""SELECT count(*) AS n_words, sum(length(w)) AS total_len,
+             |  CAST(sum(length(w)) AS DOUBLE) / count(*) AS mean_len
+             |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+             |WHERE w <> ''""".stripMargin)),
+    Q("word_median", wordMedian,
+      Some("""SELECT median(length(w)) AS median_len
+             |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+             |WHERE w <> ''""".stripMargin)),
+    Q("word_stddev", wordStddev,
+      Some("""SELECT n, s, ss,
+             |  sqrt(CAST(ss AS DOUBLE) / n
+             |       - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS stddev_len
+             |FROM (SELECT count(*) AS n, sum(length(w)) AS s,
+             |        sum(length(w) * length(w)) AS ss
+             |      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+             |      WHERE w <> '') agg""".stripMargin)),
+    Q("rollup_agg", rollupAgg,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+              |  count(*) AS n,
+              |  sum(${sqlCents("l_extendedprice")}) / 100.0 AS sum_price
+              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+    Q("cube_agg", cubeAgg,
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
+              |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+              |  count(*) AS n,
+              |  sum(${sqlCents("o_totalprice")}) / 100.0 AS sum_price
+              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+    Q("grouping_sets", groupingSets,
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              |  sum(${sqlCents("l_extendedprice")}) / 100.0 AS sum_price
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)),
+    Q("window_tumbling", windowTumbling,
+      Some(s"""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
+              |  count(*) AS n, sum(${sqlCents("value")}) / 100.0 AS sum_value
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+    Q("window_sliding", windowSliding,
+      Some(s"""WITH assigned AS (
+              |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, value FROM events
+              |  UNION ALL
+              |  SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR AS wstart,
+              |    value FROM events)
+              |SELECT wstart, count(*) AS n,
+              |  sum(${sqlCents("value")}) / 100.0 AS sum_value
+              |FROM assigned GROUP BY 1""".stripMargin)),
+    Q("window_session", windowSession,
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |              < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+             |  FROM events),
+             |islands AS (
+             |  SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  count(*) AS n_events
+             |FROM islands GROUP BY user_id, sid""".stripMargin)),
+    Q("multi_inputs_union", multiInputsUnion,
+      Some("""SELECT id, name, src FROM (
+             |  SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+             |  UNION ALL
+             |  SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier)
+             |ORDER BY src, id""".stripMargin)),
+    Q("terasort", teraSort,
+      Some(s"""SELECT row_number() OVER (ORDER BY md5('row-' || i)) - 1 AS rank,
+              |  md5('row-' || i) AS k, i AS id
+              |FROM range($teraRows) t(i)""".stripMargin)),
+  )
+}

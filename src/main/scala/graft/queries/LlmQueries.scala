@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.llm.{Embeddings, TextDedup, TextStats}
+import graft.llm.{Embeddings, Multimodal, TextDedup, TextStats}
 
 /** North-star LLM-pipeline queries (SURVEY.md §7.1 `engine.llm`):
   * deduplication, embedding similarity, text analysis over the
@@ -149,6 +149,40 @@ object LlmQueries {
        |ORDER BY id""".stripMargin
   }
 
+  // ---- multimodal ----
+
+  /** Binary-column decode plumbing over a synthesized payload (text bytes
+    * as the opaque media blob): typed mapPartitions with the stubbed
+    * codec. Deterministic, so oracle-checkable byte-for-byte. */
+  private def multimodalDecode(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.asMedia(
+      Tables.documents(s, d).select(col("doc_id"),
+        col("text").cast("binary").as("payload")),
+      "doc_id", "payload", "image")
+    Multimodal.decodeMeta(media).toDF().orderBy(col("media_id"))
+  }
+
+  private val multimodalDecodeSql: String =
+    """SELECT doc_id AS media_id, 'image' AS kind,
+      |  ord(substr(text, 1, 1)) * 256 + ord(substr(text, 2, 1)) AS width,
+      |  ord(substr(text, 3, 1)) * 256 + ord(substr(text, 4, 1)) AS height,
+      |  'image/fake' AS format, length(text) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Stub featurizer → fixed-dim float vectors (shape contract for the
+    * ANN kernels); rows-only, content asserted in MultimodalSpec. */
+  private def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.asMedia(
+      Tables.documents(s, d).select(col("doc_id"),
+        col("text").cast("binary").as("payload")),
+      "doc_id", "payload", "image")
+    // flattened to scalar rows: array columns break pandas-side row
+    // sorting in the driver's compare harness
+    Multimodal.featurize(media, dim = 16).toDF()
+      .select(col("media_id"), posexplode(col("feature")).as(Seq("dim_idx", "value")))
+      .orderBy(col("media_id"), col("dim_idx"))
+  }
+
   private def docFingerprint(s: SparkSession, d: String): DataFrame =
     TextStats.fingerprint(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("id"))
@@ -171,6 +205,8 @@ object LlmQueries {
              |  length(text) AS n_chars
              |FROM documents ORDER BY id""".stripMargin)),
     Q("quality_score", quality, Some(qualitySql)),
+    Q("multimodal_decode", multimodalDecode, Some(multimodalDecodeSql)),
+    Q("multimodal_features", multimodalFeatures, None), // shape: MultimodalSpec
     Q("doc_fingerprint", docFingerprint,
       Some("""SELECT doc_id AS id,
              |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),

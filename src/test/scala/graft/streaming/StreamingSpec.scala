@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Drives the EventStreams builders on a real streaming source
+  * (MemoryStream + writeStream to a memory sink) — watermarked tumbling
+  * windows, session windows, and the flatMapGroupsWithState sessionizer.
+  * The same builders are oracle-checked in batch via AnalyticsQueries;
+  * this spec proves they run as actual incremental streaming queries.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  case class E(event_id: Long, ts: Timestamp, user_id: Long,
+               event_type: String, value: Double, props: String)
+
+  private def mkEvents: Seq[E] = Seq(
+    E(1, ts(0), 1, "click", 1.0, "{}"),
+    E(2, ts(5), 1, "click", 2.0, "{}"),
+    E(3, ts(10), 2, "view", 3.0, "{}"),
+    E(4, ts(50), 1, "click", 4.0, "{}"), // new session for user 1 (gap 45m)
+    E(5, ts(59), 2, "view", 5.0, "{}"),
+  )
+
+  test("watermarked tumbling windows over a MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[E]
+    val q = EventStreams
+      .watermarkedTumbling(mem.toDF(), delay = "10 minutes", width = "30 minutes")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(mkEvents: _*)
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .select($"wstart", $"event_type", $"n", $"sum_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2026-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2026-01-01 10:00:00.0", "view", 1L, 3.0),
+        ("2026-01-01 10:30:00.0", "click", 1L, 4.0),
+        ("2026-01-01 10:30:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("session windows over a MemoryStream (watermark + append)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[E]
+    val q = EventStreams
+      .sessionized(mem.toDF().withWatermark("ts", "2 hours"), gap = "30 minutes")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(mkEvents: _*)
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .select($"user_id", $"session_start", $"n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+        .toSet
+      assert(rows == Set(
+        (1L, "2026-01-01 10:00:00.0", 2L),
+        (1L, "2026-01-01 10:50:00.0", 1L),
+        (2L, "2026-01-01 10:10:00.0", 1L),
+        (2L, "2026-01-01 10:59:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer (batch mode, O(1) state per key)") {
+    import spark.implicits._
+    val evs = mkEvents.map(e => EventStreams.Ev(e.user_id, e.ts)).toDS()
+    val out = EventStreams.statefulSessionize(evs, gapMs = 30 * 60 * 1000)
+      .collect().map(s => (s.user_id, s.session_start.toString, s.n_events)).toSet
+    assert(out == Set(
+      (1L, "2026-01-01 10:00:00.0", 2L),
+      (1L, "2026-01-01 10:50:00.0", 1L),
+      (2L, "2026-01-01 10:10:00.0", 1L),
+      (2L, "2026-01-01 10:59:00.0", 1L)))
+  }
+}
