@@ -13,7 +13,10 @@ import graft.queries._
 object SparkEntry {
   def registry: Seq[Q] =
     CoreQueries.all ++ JoinQueries.all ++ OpsQueries.all ++ LlmQueries.all ++
-      AnalyticsQueries.all
+      AnalyticsQueries.all ++ MiscQueries.all ++ Seq(
+        // QuasiMonteCarlo pi (EX/QuasiMonteCarlo.java): deterministic
+        // Halton sampling; accuracy asserted in ProgramsSpec (rows-only).
+        Q("pi_qmc", (s, _) => graft.jobs.Programs.piQmc(s, 1000000L), None))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

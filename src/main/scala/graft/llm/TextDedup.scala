@@ -46,12 +46,16 @@ object TextDedup {
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("copies"))
 
   /** MinHash signatures: for each doc, an array of `numHashes` min-hash
-    * values over its shingle set. Hash family: xxhash64(shingle, k) for
-    * k = 0..numHashes-1 (independent enough for LSH; all codegen'd). */
+    * values over its shingle set. The shingle string is hashed ONCE
+    * (xxhash64); the k-th family member re-mixes the resulting 8-byte
+    * long with seed k — k times cheaper than re-hashing the string per
+    * family member, same independence. All codegen'd, map-side partial
+    * min before the per-doc shuffle. */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
     val mins = (0 until numHashes).map(k =>
-      min(xxhash64(col("shingle"), lit(k))).as(s"h$k"))
-    sh.groupBy(col("id"))
+      min(xxhash64(col("h0"), lit(k))).as(s"h$k"))
+    sh.withColumn("h0", xxhash64(col("shingle")))
+      .groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink surface (SURVEY.md §2.8): key<TAB>value text output, per-value
+  * multiple outputs, null sink. File commit semantics (temp dir + rename,
+  * `lib/output/FileOutputCommitter.java:319`) come free — Spark's
+  * InsertIntoHadoopFsRelationCommand drives the same committer class.
+  */
+object Outputs {
+
+  /** TextOutputFormat (`lib/output/TextOutputFormat.java:44`): one
+    * `key<sep>value` line per record, default sep = tab (`:120`). Columns
+    * beyond the first are joined into the value like the reference's
+    * value.toString. */
+  def writeTextKV(df: DataFrame, path: String, sep: String = "\t"): Unit =
+    df.select(concat_ws(sep, df.columns.map(col): _*).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+
+  def readTextKV(spark: SparkSession, path: String, sep: String = "\t",
+                 numFields: Int = 2): DataFrame = {
+    val arr = split(col("value"), java.util.regex.Pattern.quote(sep), numFields)
+    spark.read.text(path)
+      .select((0 until numFields).map(i => arr.getItem(i).as(s"f$i")): _*)
+  }
+
+  /** MultipleOutputs / MultipleTextOutputFormat
+    * (`lib/output/MultipleOutputs.java:175`, per-record dynamic path):
+    * path-by-value via partitionBy — each distinct value of `byCol`
+    * becomes its own directory, written in one distributed pass (the
+    * reference opens one RecordWriter per name per task). */
+  def writeMultipleOutputs(df: DataFrame, path: String, byCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(byCol).parquet(path)
+
+  /** Named side-outputs from one cached pass (the `mos.write(name, ...)`
+    * style): each (name → filter) pair lands under its own subdirectory. */
+  def writeNamedOutputs(df: DataFrame, path: String,
+                        splits: Map[String, DataFrame => DataFrame]): Unit = {
+    val cached = df.cache()
+    try splits.foreach { case (name, f) =>
+      f(cached).write.mode(SaveMode.Overwrite).parquet(s"$path/$name")
+    } finally cached.unpersist()
+  }
+
+  /** NullOutputFormat (`lib/output/NullOutputFormat.java:36`): execute for
+    * effects/metrics only, discard records — the noop sink forces full
+    * computation (unlike count(), which lets Catalyst prune). */
+  def nullSink(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).format("noop").save()
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Set operators, scan-time record filters, and the Logalyzer tool query
+  * (SURVEY.md §2.6, §2.1 SequenceFileInputFilter, §2.10 Logalyzer).
+  */
+object MiscQueries {
+
+  /** Intersect (reference idiom: tagged reduce-side join + membership
+    * test, SURVEY.md §2.6 — built-in `intersect` here): nations having
+    * both customers and suppliers. */
+  private def setIntersect(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** Except: order priorities never used by URGENT-pile customers. */
+  private def setExcept(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      .except(Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+
+  /** SequenceFileInputFilter analog (`lib/input/SequenceFileInputFilter
+    * .java`): RegexFilter (:110) + PercentFilter keep-every-Nth (:153)
+    * composed as plain scan-time predicates — pushed to the parquet scan
+    * by Catalyst, which the reference's record filters cannot do. */
+  private def inputFilter(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").rlike("(merge|sort)") && pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Logalyzer (`hadoop-tools/hadoop-extras/.../Logalyzer.java:69`):
+    * grep-and-sort over "logs" — regex filter + multi-column
+    * KeyFieldBasedComparator sort (`doAnalyze :215`). */
+  private def logalyzer(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").rlike("^(error|purchase)$") &&
+        get_json_object(col("props"), "$.k").cast("long") >= 50)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_type"), col("ts").desc, col("event_id"))
+
+  val all: Seq[Q] = Seq(
+    Q("set_intersect", setIntersect,
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+    Q("set_except", setExcept,
+      Some("""SELECT o_custkey AS custkey FROM orders
+             |EXCEPT
+             |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY custkey""".stripMargin)),
+    Q("input_filter", inputFilter,
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE regexp_matches(text, '(merge|sort)') AND doc_id % 5 = 0
+             |ORDER BY doc_id""".stripMargin)),
+    Q("logalyzer", logalyzer,
+      Some("""SELECT event_id, event_type, ts,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events
+             |WHERE regexp_matches(event_type, '^(error|purchase)$')
+             |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+             |ORDER BY event_type, ts DESC, event_id""".stripMargin)),
+  )
+}
