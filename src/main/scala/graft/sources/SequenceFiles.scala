@@ -29,4 +29,28 @@ object SequenceFiles {
       .map { case (k, v) => (k.toString, v.get()) }
       .toDF("key", "value")
   }
+
+  /** AutoInputFormat (`STR/AutoInputFormat.java`): sniff SequenceFile
+    * ("SEQ" magic, `IO/SequenceFile.java` header) vs text per directory
+    * and dispatch the right reader. Returns (key, value:string) rows. */
+  def autoRead(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val firstFile = fs.listStatus(p).iterator
+      .map(_.getPath).find(f => f.getName.startsWith("part") || f.getName.endsWith(".txt") || fs.getFileStatus(f).isFile)
+      .getOrElse(p)
+    val magic = new Array[Byte](3)
+    val in = fs.open(firstFile)
+    try in.readFully(0, magic) finally in.close()
+    if (magic.sameElements("SEQ".getBytes))
+      readTextLong(spark, path).selectExpr("key", "CAST(value AS STRING) AS value")
+    else {
+      import spark.implicits._
+      spark.read.text(path).select(
+        org.apache.spark.sql.functions.monotonically_increasing_id()
+          .cast("string").as("key"),
+        org.apache.spark.sql.functions.col("value"))
+    }
+  }
 }
