@@ -46,7 +46,57 @@ object MiscQueries {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy(col("event_type"), col("ts").desc, col("event_id"))
 
+  /** Salted two-phase aggregation (ops.Skew): exact algebraic merge, hot
+    * keys spread over 8 partial buckets. Oracle = the plain GROUP BY. */
+  private def skewSaltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skew.saltedAgg(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty")),
+        Seq("l_returnflag"), buckets = 8,
+        ("sum", "qty", "sum_qty"), ("count", "qty", "n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Salted join (ops.Skew): fact row-salt + dimension replicated per
+    * salt — same rows as the unsalted join, verified by the oracle. */
+  private def skewSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity").cast("long").as("qty"))
+    val dim = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.ops.Skew.saltedJoin(fact, dim, "suppkey", buckets = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** Typed Aggregator surface (ops.ValueAggregators.UniqValueCountAgg —
+    * the reference's ValueAggregator partial/final contract as
+    * Aggregator[IN,BUF,OUT]), oracle-checked through groupByKey.agg. */
+  private def valueAggTyped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id").cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.ops.ValueAggregators.UniqValueCountAgg(50).toColumn)
+      .toDF("event_type", "uniq_uid_capped")
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("skew_salted_agg", skewSaltedAgg,
+      Some("""SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    Q("skew_salted_join", skewSaltedJoin,
+      Some("""SELECT s_nationkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+    Q("value_agg_typed", valueAggTyped,
+      Some("""SELECT event_type, least(count(DISTINCT user_id), 50) AS uniq_uid_capped
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("set_intersect", setIntersect,
       Some("""SELECT c_nationkey AS nationkey FROM customer
              |INTERSECT
