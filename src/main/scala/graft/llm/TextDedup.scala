@@ -90,11 +90,48 @@ object TextDedup {
     * document list to the driver. */
   def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // only shingles appearing in >= 2 docs can be shared — dropping the
+    // df=1 long tail (the vast majority) before the intersection join is
+    // exactness-preserving and cuts the join input ~10x
+    val shared = sh.join(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("shingle")),
+      "shingle")
     val inter = cands
-      .join(sh.as("a"), col("id1") === col("a.id"))
-      .join(sh.as("b"), col("id2") === col("b.id") && col("a.shingle") === col("b.shingle"))
+      .join(shared.as("a"), col("id1") === col("a.id"))
+      .join(shared.as("b"), col("id2") === col("b.id") && col("a.shingle") === col("b.shingle"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), col("id1") === col("s1.id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.id"))
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") / (col("s1.n") + col("s2.n") - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** Exact Jaccard via ONE self-join of the shared (df>=2) shingle
+    * relation: each shared shingle contributes one (id1, id2) row, the
+    * groupBy counts them — the intersection sizes of every overlapping
+    * pair in a single pass. `cands` then semi-filters the output (same
+    * result as [[verifyJaccard]] when cands covers all qualifying pairs).
+    * Cheaper than the candidate-driven double join when candidates are
+    * dense (crowded corpora); the candidate-driven form wins when LSH
+    * leaves only a few pairs. Hot shingles cost df^2 pair-rows here — at
+    * 100 TB cap/split them (AQE skew split) or fall back to
+    * candidate-driven verification. */
+  def verifyJaccardDirect(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shared = sh.join(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("shingle")),
+      "shingle")
+    val inter = shared.as("a")
+      .join(shared.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cands, Seq("id1", "id2"), "left_semi")
     inter
       .join(sizes.as("s1"), col("id1") === col("s1.id"))
       .join(sizes.as("s2"), col("id2") === col("s2.id"))
@@ -138,7 +175,7 @@ object TextDedup {
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
-    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+    verifyJaccardDirect(cands, sh).filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over word-frequency features. bit b = sign of
