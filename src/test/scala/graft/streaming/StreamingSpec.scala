@@ -73,6 +73,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source streaming: readStream over the events parquet equals batch") {
+    import spark.implicits._
+    // stage the driver-generated events table as a streaming source dir
+    val srcDir = java.nio.file.Files.createTempDirectory("evt_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val batch = graft.core.Tables.events(spark, sf0001)
+    // raw file schema (ts = INT64 nanos) + the same normalization batch uses
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val stream = spark.readStream.schema(raw.schema).parquet(srcDir.toString)
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val q = EventStreams.tumbling(stream, "1 hour")
+      .writeStream.format("memory").queryName("file_tumbling")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // timestamp_ntz surfaces as LocalDateTime in collected Rows
+      val streamed = spark.table("file_tumbling").collect()
+        .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val expected = EventStreams.tumbling(batch, "1 hour").collect()
+        .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer (batch mode, O(1) state per key)") {
     import spark.implicits._
     val evs = mkEvents.map(e => EventStreams.Ev(e.user_id, e.ts)).toDS()
