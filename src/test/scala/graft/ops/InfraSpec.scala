@@ -62,6 +62,30 @@ class InfraSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Array[Byte]]("value").length == 90))
   }
 
+  test("JDBC roundtrip with range-partitioned read (DBInputFormat parity, embedded Derby)") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val df = (1L to 100L).map(i => (i, s"name$i", i * 10.0)).toDF("id", "name", "score")
+    graft.sources.Jdbc.write(df, url, "people")
+    val back = graft.sources.Jdbc.readPartitioned(spark, url, "people",
+      partitionColumn = "id", lowerBound = 1, upperBound = 100, numPartitions = 4)
+    assert(back.rdd.getNumPartitions == 4) // DataDrivenDBInputFormat range splits
+    assert(back.count() == 100)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"score"))
+      .first().getDouble(0) == (1 to 100).map(_ * 10.0).sum)
+  }
+
+  test("compression codecs: gzip and bzip2 text roundtrip (splittable bzip2)") {
+    import spark.implicits._
+    for (codec <- Seq("gzip", "bzip2")) {
+      val path = Files.createTempDirectory(s"codec_$codec").resolve("out").toString
+      val lines = (1 to 500).map(i => s"line-$i")
+      lines.toDF("value").write.option("compression", codec).text(path)
+      val back = spark.read.text(path).collect().map(_.getString(0)).toSet
+      assert(back == lines.toSet, codec)
+    }
+  }
+
   test("SequenceFile write/read roundtrip (Text/LongWritable interop)") {
     import spark.implicits._
     val out = Files.createTempDirectory("seqf").resolve("wc").toString
