@@ -84,7 +84,29 @@ object MiscQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Typed Dataset[T] pipeline (SURVEY.md §1.2 case-class surface):
+    * compile-time-checked filter + groupByKey + typed Aggregator — the
+    * reference's Writable-struct jobs with scalac instead of runtime
+    * class config. Oracle-checked like every DataFrame query. */
+  private def typedPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.scalalang.typed
+    graft.core.Schemas.lineitem(s, d)
+      .filter(l => l.l_quantity > 30.0 && l.l_returnflag != "N")
+      .groupByKey(_.l_returnflag)
+      .agg(
+        typed.sumLong[graft.core.Schemas.Lineitem](_.l_quantity.toLong),
+        typed.count[graft.core.Schemas.Lineitem](_ => 1))
+      .toDF("l_returnflag", "sum_qty", "n")
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("typed_pipeline", typedPipeline,
+      Some("""SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem WHERE l_quantity > 30.0 AND l_returnflag <> 'N'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     Q("skew_salted_agg", skewSaltedAgg,
       Some("""SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
              |  count(*) AS n
