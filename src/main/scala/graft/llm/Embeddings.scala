@@ -116,7 +116,7 @@ object Embeddings {
                 idCol: String, vecCol: String, dim: Int, k: Int,
                 bits: Int = 64, bands: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = signLshSignatures(emb, idCol, vecCol, dim, bits).cache()
+    val sigs = signLshSignatures(emb, idCol, vecCol, dim, bits)
     val cands = signLshCandidates(sigs, bits, bands)
     // symmetrize, keep pairs touching a query id
     val sym = cands.select(col("id1").as("qid"), col("id2").as("nid"))

@@ -118,7 +118,33 @@ object CoreQueries {
         expr("substring(text, length(k) + 2)").as("v"))
       .orderBy(col("doc_id"))
 
+  /** Scan-throughput analog (TestDFSIO, `JCT/fs/TestDFSIO.java:87`):
+    * full-width read of the fact table reduced to exact sums — measures
+    * raw columnar scan + agg bandwidth with no shuffle beyond one row. */
+  private def scanThroughput(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    l.agg(
+      count(lit(1)).as("n"),
+      sum(col("l_orderkey")).as("sum_okey"),
+      sum(col("l_partkey")).as("sum_pkey"),
+      sum(col("l_suppkey")).as("sum_skey"),
+      sum(col("l_linenumber").cast("long")).as("sum_line"),
+      sum(col("l_quantity").cast("long")).as("sum_qty"),
+      sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+      sum(cents(col("l_discount"))).as("sum_disc_c"),
+      sum(cents(col("l_tax"))).as("sum_tax_c"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("scan_throughput", scanThroughput,
+      Some(s"""SELECT count(*) AS n, sum(l_orderkey) AS sum_okey,
+              |  sum(l_partkey) AS sum_pkey, sum(l_suppkey) AS sum_skey,
+              |  sum(CAST(l_linenumber AS BIGINT)) AS sum_line,
+              |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+              |  sum(${sqlCents("l_extendedprice")}) AS sum_price_c,
+              |  sum(${sqlCents("l_discount")}) AS sum_disc_c,
+              |  sum(${sqlCents("l_tax")}) AS sum_tax_c
+              |FROM lineitem""".stripMargin)),
     Q("scan_project_filter", scanProjectFilter,
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
              |WHERE l_shipdate < TIMESTAMP '1996-01-01'""".stripMargin)),
