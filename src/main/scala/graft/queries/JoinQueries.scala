@@ -148,8 +148,82 @@ object JoinQueries {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** TPC-H Q5-shaped 5-way star join: fact ⋈ two shuffle keys with three
+    * broadcast dims chained. At 100 TB: lineitem⋈orders and ⋈supplier
+    * shuffle on their keys; customer/nation/region broadcast (nation and
+    * region are bounded; customer would flip to shuffle at scale — AQE
+    * decides from runtime sizes). */
+  private def joinStar5(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz"))
+    val c = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val revenue = cents(col("l_extendedprice")) *
+      (lit(100) - round(col("l_discount") * 100).cast("long"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(revenue) / 10000.0).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  private val joinStar5Sql: String = {
+    val rev = s"${sqlCents("l_extendedprice")}*(100-${sqlCents("l_discount")})"
+    s"""SELECT n_name, sum($rev)/10000.0 AS revenue, count(*) AS n_items
+       |FROM lineitem, orders, supplier, customer, nation
+       |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+       |  AND o_custkey = c_custkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
+  /** Window-function analytics (beyond-reference; the closest reference
+    * machinery is secondary sort §2.4): per-customer order sequence with
+    * lag deltas, running totals, and rank. One shuffle on the partition
+    * key serves all four window functions. */
+  private def windowFunctions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"))
+      .withColumn("rk", rank().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))))
+      .withColumn("prev_price_c", lag(col("price_c"), 1).over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))))
+      .withColumn("run_sum_c", sum(col("price_c")).over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("o_custkey"), col("o_orderkey"), col("rk"),
+        (col("price_c") / 100.0).as("price"),
+        (col("prev_price_c") / 100.0).as("prev_price"),
+        (col("run_sum_c") / 100.0).as("run_sum"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val windowFunctionsSql: String = {
+    val pc = sqlCents("o_totalprice")
+    s"""SELECT o_custkey, o_orderkey,
+       |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INT) AS rk,
+       |  $pc/100.0 AS price,
+       |  (lag($pc, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey))/100.0 AS prev_price,
+       |  (sum($pc) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+       |     ROWS UNBOUNDED PRECEDING))/100.0 AS run_sum
+       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("join_inner", joinInner, Some(joinInnerSql)),
+    Q("join_star5", joinStar5, Some(joinStar5Sql)),
+    Q("window_functions", windowFunctions, Some(windowFunctionsSql)),
     Q("join_outer", joinOuter,
       Some("""SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp
              |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Scale probe: replicate the sf0.1 corpus Nx with perturbed ids/content
+  * and measure the LSH pipelines — validates near-linear scaling (no
+  * band-bucket quadratic blowup) before trusting the 100 TB design. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(4)
+    val spark = graft.core.Sessions.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    def time[A](n: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROBE $n: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val docs = graft.core.Tables.documents(spark, d)
+    // replicate with distinct ids and a per-copy token prefix so copies
+    // are NOT near-dups of each other (keeps pair counts realistic)
+    val big = (0 until mult).map { m =>
+      docs.select((col("doc_id") + lit(m * 1000000L)).as("doc_id"),
+        concat(lit(s"copy$m "), col("text")).as("text"))
+    }.reduce(_ union _).cache()
+    println("docs: " + big.count())
+    time(s"minhash_lsh x$mult")(
+      graft.llm.TextDedup.minhashLsh(big, "doc_id", "text", 0.8).count())
+    time(s"simhash x$mult")(
+      graft.llm.TextDedup.simhashPairs(big, "doc_id", "text", 3).count())
+    val emb = graft.core.Tables.embeddings(spark, d)
+    val bigEmb = (0 until mult).map { m =>
+      emb.select((col("vec_id") + lit(m * 1000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ union _).cache()
+    println("vecs: " + bigEmb.count())
+    time(s"ann_lsh x$mult")(
+      graft.llm.Embeddings.annLshKnn(bigEmb, (0L until 8L), "vec_id", "embedding", 64, 5).count())
+    spark.stop()
+  }
+}
