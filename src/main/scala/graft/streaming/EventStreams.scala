@@ -50,6 +50,18 @@ object EventStreams {
   def watermarkedTumbling(events: DataFrame, delay: String, width: String): DataFrame =
     tumbling(events.withWatermark("ts", delay), width)
 
+  /** Streaming exactly-once dedup: drop repeated event_ids within the
+    * watermark horizon — the streaming face of the batch dedup surface
+    * (state = one entry per id, evicted past the watermark). */
+  def dedupedStream(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicates("event_id", "ts")
+
+  /** Stream-static enrichment join: the static side behaves like a
+    * broadcast dimension (DistributedCache pattern, `CORE/mapreduce/
+    * Job.java:1088`) against an unbounded stream. */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   // ---- custom state: mapGroupsWithState sessionizer ----
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp)

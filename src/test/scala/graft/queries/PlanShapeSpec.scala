@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Plan-shape regression tests: lock in the physical-plan properties the
+  * 100 TB design depends on — pushdown reaching the parquet scan, pruned
+  * read schemas, broadcast dimension joins, top-k without a global sort.
+  * A refactor that silently loses one of these still passes value
+  * checks; this suite fails it. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.executedPlan.toString + "\n" +
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("scan_project_filter: predicate pushed to parquet, schema pruned") {
+    val p = plan("scan_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    // projection pruning: only the 4 referenced columns are read
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_extendedprice:double,l_shipdate:timestamp_ntz>"), p)
+  }
+
+  test("join_inner: dimension sides broadcast, top-k via TakeOrderedAndProject") {
+    val p = plan("join_inner")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1_agg: partial aggregation before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("input_filter: scan-time record filters reach the parquet reader") {
+    val p = plan("input_filter")
+    assert(p.contains("PushedFilters") && p.contains("doc_id"), p)
+  }
+
+  test("wordcount: explode stays inside one stage with partial count") {
+    val p = plan("wordcount")
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+  }
+}

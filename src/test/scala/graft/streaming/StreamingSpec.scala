@@ -101,6 +101,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[E]
+    val q = EventStreams.dedupedStream(mem.toDF(), delay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(mkEvents: _*)
+      q.processAllAvailable()
+      mem.addData(mkEvents.take(3): _*) // replay (at-least-once delivery)
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == mkEvents.length)
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast enrichment join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[E]
+    val q = EventStreams.enriched(mem.toDF(), dim, "user_id")
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(mkEvents: _*)
+      q.processAllAvailable()
+      val out = spark.table("enrich_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(out == Set((1L, "gold"), (2L, "gold"), (4L, "gold"),
+        (3L, "silver"), (5L, "silver")))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer (batch mode, O(1) state per key)") {
     import spark.implicits._
     val evs = mkEvents.map(e => EventStreams.Ev(e.user_id, e.ts)).toDS()
