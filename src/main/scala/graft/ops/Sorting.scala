@@ -44,22 +44,39 @@ object Sorting {
       .sortWithinPartitions(partitionCols ++ sortCols: _*)
 
   /** KeyFieldBasedComparator spec (`lib/partition/KeyFieldBasedComparator
-    * .java:53`): unix sort(1)-style flags over key fields. Supported:
-    * `-kPOS1[,POS2][n][r]` — field positions are 1-based, `n` = numeric
-    * compare, `r` = reverse. Compiled to `orderBy` columns over the split
-    * line (SURVEY.md §7.3: a small spec compiler, not a Catalyst
-    * extension).
+    * .java:53`, offsets parsed by `KeyFieldHelper`): unix sort(1)-style
+    * flags over key fields. Supported: `-kPOS1[,POS2][n][r]` where POS is
+    * `field[.char]` — 1-based field positions with optional 1-based char
+    * offset within the field (e.g. `-k2.3,2.5n` = chars 3..5 of field 2,
+    * numeric). Compiled to `orderBy` columns over the split line
+    * (SURVEY.md §7.3: a small spec compiler, not a Catalyst extension).
     */
   def keyFieldSortColumns(lineCol: Column, spec: String,
       sep: String = "\t"): Seq[Column] = {
     val arr = split(lineCol, java.util.regex.Pattern.quote(sep))
+    def parsePos(p: String): (Int, Int) = p.split("\\.") match {
+      case Array(f)    => (f.toInt, 0)
+      case Array(f, c) => (f.toInt, c.toInt)
+      case _ => throw new IllegalArgumentException(s"bad position: $p")
+    }
     spec.trim.split("\\s+").toIndexedSeq.filter(_.nonEmpty).map { tok =>
       require(tok.startsWith("-k"), s"bad key spec token: $tok")
       val body = tok.drop(2)
       val flags = body.reverse.takeWhile(c => c == 'n' || c == 'r').reverse
-      val pos = body.dropRight(flags.length)
-      val from = pos.split(",").head.toInt // single-field specs: POS1[,POS2=POS1]
-      val field = get(arr, lit(from - 1))
+      val pos = body.dropRight(flags.length).split(",")
+      val (fromF, fromC) = parsePos(pos.head)
+      val toC = if (pos.length > 1) parsePos(pos(1)) match {
+        case (tf, tc) if tf == fromF && tc > 0 => Some(tc)
+        case _ => None // cross-field ranges: compare whole start field
+      } else None
+      val whole = get(arr, lit(fromF - 1))
+      val field = (fromC, toC) match {
+        case (0, None)        => whole
+        case (c, None)        => substring(whole, math.max(c, 1), Int.MaxValue)
+        case (c, Some(t))     =>
+          val start = math.max(c, 1)
+          substring(whole, start, t - start + 1)
+      }
       val typed = if (flags.contains('n')) field.cast("double") else field
       if (flags.contains('r')) typed.desc else typed.asc
     }

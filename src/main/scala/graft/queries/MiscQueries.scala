@@ -101,7 +101,22 @@ object MiscQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Approximate-aggregate scale surface: HLL distinct + t-digest
+    * quantiles — the 100 TB path for UniqValueCount / WordMedian when
+    * exact answers stop being worth the shuffle. Sketch internals are
+    * engine-specific, so this is rows-only; MiscSpec bounds the error
+    * against the exact answers. */
+  private def approxStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   val all: Seq[Q] = Seq(
+    Q("approx_stats", approxStats, None), // sketches are engine-specific
     Q("typed_pipeline", typedPipeline,
       Some("""SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
              |  count(*) AS n

@@ -56,4 +56,23 @@ class SortingSpec extends SparkTestBase {
     val want = df.as[Long].collect().sorted(Ordering[Long].reverse).take(10).toSeq
     assert(got == want)
   }
+
+  test("key-field spec with char offsets within a field (-k1.2,1.3n)") {
+    import spark.implicits._
+    // field 1 = "xNNy": sort numerically by chars 2..3
+    val df = Seq("a42z\tfoo", "b07z\tbar", "c99z\tbaz", "d10z\tqux").toDF("line")
+    val cols = Sorting.keyFieldSortColumns(col("line"), "-k1.2,1.3n")
+    val got = df.orderBy(cols: _*).select("line").as[String].collect()
+      .map(_.takeWhile(_ != '\t')).toSeq
+    assert(got == Seq("b07z", "d10z", "a42z", "c99z"))
+  }
+
+  test("key-field spec open char offset (-k2.4r)") {
+    import spark.implicits._
+    val df = Seq("x\tab-ccc", "y\tzz-aaa", "w\tmm-bbb").toDF("line")
+    val cols = Sorting.keyFieldSortColumns(col("line"), "-k2.4r")
+    val got = df.orderBy(cols: _*).select("line").as[String].collect().toSeq
+    // sorts by the suffix from char 4 of field 2 (ccc, bbb, aaa), reversed
+    assert(got == Seq("x\tab-ccc", "w\tmm-bbb", "y\tzz-aaa"))
+  }
 }

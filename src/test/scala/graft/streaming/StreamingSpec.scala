@@ -136,6 +136,24 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer in STREAMING mode across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.statefulSessionize(mem.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("fmgws_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(EventStreams.Ev(1L, ts(0)), EventStreams.Ev(1L, ts(5)))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Ev(1L, ts(50))) // 45-min gap closes session 1
+      q.processAllAvailable()
+      val closed = spark.table("fmgws_out").filter($"closed")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+      assert(closed.toSeq == Seq((1L, "2026-01-01 10:00:00.0", 2L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer (batch mode, O(1) state per key)") {
     import spark.implicits._
     val evs = mkEvents.map(e => EventStreams.Ev(e.user_id, e.ts)).toDS()
