@@ -115,7 +115,27 @@ object MiscQueries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Rumen-style log analytics (`hadoop-tools/hadoop-rumen`): parse the
+    * JSON props column with a declared schema (from_json — codegen'd,
+    * no per-record driver work) and aggregate over extracted fields. */
+  private def jsonParse(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   val all: Seq[Q] = Seq(
+    Q("json_parse", jsonParse,
+      Some("""SELECT event_type, count(k) AS n_with_k,
+             |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+             |FROM (SELECT event_type,
+             |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |      FROM events) t
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("approx_stats", approxStats, None), // sketches are engine-specific
     Q("typed_pipeline", typedPipeline,
       Some("""SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
