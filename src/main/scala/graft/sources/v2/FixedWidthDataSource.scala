@@ -103,6 +103,40 @@ final class FixedWidthScanBuilder(options: CaseInsensitiveStringMap)
     new FixedWidthReaderFactory
 }
 
+/** Fixed-width writer (TeraOutputFormat analog,
+  * `EX/terasort/TeraOutputFormat.java`): concatenates the binary columns
+  * of each row into exactly `recordLen` bytes per record, one part file
+  * per task — sorted input partitions therefore produce concatenable
+  * sorted part files (the Gray-sort output contract). Not a full DSv2
+  * SupportsWrite (commit protocol) — it reuses Spark's committer via
+  * foreachPartition-free RDD saveAsHadoopFile-style direct writes kept
+  * deliberately simple for the format's single use. */
+object FixedWidthWriter {
+  def write(df: org.apache.spark.sql.DataFrame, path: String, recordLen: Int): Unit = {
+    val cols = df.columns
+    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      val conf = new Configuration()
+      val part = new Path(path, f"part-$pid%05d.bin")
+      val fs = part.getFileSystem(conf)
+      val out = fs.create(part, true)
+      var n = 0L
+      rows.foreach { r =>
+        var written = 0
+        var i = 0
+        while (i < cols.length) {
+          val b = r.getBinary(i)
+          out.write(b); written += b.length; i += 1
+        }
+        require(written == recordLen,
+          s"row wrote $written bytes, expected $recordLen")
+        n += 1
+      }
+      out.close()
+      Iterator.single(n)
+    }.count(): Unit
+  }
+}
+
 final case class FixedWidthPartition(path: String, start: Long, length: Long,
                                      recordLen: Int) extends InputPartition
 

@@ -41,6 +41,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("PushedFilters") && p.contains("doc_id"), p)
   }
 
+  test("partitionBy output prunes partitions on read-back filters") {
+    val path = java.nio.file.Files.createTempDirectory("prune").resolve("docs").toString
+    graft.ops.Outputs.writeMultipleOutputs(
+      graft.core.Tables.documents(spark, sf0001), path, byCol = "lang")
+    val filtered = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("lang") === "fr")
+    val explained = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the lang=fr predicate must become a partition filter, not a scan filter
+    assert(explained.contains("PartitionFilters") &&
+      explained.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"), explained)
+    val total = graft.core.Tables.documents(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("lang") === "fr").count()
+    assert(filtered.count() == total)
+  }
+
   test("wordcount: explode stays inside one stage with partial count") {
     val p = plan("wordcount")
     assert(p.contains("Generate explode"), p)

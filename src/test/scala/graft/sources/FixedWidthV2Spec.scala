@@ -34,6 +34,26 @@ class FixedWidthV2Spec extends SparkTestBase {
       .load(f.toString).count() == n)
   }
 
+  test("fixed-width writer roundtrip: gen -> sort -> write -> V2 read -> validate") {
+    val out = Files.createTempDirectory("fwv2w").resolve("tera").toString
+    val gen = graft.jobs.TeraSuite.teraGen(spark, rows = 5000, partitions = 4)
+    val (nIn, crcIn) = graft.jobs.TeraSuite.checksum(gen)
+    val sorted = graft.jobs.TeraSuite.teraSort(gen, partitions = 4)
+    graft.sources.v2.FixedWidthWriter.write(sorted, out, recordLen = 100)
+    val back = spark.read.format(fmt)
+      .option("recordLen", "100").option("maxSplitBytes", 50000)
+      .load(out)
+      .select(substring(col("record"), 1, 10).as("key"),
+        substring(col("record"), 11, 90).as("value"))
+    val (nOut, crcOut) = (back.count(),
+      back.agg(sum(crc32(concat(col("key"), col("value"))))).collect().head.getLong(0))
+    assert(nOut == nIn && crcOut == crcIn)
+    // part files are themselves sorted and concatenable in index order
+    val (vn, _) = graft.jobs.TeraSuite.teraValidate(
+      graft.jobs.TeraSuite.teraSort(back, partitions = 4))
+    assert(vn == nIn)
+  }
+
   test("terasort runs over the V2 source: split scan -> range sort -> validate") {
     val dir = Files.createTempDirectory("fwv2tera")
     val f = dir.resolve("tera.bin")
