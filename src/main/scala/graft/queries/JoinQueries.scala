@@ -220,9 +220,37 @@ object JoinQueries {
        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
   }
 
+  /** As-of join (ops.AsOfJoin — the temporal operator Spark lacks): each
+    * click matched to the same user's most recent prior purchase. Oracle
+    * = DuckDB's native ASOF JOIN, so the merge-formulation semantics are
+    * checked against a reference implementation of the operator. */
+  private def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max(cents(col("value"))).as("pval_c"))
+      .select(col("user_id"), col("pts"), col("pval_c"))
+    graft.ops.AsOfJoin.join(clicks, purchases, key = "user_id",
+        leftTime = "ts", rightTime = "pts", valueCols = Seq("pts", "pval_c"))
+      .orderBy(col("event_id"))
+  }
+
+  private val joinAsofSql: String =
+    s"""WITH p AS (SELECT user_id, ts AS pts,
+       |             max(${sqlCents("value")}) AS pval_c
+       |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+       |SELECT c.event_id, c.user_id, c.ts,
+       |  p.pts AS asof_pts, p.pval_c AS asof_pval_c
+       |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
+       |ORDER BY c.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("join_inner", joinInner, Some(joinInnerSql)),
     Q("join_star5", joinStar5, Some(joinStar5Sql)),
+    Q("join_asof", joinAsof, Some(joinAsofSql)),
     Q("window_functions", windowFunctions, Some(windowFunctionsSql)),
     Q("join_outer", joinOuter,
       Some("""SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp
