@@ -247,10 +247,36 @@ object JoinQueries {
        |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
        |ORDER BY c.event_id""".stripMargin
 
+  /** Range join (ops.RangeJoin): event value-cents against overlapping
+    * integer intervals, bucket-equi-join formulation — shuffle-hash on
+    * the bucket key, exact residual filter, no nested-loop product.
+    * Interval set derived deterministically in both engines. */
+  private def joinRange(s: SparkSession, d: String): DataFrame = {
+    val points = Tables.events(s, d)
+      .select(col("event_id"), cents(col("value")).as("v_c"))
+    val intervals = s.range(0, 200)
+      .select(col("id").as("iv_id"), (col("id") * 37).as("lo"),
+        (col("id") * 37 + 55).as("hi"))
+    graft.ops.RangeJoin.pointInInterval(points, "v_c", intervals, "lo", "hi",
+        bucketWidth = 64)
+      .groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v_c")).as("sum_v_c"))
+      .orderBy(col("iv_id"))
+  }
+
+  private val joinRangeSql: String =
+    s"""WITH iv AS (SELECT i AS iv_id, i * 37 AS lo, i * 37 + 55 AS hi
+       |            FROM range(0, 200) t(i)),
+       |p AS (SELECT event_id, ${sqlCents("value")} AS v_c FROM events)
+       |SELECT iv_id, count(*) AS n, CAST(sum(v_c) AS BIGINT) AS sum_v_c
+       |FROM p JOIN iv ON v_c >= lo AND v_c < hi
+       |GROUP BY iv_id ORDER BY iv_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("join_inner", joinInner, Some(joinInnerSql)),
     Q("join_star5", joinStar5, Some(joinStar5Sql)),
     Q("join_asof", joinAsof, Some(joinAsofSql)),
+    Q("join_range", joinRange, Some(joinRangeSql)),
     Q("window_functions", windowFunctions, Some(windowFunctionsSql)),
     Q("join_outer", joinOuter,
       Some("""SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp
