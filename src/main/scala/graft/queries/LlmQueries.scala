@@ -198,6 +198,9 @@ object LlmQueries {
     Q("dedup_embedding_cosine", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("knn_bruteforce", knnBrute, Some(knnBruteSql)),
     Q("knn_ann_lsh", knnAnnLsh, None), // approximate — recall vs brute in LlmSpec
+    Q("knn_ann_ivf", (s, d) => graft.llm.Ivf.annKnn(Tables.embeddings(s, d),
+      (0L until 8L), "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 6),
+      None), // approximate — exhaustive-probe==brute invariant in IvfSpec
     Q("lang_id", langId, Some(langIdSql)),
     Q("token_count", tokenCount,
       Some("""SELECT doc_id AS id, len(string_split(text, ' ')) AS n_ws_tokens,
