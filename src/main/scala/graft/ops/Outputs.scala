@@ -48,4 +48,13 @@ object Outputs {
     * computation (unlike count(), which lets Catalyst prune). */
   def nullSink(df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).format("noop").save()
+
+  /** Right-sized output files — the 100 TB small-files defense: an AQE
+    * REBALANCE hint re-splits the final stage into partitions near
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes`, so a skewed or
+    * over-partitioned plan still writes uniform, sanely-sized files
+    * (the reference's CombineFileInputFormat fixes this on the READ side
+    * after the damage; rebalancing prevents it at write time). */
+  def writeRebalanced(df: DataFrame, path: String): Unit =
+    df.hint("rebalance").write.mode(SaveMode.Overwrite).parquet(path)
 }

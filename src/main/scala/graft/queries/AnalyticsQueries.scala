@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import Ops._
@@ -120,7 +120,77 @@ object AnalyticsQueries {
       .toDF("rank", "k", "id")
   }
 
+  /** Pearson correlation from exact integer sums (the WordStandard-
+    * Deviation two-moment trick extended to two variables): r =
+    * (n·Σxy − Σx·Σy) / (sqrt(n·Σx²−(Σx)²)·sqrt(n·Σy²−(Σy)²)), every
+    * aggregate an exact BIGINT, the combine a fixed-order double
+    * expression mirrored in the oracle. The built-in `corr` would drift
+    * (engine-specific accumulation order). */
+  private def statsCorr(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val y = cents(col("l_extendedprice"))
+    // y^2 sums overflow BIGINT at scale: per-row products stay in long
+    // (max ~1e14), the SUM runs exact in decimal(38) (DuckDB: hugeint).
+    // All combining happens in double on the exact sums — one cast per
+    // sum, identical expression order both engines.
+    def d_(c: Column): Column = c.cast("double")
+    Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast("decimal(38,0)")).as("sxy"),
+        sum((x * x).cast("decimal(38,0)")).as("sxx"),
+        sum((y * y).cast("decimal(38,0)")).as("syy"))
+      .select(col("n"),
+        ((d_(col("n")) * d_(col("sxy")) - d_(col("sx")) * d_(col("sy"))) /
+          (sqrt(d_(col("n")) * d_(col("sxx")) - d_(col("sx")) * d_(col("sx"))) *
+           sqrt(d_(col("n")) * d_(col("syy")) - d_(col("sy")) * d_(col("sy")))))
+          .as("corr_qty_price"))
+  }
+
+  /** Value-bucket histogram (width_bucket analog via integer division —
+    * the ValueHistogram idea over a continuous column). */
+  private def valueBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(floor(cents(col("value")) / 2500).as("bucket"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .orderBy(col("bucket"))
+
+  /** ntile + percent_rank window coverage: quartile assignment and
+    * relative rank per customer's orders — (rank-1)/(n-1) is a single
+    * int-derived division, bit-exact. */
+  private def ntileRanks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prank"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("stats_corr", statsCorr,
+      Some(s"""SELECT n,
+              |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+              |    (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+              |     sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+              |  AS corr_qty_price
+              |FROM (SELECT count(*) AS n,
+              |        sum(CAST(l_quantity AS BIGINT)) AS sx,
+              |        sum(${sqlCents("l_extendedprice")}) AS sy,
+              |        sum(CAST(l_quantity AS BIGINT) * ${sqlCents("l_extendedprice")}) AS sxy,
+              |        sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+              |        sum(${sqlCents("l_extendedprice")} * ${sqlCents("l_extendedprice")}) AS syy
+              |      FROM lineitem) t""".stripMargin)),
+    Q("value_buckets", valueBuckets,
+      Some(s"""SELECT CAST(floor(${sqlCents("value")} / 2500) AS BIGINT) AS bucket,
+              |  count(*) AS n, sum(${sqlCents("value")}) / 100.0 AS sum_value
+              |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)),
+    Q("ntile_ranks", ntileRanks,
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INT)
+             |    AS quartile,
+             |  percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prank
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
     Q("word_mean", wordMean,
       Some("""SELECT count(*) AS n_words, sum(length(w)) AS total_len,
              |  CAST(sum(length(w)) AS DOUBLE) / count(*) AS mean_len

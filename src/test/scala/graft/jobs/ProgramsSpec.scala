@@ -70,6 +70,19 @@ class ProgramsSpec extends SparkTestBase {
     assert(back.count() == 3)
   }
 
+  test("rebalanced write produces right-sized files and preserves data") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("rebal").resolve("out").toString
+    // 64 skewed input partitions of tiny data would write 64 tiny files;
+    // the rebalance hint coalesces to a handful
+    val df = spark.range(0, 10000, 1, 64).select($"id", ($"id" % 5).as("k"))
+    Outputs.writeRebalanced(df, path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 10000)
+    val nFiles = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles < 64, s"still $nFiles files")
+  }
+
   test("ProgramDriver registry runs programs by name") {
     val res = ProgramDriver.programs("pi")(spark, Seq("10000"))
     assert(res.asInstanceOf[Array[org.apache.spark.sql.Row]].length == 1)
