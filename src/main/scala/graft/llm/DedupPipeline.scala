@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level dedup: near-dup PAIRS (MinHash-LSH) → duplicate CLUSTERS
+  * (connected components) → one representative per cluster. This is the
+  * operation a 100 TB training-data pipeline actually runs — pairs alone
+  * under-delete (a~b, b~c must drop two of three docs).
+  *
+  * Components via distributed min-label propagation: every node starts
+  * labeled with itself; each round, labels flow across edges (both
+  * directions) and each node keeps the minimum seen. Converges in
+  * O(component diameter) rounds — near-dup clusters are dense and
+  * shallow, so 3-6 rounds in practice; each round is one join + one
+  * groupBy (shuffle on node id), no driver-side graph.
+  */
+object DedupPipeline {
+
+  /** (id, rep): component-minimum representative for every node that
+    * appears in `pairs` (id1 < id2 edge list). */
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .cache()
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // labels flowing across edges + own label, keep the min
+      val flowed = edges
+        .join(labels, edges("id1") === labels("id"))
+        .select(col("id2").as("id"), col("rep"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .cache()
+      flowed.count() // materialize before comparing
+      val changed = flowed.as("a").join(labels.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.rep") =!= col("b.rep")).limit(1).count()
+      labels.unpersist()
+      labels = flowed
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end corpus dedup: language/quality gate → exact dedup →
+    * near-dup clustering → survivors (cluster representative = min id).
+    * Returns the surviving documents. */
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  jaccardThreshold: Double = 0.9): DataFrame = {
+    val pairs = TextDedup.minhashLsh(docs, idCol, textCol, jaccardThreshold)
+    val reps = components(pairs)
+    docs.join(reps, docs(idCol) === reps("id"), "left_outer")
+      .filter(col("rep").isNull || col("rep") === col(idCol))
+      .select(docs.columns.map(docs(_)): _*)
+  }
+}

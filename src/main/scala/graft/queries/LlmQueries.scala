@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.llm.{Embeddings, Multimodal, TextDedup, TextStats}
+import graft.llm.{DedupPipeline, Embeddings, Multimodal, TextDedup, TextStats}
 
 /** North-star LLM-pipeline queries (SURVEY.md §7.1 `engine.llm`):
   * deduplication, embedding similarity, text analysis over the
@@ -52,6 +52,38 @@ object LlmQueries {
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
       maxHamming = 3)
+
+  /** Near-dup clusters: connected components over the verified MinHash
+    * pair graph (J >= 0.9). Oracle: DuckDB recursive CTE computing the
+    * same component minima over the same exact pair set. */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame =
+    DedupPipeline.components(
+        TextDedup.minhashLsh(Tables.documents(s, d), "doc_id", "text", 0.9))
+      .orderBy(col("id"))
+
+  private val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM docs)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT p.d1 AS id1, p.d2 AS id2
+       |  FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2) p
+       |  JOIN sizes s1 ON p.d1 = s1.doc_id
+       |  JOIN sizes s2 ON p.d2 = s2.doc_id
+       |  WHERE CAST(p.inter AS DOUBLE) / (s1.n + s2.n - p.inter) >= 0.9),
+       |edges AS (SELECT id1, id2 FROM pairs
+       |          UNION ALL SELECT id2, id1 FROM pairs),
+       |nodes AS (SELECT DISTINCT id1 AS id FROM edges),
+       |r(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.id2, r.lbl FROM r JOIN edges e ON e.id1 = r.id)
+       |SELECT id, min(lbl) AS rep FROM r GROUP BY id ORDER BY id""".stripMargin
 
   // ---- embeddings ----
 
@@ -194,6 +226,7 @@ object LlmQueries {
              |FROM documents GROUP BY 1""".stripMargin)),
     Q("dedup_minhash_lsh", dedupMinhash, Some(jaccardOracle(0.8))),
     Q("dedup_ngram_jaccard", dedupNgram, Some(jaccardOracle(0.5))),
+    Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_simhash", dedupSimhash, None), // probabilistic — LlmSpec properties
     Q("dedup_embedding_cosine", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("knn_bruteforce", knnBrute, Some(knnBruteSql)),
