@@ -167,7 +167,101 @@ object AnalyticsQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Exact median at scale — the reference's actual WordMedian design
+    * (`EX/WordMedian.java:121`: histogram of lengths + scan to the
+    * middle): frequency histogram + running cumulative sum, then pick
+    * the straddling value(s). Unlike `percentile`, per-group state is
+    * one histogram bucket per DISTINCT value — exact and bounded even
+    * when the corpus has 10^12 words. */
+  private def wordMedianHist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = tokens(s, d)
+      .groupBy(length(col("word")).cast("long").as("len"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("freq")).over(w))
+      .withColumn("total", sum(col("freq")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // straddle: first value with cum >= (total+1)/2 and, for even totals,
+    // the first with cum >= total/2 + 1; median = (lo + hi) / 2
+    val lo = cum.filter(col("cum") * 2 >= col("total"))
+      .agg(min(col("len")).as("lo"))
+    val hi = cum.filter(col("cum") * 2 >= col("total") + lit(2) -
+        pmod(col("total"), lit(2)) * 2)
+      .agg(min(col("len")).as("hi"))
+    lo.crossJoin(hi).select(
+      ((col("lo") + col("hi")).cast("double") / 2.0).as("median_len"))
+  }
+
+  /** Behavioral funnel over events: users progressing view → click →
+    * purchase in time order (min event time per stage per user). */
+  private def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val stages = e.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    stages.agg(
+      count(col("t_view")).as("n_view"),
+      count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+      count(when(col("t_click") > col("t_view") &&
+        col("t_purchase") > col("t_click"), 1)).as("n_full_funnel"))
+  }
+
+  /** TF-IDF-style top terms: rank terms per document by tf * N / df —
+    * the log-free rational variant so both engines compute the identical
+    * double from exact integers (libm log is not cross-engine stable). */
+  private def tfidfTop(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).count() // tiny scalar; fine on driver
+    val scored = tf.join(df_, "term")
+      .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= 3)
+    scored.select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("word_median_hist", wordMedianHist,
+      Some("""SELECT median(length(w)) AS median_len
+             |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+             |WHERE w <> ''""".stripMargin)),
+    Q("funnel", funnel,
+      Some("""SELECT count(t_view) AS n_view,
+             |  count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+             |  count(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+             |    AS n_full_funnel
+             |FROM (SELECT user_id,
+             |        min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             |        min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             |        min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+             |      FROM events GROUP BY user_id) t""".stripMargin)),
+    Q("tfidf_top", tfidfTop,
+      Some("""WITH tf AS (
+             |  SELECT doc_id, w AS term, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+             |  WHERE w <> '' GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT doc_id, term, tf, df, score, rk FROM (
+             |  SELECT doc_id, term, tf, df,
+             |    CAST(tf * n AS DOUBLE) / df AS score,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY CAST(tf * n AS DOUBLE) / df DESC, term) AS INT) AS rk
+             |  FROM tf JOIN df USING (term) CROSS JOIN n) x
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
     Q("stats_corr", statsCorr,
       Some(s"""SELECT n,
               |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
