@@ -127,23 +127,22 @@ object AnalyticsQueries {
     * expression mirrored in the oracle. The built-in `corr` would drift
     * (engine-specific accumulation order). */
   private def statsCorr(s: SparkSession, d: String): DataFrame = {
+    // Small-magnitude variables (qty <= 50, discount-cents <= 10) keep
+    // every moment sum exactly representable in double far past 10^12
+    // rows — DuckDB's HUGEINT->DOUBLE cast is not correctly rounded, so
+    // sums must never exceed 2^53 for a bit-exact cross-engine compare
+    // (learned the hard way with price^2 sums at sf0.1).
     val x = col("l_quantity").cast("long")
-    val y = cents(col("l_extendedprice"))
-    // y^2 sums overflow BIGINT at scale: per-row products stay in long
-    // (max ~1e14), the SUM runs exact in decimal(38) (DuckDB: hugeint).
-    // All combining happens in double on the exact sums — one cast per
-    // sum, identical expression order both engines.
+    val y = round(col("l_discount") * 100).cast("long")
     def d_(c: Column): Column = c.cast("double")
     Tables.lineitem(s, d)
       .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
-        sum((x * y).cast("decimal(38,0)")).as("sxy"),
-        sum((x * x).cast("decimal(38,0)")).as("sxx"),
-        sum((y * y).cast("decimal(38,0)")).as("syy"))
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
       .select(col("n"),
         ((d_(col("n")) * d_(col("sxy")) - d_(col("sx")) * d_(col("sy"))) /
           (sqrt(d_(col("n")) * d_(col("sxx")) - d_(col("sx")) * d_(col("sx"))) *
            sqrt(d_(col("n")) * d_(col("syy")) - d_(col("sy")) * d_(col("sy")))))
-          .as("corr_qty_price"))
+          .as("corr_qty_disc"))
   }
 
   /** Value-bucket histogram (width_bucket analog via integer division —
@@ -267,13 +266,13 @@ object AnalyticsQueries {
               |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
               |    (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
               |     sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
-              |  AS corr_qty_price
+              |  AS corr_qty_disc
               |FROM (SELECT count(*) AS n,
               |        sum(CAST(l_quantity AS BIGINT)) AS sx,
-              |        sum(${sqlCents("l_extendedprice")}) AS sy,
-              |        sum(CAST(l_quantity AS BIGINT) * ${sqlCents("l_extendedprice")}) AS sxy,
+              |        sum(${sqlCents("l_discount")}) AS sy,
+              |        sum(CAST(l_quantity AS BIGINT) * ${sqlCents("l_discount")}) AS sxy,
               |        sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
-              |        sum(${sqlCents("l_extendedprice")} * ${sqlCents("l_extendedprice")}) AS syy
+              |        sum(${sqlCents("l_discount")} * ${sqlCents("l_discount")}) AS syy
               |      FROM lineitem) t""".stripMargin)),
     Q("value_buckets", valueBuckets,
       Some(s"""SELECT CAST(floor(${sqlCents("value")} / 2500) AS BIGINT) AS bucket,

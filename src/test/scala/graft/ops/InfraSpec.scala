@@ -77,12 +77,17 @@ class InfraSpec extends SparkTestBase {
 
   test("compression codecs: gzip and bzip2 text roundtrip (splittable bzip2)") {
     import spark.implicits._
-    for (codec <- Seq("gzip", "bzip2")) {
+    for (codec <- Seq("gzip", "bzip2")) { // text codecs
       val path = Files.createTempDirectory(s"codec_$codec").resolve("out").toString
       val lines = (1 to 500).map(i => s"line-$i")
       lines.toDF("value").write.option("compression", codec).text(path)
       val back = spark.read.text(path).collect().map(_.getString(0)).toSet
       assert(back == lines.toSet, codec)
+    }
+    for (codec <- Seq("zstd", "snappy", "gzip")) { // parquet codecs
+      val path = Files.createTempDirectory(s"pq_$codec").resolve("out").toString
+      (1L to 100L).toDF("id").write.option("compression", codec).parquet(path)
+      assert(spark.read.parquet(path).count() == 100, codec)
     }
   }
 
