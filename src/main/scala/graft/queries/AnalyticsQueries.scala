@@ -232,7 +232,42 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Pivot: returnflag x linestatus cross-tab (fixed pivot values keep
+    * the schema deterministic — at scale never let pivot() infer values
+    * with an extra distinct scan). */
+  private def pivotAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .orderBy(col("l_returnflag"))
+
+  /** Unpivot (melt): wide per-nation counts back to long form. */
+  private def unpivotAgg(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(graft.queries.Ops.cents(col("c_acctbal"))).as("sum_bal_c"))
+    wide.unpivot(Array(col("nationkey")),
+        Array(col("n_cust"), col("sum_bal_c")), "metric", "value")
+      .orderBy(col("nationkey"), col("metric"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("pivot_agg", pivotAgg,
+      Some("""SELECT l_returnflag,
+             |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F",
+             |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    Q("unpivot_agg", unpivotAgg,
+      Some("""WITH wide AS (
+             |  SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+             |    sum(CAST(round(c_acctbal*100) AS BIGINT)) AS sum_bal_c
+             |  FROM customer GROUP BY 1)
+             |SELECT nationkey, 'n_cust' AS metric, n_cust AS value FROM wide
+             |UNION ALL
+             |SELECT nationkey, 'sum_bal_c' AS metric, sum_bal_c AS value FROM wide
+             |ORDER BY nationkey, metric""".stripMargin)),
     Q("word_median_hist", wordMedianHist,
       Some("""SELECT median(length(w)) AS median_len
              |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t

@@ -69,6 +69,44 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         n_events: Long, closed: Boolean)
 
+  /** Streaming sessionizer with EVENT-TIME TIMEOUT: sessions close when
+    * the watermark passes last_event + gap even if the key never sees
+    * another event — the piece a gap-check-on-next-event sessionizer
+    * ([[statefulSessionize]]) cannot provide. Requires a watermarked
+    * input; emits ONLY closed sessions (exactly-once, no per-batch
+    * duplicates in append mode). */
+  def timeoutSessionize(events: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          if (state.hasTimedOut) {
+            val st = state.get
+            out += SessionOut(uid, new java.sql.Timestamp(st.start), st.n, closed = true)
+            state.remove()
+          } else {
+            val sorted = evs.map(_.ts.getTime).toSeq.sorted
+            var st = state.getOption.getOrElse(SessionState(-1, -1, 0))
+            sorted.foreach { t =>
+              st = if (st.n == 0 || t - st.last >= gapMs) {
+                if (st.n > 0)
+                  out += SessionOut(uid, new java.sql.Timestamp(st.start), st.n, closed = true)
+                SessionState(t, t, 1)
+              } else SessionState(st.start, t, st.n + 1)
+            }
+            if (st.n > 0) {
+              state.update(st)
+              // close when the event-time watermark passes last + gap
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Custom stateful sessionizer via flatMapGroupsWithState — the escape
     * hatch for session semantics `session_window` can't express (e.g.
     * emitting per-event deltas or capping session length). State per user

@@ -154,6 +154,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time-timeout sessionizer closes idle sessions as the watermark advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.timeoutSessionize(
+        mem.toDS().withWatermark("ts", "0 seconds"), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("timeout_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(EventStreams.Ev(1L, ts(0)), EventStreams.Ev(1L, ts(5)))
+      q.processAllAvailable() // watermark ~10:05; session still open
+      assert(spark.table("timeout_out").count() == 0)
+      // a DIFFERENT key's late event pushes the watermark past 10:35 —
+      // user 1 never sees another event, yet its session must close
+      mem.addData(EventStreams.Ev(2L, Timestamp.valueOf("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      val closed = spark.table("timeout_out").filter($"closed")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+      assert(closed.toSeq == Seq((1L, "2026-01-01 10:00:00.0", 2L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer (batch mode, O(1) state per key)") {
     import spark.implicits._
     val evs = mkEvents.map(e => EventStreams.Ev(e.user_id, e.ts)).toDS()
