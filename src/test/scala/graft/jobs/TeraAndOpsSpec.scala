@@ -52,6 +52,27 @@ class TeraAndOpsSpec extends SparkTestBase {
     assert(joined.count() == 1000)
   }
 
+  test("bucketed point lookup prunes to one bucket (MapFile getEntry analog)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS mapfile_t")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft-warehouse/mapfile_t"))
+    (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("mapfile_t")
+    // point lookups don't trigger auto-bucketed scan; force it like a
+    // lookup-serving session would
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val lookup = spark.table("mapfile_t").filter($"k" === 4242L)
+      val plan = lookup.queryExecution.executedPlan.toString
+      // MapFile.Reader.seek ≙ bucket pruning: only 1 of 8 buckets scanned
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+      assert(lookup.collect().map(_.getString(1)).toSeq == Seq("v4242"))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("XML-delimited records reader extracts tag bodies") {
     val dir = Files.createTempDirectory("xml")
     Files.writeString(dir.resolve("a.xml"),
