@@ -51,6 +51,51 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("RangeJoin equals the naive theta join on random intervals") {
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(0L, 500L)),                     // points
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 480L), Gen.choose(1L, 90L))))
+    for (((ps, ivs), i) <- samples(gen, 4).zipWithIndex) {
+      val points = ps.zipWithIndex.map { case (p, j) => (j.toLong, p) }.toDF("pid", "p")
+      val intervals = ivs.zipWithIndex.map { case ((lo, w), j) => (j.toLong, lo, lo + w) }
+        .toDF("iid", "lo", "hi")
+      val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi",
+          bucketWidth = 64)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (p, j) <- ps.zipWithIndex
+        ((lo, w), k) <- ivs.zipWithIndex
+        if p >= lo && p < lo + w
+      } yield (j.toLong, k.toLong)).toSet
+      assert(got == want, s"sample $i")
+    }
+  }
+
+  test("AsOfJoin equals per-row brute force on random keyed timelines") {
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 100L))),   // left
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 100L))))   // right
+    for (((ls, rsRaw), i) <- samples(gen, 4).zipWithIndex) {
+      // right side unique per (key, time): keep max payload
+      val rs = rsRaw.zipWithIndex.map { case ((k, t), j) => (k, t, j.toLong) }
+        .groupBy(x => (x._1, x._2)).values.map(_.maxBy(_._3)).toSeq
+      val left = ls.zipWithIndex.map { case ((k, t), j) => (j.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = rs.toDF("k", "rt", "payload")
+      val got = graft.ops.AsOfJoin.join(left, right, "k", "t", "rt", Seq("payload"))
+        .select("lid", "asof_payload").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = (for {
+        ((k, t), j) <- ls.zipWithIndex
+        cands = rs.filter(r => r._1 == k && r._2 <= t)
+        if cands.nonEmpty
+      } yield j.toLong -> cands.maxBy(r => (r._2, r._3))._3).toMap
+      assert(got == want, s"sample $i")
+    }
+  }
+
   test("verifyJaccard == verifyJaccardDirect on any candidate set") {
     import spark.implicits._
     val docs = Seq(
