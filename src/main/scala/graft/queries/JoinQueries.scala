@@ -272,11 +272,39 @@ object JoinQueries {
        |FROM p JOIN iv ON v_c >= lo AND v_c < hi
        |GROUP BY iv_id ORDER BY iv_id""".stripMargin
 
+  /** Correlated scalar subquery (TPC-H Q17 shape): lineitems below 50%
+    * of their part's average quantity. Catalyst decorrelates this into
+    * an aggregate + join — the SQL surface the reference never had
+    * (users hand-wrote two MR jobs for this). */
+  private def subqueryCorrelated(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_sq")
+    s.sql(
+      s"""SELECT l_partkey, count(*) AS n_small,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |FROM graft_li_sq l1
+         |WHERE l_quantity * 2 < (
+         |  SELECT avg(l_quantity) FROM graft_li_sq l2
+         |  WHERE l2.l_partkey = l1.l_partkey)
+         |GROUP BY l_partkey
+         |ORDER BY l_partkey""".stripMargin)
+  }
+
+  private val subqueryCorrelatedSql: String =
+    """SELECT l_partkey, count(*) AS n_small,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem l1
+      |WHERE l_quantity * 2 < (
+      |  SELECT avg(l_quantity) FROM lineitem l2
+      |  WHERE l2.l_partkey = l1.l_partkey)
+      |GROUP BY l_partkey
+      |ORDER BY l_partkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("join_inner", joinInner, Some(joinInnerSql)),
     Q("join_star5", joinStar5, Some(joinStar5Sql)),
     Q("join_asof", joinAsof, Some(joinAsofSql)),
     Q("join_range", joinRange, Some(joinRangeSql)),
+    Q("subquery_correlated", subqueryCorrelated, Some(subqueryCorrelatedSql)),
     Q("window_functions", windowFunctions, Some(windowFunctionsSql)),
     Q("join_outer", joinOuter,
       Some("""SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp

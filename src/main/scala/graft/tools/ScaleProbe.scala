@@ -27,6 +27,11 @@ object ScaleProbe {
       graft.llm.TextDedup.minhashLsh(big, "doc_id", "text", 0.8).count())
     time(s"simhash x$mult")(
       graft.llm.TextDedup.simhashPairs(big, "doc_id", "text", 3).count())
+    time(s"ngram_jaccard x$mult")(
+      graft.llm.TextDedup.ngramJaccardJoin(big, "doc_id", "text", 0.5).count())
+    time(s"dedup_clusters x$mult")(
+      graft.llm.DedupPipeline.components(
+        graft.llm.TextDedup.minhashLsh(big, "doc_id", "text", 0.9)).count())
     val emb = graft.core.Tables.embeddings(spark, d)
     val bigEmb = (0 until mult).map { m =>
       emb.select((col("vec_id") + lit(m * 1000000L)).as("vec_id"),
