@@ -91,6 +91,22 @@ class InfraSpec extends SparkTestBase {
     }
   }
 
+  test("custom RDD Partitioner (user Partitioner hook, CORE Partitioner.java:42)") {
+    val custom = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = 4
+      // the reference's getPartition contract: any deterministic key fn
+      override def getPartition(key: Any): Int =
+        (key.asInstanceOf[Long] % 7 % 4).toInt
+    }
+    val rdd = spark.sparkContext.parallelize(1L to 1000L, 8)
+      .map(x => (x, x * 2))
+      .partitionBy(custom)
+    val placement = rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.map { case (k, _) => (pid, (k % 7 % 4).toInt) }
+    }.collect()
+    assert(placement.nonEmpty && placement.forall { case (pid, want) => pid == want })
+  }
+
   test("SequenceFile write/read roundtrip (Text/LongWritable interop)") {
     import spark.implicits._
     val out = Files.createTempDirectory("seqf").resolve("wc").toString
