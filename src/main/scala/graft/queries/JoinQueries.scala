@@ -299,12 +299,37 @@ object JoinQueries {
       |GROUP BY l_partkey
       |ORDER BY l_partkey""".stripMargin
 
+  /** TPC-H Q19 shape: disjunction of conjunctive brand/quantity bands.
+    * Catalyst extracts the common l_partkey=p_partkey conjunct for the
+    * join and pushes the OR-of-ANDs residual — the predicate-
+    * normalization work the reference's users did by hand across
+    * multiple map functions. */
+  private def joinDisjunctive(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    val bands =
+      (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#12" && col("l_quantity").between(10, 25)) ||
+      (col("p_brand") === "Brand#23" && col("l_quantity").between(20, 35))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey") && bands)
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+  }
+
+  private val joinDisjunctiveSql: String =
+    s"""SELECT count(*) AS n, sum(${sqlCents("l_extendedprice")}) / 100.0 AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey AND (
+       |  (p_brand = 'Brand#1'  AND l_quantity BETWEEN 1  AND 15) OR
+       |  (p_brand = 'Brand#12' AND l_quantity BETWEEN 10 AND 25) OR
+       |  (p_brand = 'Brand#23' AND l_quantity BETWEEN 20 AND 35))""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("join_inner", joinInner, Some(joinInnerSql)),
     Q("join_star5", joinStar5, Some(joinStar5Sql)),
     Q("join_asof", joinAsof, Some(joinAsofSql)),
     Q("join_range", joinRange, Some(joinRangeSql)),
     Q("subquery_correlated", subqueryCorrelated, Some(subqueryCorrelatedSql)),
+    Q("join_disjunctive", joinDisjunctive, Some(joinDisjunctiveSql)),
     Q("window_functions", windowFunctions, Some(windowFunctionsSql)),
     Q("join_outer", joinOuter,
       Some("""SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp
