@@ -70,6 +70,24 @@ object Multimodal {
     }
   }
 
+  /** Resize (stub): block-average downsample of the payload by `factor`
+    * — the byte-level stand-in for image resizing; output metadata
+    * reflects the new dimensions like a real resampler would. */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val p = m.payload
+      val out = Array.tabulate(math.max(p.length / factor, 1)) { i =>
+        var s = 0; var j = i * factor
+        val hi = math.min(j + factor, p.length)
+        val lo = j
+        while (j < hi) { s += p(j) & 0xff; j += 1 }
+        (s / math.max(hi - lo, 1)).toByte
+      }
+      MediaRow(m.media_id, m.kind, out)
+    }
+  }
+
   /** Fixed-width feature vector per media item (stub featurizer: mean
     * byte value per equal-size block — deterministic, right output shape
     * for the ANN kernels in [[Embeddings]]). */

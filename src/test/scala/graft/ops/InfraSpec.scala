@@ -49,6 +49,32 @@ class InfraSpec extends SparkTestBase {
     assert(feats.feature(0) == ('A' + 'B' + 'C' + 'D').toFloat / 4)
   }
 
+  test("multimodal resize downsamples payloads with block averaging") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+      Seq((1L, Array[Byte](0, 2, 4, 6, 8, 10))).toDF("id", "payload"),
+      "id", "payload", "image")
+    val out = Multimodal.resize(media, factor = 2).collect().head
+    assert(out.payload.toSeq == Seq[Byte](1, 5, 9)) // pairwise means
+  }
+
+  test("CSV and JSON-lines format roundtrips with options") {
+    import spark.implicits._
+    val df = Seq((1L, "a|b", 1.5), (2L, "c", 2.5)).toDF("id", "s", "v")
+    val csvPath = Files.createTempDirectory("csv").resolve("out").toString
+    df.write.option("sep", ";").option("header", "true").csv(csvPath)
+    val backCsv = spark.read.option("sep", ";").option("header", "true")
+      .option("inferSchema", "true").csv(csvPath)
+    assert(backCsv.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a|b"), (2, "c")))
+
+    val jsonPath = Files.createTempDirectory("json").resolve("out").toString
+    df.write.json(jsonPath)
+    val backJson = spark.read.json(jsonPath)
+    assert(backJson.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((1L, 1.5), (2L, 2.5)))
+  }
+
   test("fixed-width source slices records with correct offsets (Tera layout)") {
     val dir = Files.createTempDirectory("fixedw").toFile
     val f = new java.io.File(dir, "data.bin")
