@@ -73,7 +73,7 @@ object AnalyticsQueries {
     Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
     s.sql(
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
-         |  sum(${sqlCents("l_extendedprice")}) / 100.0 AS sum_price
+         |  sum(${sqlCents("l_extendedprice")}) / 100.0D AS sum_price
          |FROM graft_lineitem
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
   }
@@ -262,7 +262,7 @@ object AnalyticsQueries {
     Q("unpivot_agg", unpivotAgg,
       Some("""WITH wide AS (
              |  SELECT c_nationkey AS nationkey, count(*) AS n_cust,
-             |    sum(CAST(round(c_acctbal*100) AS BIGINT)) AS sum_bal_c
+             |    CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_c
              |  FROM customer GROUP BY 1)
              |SELECT nationkey, 'n_cust' AS metric, n_cust AS value FROM wide
              |UNION ALL
@@ -320,8 +320,9 @@ object AnalyticsQueries {
              |  percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prank
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
     Q("word_mean", wordMean,
-      Some("""SELECT count(*) AS n_words, sum(length(w)) AS total_len,
-             |  CAST(sum(length(w)) AS DOUBLE) / count(*) AS mean_len
+      Some("""SELECT count(*) AS n_words,
+             |  CAST(sum(length(w)) AS BIGINT) AS total_len,
+             |  CAST(CAST(sum(length(w)) AS BIGINT) AS DOUBLE) / count(*) AS mean_len
              |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
              |WHERE w <> ''""".stripMargin)),
     Q("word_median", wordMedian,
@@ -332,8 +333,9 @@ object AnalyticsQueries {
       Some("""SELECT n, s, ss,
              |  sqrt(CAST(ss AS DOUBLE) / n
              |       - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS stddev_len
-             |FROM (SELECT count(*) AS n, sum(length(w)) AS s,
-             |        sum(length(w) * length(w)) AS ss
+             |FROM (SELECT count(*) AS n,
+             |        CAST(sum(length(w)) AS BIGINT) AS s,
+             |        CAST(sum(length(w) * length(w)) AS BIGINT) AS ss
              |      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
              |      WHERE w <> '') agg""".stripMargin)),
     Q("rollup_agg", rollupAgg,

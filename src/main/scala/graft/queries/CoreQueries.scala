@@ -137,13 +137,15 @@ object CoreQueries {
 
   val all: Seq[Q] = Seq(
     Q("scan_throughput", scanThroughput,
-      Some(s"""SELECT count(*) AS n, sum(l_orderkey) AS sum_okey,
-              |  sum(l_partkey) AS sum_pkey, sum(l_suppkey) AS sum_skey,
-              |  sum(CAST(l_linenumber AS BIGINT)) AS sum_line,
-              |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-              |  sum(${sqlCents("l_extendedprice")}) AS sum_price_c,
-              |  sum(${sqlCents("l_discount")}) AS sum_disc_c,
-              |  sum(${sqlCents("l_tax")}) AS sum_tax_c
+      Some(s"""SELECT count(*) AS n,
+              |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+              |  CAST(sum(l_partkey) AS BIGINT) AS sum_pkey,
+              |  CAST(sum(l_suppkey) AS BIGINT) AS sum_skey,
+              |  CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_line,
+              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              |  CAST(sum(${sqlCents("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+              |  CAST(sum(${sqlCents("l_discount")}) AS BIGINT) AS sum_disc_c,
+              |  CAST(sum(${sqlCents("l_tax")}) AS BIGINT) AS sum_tax_c
               |FROM lineitem""".stripMargin)),
     Q("scan_project_filter", scanProjectFilter,
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -39,6 +39,15 @@ def compare(name, mine, oracle):
         return issues
     for c in mine.columns:
         a, b = mine[c], oracle[c]
+        # The driver hashes formatted values, so int64 vs float64 (e.g. a
+        # DuckDB HUGEINT sum surfacing as float64) is a hash FAIL even when
+        # the numbers are equal — flag dtype-kind mismatches hard.
+        if a.dtype.kind != b.dtype.kind and "f" in {a.dtype.kind, b.dtype.kind} \
+                and {a.dtype.kind, b.dtype.kind} <= {"i", "u", "f", "O"}:
+            issues.append(
+                f"col {c}: dtype kind mismatch mine={a.dtype} oracle={b.dtype}"
+                " — driver hash would fail (cast the oracle sum to BIGINT?)")
+            continue
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             af, bf = a.astype(float).values, b.astype(float).values
             both_nan = np.isnan(af) & np.isnan(bf)
