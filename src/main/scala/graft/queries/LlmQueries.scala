@@ -97,9 +97,25 @@ object LlmQueries {
     s"""v AS (SELECT vec_id, embedding,
        |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)""".stripMargin
 
+  /** Exact cosine dedup on the 1-Bucket-Theta block layout — equi-join
+    * physical plan (no BroadcastNestedLoopJoin; PlanShapeSpec pins it).
+    * The all-pairs SQL below is the oracle mirror only. Exact-quadratic
+    * is registered deliberately: the testdata's threshold (0.45) sits at
+    * the 99.99th pct of a gapless background cosine continuum, where no
+    * candidate scheme can be lossless — see Embeddings.cosineDedupBlocked
+    * scaladoc for the measured distribution; the gapped-corpus scale path
+    * is dedup_embedding_lsh below. */
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
-    Embeddings.cosineDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+    Embeddings.cosineDedupBlocked(Tables.embeddings(s, d), "vec_id", "embedding",
       dim, threshold = 0.45)
+
+  /** Sign-LSH candidates + exact verify at the same threshold: output is
+    * a verified SUBSET of dedup_embedding_cosine (precision 1 by
+    * construction; recall is corpus-gap-dependent, so rows-only here and
+    * recall-pinned on a gapped corpus in LlmSpec). */
+  private def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
+    Embeddings.cosineDedupLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+      dim, threshold = 0.45, bits = 60, bands = 10)
 
   private val dedupEmbeddingSql: String =
     s"""WITH $sqlNorms
@@ -229,10 +245,13 @@ object LlmQueries {
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_simhash", dedupSimhash, None), // probabilistic — LlmSpec properties
     Q("dedup_embedding_cosine", dedupEmbedding, Some(dedupEmbeddingSql)),
+    Q("dedup_embedding_lsh", dedupEmbeddingLsh, None), // subset-of-exact — LlmSpec recall pin
+
     Q("knn_bruteforce", knnBrute, Some(knnBruteSql)),
     Q("knn_ann_lsh", knnAnnLsh, None), // approximate — recall vs brute in LlmSpec
     Q("knn_ann_ivf", (s, d) => graft.llm.Ivf.annKnn(Tables.embeddings(s, d),
-      (0L until 8L), "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 6),
+      (0L until 8L), "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 6,
+      corpusKey = d), // index cached per corpus — repeat calls are probe-only
       None), // approximate — exhaustive-probe==brute invariant in IvfSpec
     Q("lang_id", langId, Some(langIdSql)),
     Q("token_count", tokenCount,

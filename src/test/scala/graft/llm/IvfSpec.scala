@@ -7,6 +7,8 @@ import graft.core.Tables
 class IvfSpec extends SparkTestBase {
 
   private lazy val emb = Tables.embeddings(spark, sf0001).cache()
+  private lazy val index =
+    Ivf.cachedIndex(emb, "vec_id", "embedding", 64, nlist = 8, 42L, "spec")
 
   private def knnSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("query_id", "neighbor_id").collect()
@@ -15,18 +17,35 @@ class IvfSpec extends SparkTestBase {
   test("IVF with nprobe == nlist is exhaustive: equals brute force exactly") {
     val brute = knnSet(Embeddings.bruteForceKnn(emb,
       emb.filter(col("vec_id") < 6), "vec_id", "embedding", 64, 5))
-    val full = knnSet(Ivf.annKnn(emb, (0L until 6L), "vec_id", "embedding",
-      64, 5, nlist = 8, nprobe = 8))
+    val full = knnSet(Ivf.probe(index, (0L until 6L), 64, 5, nprobe = 8))
     assert(full == brute)
+  }
+
+  test("probe metric matches build metric: top-1 probed cell == assigned cell") {
+    // KMeans assigns by Euclidean distance, so each query's own cell must
+    // rank first under the probe ordering. Ranking cells by raw dot
+    // product (the bug this pins against) violates this for
+    // non-normalized vectors and silently tanks recall at nprobe < nlist.
+    val cells = Ivf.probeCells(index, (0L until 8L), 64, nprobe = 1).collect()
+    assert(cells.nonEmpty)
+    cells.foreach { r =>
+      assert(r.getAs[Int]("cell") == r.getAs[Int]("assigned_cell"),
+        s"query ${r.getLong(0)}: top probe ${r.getAs[Int]("cell")} != " +
+          s"assigned ${r.getAs[Int]("assigned_cell")}")
+    }
   }
 
   test("partial-probe IVF trades recall for touched fraction") {
     val brute = knnSet(Embeddings.bruteForceKnn(emb,
       emb.filter(col("vec_id") < 6), "vec_id", "embedding", 64, 5))
-    val partial = knnSet(Ivf.annKnn(emb, (0L until 6L), "vec_id", "embedding",
-      64, 5, nlist = 8, nprobe = 4))
+    val partial = knnSet(Ivf.probe(index, (0L until 6L), 64, 5, nprobe = 4))
     val recall = (brute intersect partial).size.toDouble / brute.size
     assert(recall >= 0.3, s"recall $recall") // half the cells probed
     assert(partial.size == brute.size)       // still returns k per query
+  }
+
+  test("index is built once: cachedIndex returns the same instance") {
+    val again = Ivf.cachedIndex(emb, "vec_id", "embedding", 64, 8, 42L, "spec")
+    assert(again eq index)
   }
 }

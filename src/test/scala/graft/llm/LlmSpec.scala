@@ -64,6 +64,40 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.5, s"ANN recall $recall too low")
   }
 
+  test("blocked cosine dedup equals the all-pairs form exactly") {
+    val exact = Embeddings.cosineDedup(emb, "vec_id", "embedding", 64, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Embeddings.cosineDedupBlocked(emb, "vec_id", "embedding", 64, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked == exact) // same pairs AND bit-identical cosines
+    assert(exact.nonEmpty)
+  }
+
+  test("LSH cosine dedup: verified subset always; full recall on a gapped corpus") {
+    import spark.implicits._
+    // registry corpus (gapless at 0.45): subset-of-exact must hold
+    val exact = Embeddings.cosineDedup(emb, "vec_id", "embedding", 64, 0.45)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Embeddings.cosineDedupLsh(emb, "vec_id", "embedding", 64, 0.45,
+        bits = 60, bands = 10)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    // gapped corpus (near-dups at cos ~0.99, background ~orthogonal):
+    // deterministic fixed-seed vectors + fixed hyperplanes => no flake
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 100).map(i => (i.toLong,
+      Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val dups = base.take(20).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat))
+    }
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val found = Embeddings.cosineDedupLsh(corpus, "vec_id", "embedding", 64, 0.9,
+        bits = 60, bands = 10)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 20).map(i => (i.toLong, i + 1000L)).toSet
+    assert(planted.subsetOf(found), s"missed ${planted -- found}")
+  }
+
   test("fingerprint is deterministic and edit-sensitive") {
     import spark.implicits._
     val d = Seq((1L, "the quick brown fox jumps over the lazy dog"),

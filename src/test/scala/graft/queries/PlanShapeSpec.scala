@@ -57,6 +57,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(filtered.count() == total)
   }
 
+  test("dedup_embedding_cosine: block equi-join, no nested-loop or cartesian") {
+    val p = plan("dedup_embedding_cosine")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("wordcount: explode stays inside one stage with partial count") {
     val p = plan("wordcount")
     assert(p.contains("Generate explode"), p)
