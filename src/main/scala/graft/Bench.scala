@@ -5,8 +5,17 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, executed to a noop sink (count() would let
   * Catalyst prune sorts/projections and flatter the numbers; the noop
   * write forces full execution of the physical plan). One JSON line on
-  * stdout for the driver. */
+  * stdout for the driver.
+  *
+  * Harness rules: min-of-3 per query (the shared bench machine adds
+  * ±30% noise; the minimum is the honest capability number), a query
+  * that THROWS is recorded in `failures` and excluded from the total —
+  * never as a near-zero "time" that would make a broken query look
+  * fast — and times are rounded to ms so the line stays compact enough
+  * for the driver's output-tail window. */
 object Bench {
+  private val runsPerQuery = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,23 +26,30 @@ object Bench {
     // JIT/codegen warm-up outside the timed region — otherwise the first
     // query (alphabetical) absorbs several seconds of classloading
     SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min of two runs: the shared bench machine adds ±30% noise, and
-      // the minimum is the honest capability number
-      val times = (1 to 2).map { _ =>
+    val timed = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val times = (1 to runsPerQuery).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      if (times.isEmpty) failures += name
+      // 2 decimals: the driver parses the JSON out of a 2000-char output
+      // tail, so the whole line must stay under ~1900 chars for ~80 queries
+      else timed += name -> (math.round(times.min * 100.0) / 100.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = math.round(timed.values.sum * 100.0) / 100.0
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"failures":$fails,"queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -20,6 +20,7 @@ object DedupPipeline {
   /** (id, rep): component-minimum representative for every node that
     * appears in `pairs` (id1 < id2 edge list). */
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.Observation
     // localCheckpoint truncates lineage each round — without it the plan
     // nests one join deeper per iteration and re-analysis/recovery cost
     // grows superlinearly (55s -> ~15s on a 120k-edge graph)
@@ -32,17 +33,22 @@ object DedupPipeline {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // labels flowing across edges + own label, keep the min
+      // Labels flowing across edges + own label, keep the min. The old
+      // label rides along (tagged `own` — each id has exactly one own
+      // row), so the changed-count is observed DURING the round's single
+      // materializing action instead of a second join + count job.
+      val obs = Observation(s"cc_round_$iter")
       val flowed = edges
         .join(labels, edges("id1") === labels("id"))
-        .select(col("id2").as("id"), col("rep"))
-        .union(labels)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint()
-      val changed = flowed.as("a").join(labels.as("b"), col("a.id") === col("b.id"))
-        .filter(col("a.rep") =!= col("b.rep")).limit(1).count()
-      labels = flowed
-      converged = changed == 0
+        .select(col("id2").as("id"), col("rep"), lit(null).cast("long").as("own"))
+        .union(labels.select(col("id"), col("rep"), col("rep").as("own")))
+        .groupBy(col("id"))
+        .agg(min(col("rep")).as("rep"), max(col("own")).as("own"))
+        .observe(obs, sum(when(col("rep") =!= col("own"), 1L).otherwise(0L))
+          .as("n_changed"))
+        .localCheckpoint() // eager: the one action per round
+      labels = flowed.select(col("id"), col("rep"))
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       iter += 1
     }
     labels
