@@ -68,6 +68,50 @@ object Pipes {
     pipe(sorted, reducerCmd, counters = counters)
   }
 
+  /** typed-bytes pipe mode (`-io typedbytes`; framing in
+    * [[TypedBytes]], reference `STR/PipeMapRed.java` + `typedbytes/
+    * TypedBytesInput.java`): the first two columns become binary
+    * (key, value) typed-bytes pairs on the child's stdin; the child
+    * emits typed-bytes pairs back. This convenience shape decodes to
+    * (key string, value long) — the canonical streaming KV; use
+    * [[pipeTypedBytesRaw]] for arbitrary nested payloads. */
+  def pipeTypedBytes(df: DataFrame, cmd: Seq[String],
+      env: Map[String, String] = Map.empty,
+      counters: Map[String, LongAccumulator] = Map.empty): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.mapPartitions { rows =>
+      runSubprocessTypedBytes(rows.map(r => (r.get(0), r.get(1))), cmd, env, counters)
+        .map { case (k, v) =>
+          (k.asInstanceOf[String], v match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case b: Byte => b.toLong
+            case other => throw new IllegalArgumentException(
+              s"expected integral typed-bytes value, got $other")
+          })
+        }
+    }.toDF("key", "value")
+  }
+
+  /** Arbitrary typed-bytes pairs through a subprocess, re-encoded to raw
+    * frames per pair so any nesting (VECTOR/LIST/MAP) survives the
+    * Dataset boundary; decode with [[TypedBytes.readPairOpt]]. */
+  def pipeTypedBytesRaw(df: DataFrame, cmd: Seq[String],
+      env: Map[String, String] = Map.empty,
+      counters: Map[String, LongAccumulator] = Map.empty): org.apache.spark.sql.Dataset[Array[Byte]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.mapPartitions { rows =>
+      runSubprocessTypedBytes(rows.map(r => (r.get(0), r.get(1))), cmd, env, counters)
+        .map { kv =>
+          val bos = new java.io.ByteArrayOutputStream()
+          TypedBytes.writePair(new java.io.DataOutputStream(bos), kv)
+          bos.toByteArray
+        }
+    }
+  }
+
   /** The two-pump-thread subprocess loop (PipeMapRed's design). */
   private def runSubprocess(lines: Iterator[String], cmd: Seq[String],
       env: Map[String, String],
@@ -88,20 +132,7 @@ object Pipes {
     }, "graft-pipe-stdin")
     writer.setDaemon(true); writer.start()
 
-    val stderrThread = new Thread(() => {
-      val err = new BufferedReader(new InputStreamReader(
-        proc.getErrorStream, StandardCharsets.UTF_8))
-      var line = err.readLine()
-      while (line != null) {
-        line match {
-          case CounterLine(group, name, amount) =>
-            counters.get(s"$group,$name").foreach(_.add(amount.toLong))
-          case other => System.err.println(s"[pipe stderr] $other")
-        }
-        line = err.readLine()
-      }
-    }, "graft-pipe-stderr")
-    stderrThread.setDaemon(true); stderrThread.start()
+    startStderrDrain(proc, counters)
 
     val stdout = new BufferedReader(new InputStreamReader(
       proc.getInputStream, StandardCharsets.UTF_8))
@@ -120,5 +151,67 @@ object Pipes {
         val l = nextLine; nextLine = stdout.readLine(); l
       }
     }
+  }
+
+  /** Binary twin of [[runSubprocess]]: typed-bytes pairs in, typed-bytes
+    * pairs out, same writer/stderr thread design. */
+  private def runSubprocessTypedBytes(pairs: Iterator[(Any, Any)],
+      cmd: Seq[String], env: Map[String, String],
+      counters: Map[String, LongAccumulator]): Iterator[(Any, Any)] = {
+    if (!pairs.hasNext) return Iterator.empty
+    val pb = new ProcessBuilder(cmd: _*)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val proc = pb.start()
+    val writeErr = new AtomicReference[Throwable]()
+
+    val stdin = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(proc.getOutputStream))
+    val writer = new Thread(() => {
+      try {
+        pairs.foreach(TypedBytes.writePair(stdin, _))
+        stdin.close()
+      } catch { case t: Throwable => writeErr.set(t); proc.destroy() }
+    }, "graft-pipe-tb-stdin")
+    writer.setDaemon(true); writer.start()
+
+    startStderrDrain(proc, counters)
+
+    val stdout = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(proc.getInputStream))
+    new Iterator[(Any, Any)] {
+      private var nextPair: Option[(Any, Any)] = TypedBytes.readPairOpt(stdout)
+      def hasNext: Boolean = {
+        if (nextPair.isEmpty) {
+          val code = proc.waitFor()
+          if (writeErr.get() != null) throw writeErr.get()
+          if (code != 0)
+            throw new RuntimeException(s"pipe command ${cmd.mkString(" ")} exited $code")
+        }
+        nextPair.nonEmpty
+      }
+      def next(): (Any, Any) = {
+        val p = nextPair.get; nextPair = TypedBytes.readPairOpt(stdout); p
+      }
+    }
+  }
+
+  /** stderr drain thread: counter protocol lines feed accumulators,
+    * everything else echoes to task stderr (PipeMapRed$MRErrorThread). */
+  private def startStderrDrain(proc: Process,
+      counters: Map[String, LongAccumulator]): Unit = {
+    val stderrThread = new Thread(() => {
+      val err = new BufferedReader(new InputStreamReader(
+        proc.getErrorStream, StandardCharsets.UTF_8))
+      var line = err.readLine()
+      while (line != null) {
+        line match {
+          case CounterLine(group, name, amount) =>
+            counters.get(s"$group,$name").foreach(_.add(amount.toLong))
+          case other => System.err.println(s"[pipe stderr] $other")
+        }
+        line = err.readLine()
+      }
+    }, "graft-pipe-stderr")
+    stderrThread.setDaemon(true); stderrThread.start()
   }
 }

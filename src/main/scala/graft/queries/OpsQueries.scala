@@ -97,7 +97,63 @@ object OpsQueries {
       .orderBy(col("word"))
   }
 
+  /** Python typed-bytes reducer: reads binary (STRING word, LONG n)
+    * pairs (tags 7/4, big-endian — `typedbytes/Type.java:27-37`) from
+    * stdin, group-break sums over key-sorted input, writes typed-bytes
+    * pairs back. A deliberately independent second implementation of the
+    * wire format — it would catch a framing bug in [[graft.ops.TypedBytes]]
+    * that a JVM-only roundtrip would mirror on both sides. */
+  private val pyTbReducer: String =
+    """import sys, struct
+      |ri, wo = sys.stdin.buffer, sys.stdout.buffer
+      |def rv():
+      |    t = ri.read(1)
+      |    if not t: return None
+      |    t = t[0]
+      |    if t == 7:
+      |        n = struct.unpack('>i', ri.read(4))[0]
+      |        return ri.read(n).decode('utf-8')
+      |    if t == 4: return struct.unpack('>q', ri.read(8))[0]
+      |    if t == 3: return struct.unpack('>i', ri.read(4))[0]
+      |    raise SystemExit('bad tag %d' % t)
+      |def w(k, v):
+      |    kb = k.encode('utf-8')
+      |    wo.write(b'\x07' + struct.pack('>i', len(kb)) + kb)
+      |    wo.write(b'\x04' + struct.pack('>q', v))
+      |prev, s = None, 0
+      |while True:
+      |    k = rv()
+      |    if k is None: break
+      |    v = rv()
+      |    if prev is not None and k != prev:
+      |        w(prev, s); s = 0
+      |    prev = k; s += v
+      |if prev is not None: w(prev, s)
+      |wo.flush()
+      |""".stripMargin
+
+  /** typed-bytes streaming wordcount (`-io typedbytes` mode,
+    * `STR/PipeMapRed.java` + `typedbytes/TypedBytesInput.java`): binary
+    * (STRING, LONG) frames cross the subprocess boundary both ways; the
+    * word is routed to one partition (shuffle on key) and key-sorted so
+    * the reducer's group-break aggregation is total. */
+  private def pipeTypedBytesWc(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("k"))
+      .filter(col("k") =!= "")
+      .withColumn("v", lit(1L))
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = words.repartition(parts, col("k")).sortWithinPartitions(col("k"))
+    Pipes.pipeTypedBytes(sorted, Seq("python3", "-c", pyTbReducer))
+      .toDF("word", "cnt")
+      .orderBy(col("word"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("pipe_typedbytes_wc", pipeTypedBytesWc,
+      Some("""SELECT w AS word, count(*) AS cnt
+             |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+             |WHERE w <> '' GROUP BY 1 ORDER BY word""".stripMargin)),
     Q("fieldsel", fieldsel,
       Some("""SELECT doc_id, l[2] || ' ' || l[1] AS fs_key,
              |  array_to_string(l[3:5], ' ') AS fs_value
