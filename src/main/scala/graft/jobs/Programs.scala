@@ -86,6 +86,43 @@ object Programs {
     (copied.value, skipped.value)
   }
 
+  /** DistCh (`hadoop-tools/hadoop-extras/.../DistCh.java`): distributed
+    * metadata change — chmod/chown/touch over a file tree, fanned out
+    * with the same listing + foreachPartition pattern as [[distCpLite]].
+    * `perm` is an octal string ("644"); None leaves it untouched.
+    * Returns the number of paths changed. */
+  def distCh(spark: SparkSession, root: String, perm: Option[String],
+             mtime: Option[Long] = None, numTasks: Int = 32): Long = {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val listing = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      listing += st.getPath.toString
+      if (st.isDirectory) walk(st.getPath)
+    }
+    walk(rootPath)
+    val changed = spark.sparkContext.longAccumulator("distch.changed")
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    listing.toSeq.toDS()
+      .repartition(math.min(numTasks, math.max(listing.size, 1)))
+      .foreachPartition { (it: Iterator[String]) =>
+        val c = serConf.value
+        it.foreach { s =>
+          val p = new Path(s)
+          val pfs = p.getFileSystem(c)
+          perm.foreach(o => pfs.setPermission(p,
+            new org.apache.hadoop.fs.permission.FsPermission(
+              Integer.parseInt(o, 8).toShort)))
+          mtime.foreach(t => pfs.setTimes(p, t, -1))
+          changed.add(1)
+        }
+      }
+    changed.value
+  }
+
   /** ChainMapper/ChainReducer (`lib/chain/Chain.java:50`): stage
     * composition fused in one task. In Spark, composing DataFrame
     * transforms IS the chain — lazy evaluation + whole-stage codegen fuse
@@ -104,6 +141,14 @@ object ProgramDriver {
       Programs.piQmc(s, args.headOption.map(_.toLong).getOrElse(1000000L)).collect()),
     "distcp" -> ((s, args) => Programs.distCpLite(s, args(0), args(1),
       update = args.contains("-update"))),
+    "distch" -> ((s, args) => Programs.distCh(s, args(0),
+      perm = args.lift(1))),
+    "randomwriter" -> ((s, args) => Generators.randomWriter(s,
+      args.headOption.map(_.toLong).getOrElse(1000000L))
+      .write.mode("overwrite").format("noop").save()),
+    "randomtextwriter" -> ((s, args) => Generators.randomTextWriter(s,
+      args.headOption.map(_.toLong).getOrElse(10000L))
+      .write.mode("overwrite").format("noop").save()),
     "wordcount" -> ((s, args) =>
       graft.SparkEntry.queries("wordcount")(s, args.head).collect()),
     "grep" -> ((s, args) =>

@@ -30,6 +30,28 @@ object SequenceFiles {
       .toDF("key", "value")
   }
 
+  /** SequenceFileAsBinary mode (`lib/input/SequenceFileAsBinaryInputFormat
+    * .java`, `lib/output/SequenceFileAsBinaryOutputFormat.java`): raw
+    * BytesWritable KV — the payload is opaque application bytes, no
+    * text/long interpretation. */
+  def writeBinary(df: DataFrame, path: String): Unit =
+    df.rdd
+      .map(r => (new org.apache.hadoop.io.BytesWritable(r.getAs[Array[Byte]](0)),
+        new org.apache.hadoop.io.BytesWritable(r.getAs[Array[Byte]](1))))
+      .saveAsSequenceFile(path)
+
+  /** Read raw-bytes SequenceFiles back as (key binary, value binary).
+    * BytesWritable buffers are reused by the reader — copyBytes before
+    * the rows escape the iterator. */
+  def readBinary(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext
+      .sequenceFile[org.apache.hadoop.io.BytesWritable,
+        org.apache.hadoop.io.BytesWritable](path)
+      .map { case (k, v) => (k.copyBytes(), v.copyBytes()) }
+      .toDF("key", "value")
+  }
+
   /** AutoInputFormat (`STR/AutoInputFormat.java`): sniff SequenceFile
     * ("SEQ" magic, `IO/SequenceFile.java` header) vs text per directory
     * and dispatch the right reader. Returns (key, value:string) rows. */

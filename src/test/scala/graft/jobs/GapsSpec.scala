@@ -1,0 +1,110 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-3 coverage closures: NLineInputFormat,
+  * BinaryPartitioner, RandomWriter/RandomTextWriter, DistCh, and
+  * SequenceFileAsBinary. */
+class GapsSpec extends SparkTestBase {
+
+  test("NLines: N lines per partition, offsets are byte offsets") {
+    val dir = Files.createTempDirectory("nline").toString
+    val lines = (0 until 10).map(i => s"line-$i")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "in.txt"),
+      lines.mkString("", "\n", "\n").getBytes)
+    val df = graft.sources.NLines.read(spark, s"$dir/in.txt", n = 4)
+    // 10 lines at 4/split -> partitions of 4,4,2
+    val sizes = df.groupBy(spark_partition_id().as("p")).count()
+      .select("count").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sizes == Seq(2L, 4L, 4L))
+    // offsets: line i starts at i * 7 ("line-N\n")
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == lines.zipWithIndex.map { case (l, i) => (i * 7L, l) }.toSet)
+  }
+
+  test("BinaryPartition: equal byte-slices co-locate; negative offsets work") {
+    import spark.implicits._
+    // keys share bytes [1:2] in pairs; slice [-2:-1] = same bytes here
+    val rows = Seq(
+      Array[Byte](1, 10, 20, 9), Array[Byte](2, 10, 20, 8),
+      Array[Byte](3, 30, 40, 7), Array[Byte](4, 30, 40, 6))
+      .map(Tuple1(_)).toDF("bin")
+    val sliced = rows.select(
+      graft.ops.BinaryPartition.sliceColumn(col("bin"), 1, 2).as("s"))
+      .collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(sliced.toSet == Set(Seq[Byte](10, 20), Seq[Byte](30, 40)))
+    val negative = rows.select(
+      graft.ops.BinaryPartition.sliceColumn(col("bin"), -3, -2).as("s"))
+      .collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(negative.toSet == Set(Seq[Byte](10, 20), Seq[Byte](30, 40)))
+    val parted = graft.ops.BinaryPartition
+      .repartitionBySlice(rows, "bin", 1, 2, numPartitions = 8)
+      .select(spark_partition_id().as("p"),
+        graft.ops.BinaryPartition.sliceColumn(col("bin"), 1, 2).as("s"))
+      .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1).toSeq))
+    // same slice -> same partition
+    assert(parted.groupBy(_._2).forall { case (_, g) => g.map(_._1).distinct.size == 1 })
+  }
+
+  test("randomWriter: deterministic, sizes within the reference ranges") {
+    val a = Generators.randomWriter(spark, bytesTarget = 200000L, seed = 5L)
+    val b = Generators.randomWriter(spark, bytesTarget = 200000L, seed = 5L)
+    val stats = a.select(
+      min(length(col("key"))), max(length(col("key"))),
+      min(length(col("value"))), max(length(col("value"))), count(lit(1))).first()
+    assert(stats.getInt(0) >= 10 && stats.getInt(1) <= 1000)
+    assert(stats.getInt(2) >= 0 && stats.getInt(3) <= 20000)
+    assert(stats.getLong(4) > 0)
+    def rendered(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), hex(col("key")), hex(col("value")))
+        .orderBy("id").collect().map(_.toString).toSeq
+    assert(rendered(a) == rendered(b))
+  }
+
+  test("randomTextWriter: word counts in range, words from the lexicon") {
+    import spark.implicits._
+    val df = Generators.randomTextWriter(spark, rows = 200, seed = 3L)
+    val wc = df.select(size(split(col("key"), " ")).as("kw"),
+      size(split(col("value"), " ")).as("vw"))
+    val r = wc.agg(min("kw"), max("kw"), min("vw"), max("vw")).first()
+    assert(r.getInt(0) >= 5 && r.getInt(1) <= 10)
+    assert(r.getInt(2) >= 20 && r.getInt(3) <= 100)
+    val lex = Generators.lexicon.toSet
+    val words = df.select(explode(split(col("value"), " ")).as("w"))
+      .distinct().as[String].collect()
+    assert(words.forall(lex.contains))
+  }
+
+  test("distCh applies permissions across the tree (distributed chmod)") {
+    val dir = Files.createTempDirectory("distch").toString
+    (0 until 5).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"f$i.txt"), s"data$i".getBytes)
+    }
+    val n = Programs.distCh(spark, dir, perm = Some("600"))
+    assert(n == 5)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+      assert(st.getPermission.toString == "rw-------", st.getPath)
+    }
+  }
+
+  test("SequenceFileAsBinary: raw-bytes KV roundtrip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("seqbin").toString
+    val data = Seq(
+      (Array[Byte](0, 1, 2), Array[Byte](-1, -2)),
+      (Array[Byte](9), Array[Byte]()),
+      (Array[Byte](127, -128), Array[Byte](5, 5, 5, 5)))
+    graft.sources.SequenceFiles.writeBinary(
+      data.toDF("key", "value"), s"$dir/out")
+    val back = graft.sources.SequenceFiles.readBinary(spark, s"$dir/out")
+      .collect().map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq))
+      .toSet
+    assert(back == data.map { case (k, v) => (k.toSeq, v.toSeq) }.toSet)
+  }
+}
