@@ -140,6 +140,49 @@ object TextDedup {
           .as("jaccard"))
   }
 
+  /** Exact Jaccard with the HOT-SHINGLE SPLIT — the fallback documented
+    * on [[verifyJaccardDirect]], wired in. The direct self-join costs
+    * df² pair-rows per shingle, so one universal shingle (df = corpus
+    * size) is a quadratic blowup even when almost no pair is a
+    * candidate. Split by document frequency:
+    *   - cold (2 <= df <= dfCap): direct self-join; total cost
+    *     Σ_cold df² <= dfCap · |sh| — linear in corpus size with a dfCap
+    *     factor;
+    *   - hot (df > dfCap): candidate-driven double join; cost
+    *     |cands| · hot-shingles-per-doc, independent of df.
+    * The two partial intersection counts sum to the exact intersection,
+    * so the result equals [[verifyJaccard]] for any candidate superset —
+    * losslessness pinned in LlmSpec, blowup-resistance probed in
+    * ScaleProbe's universal-shingle corpus. */
+  def verifyJaccardSplit(cands: DataFrame, sh: DataFrame, dfCap: Int): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val dfRel = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val cold = sh.join(
+      dfRel.filter(col("df").between(2, dfCap)).select(col("shingle")), "shingle")
+    val hot = sh.join(
+      dfRel.filter(col("df") > dfCap).select(col("shingle")), "shingle")
+    val interCold = cold.as("a")
+      .join(cold.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(cands, Seq("id1", "id2"), "left_semi")
+    val interHot = cands
+      .join(hot.as("a"), col("id1") === col("a.id"))
+      .join(hot.as("b"),
+        col("id2") === col("b.id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("cnt"))
+    val inter = interCold.unionByName(interHot)
+      .groupBy(col("id1"), col("id2")).agg(sum(col("cnt")).as("inter"))
+    inter
+      .join(sizes.as("s1"), col("id1") === col("s1.id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.id"))
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") / (col("s1.n") + col("s2.n") - col("inter")))
+          .as("jaccard"))
+  }
+
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     * With 32 bands x 4 rows, a pair at J >= 0.85 is missed with
     * probability (1 - J^4)^32 < 1e-13 — LSH prunes candidates, the exact
@@ -159,7 +202,8 @@ object TextDedup {
     * their first (n - ceil(t*n) + 1) rarest shingles, so joining prefixes
     * finds every qualifying pair without an all-pairs product. */
   def ngramJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
-                       threshold: Double, shingleN: Int = 3): DataFrame = {
+                       threshold: Double, shingleN: Int = 3,
+                       dfCap: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs, idCol, textCol, shingleN)
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -175,7 +219,7 @@ object TextDedup {
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
-    verifyJaccardDirect(cands, sh).filter(col("jaccard") >= threshold)
+    verifyJaccardSplit(cands, sh, dfCap).filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over word-frequency features. bit b = sign of

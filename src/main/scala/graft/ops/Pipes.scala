@@ -26,13 +26,16 @@ import scala.collection.concurrent.TrieMap
   */
 object Pipes {
 
-  private val counterRegistry = TrieMap.empty[String, LongAccumulator]
+  // keyed by (context, group, name): a (group, name)-only key could hand
+  // back an accumulator registered on an earlier, stopped SparkContext
+  private val counterRegistry =
+    TrieMap.empty[(org.apache.spark.SparkContext, String), LongAccumulator]
 
   /** Get-or-create a named accumulator (counters surface). Accumulators
     * are serialized into the task closure, so counter updates work on a
     * real cluster, not just local mode. */
   def counter(spark: SparkSession, group: String, name: String): LongAccumulator =
-    counterRegistry.getOrElseUpdate(s"$group,$name", {
+    counterRegistry.getOrElseUpdate((spark.sparkContext, s"$group,$name"), {
       val acc = spark.sparkContext.longAccumulator(s"$group:$name")
       acc
     })

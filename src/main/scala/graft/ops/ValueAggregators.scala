@@ -46,30 +46,50 @@ object ValueAggregators {
     * per key, the distribution of per-distinct-value frequencies —
     * unique-value count, min/median/max/average/stddev of the counts.
     *
-    * Two-level aggregation: (key,value)→count, then per-key stats over the
-    * counts. Both shuffles are on grouping keys with map-side partial agg;
-    * no per-key map state, so a key with 10^9 distinct values still works.
+    * Three-level aggregation, every step spillable: (key,value)→freq,
+    * then (key,freq)→cnt (the frequency HISTOGRAM — its size is the
+    * number of distinct frequency values, far below the number of
+    * distinct values), then per-key stats over the histogram. The median
+    * comes from a cumulative-sum window over the histogram (the
+    * wordMedianHist technique) instead of `percentile()`, whose
+    * ObjectHashAggregate buffers every per-key frequency in memory — the
+    * earlier version violated this scaladoc's own bounded-state claim
+    * for keys with ~10^9 distinct values. Sort-based windows spill;
+    * nothing here holds per-key state proportional to distinct values.
     * stddev/median are computed from exact integer sums so the DuckDB
     * oracle matches bit-for-bit (see queries.Ops).
     */
   def valueHistogram(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val perValue = df.groupBy(col(keyCol), col(valueCol))
       .agg(count(lit(1)).as("freq"))
-    perValue.groupBy(col(keyCol))
+    val hist = perValue.groupBy(col(keyCol), col("freq"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("upto", sum(col("cnt")).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("freq"))))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col(keyCol))))
+    // middle positions (1-based): lo = (n+1) div 2, hi = (n+2) div 2;
+    // median = mean of the frequencies at those positions — identical to
+    // percentile(0.5) linear interpolation, which for 0.5 is exactly the
+    // two-middle average.
+    val atLo = min(when(col("upto") >= expr("(total + 1) DIV 2"), col("freq")))
+    val atHi = min(when(col("upto") >= expr("(total + 2) DIV 2"), col("freq")))
+    cum.groupBy(col(keyCol))
       .agg(
-        count(lit(1)).as("n_unique"),
+        sum(col("cnt")).as("n_unique"),
         min(col("freq")).as("min_freq"),
-        percentile(col("freq"), lit(0.5)).as("median_freq"),
+        ((atLo + atHi) / 2.0d).as("median_freq"),
         max(col("freq")).as("max_freq"),
-        (sum(col("freq")).cast("double") / count(lit(1))).as("avg_freq"),
+        (sum(col("freq") * col("cnt")).cast("double") / sum(col("cnt"))).as("avg_freq"),
         // sample stddev from exact integer sums: sqrt((Σx² − (Σx)²/n)/(n−1)).
         // Σx² stays integer (exact, order-independent); (Σx)² is squared in
         // double to avoid long overflow when Σx > ~3e9.
-        when(count(lit(1)) > 1,
-          sqrt((sum(col("freq") * col("freq")).cast("double") -
-            sum(col("freq")).cast("double") * sum(col("freq")).cast("double") /
-              count(lit(1))) /
-            (count(lit(1)) - 1).cast("double")))
+        when(sum(col("cnt")) > 1,
+          sqrt((sum(col("freq") * col("freq") * col("cnt")).cast("double") -
+            sum(col("freq") * col("cnt")).cast("double") *
+              sum(col("freq") * col("cnt")).cast("double") / sum(col("cnt"))) /
+            (sum(col("cnt")) - 1).cast("double")))
           .otherwise(lit(0.0)).as("stddev_freq"))
   }
 

@@ -154,8 +154,12 @@ object OpsQueries {
       Some("""SELECT w AS word, count(*) AS cnt
              |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
              |WHERE w <> '' GROUP BY 1 ORDER BY word""".stripMargin)),
+    // fs_key mirrors Spark's null-skipping array_join: out-of-range fields
+    // vanish instead of nulling the whole concat (matters for rows shorter
+    // than the spec, which a different SF could produce)
     Q("fieldsel", fieldsel,
-      Some("""SELECT doc_id, l[2] || ' ' || l[1] AS fs_key,
+      Some("""SELECT doc_id,
+             |  array_to_string(list_filter([l[2], l[1]], x -> x IS NOT NULL), ' ') AS fs_key,
              |  array_to_string(l[3:5], ' ') AS fs_value
              |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t
              |ORDER BY doc_id""".stripMargin)),

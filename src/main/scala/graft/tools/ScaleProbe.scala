@@ -29,6 +29,15 @@ object ScaleProbe {
       graft.llm.TextDedup.simhashPairs(big, "doc_id", "text", 3).count())
     time(s"ngram_jaccard x$mult")(
       graft.llm.TextDedup.ngramJaccardJoin(big, "doc_id", "text", 0.5).count())
+    // universal-shingle corpus: every doc ends with the same 4 words, so
+    // 3 shingles have df == corpus size. The unsplit direct verify would
+    // build df^2 ≈ (60k·mult)^2 pair-rows from them; the df-capped split
+    // (TextDedup.verifyJaccardSplit) must stay near the plain timing.
+    time(s"ngram_jaccard hot-universal x$mult")(
+      graft.llm.TextDedup.ngramJaccardJoin(
+        big.select(col("doc_id"),
+          concat(col("text"), lit(" omega tail marker words")).as("text")),
+        "doc_id", "text", 0.5).count())
     time(s"dedup_clusters x$mult")(
       graft.llm.DedupPipeline.components(
         graft.llm.TextDedup.minhashLsh(big, "doc_id", "text", 0.9)).count())

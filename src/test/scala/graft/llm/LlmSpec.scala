@@ -64,6 +64,32 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.5, s"ANN recall $recall too low")
   }
 
+  test("hot-shingle split verify equals plain verify on a crowded corpus") {
+    import spark.implicits._
+    // 30-copy crowd => every crowd shingle has df ~30 (hot at cap 8);
+    // plus a universal tail so even singleton docs share hot shingles
+    val crowd = (0 until 30).map(i => (i.toLong,
+      s"alpha beta gamma delta epsilon zeta v$i common tail words"))
+    val singles = (100 until 120).map(i => (i.toLong,
+      s"doc $i unique body number ${i * 7} common tail words"))
+    val docs2 = (crowd ++ singles).toDF("doc_id", "text")
+    val sh = TextDedup.shingles(docs2, "doc_id", "text")
+    val allCands = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2")).distinct()
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val plain = asMap(TextDedup.verifyJaccard(allCands, sh))
+    val split = asMap(TextDedup.verifyJaccardSplit(allCands, sh, dfCap = 8))
+    assert(split == plain) // same pairs, bit-identical jaccard
+    assert(plain.nonEmpty)
+    // end-to-end: the join is unchanged by the cap on this corpus
+    val viaJoin = TextDedup.ngramJaccardJoin(docs2, "doc_id", "text", 0.5, dfCap = 8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = plain.filter(_._2 >= 0.5).keySet
+    assert(viaJoin == exact)
+  }
+
   test("blocked cosine dedup equals the all-pairs form exactly") {
     val exact = Embeddings.cosineDedup(emb, "vec_id", "embedding", 64, 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
