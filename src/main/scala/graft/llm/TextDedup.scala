@@ -248,7 +248,17 @@ object TextDedup {
     * Candidates come from 8 x 8-bit LSH bands (pigeonhole: any pair with
     * Hamming <= 7 shares at least one untouched band, so recall for
     * maxHamming <= 7 is guaranteed, not probabilistic).
-    * Output: (id1, id2, hamming). */
+    * Output: (id1, id2, hamming).
+    *
+    * Why no DuckDB oracle (registered rows-only): the signature is built
+    * from Spark's `xxhash64`, which DuckDB has no compatible
+    * implementation of — the oracle cannot reproduce the signatures, and
+    * every downstream number depends on them. What CAN be proven is
+    * proven in LlmSpec: (a) given the signatures, the banded join equals
+    * brute-force all-pairs Hamming filtering exactly (the pigeonhole is
+    * lossless, not approximately-recalled), and (b) identical word
+    * multisets collide at Hamming 0. The only un-oracled component is
+    * the hash function itself. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 7, "8-band pigeonhole guarantee holds up to Hamming 7")

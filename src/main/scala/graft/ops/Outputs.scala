@@ -33,6 +33,26 @@ object Outputs {
   def writeMultipleOutputs(df: DataFrame, path: String, byCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(byCol).parquet(path)
 
+  /** BloomMapFile analog (`IO/BloomMapFile.java` — a MapFile plus a
+    * DynamicBloomFilter so a point lookup of an ABSENT key skips the
+    * index/data read entirely). Parquet has the same machinery built in:
+    * a split-block bloom filter per row group per column, consulted by
+    * the reader after min/max stats, so an equality probe for a missing
+    * key prunes row groups without scanning them. Combined with
+    * bucketing (the MapFile-analog layout already pinned in
+    * TeraAndOpsSpec) a miss costs one bloom probe per row group of ONE
+    * bucket's files. `ndv` sizes the filter (expected distinct values
+    * per row group). */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                     ndv: Long = 100000L, rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", rowGroupBytes.toString)
+    bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(path)
+  }
+
   /** Named side-outputs from one cached pass (the `mos.write(name, ...)`
     * style): each (name → filter) pair lands under its own subdirectory. */
   def writeNamedOutputs(df: DataFrame, path: String,

@@ -51,6 +51,18 @@ class LlmSpec extends SparkTestBase {
     assert(found.count() >= 2)
   }
 
+  test("simhash banding is lossless: equals brute-force hamming over signatures") {
+    val sigs = TextDedup.simhashSignatures(docs, "doc_id", "text")
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = TextDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute) // pigeonhole recall is exact, not probabilistic
+  }
+
   test("sign-LSH ANN attains high recall vs brute-force top-k") {
     val qids = (0L until 8L)
     val brute = Embeddings.bruteForceKnn(emb, emb.filter(col("vec_id") < 8),
