@@ -42,7 +42,7 @@ def compare(name, mine, oracle):
         # The driver hashes formatted values, so int64 vs float64 (e.g. a
         # DuckDB HUGEINT sum surfacing as float64) is a hash FAIL even when
         # the numbers are equal — flag dtype-kind mismatches hard.
-        if a.dtype.kind != b.dtype.kind and "f" in {a.dtype.kind, b.dtype.kind} \
+        if a.dtype.kind != b.dtype.kind \
                 and {a.dtype.kind, b.dtype.kind} <= {"i", "u", "f", "O"}:
             issues.append(
                 f"col {c}: dtype kind mismatch mine={a.dtype} oracle={b.dtype}"
