@@ -149,7 +149,23 @@ object OpsQueries {
       .orderBy(col("word"))
   }
 
+  /** Bounded-state per-group top-k ([[graft.ops.TopK]]): top 3 orders
+    * per customer by price — O(k) state per group, map-side partial
+    * merge, at most k rows per group per map task on the shuffle. The
+    * window formulation (the oracle) sorts every customer's whole group. */
+  private def topkPerGroup(s: SparkSession, d: String): DataFrame =
+    graft.ops.TopK.topKPerGroup(Tables.orders(s, d),
+        "o_custkey", "o_totalprice", "o_orderkey", k = 3)
+      .orderBy(col("o_custkey"), col("rank"))
+
   val all: Seq[Q] = Seq(
+    Q("topk_per_group", topkPerGroup,
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             |  FROM orders) t
+             |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin)),
     Q("pipe_typedbytes_wc", pipeTypedBytesWc,
       Some("""SELECT w AS word, count(*) AS cnt
              |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t

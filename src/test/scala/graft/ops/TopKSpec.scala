@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TopKSpec extends SparkTestBase {
+
+  test("bounded top-k per group equals the window formulation exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 5000).map(i =>
+      (i.toLong % 37, rnd.nextInt(100).toDouble, i.toLong))
+    val df = rows.toDF("key", "ord", "tag").repartition(8)
+    val got = TopK.topKPerGroup(df, "key", "ord", "tag", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val want = df.withColumn("rank", row_number().over(
+        Window.partitionBy($"key").orderBy($"ord".desc, $"tag")))
+      .filter($"rank" <= 5)
+      .select($"key", $"tag", $"ord", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == want) // same rows, same ranks, deterministic ties
+  }
+
+  test("groups smaller than k return all rows, ranked") {
+    import spark.implicits._
+    val df = Seq((1L, 3.0, 10L), (1L, 1.0, 11L), (2L, 9.0, 12L))
+      .toDF("key", "ord", "tag")
+    val got = TopK.topKPerGroup(df, "key", "ord", "tag", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == Set((1L, 10L, 1), (1L, 11L, 2), (2L, 12L, 1)))
+  }
+
+  test("partial aggregation: shuffle carries at most k rows per group per task") {
+    import spark.implicits._
+    // plan-level: the typed aggregator appears as a two-phase (partial +
+    // final) ObjectHashAggregate, i.e. map-side combine is in effect
+    val df = (0 until 1000).map(i => (i.toLong % 7, i.toDouble, i.toLong))
+      .toDF("key", "ord", "tag").repartition(4)
+    val plan = TopK.topKPerGroup(df, "key", "ord", "tag", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    assert("(?i)partial".r.findFirstIn(plan).isDefined, plan)
+  }
+}
