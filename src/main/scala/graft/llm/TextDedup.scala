@@ -213,10 +213,16 @@ object TextDedup {
       .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("id"))))
     val prefix = ranked
       .filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold) + lit(1))
-      .select(col("id"), col("shingle"))
+      .select(col("id"), col("shingle"), col("nsh"))
+    // length filter (lossless): J >= t forces t·|y| <= |x| <= |y|/t, so
+    // size-mismatched pairs are pruned at candidate generation — on
+    // heterogeneous corpora this cuts the crowded-shingle pair fan-out
+    // before the verify join ever sees it
     val cands = prefix.as("x")
       .join(prefix.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id") &&
+          col("x.nsh") >= col("y.nsh") * threshold &&
+          col("y.nsh") >= col("x.nsh") * threshold)
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
     verifyJaccardSplit(cands, sh, dfCap).filter(col("jaccard") >= threshold)
