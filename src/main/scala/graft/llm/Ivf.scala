@@ -124,6 +124,20 @@ object Ivf {
       .select(col("qid"), col("assigned_cell"), col("cell"), col("crk"))
   }
 
+  /** Persist the index as a cell-PARTITIONED parquet table — the 100 TB
+    * layout: a probe's cell filter becomes a partition filter, so only
+    * nprobe/nlist of the files are ever opened (IvfSpec pins
+    * PartitionFilters in the scan). */
+  def save(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/assigned"),
+      spark.read.parquet(s"$path/centroids"))
+
   /** Build-or-reuse + probe in one call (registry entry point). */
   def annKnn(emb: DataFrame, queryIds: Seq[Long], idCol: String, vecCol: String,
              dim: Int, k: Int, nlist: Int, nprobe: Int,

@@ -48,4 +48,21 @@ class IvfSpec extends SparkTestBase {
     val again = Ivf.cachedIndex(emb, "vec_id", "embedding", 64, 8, 42L, "spec")
     assert(again eq index)
   }
+
+  test("persisted index: cell filter prunes partitions; probe results identical") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Ivf.save(index, dir)
+    val loaded = Ivf.load(spark, dir)
+    // the 100 TB claim, pinned: a cell predicate on the stored layout is a
+    // PARTITION filter (file-level pruning), not a row filter after scan
+    val probeScan = loaded.assigned.filter(col("cell").isin(1, 3))
+    val explained = probeScan.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(explained.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      explained)
+    // probing the loaded index equals probing the in-memory one
+    val mem = knnSet(Ivf.probe(index, (0L until 6L), 64, 5, nprobe = 4))
+    val disk = knnSet(Ivf.probe(loaded, (0L until 6L), 64, 5, nprobe = 4))
+    assert(disk == mem)
+  }
 }
