@@ -91,6 +91,22 @@ object AnalyticsQueries {
   private def windowSession(s: SparkSession, d: String): DataFrame =
     graft.streaming.EventStreams.sessionized(Tables.events(s, d), "30 minutes")
 
+  /** Stream-stream interval join run in batch (same code as the
+    * streaming attribution join in [[graft.streaming.EventStreams
+    * .intervalJoin]]; the watermark is a no-op in batch): view→click
+    * pairs per user within 15 minutes. */
+  private def intervalJoinAttrib(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.streaming.EventStreams.intervalJoin(views, clicks, "user_id",
+        delay = "1 hour", within = "15 minutes")
+      .select(col("l_event_id").as("view_id"), col("r_event_id").as("click_id"))
+      .orderBy(col("view_id"), col("click_id"))
+  }
+
   /** MultipleInputs: per-source schema adaptation + unionByName
     * (`lib/input/MultipleInputs.java:40`, `DelegatingMapper`). */
   private def multiInputsUnion(s: SparkSession, d: String): DataFrame = {
@@ -355,6 +371,13 @@ object AnalyticsQueries {
               |  sum(${sqlCents("l_extendedprice")}) / 100.0 AS sum_price
               |FROM lineitem
               |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)),
+    Q("interval_join_attrib", intervalJoinAttrib,
+      Some("""SELECT v.event_id AS view_id, c.event_id AS click_id
+             |FROM events v JOIN events c
+             |  ON v.user_id = c.user_id
+             | AND v.event_type = 'view' AND c.event_type = 'click'
+             | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 15 MINUTE
+             |ORDER BY view_id, click_id""".stripMargin)),
     Q("window_tumbling", windowTumbling,
       Some(s"""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
               |  count(*) AS n, sum(${sqlCents("value")}) / 100.0 AS sum_value

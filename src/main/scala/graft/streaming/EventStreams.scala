@@ -62,6 +62,25 @@ object EventStreams {
   def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), key)
 
+  /** STREAM-STREAM inner join with event-time interval bounds (e.g.
+    * view→click attribution within a horizon). Both sides are
+    * watermarked and the join condition bounds `r.ts` to
+    * [l.ts, l.ts + within], so each side's join state is evicted once
+    * the watermark passes the interval — without the time bound the
+    * state store grows with the full history of both streams. Input
+    * frames must expose (`key`, ts) plus their payload columns; the left
+    * side's columns are prefixed `l_`, the right's `r_` to keep the
+    * output schema unambiguous. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   delay: String, within: String): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark("l_ts", delay)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark("r_ts", delay)
+    l.join(r, expr(
+      s"l_$key = r_$key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL $within"))
+  }
+
   // ---- custom state: mapGroupsWithState sessionizer ----
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp)

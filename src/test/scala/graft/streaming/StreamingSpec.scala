@@ -136,6 +136,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  case class V(user_id: Long, ts: Timestamp, page: String)
+  case class C(user_id: Long, ts: Timestamp, target: String)
+
+  test("stream-stream interval join: attribution within the horizon only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[V]
+    val clicks = MemoryStream[C]
+    val joined = EventStreams.intervalJoin(
+      views.toDF(), clicks.toDF(), key = "user_id",
+      delay = "10 minutes", within = "15 minutes")
+    val q = joined
+      .select($"l_user_id", $"l_page", $"r_target", $"l_ts", $"r_ts")
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      views.addData(V(1, ts(0), "home"), V(2, ts(5), "search"))
+      clicks.addData(
+        C(1, ts(10), "ad-a"), // within 15m of user 1's view -> joins
+        C(2, ts(25), "ad-b"), // 20m after user 2's view -> outside horizon
+        C(3, ts(12), "ad-c")) // no matching view
+      // advance watermark far enough to finalize append-mode output
+      views.addData(V(9, ts(59), "late"))
+      clicks.addData(C(9, ts(59), "late-click"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_out")
+        .select($"l_user_id", $"l_page", $"r_target")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows.contains((1L, "home", "ad-a")))
+      assert(!rows.exists(_._3 == "ad-b")) // outside the interval
+      assert(!rows.exists(_._3 == "ad-c")) // no view to attribute
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer in STREAMING mode across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
