@@ -44,12 +44,19 @@ object Bench {
       // tail, so the whole line must stay under ~1900 chars for ~80 queries
       else timed += name -> (math.round(times.min * 100.0) / 100.0)
     }
-    val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = math.round(timed.values.sum * 100.0) / 100.0
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"failures":$fails,"queries":$qs,"sf":"$sfName"}""")
+    def render(decimals: Int): String = {
+      val p = math.pow(10, decimals)
+      val qs = timed.map { case (k, v) =>
+        "\"" + k + "\":" + (math.round(v * p) / p) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"failures":$fails,"queries":$qs,"sf":"$sfName"}"""
+    }
+    // stay under the driver's 2000-char output-tail window as the
+    // registry grows: drop per-query precision before dropping queries
+    val line = Seq(render(2), render(1)).find(_.length < 1900).getOrElse(render(0))
+    println(line)
     spark.stop()
   }
 }
