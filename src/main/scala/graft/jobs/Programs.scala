@@ -86,6 +86,70 @@ object Programs {
     (copied.value, skipped.value)
   }
 
+  /** BBP π digit extraction (reference: `EX/pi/DistBbp.java` computes
+    * distributed π bits with a BBP-family formula): the hex digits of π
+    * starting at fractional position `d`, WITHOUT computing earlier
+    * digits. Σ_k 16^(d-k) mod (8k+j) terms are embarrassingly parallel
+    * over k; each term's fractional part is converted to 62-bit
+    * FIXED-POINT, and wrap-around addition is exact arithmetic mod 1 —
+    * associative and commutative, so the distributed sum is
+    * deterministic under any partitioning/ordering (a double-precision
+    * sum would be neither). */
+  def bbpPiHex(spark: SparkSession, d: Long, digits: Int = 8): String = {
+    require(digits <= 12, "fixed-point carries ~48 reliable bits")
+    val MASK = (1L << 62) - 1
+    // (num * 2^62) / m with BigInt intermediates (m can exceed 2^31)
+    def fixedFrac(num: Long, m: Long): Long =
+      ((BigInt(num) << 62) / BigInt(m)).toLong
+    def modpow16(e: Long, m: Long): Long = {
+      var r = BigInt(1); val b = BigInt(16); var ee = e
+      var acc = b.mod(BigInt(m))
+      while ({ if ((ee & 1) == 1) r = (r * acc).mod(BigInt(m)); ee >>= 1; ee > 0 })
+        acc = (acc * acc).mod(BigInt(m))
+      r.toLong
+    }
+    // BBP: π = Σ_k 1/16^k (4/(8k+1) − 2/(8k+4) − 1/(8k+5) − 1/(8k+6))
+    def termSum(k: Long): Long = {
+      var s = 0L
+      def add(coef: Long, j: Long): Unit = {
+        val m = 8 * k + j
+        val t = fixedFrac(modpow16(d - k, m), m)
+        val c = (coef.abs * t) & MASK
+        s = (if (coef > 0) s + c else s - c) & MASK
+      }
+      add(4, 1); add(-2, 4); add(-1, 5); add(-1, 6)
+      s
+    }
+    import spark.implicits._
+    // per-partition exact wrap-sums, folded on the driver (numPartitions
+    // tiny longs — not data)
+    val partials = spark.range(0, d + 1)
+      .mapPartitions { ks =>
+        var s = 0L
+        ks.foreach { k => s = (s + termSum(k)) & MASK }
+        Iterator(s)
+      }.collect()
+    var frac = partials.foldLeft(0L)((a, b) => (a + b) & MASK)
+    // tail k > d: 16^(d-k) decays by 2^-4 per term — 16 extra terms reach
+    // past the 48 reliable bits
+    (1L to 16L).foreach { j =>
+      val k = d + j
+      def tail(coef: Long, jj: Long): Unit = {
+        val m = 8 * k + jj
+        val t = (math.pow(16.0, -j.toDouble) / m * (1L << 62).toDouble).toLong
+        val c = (coef.abs * t) & MASK
+        frac = (if (coef > 0) frac + c else frac - c) & MASK
+      }
+      tail(4, 1); tail(-2, 4); tail(-1, 5); tail(-1, 6)
+    }
+    val sb = new StringBuilder
+    (0 until digits).foreach { _ =>
+      sb.append("0123456789ABCDEF".charAt(((frac >> 58) & 0xF).toInt))
+      frac = (frac << 4) & MASK
+    }
+    sb.toString
+  }
+
   /** DistCh (`hadoop-tools/hadoop-extras/.../DistCh.java`): distributed
     * metadata change — chmod/chown/touch over a file tree, fanned out
     * with the same listing + foreachPartition pattern as [[distCpLite]].
@@ -139,6 +203,8 @@ object ProgramDriver {
   val programs: Map[String, (SparkSession, Seq[String]) => Any] = Map(
     "pi" -> ((s, args) =>
       Programs.piQmc(s, args.headOption.map(_.toLong).getOrElse(1000000L)).collect()),
+    "bbp" -> ((s, args) =>
+      println(Programs.bbpPiHex(s, args.headOption.map(_.toLong).getOrElse(0L)))),
     "distcp" -> ((s, args) => Programs.distCpLite(s, args(0), args(1),
       update = args.contains("-update"))),
     "distch" -> ((s, args) => Programs.distCh(s, args(0),

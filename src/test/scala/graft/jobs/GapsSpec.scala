@@ -93,6 +93,18 @@ class GapsSpec extends SparkTestBase {
     }
   }
 
+  test("BBP pi digit extraction: known prefix and shift-consistency") {
+    // hex expansion of pi's fractional part starts 243F6A8885A308D3...
+    assert(Programs.bbpPiHex(spark, 0) == "243F6A88")
+    // independent computations at d and d+1 must agree shifted by one
+    // digit — a strong cross-check with no external constant
+    Seq(0L, 1L, 7L, 100L, 1000L).foreach { d =>
+      val a = Programs.bbpPiHex(spark, d)
+      val b = Programs.bbpPiHex(spark, d + 1)
+      assert(a.substring(1) == b.substring(0, 7), s"at d=$d: $a vs $b")
+    }
+  }
+
   test("SequenceFileAsBinary: raw-bytes KV roundtrip") {
     import spark.implicits._
     val dir = Files.createTempDirectory("seqbin").toString
