@@ -22,7 +22,10 @@ object Bench {
     val spark = graft.core.Sessions.withDefaults(
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: per-query WARN spam (e.g. WindowExec single-partition
+    // notes from the deliberately-global word_median window) would
+    // otherwise crowd the JSON line out of the driver's output tail
+    spark.sparkContext.setLogLevel("ERROR")
     // JIT/codegen warm-up outside the timed region — otherwise the first
     // query (alphabetical) absorbs several seconds of classloading
     SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
