@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: uniform hash
+  * sampling, per-stratum (per-source/domain) stratified sampling, and
+  * mixture re-weighting toward a target domain distribution.
+  *
+  * Why hash sampling and not `rand()`: at 100 TB a sample must be
+  * reproducible across reruns, retries, and repartitionings — `rand()`
+  * is none of those (it is seeded per partition, so a lost executor
+  * resamples differently). A salted digest of a stable row key is a
+  * pure codegen'd column expression: same rows selected every run, on
+  * any cluster layout, and the filter sits directly on the scan so
+  * Parquet row groups are pruned before any shuffle.
+  *
+  * The selection rule compares a fixed-length hex prefix of
+  * `md5(salt || key)` lexicographically against a hex threshold:
+  * rate = value(threshold) / 16^len. Hex-string comparison (rather
+  * than parsing to a number) keeps the DuckDB oracle mirror trivially
+  * bit-exact — both engines produce identical lowercase-hex md5.
+  */
+object Sampling {
+
+  /** All thresholds are 4 hex chars: rate granularity 1/65536. */
+  val prefixLen = 4
+
+  /** The salted per-row sampling key: first 4 hex chars of
+    * md5(salt || key). Uniform over 16^4 values for any key set. */
+  def sampleKey(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, prefixLen)
+
+  /** Threshold for a target rate, e.g. 0.25 -> "4000". */
+  def rateToHex(rate: Double): String = {
+    require(rate >= 0 && rate <= 1, s"rate $rate outside [0,1]")
+    f"${math.round(rate * 65536).min(65535)}%04x"
+  }
+
+  /** Uniform deterministic sample at value(hexThreshold)/65536. */
+  def hashSample(df: DataFrame, keyCol: String, hexThreshold: String,
+                 salt: String = "graft"): DataFrame = {
+    require(hexThreshold.length == prefixLen, s"threshold must be $prefixLen hex chars")
+    df.filter(sampleKey(col(keyCol), salt) < lit(hexThreshold))
+  }
+
+  /** Stratified deterministic sample: per-stratum hex thresholds, with
+    * `defaultHex` for strata not in `rates`.
+    *
+    * The rates ride in as a broadcast-joined table rather than a CASE
+    * chain: a real corpus has thousands of strata (domains), and a
+    * broadcast hash join keeps the probe map-side with no shuffle of
+    * the corpus — the plan is scan -> broadcast probe -> filter. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, String], defaultHex: String,
+                       salt: String = "graft"): DataFrame = {
+    require((rates.values.toSeq :+ defaultHex).forall(_.length == prefixLen),
+      s"all thresholds must be $prefixLen hex chars")
+    val s = df.sparkSession
+    import s.implicits._
+    val rt = rates.toSeq.toDF("graft_stratum", "graft_thr")
+    df.join(broadcast(rt), df(stratumCol) === col("graft_stratum"), "left_outer")
+      .filter(sampleKey(col(keyCol), salt) <
+        coalesce(col("graft_thr"), lit(defaultHex)))
+      .select(df.columns.map(df(_)): _*)
+  }
+
+  /** Per-stratum mixture statistics + the resampling weight that moves
+    * the corpus to a target token mixture: weight(s) = target_frac(s) *
+    * total_tokens / tokens(s) (>1 = upsample, <1 = downsample). One
+    * shuffle (the per-stratum agg, map-side partial); the grand total
+    * joins back as a broadcast scalar, not a second pass over the data.
+    * All doubles are single IEEE ops over exact integer sums, so the
+    * DuckDB mirror matches bit-for-bit. */
+  def mixtureWeights(docs: DataFrame, stratumCol: String, textCol: String,
+                     targets: Map[String, Double],
+                     defaultTarget: Double): DataFrame = {
+    val toks = size(split(col(textCol), " ")).cast("long")
+    val per = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(toks).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    val target = targets.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultTarget): Column) { case ((k, v), rest) =>
+        when(col("stratum") === k, lit(v)).otherwise(rest)
+      }
+    per.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("actual_frac"),
+        target.as("target_frac"),
+        (target * col("total_tokens").cast("double")
+          / col("n_tokens").cast("double")).as("weight"))
+  }
+}

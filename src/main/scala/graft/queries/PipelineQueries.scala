@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.llm.{Cleaning, Packing, Ranking, Sampling}
+
+/** Training-data pipeline queries (round 4): deterministic sampling and
+  * mixture re-weighting, PII redaction, Gopher-style repetition
+  * filters, BM25 ranking, chunking, and sequence packing — each with a
+  * bit-exact DuckDB oracle mirror.
+  */
+object PipelineQueries {
+
+  // ---- deterministic sampling ----
+
+  private def sampleHash(s: SparkSession, d: String): DataFrame =
+    Sampling.hashSample(Tables.documents(s, d), "doc_id",
+      Sampling.rateToHex(0.1)) // "199a"
+
+  private val sampleHashSql: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'""".stripMargin
+
+  private def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(s, d), "doc_id", "source",
+      rates = Map("src0" -> Sampling.rateToHex(0.5),   // "8000"
+                  "src1" -> Sampling.rateToHex(0.25),  // "4000"
+                  "src2" -> Sampling.rateToHex(0.05)), // "0ccd"
+      defaultHex = Sampling.rateToHex(0.1))            // "199a"
+      .select(col("doc_id"), col("source"))
+
+  private val sampleStratifiedSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) <
+      |  CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
+      |              WHEN 'src2' THEN '0ccd' ELSE '199a' END""".stripMargin
+
+  private def mixtureWeights(s: SparkSession, d: String): DataFrame =
+    Sampling.mixtureWeights(Tables.documents(s, d), "source", "text",
+      targets = Map("src0" -> 0.2, "src1" -> 0.1),
+      defaultTarget = 0.7 / 18.0) // remaining 18 strata share 0.7 evenly
+
+  private val mixtureWeightsSql: String =
+    """WITH per AS (SELECT source AS stratum, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per)
+      |SELECT stratum, n_docs, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS actual_frac,
+      |  CASE WHEN stratum = 'src0' THEN CAST(0.2 AS DOUBLE)
+      |       WHEN stratum = 'src1' THEN CAST(0.1 AS DOUBLE)
+      |       ELSE CAST(0.7 AS DOUBLE) / CAST(18 AS DOUBLE) END AS target_frac,
+      |  (CASE WHEN stratum = 'src0' THEN CAST(0.2 AS DOUBLE)
+      |        WHEN stratum = 'src1' THEN CAST(0.1 AS DOUBLE)
+      |        ELSE CAST(0.7 AS DOUBLE) / CAST(18 AS DOUBLE) END)
+      |    * CAST(total_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS weight
+      |FROM per, tot""".stripMargin
+
+  // ---- cleaning ----
+
+  /** The corpus has no planted PII, so the query synthesizes a
+    * deterministic contact line per doc before redacting — exercising
+    * all three patterns with nonzero counts while staying oracle-exact
+    * (the synthesis is the same pure expression on both sides). */
+  private def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val synth = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or call 555-123-4567 from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".9 now")).as("text"))
+    Cleaning.piiRedact(synth, "doc_id", "text")
+  }
+
+  private val piiRedactSql: String = {
+    import Cleaning.{emailRe, phoneRe, ipRe}
+    s"""WITH t AS (SELECT doc_id AS id,
+       |    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@mail.example.com or call 555-123-4567 from 10.0.'
+       |      || CAST(doc_id % 256 AS VARCHAR) || '.9 now' AS t0
+       |  FROM documents),
+       |r1 AS (SELECT id, t0, regexp_replace(t0, '$emailRe', '<EMAIL>', 'g') AS t1 FROM t),
+       |r2 AS (SELECT id, t0, t1, regexp_replace(t1, '$phoneRe', '<PHONE>', 'g') AS t2 FROM r1)
+       |SELECT id,
+       |  len(regexp_extract_all(t0, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all(t1, '$phoneRe')) AS n_phones,
+       |  len(regexp_extract_all(t2, '$ipRe')) AS n_ips,
+       |  regexp_replace(t2, '$ipRe', '<IP>', 'g') AS redacted
+       |FROM r2""".stripMargin
+  }
+
+  private def gopherRepetition(s: SparkSession, d: String): DataFrame =
+    Cleaning.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+
+  private val gopherRepetitionSql: String =
+    """WITH base AS (SELECT doc_id AS id, len(string_split(text, ' ')) AS n_words,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+      |    length(text) AS n_chars FROM documents),
+      |top AS (SELECT id, max(c) AS top_word_count FROM (
+      |    SELECT doc_id AS id, wd, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents) u
+      |    GROUP BY doc_id, wd) g
+      |  GROUP BY id),
+      |j AS (SELECT base.id, n_words, n_distinct_words, n_chars, top_word_count,
+      |    CAST(n_words - n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+      |    CAST(top_word_count AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+      |    CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len
+      |  FROM base JOIN top ON base.id = top.id)
+      |SELECT *, (dup_word_frac <= CAST(0.3 AS DOUBLE)
+      |  AND top_word_frac <= CAST(0.2 AS DOUBLE)
+      |  AND mean_word_len >= CAST(3.0 AS DOUBLE)
+      |  AND mean_word_len <= CAST(10.0 AS DOUBLE)) AS keep
+      |FROM j""".stripMargin
+
+  // ---- ranking ----
+
+  private val bm25Terms = Seq("the", "and", "of")
+
+  private def bm25Top(s: SparkSession, d: String): DataFrame =
+    Ranking.bm25PerTerm(Tables.documents(s, d), "doc_id", "text", bm25Terms,
+      k1 = 1.2, b = 0.75, topK = 10)
+
+  private val bm25TopSql: String =
+    """WITH base AS (SELECT doc_id AS id, string_split(text, ' ') AS w,
+      |    len(string_split(text, ' ')) AS dl FROM documents),
+      |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+      |postings AS (
+      |  SELECT t.term, b.id,
+      |    CAST(len(list_filter(b.w, x -> x = t.term)) AS BIGINT) AS tf, b.dl
+      |  FROM base b CROSS JOIN (SELECT unnest(['the', 'and', 'of']) AS term) t
+      |  WHERE len(list_filter(b.w, x -> x = t.term)) > 0),
+      |dft AS (SELECT term, count(*) AS df_t FROM postings GROUP BY 1),
+      |scored AS (SELECT p.term, p.id, p.tf, p.dl, d.df_t, c.n_docs,
+      |    CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+      |      / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |         * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+      |            + CAST(0.75 AS DOUBLE) * (CAST(p.dl AS DOUBLE)
+      |              / (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))) AS tf_norm
+      |  FROM postings p JOIN dft d ON p.term = d.term CROSS JOIN corpus c)
+      |SELECT term, id, tf, dl, df_t, n_docs, tf_norm, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY term
+      |    ORDER BY tf_norm DESC, id) AS rank FROM scored) ranked
+      |WHERE rank <= 10""".stripMargin
+
+  // ---- context-window preparation ----
+
+  private def docChunks(s: SparkSession, d: String): DataFrame =
+    Packing.chunk(Tables.documents(s, d), "doc_id", "text",
+      size = 20, stride = 10)
+
+  private val docChunksSql: String =
+    """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w,
+      |    len(string_split(text, ' ')) AS n FROM documents),
+      |s AS (SELECT id, w, n, unnest(range(1, n + 1, 10)) AS s FROM d)
+      |SELECT id, (s - 1) // 10 AS chunk_idx,
+      |  array_to_string(list_slice(w, s, least(s + 19, n)), ' ') AS chunk_text,
+      |  least(20, n - s + 1) AS chunk_tokens
+      |FROM s""".stripMargin
+
+  private def seqPack(s: SparkSession, d: String): DataFrame =
+    Packing.nextFitPack(Tables.documents(s, d), "doc_id", "text",
+      capacity = 200L, buckets = 32).toDF()
+
+  private val seqPackSql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id AS id, CAST(doc_id % 32 AS INTEGER) AS bucket,
+      |    len(string_split(text, ' ')) AS n FROM documents),
+      |o AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn FROM d),
+      |r(id, bucket, n, rn, bin, acc) AS (
+      |  SELECT id, bucket, n, rn, CAST(0 AS BIGINT), n FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.id, o.bucket, o.n, o.rn,
+      |    CASE WHEN r.acc + o.n > 200 THEN r.bin + 1 ELSE r.bin END,
+      |    CASE WHEN r.acc + o.n > 200 THEN o.n ELSE r.acc + o.n END
+      |  FROM r JOIN o ON o.bucket = r.bucket AND o.rn = r.rn + 1)
+      |SELECT id, bucket, bin, n FROM r""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("sample_hash", sampleHash, Some(sampleHashSql)),
+    Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    Q("mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
+    Q("pii_redact", piiRedact, Some(piiRedactSql)),
+    Q("gopher_repetition", gopherRepetition, Some(gopherRepetitionSql)),
+    Q("bm25_top", bm25Top, Some(bm25TopSql)),
+    Q("doc_chunks", docChunks, Some(docChunksSql)),
+    Q("seq_pack", seqPack, Some(seqPackSql)),
+  )
+}
