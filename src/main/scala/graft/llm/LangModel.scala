@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed n-gram language-model training and perplexity-based
+  * quality scoring (Jurafsky & Martin ch. 3, public; the
+  * perplexity-filter idea is the CCNet/Wenzek et al. 2019 pipeline —
+  * public paper). Train a bigram LM on the corpus with add-k smoothing,
+  * then score each document by average negative log-probability;
+  * low-perplexity ≈ fluent under the corpus distribution, and the score
+  * feeds the same keep/weight machinery as [[Cleaning]].
+  *
+  * Scale shape: training is two shuffles with map-side partial
+  * aggregation (bigram counts, unigram counts) whose output is
+  * vocabulary-sized, not corpus-sized; scoring joins each document's
+  * bigram multiset against the model — at real vocabulary sizes that is
+  * a shuffle hash join keyed by the bigram, at toy sizes Catalyst
+  * broadcasts the model. No per-executor model replication beyond the
+  * broadcast, no driver-side state.
+  */
+object LangModel {
+
+  /** Per-document bigram multiset: (id, w1, w2, c) — adjacent word pairs
+    * with in-document multiplicity. Sentence-boundary marker `<s>`
+    * precedes the first word, so P(first|<s>) is modeled too. */
+  def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        concat(array(lit("<s>")), split(col(textCol), " ")).as("w"))
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .as("bg"))
+      .groupBy(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Corpus bigram counts: (w1, w2, n). */
+  def bigramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docBigrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("n"))
+
+  /** Corpus unigram (context) counts over the same token stream,
+    * including the `<s>` markers: (w1, n1). */
+  def contextCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(concat(array(lit("<s>")), split(col(textCol), " ")).as("w"))
+      .select(explode(expr("slice(w, 1, size(w) - 1)")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+
+  /** Score each document under the add-k-smoothed bigram model trained on
+    * `corpus`: P(w2|w1) = (n(w1,w2) + k) / (n1(w1) + k*V) where V is the
+    * event vocabulary size (distinct second-position words + OOV). Output
+    * per doc: (id, n_bigrams, sum_nll, avg_nll, perplexity) with
+    * perplexity = exp(avg_nll).
+    *
+    * Held-out docs may contain bigrams the model never saw — the left
+    * join leaves n null and the coalesce gives them the pure-smoothing
+    * mass k / (n1 + kV) (or k / kV for an unseen context). */
+  def perplexity(docs: DataFrame, corpus: DataFrame,
+                 idCol: String, textCol: String, k: Double = 0.5): DataFrame = {
+    val s = docs.sparkSession
+    val bg = bigramCounts(corpus, idCol, textCol)
+    val ctx = contextCounts(corpus, idCol, textCol)
+    val vocab = bg.agg((countDistinct(col("w2")) + lit(1L)).as("v")) // +1 OOV
+    val docBg = docBigrams(docs, idCol, textCol)
+    val p = (coalesce(col("n"), lit(0L)).cast("double") + lit(k)) /
+      (coalesce(col("n1"), lit(0L)).cast("double") + lit(k) * col("v").cast("double"))
+    docBg
+      .join(bg, Seq("w1", "w2"), "left_outer")
+      .join(ctx, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(-log(p) * col("c").cast("double")).as("sum_nll"))
+      .withColumn("avg_nll", col("sum_nll") / col("n_bigrams").cast("double"))
+      .withColumn("perplexity", exp(col("avg_nll")))
+  }
+
+  /** [[perplexity]] with a DETERMINISTIC accumulation order: each doc's
+    * per-bigram NLL terms are sorted by (w1, w2) and summed in one
+    * left-to-right fold, so the score is bit-identical across reruns,
+    * partitionings, and engines that share the fold order (the same
+    * reproducibility contract as the hash samplers — a quality filter
+    * that flickers across retries silently changes the corpus).
+    * sum(double) in a shuffle does not commit to an order; this does. */
+  def perplexityExact(docs: DataFrame, corpus: DataFrame,
+                      idCol: String, textCol: String, k: Double = 0.5): DataFrame = {
+    val bg = bigramCounts(corpus, idCol, textCol)
+    val ctx = contextCounts(corpus, idCol, textCol)
+    val vocab = bg.agg((countDistinct(col("w2")) + lit(1L)).as("v"))
+    val docBg = docBigrams(docs, idCol, textCol)
+    val p = (coalesce(col("n"), lit(0L)).cast("double") + lit(k)) /
+      (coalesce(col("n1"), lit(0L)).cast("double") + lit(k) * col("v").cast("double"))
+    docBg
+      .join(bg, Seq("w1", "w2"), "left_outer")
+      .join(ctx, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"), col("c"),
+        (-log(p) * col("c").cast("double")).as("nll"),
+        struct(col("w1"), col("w2"), (-log(p) * col("c").cast("double")).as("nll")).as("term"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        aggregate(array_sort(collect_list(col("term"))), lit(0.0),
+          (acc, t) => acc + t.getField("nll")).as("sum_nll"))
+      .withColumn("avg_nll", col("sum_nll") / col("n_bigrams").cast("double"))
+      .withColumn("perplexity", exp(col("avg_nll")))
+  }
+}

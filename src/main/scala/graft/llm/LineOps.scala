@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Line/span-level corpus operations in the C4 style (Raffel et al. 2020,
+  * "Exploring the Limits of Transfer Learning" §2.2 — public paper):
+  * corpus-global duplicate-span removal and line+document cleaning
+  * filters, plus document reassembly from the surviving lines.
+  *
+  * Operates on an exploded lines frame `(id, line_idx, line)` so the same
+  * kernels serve any line notion (newline split, sentence split,
+  * fixed-word spans). At 100 TB the shape is: one shuffle keyed by the
+  * line CONTENT for the global first-occurrence aggregation (map-side
+  * partial min, so each executor sends one candidate per distinct local
+  * line, not one per occurrence), one hash join back to the occurrences,
+  * and one shuffle on doc id to reassemble — no windows over the whole
+  * corpus, no driver-side state.
+  */
+object LineOps {
+
+  /** Explode docs into non-overlapping `n`-word lines: (id, line_idx,
+    * line). Delegates to [[Packing.chunk]] with stride = size. */
+  def toLines(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    Packing.chunk(docs, idCol, textCol, size = n, stride = n)
+      .select(col("id"), col("chunk_idx").as("line_idx"),
+        col("chunk_text").as("line"))
+
+  /** Mark the corpus-global first occurrence of every distinct line.
+    * "First" = smallest (id, line_idx) lexicographically — a pure
+    * function of the data, independent of partitioning, so reruns and
+    * retries keep the same occurrence (same reason the samplers hash
+    * instead of rand()). Adds `is_first`.
+    *
+    * groupBy(line) + min(struct) rather than a window over the line
+    * partition: the aggregation partial-combines map-side and never
+    * sorts within groups, which matters when one hot line (boilerplate,
+    * cookie banner) has a billion occurrences. */
+  def firstOccurrence(lines: DataFrame): DataFrame = {
+    val keeper = lines.groupBy(col("line").as("k_line"))
+      .agg(min(struct(col("id"), col("line_idx"))).as("keep"))
+    lines.join(keeper, col("line") === col("k_line"))
+      .withColumn("is_first",
+        col("id") === col("keep.id") && col("line_idx") === col("keep.line_idx"))
+      .drop("k_line", "keep")
+  }
+
+  /** C4-style duplicate-span removal + reassembly: every line keeps only
+    * its globally first occurrence; documents are rebuilt from their
+    * surviving lines in original order. Docs whose every line was a
+    * repeat disappear (C4 drops empty docs). Output: (id, n_lines,
+    * n_kept, text) with `text` the deduplicated document. */
+  def dedupSpans(lines: DataFrame, sep: String = " "): DataFrame =
+    firstOccurrence(lines)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("is_first"),
+              struct(col("line_idx"), col("line"))))),
+            x => x.getField("line")),
+          sep).as("text"))
+      .filter(col("n_kept") > 0)
+
+  /** C4 line filter: a line survives iff it ends in terminal punctuation
+    * and has at least `minWords` words. Adds `line_keep`. */
+  def lineFilter(lines: DataFrame, minWords: Int = 5): DataFrame =
+    lines.withColumn("line_keep",
+      col("line").rlike("[.!?\"]$") &&
+        size(split(col("line"), " ")) >= minWords)
+
+  /** C4 document filter over filtered lines: a document survives iff it
+    * retains at least `minLines` surviving lines and contains none of the
+    * `banned` substrings (C4 uses "lorem ipsum", "javascript", "{").
+    * Output per doc: (id, n_lines, n_kept, has_banned, keep, text) with
+    * `text` the cleaned document (surviving lines only, joined by
+    * `sep`). One shuffle (the per-doc aggregation); the banned-substring
+    * probe is a per-line codegen'd expression, OR-folded into the agg. */
+  def docFilter(filteredLines: DataFrame, minLines: Int = 3,
+                banned: Seq[String] = Seq("lorem ipsum", "javascript", "{"),
+                sep: String = " "): DataFrame = {
+    val lineBanned = banned
+      .map(b => contains(lower(col("line")), lit(b)))
+      .reduce(_ || _)
+    filteredLines
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("line_keep"), 1L).otherwise(0L)).as("n_kept"),
+        max(lineBanned).as("has_banned"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("line_keep"),
+              struct(col("line_idx"), col("line"))))),
+            x => x.getField("line")),
+          sep).as("text"))
+      .withColumn("keep", col("n_kept") >= minLines && !col("has_banned"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.llm.{Cleaning, Packing, Ranking, Sampling}
+import graft.llm.{Cleaning, LangModel, LineOps, Packing, Ranking, Sampling}
 
 /** Training-data pipeline queries (round 4): deterministic sampling and
   * mixture re-weighting, PII redaction, Gopher-style repetition
@@ -175,6 +175,91 @@ object PipelineQueries {
       |  FROM r JOIN o ON o.bucket = r.bucket AND o.rn = r.rn + 1)
       |SELECT id, bucket, bin, n FROM r""".stripMargin
 
+  // ---- C4-style line/span operations ----
+
+  /** Lines = non-overlapping 8-word spans (the corpus has no newlines);
+    * the SQL below mirrors the same spanning. */
+  private val lineWords = 8
+
+  private val linesCte: String =
+    s"""d AS (SELECT doc_id AS id, string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n FROM documents),
+       |sp AS (SELECT id, w, n, unnest(range(1, n + 1, $lineWords)) AS s FROM d),
+       |l AS (SELECT id, (s - 1) // $lineWords AS line_idx,
+       |    array_to_string(list_slice(w, s, least(s + ${lineWords - 1}, n)), ' ') AS line
+       |  FROM sp)""".stripMargin
+
+  private def lineDedup(s: SparkSession, d: String): DataFrame =
+    LineOps.dedupSpans(
+      LineOps.toLines(Tables.documents(s, d), "doc_id", "text", lineWords))
+
+  private val lineDedupSql: String =
+    s"""WITH $linesCte,
+       |f AS (SELECT *, (row_number() OVER (PARTITION BY line
+       |    ORDER BY id, line_idx)) = 1 AS is_first FROM l)
+       |SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  string_agg(CASE WHEN is_first THEN line END, ' ' ORDER BY line_idx) AS text
+       |FROM f GROUP BY id HAVING n_kept > 0""".stripMargin
+
+  /** The corpus lines carry no punctuation, so the query plants it
+    * deterministically — 2 of 3 lines get a terminal '.', and doc
+    * id % 97 == 3 gets a banned marker — exercising every branch of the
+    * C4 filter with the identical synthesis mirrored in the oracle. */
+  private def c4Clean(s: SparkSession, d: String): DataFrame = {
+    val lines = LineOps.toLines(Tables.documents(s, d), "doc_id", "text", lineWords)
+      .withColumn("line",
+        when(col("id") % 97 === 3 && col("line_idx") === 0,
+          concat(col("line"), lit(" has lorem ipsum boilerplate.")))
+        .otherwise(concat(col("line"),
+          when((col("id") + col("line_idx")) % 3 < 2, lit(".")).otherwise(lit("")))))
+    LineOps.docFilter(LineOps.lineFilter(lines, minWords = 5), minLines = 3)
+  }
+
+  private val c4CleanSql: String =
+    s"""WITH $linesCte,
+       |syn AS (SELECT id, line_idx,
+       |    CASE WHEN id % 97 = 3 AND line_idx = 0
+       |         THEN line || ' has lorem ipsum boilerplate.'
+       |         ELSE line || (CASE WHEN (id + line_idx) % 3 < 2 THEN '.' ELSE '' END)
+       |    END AS line FROM l),
+       |lf AS (SELECT *, regexp_matches(line, '[.!?"]$$')
+       |    AND len(string_split(line, ' ')) >= 5 AS line_keep FROM syn),
+       |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
+       |    CAST(sum(CASE WHEN line_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    max(contains(lower(line), 'lorem ipsum')
+       |      OR contains(lower(line), 'javascript')
+       |      OR contains(lower(line), '{')) AS has_banned,
+       |    coalesce(string_agg(CASE WHEN line_keep THEN line END, ' '
+       |      ORDER BY line_idx), '') AS text
+       |  FROM lf GROUP BY id)
+       |SELECT *, n_kept >= 3 AND NOT has_banned AS keep FROM agg""".stripMargin
+
+  // ---- bigram language model ----
+
+  private def bigramCounts(s: SparkSession, d: String): DataFrame =
+    LangModel.bigramCounts(Tables.documents(s, d), "doc_id", "text")
+
+  private val bigramCountsSql: String =
+    """WITH d AS (SELECT list_prepend('<s>', string_split(text, ' ')) AS w
+      |    FROM documents),
+      |u AS (SELECT w, unnest(range(1, len(w))) AS i FROM d)
+      |SELECT w[i] AS w1, w[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n
+      |FROM u GROUP BY 1, 2""".stripMargin
+
+  /** Corpus-trained add-k bigram perplexity per doc. Rows-only by
+    * necessity: the accumulation order IS pinned on both sides (sorted
+    * terms, left-to-right fold — LangModel.perplexityExact), but ln()
+    * itself differs in the last ulp between JVM Math.log and DuckDB's
+    * libm (measured: 9/500 docs drift at rtol < 1e-9 at sf0.01), and no
+    * fold order can fix a primitive that disagrees. Model training is
+    * oracle-exact via bigram_counts; the score arithmetic is pinned
+    * against hand-computed values in PipelineSpec. */
+  private def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    LangModel.perplexityExact(docs, docs, "doc_id", "text")
+  }
+
   val all: Seq[Q] = Seq(
     Q("sample_hash", sampleHash, Some(sampleHashSql)),
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
@@ -184,5 +269,10 @@ object PipelineQueries {
     Q("bm25_top", bm25Top, Some(bm25TopSql)),
     Q("doc_chunks", docChunks, Some(docChunksSql)),
     Q("seq_pack", seqPack, Some(seqPackSql)),
+    Q("line_dedup", lineDedup, Some(lineDedupSql)),
+    Q("c4_clean", c4Clean, Some(c4CleanSql)),
+    Q("bigram_counts", bigramCounts, Some(bigramCountsSql)),
+    Q("lm_perplexity", lmPerplexity, None), // ln not bit-stable cross-engine — see scaladoc
+
   )
 }
