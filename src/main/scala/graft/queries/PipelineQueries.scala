@@ -260,6 +260,48 @@ object PipelineQueries {
     LangModel.perplexityExact(docs, docs, "doc_id", "text")
   }
 
+  // ---- end-to-end corpus preparation ----
+
+  private def pipelineE2e(s: SparkSession, d: String): DataFrame =
+    graft.llm.Pipeline.prepareCorpus(Tables.documents(s, d), "doc_id", "text",
+      sampleHex = Sampling.rateToHex(0.5), capacity = 200L, buckets = 32).toDF()
+
+  /** Gopher keep band -> exact dedup (min id per digest) -> 50% hash
+    * sample -> next-fit pack, all in one recursive-CTE mirror. */
+  private val pipelineE2eSql: String =
+    """WITH RECURSIVE
+      |base AS (SELECT doc_id AS id, text, len(string_split(text, ' ')) AS n_words,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+      |    length(text) AS n_chars FROM documents),
+      |top AS (SELECT id, max(c) AS top_word_count FROM (
+      |    SELECT doc_id AS id, wd, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents) u
+      |    GROUP BY doc_id, wd) g
+      |  GROUP BY id),
+      |q AS (SELECT base.id, base.text, base.n_words FROM base JOIN top ON base.id = top.id
+      |  WHERE CAST(n_words - n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+      |          <= CAST(0.3 AS DOUBLE)
+      |    AND CAST(top_word_count AS DOUBLE) / CAST(n_words AS DOUBLE)
+      |          <= CAST(0.2 AS DOUBLE)
+      |    AND CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE)
+      |          >= CAST(3.0 AS DOUBLE)
+      |    AND CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE)
+      |          <= CAST(10.0 AS DOUBLE)),
+      |dd AS (SELECT *, row_number() OVER (PARTITION BY md5(lower(text))
+      |    ORDER BY id) AS dup_rn FROM q),
+      |s AS (SELECT id, n_words FROM dd WHERE dup_rn = 1
+      |  AND substr(md5('graft' || CAST(id AS VARCHAR)), 1, 4) < '8000'),
+      |o AS (SELECT id, CAST(id % 32 AS INTEGER) AS bucket, n_words AS n,
+      |    row_number() OVER (PARTITION BY id % 32 ORDER BY id) AS rn FROM s),
+      |r(id, bucket, n, rn, bin, acc) AS (
+      |  SELECT id, bucket, n, rn, CAST(0 AS BIGINT), n FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.id, o.bucket, o.n, o.rn,
+      |    CASE WHEN r.acc + o.n > 200 THEN r.bin + 1 ELSE r.bin END,
+      |    CASE WHEN r.acc + o.n > 200 THEN o.n ELSE r.acc + o.n END
+      |  FROM r JOIN o ON o.bucket = r.bucket AND o.rn = r.rn + 1)
+      |SELECT id, bucket, bin, n FROM r""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sample_hash", sampleHash, Some(sampleHashSql)),
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
@@ -273,6 +315,7 @@ object PipelineQueries {
     Q("c4_clean", c4Clean, Some(c4CleanSql)),
     Q("bigram_counts", bigramCounts, Some(bigramCountsSql)),
     Q("lm_perplexity", lmPerplexity, None), // ln not bit-stable cross-engine — see scaladoc
+    Q("pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
 
   )
 }
