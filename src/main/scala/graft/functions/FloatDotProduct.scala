@@ -64,7 +64,10 @@ case class FloatDotProduct(left: Expression, right: Expression)
 /** Session-scoped registration of the engine's native expressions, so they
   * are usable from `expr("graft_dot(a, b)")` / SQL. Idempotent. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => FloatDotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_mingram", exprs => MinGramDigest(exprs.head, exprs(1)), "built-in")
+  }
 }

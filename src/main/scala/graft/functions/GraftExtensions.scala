@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatDotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_mingram"),
+      new ExpressionInfo(classOf[MinGramDigest].getName, "graft_mingram"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinGramDigest(exprs.head, exprs(1))))
   }
 }

@@ -82,12 +82,16 @@ object TextStats {
     * element (~4s → ~0.5s at sf0.1). Map-side partial min keeps the
     * shuffle at one row per document. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String,
-                  k: Int = 8): DataFrame =
-    docs
-      .select(col(idCol).as("id"),
-        explode(expr(s"sequence(1, greatest(length($textCol) - ${k - 1}, 1))")).as("i"),
-        col(textCol).as("t"))
-      .select(col("id"), md5(expr(s"substr(t, i, $k)")).as("g"))
-      .groupBy(col("id"))
-      .agg(min(col("g")).as("fp"))
+                  k: Int = 8): DataFrame = {
+    // winnowing-style min-gram digest via the codegen'd graft_mingram
+    // expression: one compiled loop per row, map-only, fused into the
+    // scan. Replaces an explode that materialized (id, i, text) per
+    // character position (|text|-fold row blowup copying the full text)
+    // plus a groupBy(min) shuffle; an array_min(transform(...)) fold was
+    // tried in between and was even slower — HOF lambdas evaluate
+    // interpreted, one md5 hex alloc per window.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+      expr(s"graft_mingram($textCol, $k)").as("fp"))
+  }
 }

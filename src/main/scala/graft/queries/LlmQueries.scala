@@ -59,7 +59,6 @@ object LlmQueries {
   private def dedupClusters(s: SparkSession, d: String): DataFrame =
     DedupPipeline.components(
         TextDedup.minhashLsh(Tables.documents(s, d), "doc_id", "text", 0.9))
-      .orderBy(col("id"))
 
   private val dedupClustersSql: String =
     s"""WITH RECURSIVE
@@ -152,7 +151,6 @@ object LlmQueries {
 
   private def langId(s: SparkSession, d: String): DataFrame =
     TextStats.langId(Tables.documents(s, d), "doc_id", "text")
-      .orderBy(col("id"))
 
   private val langIdSql: String = {
     val scores = TextStats.lexicons.map { case (l, lex) =>
@@ -172,11 +170,9 @@ object LlmQueries {
 
   private def tokenCount(s: SparkSession, d: String): DataFrame =
     TextStats.tokenCounts(Tables.documents(s, d), "doc_id", "text")
-      .orderBy(col("id"))
 
   private def quality(s: SparkSession, d: String): DataFrame =
     TextStats.qualityScore(Tables.documents(s, d), "doc_id", "text")
-      .orderBy(col("id"))
 
   private val qualitySql: String = {
     val stopArr = TextStats.lexicons.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -207,7 +203,7 @@ object LlmQueries {
       Tables.documents(s, d).select(col("doc_id"),
         col("text").cast("binary").as("payload")),
       "doc_id", "payload", "image")
-    Multimodal.decodeMeta(media).toDF().orderBy(col("media_id"))
+    Multimodal.decodeMeta(media).toDF()
   }
 
   private val multimodalDecodeSql: String =
@@ -231,9 +227,11 @@ object LlmQueries {
       .orderBy(col("media_id"), col("dim_idx"))
   }
 
+  // no orderBy: the driver's compare sorts rows anyway, and a global
+  // sort's range-partition sampling pass would compute the fingerprint
+  // expression twice
   private def docFingerprint(s: SparkSession, d: String): DataFrame =
     TextStats.fingerprint(Tables.documents(s, d), "doc_id", "text")
-      .orderBy(col("id"))
 
   val all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact,

@@ -147,6 +147,22 @@ class LlmSpec extends SparkTestBase {
     assert(fp(1L) != fp(3L))
   }
 
+  test("graft_mingram equals the declarative min-over-md5-grams formula") {
+    import spark.implicits._
+    // exercises short-text clamping, the ASCII fast path, and the
+    // multibyte char->byte offset table
+    val d = Seq((1L, "ab"), (2L, "abcdefghijklmno"), (3L, "héllo wörld ünïcode"),
+      (4L, "日本語のテキスト行です"), (5L, "mixed ascii と 日本語 text"))
+      .toDF("doc_id", "text")
+    val fast = TextStats.fingerprint(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val slow = d.selectExpr("doc_id",
+      """array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
+        |  i -> md5(substr(text, i, 8)))) AS fp""".stripMargin).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fast == slow)
+  }
+
   test("ngram prefix-filter join loses no qualifying pair (lossless filter)") {
     val sh = TextDedup.shingles(docs, "doc_id", "text")
     val allCands = sh.as("x").join(sh.as("y"),
