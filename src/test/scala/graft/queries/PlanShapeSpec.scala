@@ -68,4 +68,40 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Generate explode"), p)
     assert(p.contains("partial_count") || p.contains("partial count"), p)
   }
+
+  test("sample_hash: the selection predicate sits on the scan, no shuffle") {
+    val p = plan("sample_hash")
+    assert(!p.contains("Exchange"), p) // pure scan -> filter -> project
+    assert(p.contains("*(1) Filter"), p) // filter inside whole-stage codegen
+  }
+
+  test("sample_stratified: per-stratum thresholds ride in as a broadcast") {
+    val p = plan("sample_stratified")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly one exchange: the broadcast of the tiny rates table; the
+    // corpus itself is never re-partitioned
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("bm25_top: corpus scalars and per-term dfs broadcast back, postings never rehashed") {
+    val p = plan("bm25_top")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("line_dedup first-occurrence agg partial-aggregates map-side") {
+    val p = plan("line_dedup")
+    assert(p.contains("partial_min") || p.contains("partial min"), p)
+  }
+
+  test("pipeline_e2e: sample filter applies before the packing shuffle") {
+    val df = graft.SparkEntry.queries("pipeline_e2e")(spark, sf0001)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the md5-threshold sample must appear as a Filter below the
+    // MapGroups/packing, not above it — sampling after packing would
+    // shuffle rows that are then thrown away
+    val filterIdx = optimized.indexOf("md5")
+    val packIdx = optimized.indexOf("MapGroups")
+    assert(filterIdx >= 0 && packIdx >= 0 && packIdx < filterIdx, optimized)
+  }
 }
