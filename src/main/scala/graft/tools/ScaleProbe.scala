@@ -41,6 +41,26 @@ object ScaleProbe {
     time(s"dedup_clusters x$mult")(
       graft.llm.DedupPipeline.components(
         graft.llm.TextDedup.minhashLsh(big, "doc_id", "text", 0.9)).count())
+    // round-4 pipeline ops: line dedup shuffles on line content (the
+    // probe corpus keeps per-copy dup fraction constant, so pair/group
+    // counts scale linearly); the LM joins doc bigrams against a
+    // fixed-vocabulary model; packing shuffles once on the bucket key.
+    time(s"line_dedup x$mult")(
+      graft.llm.LineOps.dedupSpans(
+        graft.llm.LineOps.toLines(big, "doc_id", "text", 8)).count())
+    time(s"bigram_counts x$mult")(
+      graft.llm.LangModel.bigramCounts(big, "doc_id", "text").count())
+    time(s"lm_perplexity x$mult")(
+      graft.llm.LangModel.perplexityExact(big, big, "doc_id", "text").count())
+    time(s"bm25 x$mult")(
+      graft.llm.Ranking.bm25PerTerm(big, "doc_id", "text",
+        Seq("the", "and", "of"), topK = 10).count())
+    time(s"fingerprint x$mult")( // noop write: count() would prune the fp column
+      graft.llm.TextStats.fingerprint(big, "doc_id", "text")
+        .write.mode("overwrite").format("noop").save())
+    time(s"pipeline_e2e x$mult")(
+      graft.llm.Pipeline.prepareCorpus(big, "doc_id", "text",
+        graft.llm.Sampling.rateToHex(0.5)).count())
     val emb = graft.core.Tables.embeddings(spark, d)
     val bigEmb = (0 until mult).map { m =>
       emb.select((col("vec_id") + lit(m * 1000000L)).as("vec_id"),
