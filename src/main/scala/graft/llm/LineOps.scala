@@ -70,6 +70,32 @@ object LineOps {
       col("line").rlike("[.!?\"]$") &&
         size(split(col("line"), " ")) >= minWords)
 
+  /** Benchmark decontamination (the PaLM/GPT-3 appendix-style n-gram
+    * overlap check — public papers): count, per corpus document, how
+    * many of its distinct word n-grams also occur in any benchmark
+    * document; a doc with >= `minShared` shared grams is contaminated
+    * and must be dropped from training data.
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus
+    * (eval suites are MBs, corpora are TBs) — Catalyst broadcasts it, so
+    * the corpus is scanned once, probed map-side, and the per-doc count
+    * partial-aggregates; the corpus is never shuffled on gram content.
+    * Output: (id, n_shared_grams, contaminated) for every corpus doc. */
+  def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8, minShared: Int = 1): DataFrame = {
+    val docGrams = TextDedup.shingles(docs, idCol, textCol, n)
+    val benchGrams = TextDedup.shingles(bench, idCol, textCol, n)
+      .select(col("shingle").as("b_shingle")).distinct()
+    val shared = docGrams
+      .join(broadcast(benchGrams), col("shingle") === col("b_shingle"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared_grams"))
+    docs.select(col(idCol).as("id"))
+      .join(shared, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contaminated", col("n_shared_grams") >= minShared)
+  }
+
   /** C4 document filter over filtered lines: a document survives iff it
     * retains at least `minLines` surviving lines and contains none of the
     * `banned` substrings (C4 uses "lorem ipsum", "javascript", "{").

@@ -260,6 +260,28 @@ object PipelineQueries {
     LangModel.perplexityExact(docs, docs, "doc_id", "text")
   }
 
+  // ---- benchmark decontamination ----
+
+  /** Pseudo-benchmark = docs with id % 101 == 0 (deterministic stand-in
+    * for an eval suite); 8-word-gram overlap marks contamination. */
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    LineOps.contamination(docs, docs.filter(col("doc_id") % 101 === 0),
+      "doc_id", "text", n = 8, minShared = 1)
+  }
+
+  private val decontaminateSql: String =
+    """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT id, array_to_string(list_slice(w, i, i + 7), ' ') AS g
+      |  FROM (SELECT id, w, unnest(range(1, len(w) - 6)) AS i FROM d
+      |        WHERE len(w) >= 8) t),
+      |bg AS (SELECT DISTINCT g FROM g WHERE id % 101 = 0),
+      |sh AS (SELECT g.id, CAST(count(*) AS BIGINT) AS n_shared_grams
+      |  FROM g JOIN bg ON g.g = bg.g GROUP BY 1)
+      |SELECT d.id, coalesce(sh.n_shared_grams, CAST(0 AS BIGINT)) AS n_shared_grams,
+      |  coalesce(sh.n_shared_grams, CAST(0 AS BIGINT)) >= 1 AS contaminated
+      |FROM d LEFT JOIN sh ON d.id = sh.id""".stripMargin
+
   // ---- end-to-end corpus preparation ----
 
   private def pipelineE2e(s: SparkSession, d: String): DataFrame =
@@ -316,6 +338,7 @@ object PipelineQueries {
     Q("bigram_counts", bigramCounts, Some(bigramCountsSql)),
     Q("lm_perplexity", lmPerplexity, None), // ln not bit-stable cross-engine — see scaladoc
     Q("pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
+    Q("decontaminate", decontaminate, Some(decontaminateSql)),
 
   )
 }

@@ -76,6 +76,45 @@ object DocStreams {
         && Sampling.sampleKey(col(idCol), "graft") < lit(sampleHex))
   }
 
+  /** Per-bucket packer state carried across micro-batches. */
+  final case class PackState(bin: Long, acc: Long)
+
+  /** Streaming next-fit sequence packing: documents are routed to
+    * buckets by id (same rule as the batch [[graft.llm.Packing]]), and
+    * each bucket's packer — one (bin, acc) pair — lives in
+    * `flatMapGroupsWithState`, so bins keep filling across micro-batches
+    * instead of restarting per batch. Docs are packed in id order WITHIN
+    * a batch (sorted before folding); across batches, arrival order
+    * rules — a streaming packer cannot wait for stragglers. State per
+    * bucket is O(1), the canonical bounded-state contract. */
+  def packStream(docs: DataFrame, idCol: String, textCol: String,
+                 capacity: Long = 200L, buckets: Int = 32)
+      : org.apache.spark.sql.Dataset[graft.llm.Packing.PackAssign] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.llm.Packing.{PackAssign, PackDoc}
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+        (col(idCol).cast("long") % buckets).cast("int").as("bucket"),
+        size(split(col(textCol), " ")).cast("long").as("n"))
+      .as[PackDoc]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[PackState, PackAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket, it, state) =>
+          var (bin, acc) = state.getOption
+            .map(st => (st.bin, st.acc))
+            .getOrElse((-1L, capacity + 1)) // force a new bin on first doc
+          val out = it.toArray.sortBy(_.id).map { d =>
+            if (acc + d.n > capacity) { bin += 1; acc = d.n }
+            else acc += d.n
+            PackAssign(d.id, bucket, bin, d.n)
+          }
+          state.update(PackState(bin, acc))
+          out.iterator
+      }
+  }
+
   /** Exact-content dedup over a stream: first arrival of each digest
     * passes, repeats within the watermark horizon are dropped, state is
     * evicted once the event-time watermark passes. `tsCol` must be the

@@ -75,6 +75,18 @@ class InfraSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((1L, 1.5), (2L, 2.5)))
   }
 
+  test("ORC roundtrip preserves types and pushes filters to the reader") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "s", "v")
+    val path = Files.createTempDirectory("orc").resolve("out").toString
+    df.write.orc(path)
+    val back = spark.read.orc(path).filter($"id" > 1L)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet == Set((2L, "b", 2.5), (3L, "c", 3.5)))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,1)"), plan)
+  }
+
   test("fixed-width source slices records with correct offsets (Tera layout)") {
     val dir = Files.createTempDirectory("fixedw").toFile
     val f = new java.io.File(dir, "data.bin")

@@ -50,6 +50,37 @@ class DocStreamsSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.size < 100)
   }
 
+  test("streaming packing: bins continue across micro-batches, match batch result") {
+    import spark.implicits._
+    // two batches with ascending ids: arrival order == id order, so the
+    // streaming fold must equal the batch next-fit over the union
+    def mkDoc(id: Long, words: Int) =
+      DocEvent(id, (1 to words).map(i => s"w$i").mkString(" "), ts(0))
+    val batch1 = (0L until 20L).map(i => mkDoc(i, 60 + (i % 5).toInt * 30))
+    val batch2 = (20L until 40L).map(i => mkDoc(i, 60 + (i % 5).toInt * 30))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val q = DocStreams.packStream(mem.toDF(), "doc_id", "text",
+        capacity = 200L, buckets = 4)
+      .writeStream.format("memory").queryName("pk").outputMode("append").start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("pk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val all = (batch1 ++ batch2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val batch = graft.llm.Packing.nextFitPack(all, "doc_id", "text",
+        capacity = 200L, buckets = 4)
+      .collect().map(p => (p.id, p.bucket, p.bin, p.n)).toSet
+    assert(streamed == batch)
+    // state really carried over: batch-2 docs continue batch-1 bins, so
+    // some batch-2 doc must share a bin with a batch-1 doc
+    val byBin = streamed.groupBy(t => (t._2, t._3))
+    assert(byBin.exists { case (_, ds) =>
+      ds.exists(_._1 < 20) && ds.exists(_._1 >= 20) })
+  }
+
   test("streaming exact dedup: first digest arrival passes, repeats drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
