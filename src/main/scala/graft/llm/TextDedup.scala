@@ -73,15 +73,24 @@ object TextDedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  /** Candidate pairs (id1 < id2) from any shared LSH bucket. The self-join
-    * shuffles on (band, bh) — bucket sizes are small by construction, so
-    * no quadratic blowup; skewed buckets are split by AQE. */
+  /** Candidate pairs (id1 < id2) from any shared LSH bucket: ONE shuffle
+    * on (band, bh) gathers each bucket's ids, pairs are generated
+    * map-side from the sorted list, then distinct'd (the pair set after
+    * banding is tiny). A self-join formulation costs two shuffle reads
+    * of the band relation plus the distinct; this is strictly less
+    * movement with the identical output. Bucket sizes are small by
+    * construction (that's what banding is FOR), so the in-bucket
+    * quadratic is bounded; a pathological bucket would hurt the join
+    * formulation identically. */
   def candidatesFromBands(bandDf: DataFrame): DataFrame =
-    bandDf.as("x")
-      .join(bandDf.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+    bandDf.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(slice(ids, i + 2, size(ids) - i - 1),
+          |       j -> struct(ids[i] AS id1, j AS id2))))""".stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2"))
       .distinct()
 
   /** Exact Jaccard over shingle sets for the given candidate pairs only.
@@ -190,7 +199,11 @@ object TextDedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.8, shingleN: Int = 3,
                  numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, shingleN)
+    // the shingle relation feeds four consumers (signatures, doc sizes,
+    // shingle dfs, the intersection join) — materialize it once instead
+    // of re-running the split/explode per branch; blocks are freed by the
+    // ContextCleaner when the plan is collected
+    val sh = shingles(docs, idCol, textCol, shingleN).localCheckpoint()
     val cands = candidatesFromBands(
       lshBands(minhashSignatures(sh, numHashes), bands, numHashes / bands))
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
@@ -205,7 +218,9 @@ object TextDedup {
                        threshold: Double, shingleN: Int = 3,
                        dfCap: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(docs, idCol, textCol, shingleN)
+    // same multi-consumer reuse as minhashLsh: df ranking, prefix build,
+    // and the verify join all read the shingle relation
+    val sh = shingles(docs, idCol, textCol, shingleN).localCheckpoint()
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val ranked = sh.join(df, "shingle")
       .withColumn("rk", row_number().over(
