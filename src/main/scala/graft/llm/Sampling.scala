@@ -65,6 +65,20 @@ object Sampling {
       .select(df.columns.map(df(_)): _*)
   }
 
+  /** Deterministic epoch shuffle: a per-(epoch, row) sort key,
+    * `md5(salt-epoch || key)`. Sorting any slice of the corpus by
+    * `sort_key` yields the epoch's permutation — different epochs give
+    * independent permutations, the same epoch always gives the same one
+    * (so a resumed training run re-reads the identical order), and the
+    * key is assigned map-side with no shuffle; the ORDER BY belongs to
+    * the consumer (a range-partitioned sort at scale). */
+  def epochShuffleKeys(df: DataFrame, keyCol: String, epochs: Int,
+                       salt: String = "graft-epoch"): DataFrame =
+    df.select(col(keyCol), explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("sort_key",
+        md5(concat(lit(salt), lit("-"), col("epoch").cast("string"),
+          lit("-"), col(keyCol).cast("string"))))
+
   /** Per-stratum mixture statistics + the resampling weight that moves
     * the corpus to a target token mixture: weight(s) = target_frac(s) *
     * total_tokens / tokens(s) (>1 = upsample, <1 = downsample). One

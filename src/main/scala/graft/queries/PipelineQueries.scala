@@ -260,6 +260,16 @@ object PipelineQueries {
     LangModel.perplexityExact(docs, docs, "doc_id", "text")
   }
 
+  private def epochShuffle(s: SparkSession, d: String): DataFrame =
+    Sampling.epochShuffleKeys(
+      Tables.documents(s, d).select(col("doc_id")), "doc_id", epochs = 3)
+
+  private val epochShuffleSql: String =
+    """SELECT doc_id, epoch,
+      |  md5('graft-epoch-' || CAST(epoch AS VARCHAR) || '-'
+      |      || CAST(doc_id AS VARCHAR)) AS sort_key
+      |FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e""".stripMargin
+
   // ---- benchmark decontamination ----
 
   /** Pseudo-benchmark = docs with id % 101 == 0 (deterministic stand-in
@@ -339,6 +349,7 @@ object PipelineQueries {
     Q("lm_perplexity", lmPerplexity, None), // ln not bit-stable cross-engine — see scaladoc
     Q("pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
 
   )
 }

@@ -62,6 +62,23 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("epoch shuffle: per-epoch permutations independent, reproducible") {
+    val keys = Sampling.epochShuffleKeys(docs.select(col("doc_id")), "doc_id", 3)
+      .collect()
+      .groupBy(_.getAs[Int]("epoch"))
+      .map { case (e, rows) =>
+        e -> rows.sortBy(_.getAs[String]("sort_key")).map(_.getLong(0)).toSeq
+      }
+    assert(keys.size == 3 && keys.values.forall(_.size == docs.count()))
+    // permutations differ pairwise (md5 independence across epochs)
+    assert(keys(0) != keys(1) && keys(1) != keys(2) && keys(0) != keys(2))
+    // reproducible: recomputing epoch 1 gives the identical order
+    val again = Sampling.epochShuffleKeys(docs.select(col("doc_id")), "doc_id", 3)
+      .filter(col("epoch") === 1).collect()
+      .sortBy(_.getAs[String]("sort_key")).map(_.getLong(0)).toSeq
+    assert(again == keys(1))
+  }
+
   test("pii redaction: counts match plants, redacted text has no residual PII") {
     import spark.implicits._
     val d = Seq(
