@@ -32,3 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// ...and the trailing "[success] Total time: ..." epilogue must not be
+// the last stdout line either — the driver json-parses the FINAL line
+// of the output tail, which in rounds 1-3 was this epilogue, never the
+// bench JSON (parsed:null all three rounds despite the line being
+// present just above).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

@@ -50,15 +50,23 @@ object Bench {
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = math.round(timed.values.sum * 100.0) / 100.0
     val sfName = new java.io.File(sfDir).getName
-    def render(decimals: Int): String = {
+    // minimal numeric rendering: "0.30" -> "0.3", "1.00" -> "1" — the
+    // naive Double toString printed "0.0" at zero decimals, burning 3
+    // chars to say nothing
+    def fmt(v: Double, decimals: Int): String = {
       val p = math.pow(10, decimals)
+      java.math.BigDecimal.valueOf(math.round(v * p) / p)
+        .stripTrailingZeros.toPlainString
+    }
+    def render(decimals: Int): String = {
       val qs = timed.map { case (k, v) =>
-        "\"" + k + "\":" + (math.round(v * p) / p) }.mkString("{", ",", "}")
+        "\"" + k + "\":" + fmt(v, decimals) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"failures":$fails,"queries":$qs,"sf":"$sfName"}"""
     }
-    // stay under the driver's 2000-char output-tail window as the
-    // registry grows: drop per-query precision before dropping queries
-    val line = Seq(render(2), render(1)).find(_.length < 1900).getOrElse(render(0))
+    // the JSON is the LAST stdout line (showSuccess off), so it only has
+    // to fit inside the driver's 2000-char output tail itself: highest
+    // precision that fits wins
+    val line = Seq(render(2), render(1)).find(_.length <= 1980).getOrElse(render(0))
     println(line)
     spark.stop()
   }
