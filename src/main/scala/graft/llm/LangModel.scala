@@ -76,6 +76,39 @@ object LangModel {
       .withColumn("perplexity", exp(col("avg_nll")))
   }
 
+  /** Collocation mining by pointwise mutual information. PMI =
+    * ln(P(w1,w2) / (P(w1)P(w2))) — but ln is monotone, so ranking by the
+    * RAW ratio n(w1,w2)*T / (n(w1)*n(w2)) is the PMI ranking without
+    * touching a transcendental: the ratio is two IEEE multiplies and one
+    * divide over exact integer counts, bit-identical in any engine (the
+    * same dodge as BM25's tf_norm — keep the cross-engine-unstable
+    * function out of the oracle-checked surface). `minCount` drops the
+    * noise floor (rare pairs trivially max PMI). One aggregation pass
+    * over the corpus; unigram totals join back as a broadcast. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = bigramCounts(docs, idCol, textCol)
+      .filter(col("w1") =!= "<s>" && col("n") >= minCount)
+    val uni = contextCounts(docs, idCol, textCol).filter(col("w1") =!= "<s>")
+    val tot = bg.agg(sum(col("n")).as("t"))
+    val scored = bg
+      .join(broadcast(uni), Seq("w1"))
+      .join(broadcast(uni.select(col("w1").as("w2"), col("n1").as("n2"))), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_ratio",
+        col("n").cast("double") * col("t").cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double")))
+    // distributed top-k (TakeOrderedAndProject), then rank the K
+    // survivors — a row_number window over the full bigram relation
+    // would funnel it through one partition
+    scored.orderBy(col("pmi_ratio").desc, col("w1"), col("w2")).limit(topK)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("pmi_ratio").desc, col("w1"), col("w2"))))
+      .select(col("w1"), col("w2"), col("n"), col("n1"), col("n2"),
+        col("t"), col("pmi_ratio"), col("rank"))
+  }
+
   /** [[perplexity]] with a DETERMINISTIC accumulation order: each doc's
     * per-bigram NLL terms are sorted by (w1, w2) and summed in one
     * left-to-right fold, so the score is bit-identical across reruns,

@@ -247,6 +247,34 @@ object PipelineQueries {
       |SELECT w[i] AS w1, w[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n
       |FROM u GROUP BY 1, 2""".stripMargin
 
+  private def collocations(s: SparkSession, d: String): DataFrame =
+    LangModel.collocations(Tables.documents(s, d), "doc_id", "text",
+      minCount = 5L, topK = 50)
+
+  /** PMI ranking without ln: rank by the raw probability ratio (ln is
+    * monotone), keeping the oracle bit-exact. */
+  private val collocationsSql: String =
+    """WITH d AS (SELECT list_prepend('<s>', string_split(text, ' ')) AS w
+      |    FROM documents),
+      |u AS (SELECT w, unnest(range(1, len(w))) AS i FROM d),
+      |bg AS (SELECT w1, w2, n FROM (
+      |    SELECT w[i] AS w1, w[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n
+      |    FROM u GROUP BY 1, 2) b
+      |  WHERE w1 <> '<s>' AND n >= 5),
+      |uni AS (SELECT w[i] AS w1, CAST(count(*) AS BIGINT) AS n1
+      |  FROM u GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM bg),
+      |scored AS (SELECT bg.w1, bg.w2, bg.n, a.n1 AS n1, b.n1 AS n2, tot.t,
+      |    CAST(bg.n AS DOUBLE) * CAST(tot.t AS DOUBLE)
+      |      / (CAST(a.n1 AS DOUBLE) * CAST(b.n1 AS DOUBLE)) AS pmi_ratio
+      |  FROM bg JOIN uni a ON bg.w1 = a.w1
+      |          JOIN uni b ON bg.w2 = b.w1
+      |          CROSS JOIN tot)
+      |SELECT w1, w2, n, n1, n2, t, pmi_ratio, rank FROM (
+      |  SELECT *, row_number() OVER (ORDER BY pmi_ratio DESC, w1, w2) AS rank
+      |  FROM scored) r
+      |WHERE rank <= 50""".stripMargin
+
   /** Corpus-trained add-k bigram perplexity per doc. Rows-only by
     * necessity: the accumulation order IS pinned on both sides (sorted
     * terms, left-to-right fold — LangModel.perplexityExact), but ln()
@@ -346,6 +374,7 @@ object PipelineQueries {
     Q("line_dedup", lineDedup, Some(lineDedupSql)),
     Q("c4_clean", c4Clean, Some(c4CleanSql)),
     Q("bigram_counts", bigramCounts, Some(bigramCountsSql)),
+    Q("collocations", collocations, Some(collocationsSql)),
     Q("lm_perplexity", lmPerplexity, None), // ln not bit-stable cross-engine — see scaladoc
     Q("pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
