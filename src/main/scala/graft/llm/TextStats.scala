@@ -76,11 +76,7 @@ object TextStats {
 
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum
     * digest over all character k-grams — stable under content moves,
-    * sensitive to content edits. Shaped as posexplode → md5 → min-agg so
-    * the md5 runs as a codegen'd column expression; the equivalent
-    * `array_min(transform(...))` evaluates the lambda interpreted per
-    * element (~4s → ~0.5s at sf0.1). Map-side partial min keeps the
-    * shuffle at one row per document. */
+    * sensitive to content edits. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 8): DataFrame = {
     // winnowing-style min-gram digest via the codegen'd graft_mingram
