@@ -43,6 +43,31 @@ class LineOpsSpec extends SparkTestBase {
     assert(!r.contains(3L))
   }
 
+  test("hot-line stress: one line in every doc, dedup stays correct") {
+    import spark.implicits._
+    // 20k docs all sharing a boilerplate line (the cookie-banner case):
+    // the first-occurrence agg must partial-combine, not buffer the hot
+    // group, and exactly one occurrence survives corpus-wide
+    val n = 20000L
+    val lines = spark.range(n).select(col("id"),
+        explode(array(lit(0L), lit(1L))).as("line_idx"))
+      .select(col("id"), col("line_idx"),
+        when(col("line_idx") === 0, lit("accept all cookies to continue"))
+          .otherwise(concat(lit("unique payload "), col("id"))).as("line"))
+    val r = LineOps.dedupSpans(lines)
+    assert(r.count() == n) // every doc retains its unique line
+    val hotSurvivors = LineOps.firstOccurrence(lines)
+      .filter(col("line") === "accept all cookies to continue" && col("is_first"))
+      .collect()
+    assert(hotSurvivors.length == 1 &&
+      hotSurvivors.head.getAs[Long]("id") == 0L &&
+      hotSurvivors.head.getAs[Long]("line_idx") == 0L)
+    // doc 0 keeps both lines; every other doc lost the boilerplate
+    val kept = r.filter(col("id") === 0).collect().head
+    assert(kept.getAs[Long]("n_kept") == 2)
+    assert(r.filter(col("n_kept") =!= 1).count() == 1)
+  }
+
   test("c4 line+doc filter: punctuation, min words, banned substrings") {
     import spark.implicits._
     val lines = Seq(
