@@ -70,6 +70,36 @@ object LineOps {
       col("line").rlike("[.!?\"]$") &&
         size(split(col("line"), " ")) >= minWords)
 
+  /** Per-document duplicated-span fraction (the Lee et al. 2021
+    * "Deduplicating Training Data" metric, suffix-array-free — public
+    * paper): of a doc's distinct word n-gram windows, the fraction that
+    * also occur in at least one OTHER document. High fraction =
+    * boilerplate-heavy or near-copied doc; feeds the same keep/weight
+    * machinery as the quality filters.
+    *
+    * Two corpus-keyed aggregations (gram df with map-side combine, then
+    * the per-doc count) and one shuffle join gram->df; state is one row
+    * per distinct gram. The cross-doc test is df minus the doc's own
+    * contribution — dfs come from distinct per-doc grams, so "occurs
+    * elsewhere" is exactly df >= 2. */
+  def duplicatedSpanFraction(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 8): DataFrame = {
+    val grams = TextDedup.shingles(docs, idCol, textCol, n)
+    val df = grams.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val per = grams.join(df, "shingle")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_fraction",
+        col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+    // docs too short for any n-gram surface with zero counts
+    docs.select(col(idCol).as("id")).join(per, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_fraction"), lit(0.0)).as("dup_fraction"))
+  }
+
   /** Benchmark decontamination (the PaLM/GPT-3 appendix-style n-gram
     * overlap check — public papers): count, per corpus document, how
     * many of its distinct word n-grams also occur in any benchmark

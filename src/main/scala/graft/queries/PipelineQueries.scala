@@ -288,6 +288,24 @@ object PipelineQueries {
     LangModel.perplexityExact(docs, docs, "doc_id", "text")
   }
 
+  private def dupSpanFraction(s: SparkSession, d: String): DataFrame =
+    LineOps.duplicatedSpanFraction(Tables.documents(s, d), "doc_id", "text", n = 8)
+
+  private val dupSpanFractionSql: String =
+    """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT id, array_to_string(list_slice(w, i, i + 7), ' ') AS g
+      |  FROM (SELECT id, w, unnest(range(1, len(w) - 6)) AS i FROM d
+      |        WHERE len(w) >= 8) t),
+      |df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+      |per AS (SELECT g.id, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+      |  FROM g JOIN df ON g.g = df.g GROUP BY 1)
+      |SELECT d.id, coalesce(per.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+      |  coalesce(per.n_dup_grams, CAST(0 AS BIGINT)) AS n_dup_grams,
+      |  coalesce(CAST(per.n_dup_grams AS DOUBLE) / CAST(per.n_grams AS DOUBLE),
+      |           CAST(0.0 AS DOUBLE)) AS dup_fraction
+      |FROM d LEFT JOIN per ON d.id = per.id""".stripMargin
+
   private def epochShuffle(s: SparkSession, d: String): DataFrame =
     Sampling.epochShuffleKeys(
       Tables.documents(s, d).select(col("doc_id")), "doc_id", epochs = 3)
@@ -379,6 +397,7 @@ object PipelineQueries {
     Q("pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
     Q("epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
+    Q("dup_span_fraction", dupSpanFraction, Some(dupSpanFractionSql)),
 
   )
 }
