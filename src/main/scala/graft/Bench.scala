@@ -40,6 +40,11 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
+        } finally {
+          // drop any intermediates the query persisted (dedup shingle
+          // relation etc.) so every repeat pays the full cost — min-of-3
+          // must measure the query, not the cache
+          spark.catalog.clearCache()
         }
       }
       if (times.isEmpty) failures += name

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Codegen'd dot product of two `array<float>` columns in double
   * precision, accumulating left-to-right — numerically identical to the
@@ -23,10 +24,22 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs are engine-internal: both children are array<float> by
-  // construction (ExpectsInputTypes is private[sql], so no declared check)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  // declared input types: both ARRAY<FLOAT>. ExpectsInputTypes is
+  // off-limits (AbstractDataType is private[sql] in Spark 4), so the
+  // contract is enforced via checkInputDataTypes — a call over
+  // array<double> embeddings fails analysis with a readable message
+  // instead of garbage from getFloat on a double-backed ArrayData.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<FLOAT>, ARRAY<FLOAT>) arguments, " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

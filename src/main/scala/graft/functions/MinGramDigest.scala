@@ -1,9 +1,10 @@
 package graft.functions
 
 import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing-style document fingerprint: the minimum md5 hex digest over
@@ -23,6 +24,19 @@ case class MinGramDigest(left: Expression, right: Expression)
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_mingram"
+
+  // declared input types: (STRING, INT). ExpectsInputTypes is off-limits
+  // (AbstractDataType is private[sql] in Spark 4), so the same contract
+  // is enforced via checkInputDataTypes — a mistyped SQL call like
+  // graft_mingram(8, text) or a BIGINT k fails analysis with a readable
+  // message instead of a runtime ClassCastException.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (STRING, INT) arguments, got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
 
   override def nullSafeEval(t: Any, kAny: Any): Any =
     MinGramDigest.compute(t.asInstanceOf[UTF8String], kAny.asInstanceOf[Int])

@@ -31,10 +31,20 @@ object Sampling {
   def sampleKey(key: Column, salt: String): Column =
     substring(md5(concat(lit(salt), key.cast("string"))), 1, prefixLen)
 
-  /** Threshold for a target rate, e.g. 0.25 -> "4000". */
+  /** Threshold that passes EVERY row: "fffg" sorts strictly above every
+    * 4-hex-char sample key ('g' > 'f'), so `key < fullRateHex` is true
+    * for all keys — including the ~1/65536 of rows whose key is exactly
+    * "ffff", which a clamped "ffff" threshold with the strict `<` would
+    * silently drop. Still 4 chars, so it composes with the per-stratum
+    * `coalesce` compare in [[stratifiedSample]] unchanged. */
+  val fullRateHex = "fffg"
+
+  /** Threshold for a target rate, e.g. 0.25 -> "4000"; rates that round
+    * to 65536/65536 map to [[fullRateHex]] (lossless pass-through). */
   def rateToHex(rate: Double): String = {
     require(rate >= 0 && rate <= 1, s"rate $rate outside [0,1]")
-    f"${math.round(rate * 65536).min(65535)}%04x"
+    val n = math.round(rate * 65536)
+    if (n >= 65536) fullRateHex else f"$n%04x"
   }
 
   /** Uniform deterministic sample at value(hexThreshold)/65536. */

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Text deduplication for large-scale training-data pipelines: exact
   * (hash-groupBy), MinHash+LSH, SimHash, and exact n-gram Jaccard with
@@ -200,10 +201,16 @@ object TextDedup {
                  threshold: Double = 0.8, shingleN: Int = 3,
                  numHashes: Int = 128, bands: Int = 32): DataFrame = {
     // the shingle relation feeds four consumers (signatures, doc sizes,
-    // shingle dfs, the intersection join) — materialize it once instead
-    // of re-running the split/explode per branch; blocks are freed by the
-    // ContextCleaner when the plan is collected
-    val sh = shingles(docs, idCol, textCol, shingleN).localCheckpoint()
+    // shingle dfs, the intersection join) — cache it once instead of
+    // re-running the split/explode per branch. persist (not
+    // localCheckpoint): lazy, so no job runs at plan construction, and
+    // lineage is kept, so a lost executor recomputes its blocks instead
+    // of failing the job. The cache entry lives in the session's
+    // CacheManager until the caller unpersists (Verify/Bench clear the
+    // cache between queries; long-lived sessions should
+    // spark.catalog.clearCache() or use the lower-level pieces directly).
+    val sh = shingles(docs, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = candidatesFromBands(
       lshBands(minhashSignatures(sh, numHashes), bands, numHashes / bands))
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
@@ -218,9 +225,11 @@ object TextDedup {
                        threshold: Double, shingleN: Int = 3,
                        dfCap: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // same multi-consumer reuse as minhashLsh: df ranking, prefix build,
-    // and the verify join all read the shingle relation
-    val sh = shingles(docs, idCol, textCol, shingleN).localCheckpoint()
+    // same multi-consumer reuse (and the same persist-not-checkpoint
+    // rationale) as minhashLsh: df ranking, prefix build, and the verify
+    // join all read the shingle relation
+    val sh = shingles(docs, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val ranked = sh.join(df, "shingle")
       .withColumn("rk", row_number().over(

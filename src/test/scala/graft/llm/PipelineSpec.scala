@@ -29,9 +29,14 @@ class PipelineSpec extends SparkTestBase {
 
   test("rateToHex endpoints and rounding") {
     assert(Sampling.rateToHex(0.0) == "0000")
-    assert(Sampling.rateToHex(1.0) == "ffff") // clamped: filter keeps <1 of mass
     assert(Sampling.rateToHex(0.5) == "8000")
     assert(Sampling.rateToHex(0.25) == "4000")
+    // full rate is lossless: the sentinel sorts above every hex key,
+    // including "ffff", so rate-1.0 keeps ALL rows (not 65535/65536)
+    assert(Sampling.rateToHex(1.0) == Sampling.fullRateHex)
+    assert("ffff" < Sampling.fullRateHex)
+    val all = Sampling.hashSample(docs, "doc_id", Sampling.rateToHex(1.0))
+    assert(all.count() == docs.count())
   }
 
   test("stratified sample equals per-stratum hash samples") {
