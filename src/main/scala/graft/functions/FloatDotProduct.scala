@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, NullType}
 
 /** Codegen'd dot product of two `array<float>` columns in double
   * precision, accumulating left-to-right — numerically identical to the
@@ -32,9 +32,11 @@ case class FloatDotProduct(left: Expression, right: Expression)
   // contract is enforced via checkInputDataTypes — a call over
   // array<double> embeddings fails analysis with a readable message
   // instead of garbage from getFloat on a double-backed ArrayData.
+  // NULL-typed literals (graft_dot(NULL, vec)) are accepted: the
+  // null-safe eval short-circuits to NULL, matching built-in behavior.
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      case (ArrayType(FloatType, _) | NullType, ArrayType(FloatType, _) | NullType) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (ARRAY<FLOAT>, ARRAY<FLOAT>) arguments, " +

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing-style document fingerprint: the minimum md5 hex digest over
@@ -29,10 +29,12 @@ case class MinGramDigest(left: Expression, right: Expression)
   // (AbstractDataType is private[sql] in Spark 4), so the same contract
   // is enforced via checkInputDataTypes — a mistyped SQL call like
   // graft_mingram(8, text) or a BIGINT k fails analysis with a readable
-  // message instead of a runtime ClassCastException.
+  // message instead of a runtime ClassCastException. NULL-typed literals
+  // are accepted: the null-safe eval short-circuits to NULL.
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (_: StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (_: StringType | NullType, IntegerType | NullType) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (STRING, INT) arguments, got " +
           s"(${l.catalogString}, ${r.catalogString})")

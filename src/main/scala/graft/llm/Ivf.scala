@@ -70,9 +70,18 @@ object Ivf {
     new ConcurrentHashMap[(SparkContext, String, Int, Long), IvfIndex]()
 
   def cachedIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-                  nlist: Int, seed: Long, corpusKey: String): IvfIndex =
-    cache.computeIfAbsent((emb.sparkSession.sparkContext, corpusKey, nlist, seed),
+                  nlist: Int, seed: Long, corpusKey: String): IvfIndex = {
+    val idx = cache.computeIfAbsent(
+      (emb.sparkSession.sparkContext, corpusKey, nlist, seed),
       _ => build(emb, idCol, vecCol, dim, nlist, seed))
+    // a harness-level spark.catalog.clearCache() (Verify/Bench run one
+    // between queries) unpersists the assignment behind our back; without
+    // this re-persist, later probes silently re-run model.transform per
+    // call and the "repeat calls are probe-only" contract is false
+    if (idx.assigned.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      idx.assigned.persist()
+    idx
+  }
 
   /** Top-k by exact cosine over the probed cells only — no fitting here. */
   def probe(index: IvfIndex, queryIds: Seq[Long], dim: Int, k: Int,

@@ -84,7 +84,16 @@ object LangModel {
     * same dodge as BM25's tf_norm — keep the cross-engine-unstable
     * function out of the oracle-checked surface). `minCount` drops the
     * noise floor (rare pairs trivially max PMI). One aggregation pass
-    * over the corpus; unigram totals join back as a broadcast. */
+    * over the corpus; unigram totals join back on the word key.
+    *
+    * The unigram joins carry NO broadcast hint on purpose: `uni` is the
+    * full vocabulary — 10⁷–10⁸ rows at 100 TB — and a forced broadcast
+    * means a driver collect that can blow the broadcast limit. Unhinted,
+    * they are shuffle joins keyed by w1/w2 at scale, and AQE still
+    * converts them to broadcasts at runtime when the vocabulary is
+    * actually small. The only hinted side is `tot`, a 1-row aggregate —
+    * bounded by construction. PlanShapeSpec pins that exactly one
+    * broadcast hint (the scalar) survives in the analyzed plan. */
   def collocations(docs: DataFrame, idCol: String, textCol: String,
                    minCount: Long = 5L, topK: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -93,8 +102,8 @@ object LangModel {
     val uni = contextCounts(docs, idCol, textCol).filter(col("w1") =!= "<s>")
     val tot = bg.agg(sum(col("n")).as("t"))
     val scored = bg
-      .join(broadcast(uni), Seq("w1"))
-      .join(broadcast(uni.select(col("w1").as("w2"), col("n1").as("n2"))), Seq("w2"))
+      .join(uni, Seq("w1"))
+      .join(uni.select(col("w1").as("w2"), col("n1").as("n2")), Seq("w2"))
       .crossJoin(broadcast(tot))
       .withColumn("pmi_ratio",
         col("n").cast("double") * col("t").cast("double")

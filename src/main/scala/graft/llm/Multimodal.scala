@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * deserialization per partition batch, case-class Encoders, codegen'd
   * scan underneath).
   *
-  * The actual media codecs are STUBBED (this container has no image/audio
-  * libraries): [[FakeCodec]] is a deterministic stand-in that "parses" a
-  * header from the first payload bytes. The Spark-side plumbing — schema,
-  * binary payload handling, partition-batched decode, frame sampling,
-  * feature extraction shape — is real and tested; swapping FakeCodec for
-  * a JNI/javacv decoder changes no plan shape.
+  * Metadata decode is REAL for PNG and JPEG ([[ImageHeaders]] parses the
+  * container headers directly — pure JVM, no codec library). Pixel-level
+  * work (frames/resize/featurize) is STUBBED (this container has no
+  * image/audio libraries): [[FakeCodec]] is a deterministic stand-in.
+  * The Spark-side plumbing — schema, binary payload handling,
+  * partition-batched decode, frame sampling, feature extraction shape —
+  * is real and tested; swapping FakeCodec for a JNI/javacv decoder
+  * changes no plan shape.
   *
   * Scale: payloads stay in executor memory one partition at a time;
   * nothing is collected; decode parallelism = input partitions.
@@ -29,11 +31,72 @@ object Multimodal {
 
   /** Deterministic fake decoder: width/height from the first 4 payload
     * bytes, format tag from the kind. Replace with a real codec binding
-    * in production — the signature is the contract. */
+    * in production — the signature is the contract. Kept as the fallback
+    * for payloads [[ImageHeaders]] does not recognize, and as the stub
+    * behind frame/resize/featurize (pixel decoding needs a codec library
+    * this container does not have). */
   object FakeCodec {
     def decode(kind: String, payload: Array[Byte]): (Int, Int, String) = {
       def b(i: Int): Int = if (i < payload.length) payload(i) & 0xff else 0
       (b(0) * 256 + b(1), b(2) * 256 + b(3), s"$kind/fake")
+    }
+  }
+
+  /** REAL image metadata parsing from the container headers — pure JVM,
+    * public-spec formats, no codec library needed:
+    *   - PNG (RFC 2083 / W3C PNG spec): 8-byte signature
+    *     89 50 4E 47 0D 0A 1A 0A, then the IHDR chunk — width at byte
+    *     offset 16, height at 20, both 4-byte big-endian.
+    *   - JPEG (ITU-T T.81 / JFIF): starts FF D8; segments are
+    *     FF <marker> <2-byte big-endian length incl. itself>. Dimensions
+    *     live in the frame header (SOFn, markers C0–CF except C4/C8/CC):
+    *     precision(1), height(2 BE), width(2 BE) after the length.
+    *     Standalone markers (01, D0–D7) carry no length; scan stops at
+    *     SOS (DA) / EOI (D9).
+    * Returns None for anything else (caller falls back to the stub). */
+  object ImageHeaders {
+    private def u16(p: Array[Byte], i: Int): Int =
+      ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+    private def u32(p: Array[Byte], i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+
+    private val pngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    def parse(p: Array[Byte]): Option[(Int, Int, String)] =
+      parsePng(p).orElse(parseJpeg(p))
+
+    def parsePng(p: Array[Byte]): Option[(Int, Int, String)] =
+      if (p.length >= 24 && p.startsWith(pngSig) &&
+          p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+        Some((u32(p, 16).toInt, u32(p, 20).toInt, "image/png"))
+      else None
+
+    def parseJpeg(p: Array[Byte]): Option[(Int, Int, String)] = {
+      if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      while (i + 3 < p.length) {
+        if ((p(i) & 0xff) != 0xff) return None // desynced — not valid JPEG
+        val m = p(i + 1) & 0xff
+        m match {
+          case 0xff => i += 1 // fill byte before a marker
+          case 0x01 => i += 2 // standalone, no length
+          case r if r >= 0xd0 && r <= 0xd7 => i += 2 // RSTn, no length
+          case 0xd9 | 0xda => return None // EOI / SOS before any SOFn
+          case sof if sof >= 0xc0 && sof <= 0xcf &&
+              sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+            // SOFn payload: length(2) precision(1) height(2) width(2)
+            if (i + 9 >= p.length) return None
+            return Some((u16(p, i + 7), u16(p, i + 5), "image/jpeg"))
+          case _ =>
+            val len = u16(p, i + 2)
+            if (len < 2) return None
+            i += 2 + len
+        }
+      }
+      None
     }
   }
 
@@ -45,13 +108,16 @@ object Multimodal {
       col(payloadCol).cast("binary").as("payload")).as[MediaRow]
   }
 
-  /** Partition-batched metadata decode. */
+  /** Partition-batched metadata decode: REAL PNG/JPEG header parsing
+    * ([[ImageHeaders]] — magic-sniffed, pure JVM), with the deterministic
+    * [[FakeCodec]] stub as the fallback for unrecognized payloads. */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition prologue ≙ codec init (Mapper.setup analog)
       rows.map { m =>
-        val (w, h, fmt) = FakeCodec.decode(m.kind, m.payload)
+        val (w, h, fmt) = ImageHeaders.parse(m.payload)
+          .getOrElse(FakeCodec.decode(m.kind, m.payload))
         MediaMeta(m.media_id, m.kind, w, h, fmt, m.payload.length.toLong)
       }
     }

@@ -47,15 +47,21 @@ object Sampling {
     if (n >= 65536) fullRateHex else f"$n%04x"
   }
 
-  /** Uniform deterministic sample at value(hexThreshold)/65536. */
+  /** Uniform deterministic sample at value(hexThreshold)/65536.
+    * `hexThreshold` is a 4-char string compared lexicographically against
+    * the hex sample keys — normally 4 hex digits from [[rateToHex]];
+    * [[fullRateHex]] ("fffg") is the one sanctioned non-hex value, the
+    * lossless pass-everything threshold. */
   def hashSample(df: DataFrame, keyCol: String, hexThreshold: String,
                  salt: String = "graft"): DataFrame = {
-    require(hexThreshold.length == prefixLen, s"threshold must be $prefixLen hex chars")
+    require(hexThreshold.length == prefixLen,
+      s"threshold must be $prefixLen chars (hex digits, or fullRateHex)")
     df.filter(sampleKey(col(keyCol), salt) < lit(hexThreshold))
   }
 
   /** Stratified deterministic sample: per-stratum hex thresholds, with
-    * `defaultHex` for strata not in `rates`.
+    * `defaultHex` for strata not in `rates` (each a 4-char threshold per
+    * the [[hashSample]] contract — [[fullRateHex]] allowed).
     *
     * The rates ride in as a broadcast-joined table rather than a CASE
     * chain: a real corpus has thousands of strata (domains), and a
@@ -65,7 +71,7 @@ object Sampling {
                        rates: Map[String, String], defaultHex: String,
                        salt: String = "graft"): DataFrame = {
     require((rates.values.toSeq :+ defaultHex).forall(_.length == prefixLen),
-      s"all thresholds must be $prefixLen hex chars")
+      s"all thresholds must be $prefixLen chars (hex digits, or fullRateHex)")
     val s = df.sparkSession
     import s.implicits._
     val rt = rates.toSeq.toDF("graft_stratum", "graft_thr")

@@ -84,15 +84,26 @@ object TextDedup {
     * quadratic is bounded; a pathological bucket would hurt the join
     * formulation identically. */
   def candidatesFromBands(bandDf: DataFrame): DataFrame =
-    bandDf.groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-          |  i -> transform(slice(ids, i + 2, size(ids) - i - 1),
-          |       j -> struct(ids[i] AS id1, j AS id2))))""".stripMargin)).as("p"))
-      .select(col("p.id1"), col("p.id2"))
+    bucketPairs(bandDf, Nil)
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
+
+  /** The one-shuffle bucket-pairing kernel shared by [[candidatesFromBands]]
+    * and [[simhashPairs]]: group the band relation on (band, bh), sort each
+    * bucket's (id, payload…) structs, generate the in-bucket pairs map-side.
+    * `extra` columns (e.g. the SimHash signature) ride along in the struct
+    * so downstream per-pair computation needs no join back to the source —
+    * each id appears at most once per bucket (one row per doc per band), so
+    * the struct sort is still a sort by id. */
+  private def bucketPairs(bandDf: DataFrame, extra: Seq[Column]): DataFrame =
+    bandDf.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(struct(col("id") +: extra: _*))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(xs) - 2),
+          |  i -> transform(slice(xs, i + 2, size(xs) - i - 1),
+          |       j -> struct(xs[i] AS x, j AS y))))""".stripMargin)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
 
   /** Exact Jaccard over shingle sets for the given candidate pairs only.
     * Output: (id1, id2, jaccard). The intersection is computed by joining
@@ -196,7 +207,15 @@ object TextDedup {
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     * With 32 bands x 4 rows, a pair at J >= 0.85 is missed with
     * probability (1 - J^4)^32 < 1e-13 — LSH prunes candidates, the exact
-    * verify step decides, so the output matches an all-pairs oracle. */
+    * verify step decides, so the output matches an all-pairs oracle.
+    *
+    * Caching contract: the shingle relation is `persist`ed
+    * (MEMORY_AND_DISK) and NOT unpersisted here — the returned plan still
+    * reads it lazily, so there is no safe unpersist point inside this
+    * method. Callers composing many dedup calls in a long-lived session
+    * should `spark.catalog.clearCache()` between them (Verify/Bench do),
+    * or build from the lower-level pieces and manage the persist
+    * themselves. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.8, shingleN: Int = 3,
                  numHashes: Int = 128, bands: Int = 32): DataFrame = {
@@ -220,7 +239,10 @@ object TextDedup {
     * (AllPairs/Bayardo): order each doc's shingles by ascending global
     * document frequency; two docs with J >= t must share a shingle within
     * their first (n - ceil(t*n) + 1) rarest shingles, so joining prefixes
-    * finds every qualifying pair without an all-pairs product. */
+    * finds every qualifying pair without an all-pairs product.
+    *
+    * Same caching contract as [[minhashLsh]]: the persisted shingle
+    * relation stays cached until the caller clears it. */
   def ngramJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double, shingleN: Int = 3,
                        dfCap: Int = 256): DataFrame = {
@@ -298,10 +320,11 @@ object TextDedup {
         struct(lit(j).as("band"),
           shiftright(col("simhash"), j * 8).bitwiseAND(0xFF).as("bh"))): _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
+    // same one-shuffle bucket kernel as candidatesFromBands (the self-join
+    // formulation costs two shuffle reads of the band relation plus a
+    // distinct); the signature rides in the bucket struct, so the Hamming
+    // distance is computed map-side with no join back to `sigs`
+    bucketPairs(bands, Seq(col("simhash")))
       .select(col("x.id").as("id1"), col("y.id").as("id2"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

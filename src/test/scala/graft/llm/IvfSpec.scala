@@ -49,6 +49,22 @@ class IvfSpec extends SparkTestBase {
     assert(again eq index)
   }
 
+  test("cachedIndex survives a harness clearCache: assignment is re-persisted") {
+    // Verify/Bench run spark.catalog.clearCache() between queries, which
+    // unpersists the index's assignment — without the re-persist in
+    // cachedIndex, every later probe re-runs model.transform and the
+    // "repeat calls are probe-only" contract is silently false
+    index.assigned.count() // ensure built + materialized
+    spark.catalog.clearCache()
+    assert(index.assigned.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE) // precondition: cleared
+    val again = Ivf.cachedIndex(emb, "vec_id", "embedding", 64, 8, 42L, "spec")
+    assert(again eq index)
+    assert(again.assigned.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      s"assignment not re-persisted: ${again.assigned.storageLevel}")
+  }
+
   test("persisted index: cell filter prunes partitions; probe results identical") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
     Ivf.save(index, dir)

@@ -49,6 +49,46 @@ class InfraSpec extends SparkTestBase {
     assert(feats.feature(0) == ('A' + 'B' + 'C' + 'D').toFloat / 4)
   }
 
+  test("multimodal decodeMeta parses REAL PNG and JPEG headers (ImageIO fixtures)") {
+    import spark.implicits._
+    // fixtures come from the JDK's own encoders — real container bytes,
+    // not hand-mimicked magic
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = encode("png", 17, 9)
+    val jpg = encode("jpg", 31, 23)
+    assert(Multimodal.ImageHeaders.parse(png).contains((17, 9, "image/png")))
+    assert(Multimodal.ImageHeaders.parse(jpg).contains((31, 23, "image/jpeg")))
+
+    // progressive JPEG (SOF2 frame header) — hand-rolled minimal segments:
+    // SOI, APP0(JFIF), SOF2 with precision 8, height 300, width 500, 1 comp
+    val sof2 = Array[Int](
+      0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0,
+      0xff, 0xc2, 0x00, 0x0b, 8, 0x01, 0x2c, 0x01, 0xf4, 1, 1, 0x11, 0
+    ).map(_.toByte)
+    assert(Multimodal.ImageHeaders.parse(sof2).contains((500, 300, "image/jpeg")))
+
+    // non-image payloads fall back to the deterministic stub
+    assert(Multimodal.ImageHeaders.parse("plain text".getBytes("UTF-8")).isEmpty)
+
+    // end-to-end through the typed Spark surface
+    val media = Multimodal.asMedia(
+      Seq((7L, png), (8L, jpg), (9L, "text bytes only".getBytes("UTF-8")))
+        .toDF("id", "payload"),
+      "id", "payload", "image")
+    val metas = Multimodal.decodeMeta(media).collect()
+      .map(m => m.media_id -> ((m.width, m.height, m.format))).toMap
+    assert(metas(7L) == ((17, 9, "image/png")))
+    assert(metas(8L) == ((31, 23, "image/jpeg")))
+    assert(metas(9L)._3 == "image/fake") // stub fallback, real plumbing
+  }
+
   test("multimodal resize downsamples payloads with block averaging") {
     import spark.implicits._
     val media = Multimodal.asMedia(

@@ -94,6 +94,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_min") || p.contains("partial min"), p)
   }
 
+  test("logalyzer: k extraction projected below the range exchange, narrow shuffle") {
+    val df = graft.SparkEntry.queries("logalyzer")(spark, sf0001)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the get_json_object extraction must be computed BELOW the sort's
+    // range exchange: the shuffle then moves narrow (event_id, type, ts,
+    // k) rows — never the wide props JSON — and nothing above the
+    // exchange re-parses JSON. (The range-sampling pass re-executes the
+    // scan+filter+project child; keeping that child narrow and
+    // extraction-once-per-operator is the best a semantic sort allows.)
+    val ex = "\\(\\d+\\) Exchange".r.findFirstMatchIn(formatted)
+    assert(ex.isDefined, formatted)
+    val aboveExchange = formatted.substring(ex.get.start)
+    assert(!aboveExchange.contains("get_json_object"), formatted)
+    assert(aboveExchange.linesIterator.take(3).mkString("\n").contains("k#"),
+      formatted)
+  }
+
+  test("collocations: no full-vocabulary relation is broadcast-hinted") {
+    val df = graft.SparkEntry.queries("collocations")(spark, sf0001)
+    val analyzed = df.queryExecution.analyzed.toString
+    // exactly ONE broadcast hint survives: the 1-row bigram-total scalar
+    // (bounded by construction). The unigram vocabulary joins must carry
+    // no hint — at 100 TB the vocabulary is 10^7-10^8 rows and a forced
+    // broadcast is a driver collect that can blow the broadcast limit;
+    // unhinted they shuffle on the word key (AQE may still broadcast
+    // small actuals at runtime, which is the correct place to decide).
+    val hints = "ResolvedHint".r.findAllIn(analyzed).size
+    assert(hints == 1, s"expected 1 broadcast hint (the scalar total), got $hints:\n$analyzed")
+  }
+
   test("pipeline_e2e: sample filter applies before the packing shuffle") {
     val df = graft.SparkEntry.queries("pipeline_e2e")(spark, sf0001)
     val optimized = df.queryExecution.optimizedPlan.toString
