@@ -147,7 +147,10 @@ object Embeddings {
       .select(col("id"), col("vec"), bitCols.reduce(_.bitwiseOR(_)).as("lsh"))
   }
 
-  /** Candidate pairs sharing at least one of `bands` signature bands. */
+  /** Candidate pairs sharing at least one of `bands` signature bands —
+    * generated by [[TextDedup.candidatesFromBands]]'s one-shuffle
+    * groupBy-bucket kernel (a self-join formulation costs two shuffle
+    * reads of the band relation plus the distinct, for identical output). */
   def signLshCandidates(sigs: DataFrame, bits: Int = 64, bands: Int = 16): DataFrame = {
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
@@ -156,12 +159,7 @@ object Embeddings {
         struct(lit(j).as("band"),
           shiftright(col("lsh"), j * bandBits).bitwiseAND(mask).as("bh"))): _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    bandDf.as("x")
-      .join(bandDf.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id1"), col("y.id").as("id2"))
-      .distinct()
+    TextDedup.candidatesFromBands(bandDf)
   }
 
   /** Approximate top-k: exact cosine ranking restricted to sign-LSH

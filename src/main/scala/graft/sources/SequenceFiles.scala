@@ -21,6 +21,27 @@ object SequenceFiles {
       .map(r => (new Text(r.getString(0)), new LongWritable(r.getLong(1))))
       .saveAsSequenceFile(path)
 
+  /** BLOCK-compressed Text/LongWritable SequenceFile write
+    * (`IO/SequenceFile.java:222` `CompressionType.BLOCK`): records
+    * accumulate into key/value blocks compressed as units — the
+    * reference's high-ratio mode, vs the default per-record framing of
+    * [[writeTextLong]]. DefaultCodec (zlib) so no native libs needed;
+    * the standard reader handles both framings transparently. */
+  def writeTextLongBlock(df: DataFrame, path: String): Unit = {
+    val conf = new org.apache.hadoop.mapred.JobConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    conf.setBoolean("mapreduce.output.fileoutputformat.compress", true)
+    conf.set("mapreduce.output.fileoutputformat.compress.type", "BLOCK")
+    conf.setClass("mapreduce.output.fileoutputformat.compress.codec",
+      classOf[org.apache.hadoop.io.compress.DefaultCodec],
+      classOf[org.apache.hadoop.io.compress.CompressionCodec])
+    df.rdd
+      .map(r => (new Text(r.getString(0)), new LongWritable(r.getLong(1))))
+      .saveAsHadoopFile(path, classOf[Text], classOf[LongWritable],
+        classOf[org.apache.hadoop.mapred.SequenceFileOutputFormat[Text, LongWritable]],
+        conf)
+  }
+
   /** Read it back: (key, value) columns. */
   def readTextLong(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,136 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Adversarial scale probe for the dedup family's 100 TB claims, one
+  * notch past [[ScaleProbe]]'s 8×: measures wall at two corpus multiples
+  * and checks the growth against the op's cost model.
+  *
+  *   - ngram_jaccard on the HOT-UNIVERSAL corpus (every doc shares a
+  *     tail, so several shingles have df == corpus size): the df-capped
+  *     split verify (`TextDedup.verifyJaccardSplit`) must keep wall
+  *     near-linear — the unsplit direct join would build df² pair-rows.
+  *   - minhashLsh / simhashPairs on the plain replicated corpus:
+  *     banded candidate generation is one shuffle, expected near-linear.
+  *   - cosineDedupBlocked: the work is semantically quadratic (gapless
+  *     threshold — see Embeddings scaladoc), so the claim is NOT linear
+  *     wall; it is that wall tracks the n² work model (no extra blowup
+  *     from the block layout) and that a HOT-CLUSTER corpus (10% of
+  *     vectors identical → dense qualifying output) completes with
+  *     bounded tasks.
+  *
+  * Bounds are the cost model × 2 slack (this machine's noise is ±30%).
+  * Inputs are localCheckpoint'ed so generation isn't timed and the
+  * per-op `clearCache()` (charging each op its own persists) can't
+  * unpersist them. Prints a PROBE line per run and a RATIO verdict per
+  * op; exits 1 on any FAIL. Usage: `runMain graft.tools.AdversarialProbe
+  * [loMult] [hiMult]` (defaults 8 32).
+  */
+object AdversarialProbe {
+  def main(args: Array[String]): Unit = {
+    val lo = args.headOption.map(_.toInt).getOrElse(8)
+    val hi = args.drop(1).headOption.map(_.toInt).getOrElse(32)
+    val spark = graft.core.Sessions.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    var failed = false
+
+    def time(n: String)(f: => Long): Double = {
+      spark.catalog.clearCache() // each op pays its own persist cost
+      val t0 = System.nanoTime(); val c = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE $n: $s%.1fs ($c rows)"); s
+    }
+    def verdict(op: String, rLo: Double, rHi: Double, model: Double): Unit = {
+      val ratio = rHi / rLo
+      val bound = model * 2.0
+      val ok = ratio <= bound
+      if (!ok) failed = true
+      println(f"RATIO $op: ${ratio}%.2fx wall for ${model}%.0fx modeled work " +
+        f"(bound ${bound}%.0fx) -> ${if (ok) "PASS" else "FAIL"}")
+    }
+
+    // Per-copy perturbation must change EVERY shingle, not just the first
+    // few: a one-word "copy$m" prefix on a W-word doc leaves Jaccard
+    // (W-2)/(W-1) ≈ 0.98 between copies, so every doc gains m-1 near-dup
+    // twins and the TRUE pair output is Ω(m²) — no algorithm is linear on
+    // that corpus, and a wall measurement on it probes the output size,
+    // not the candidate machinery. Tagging every word makes cross-copy
+    // similarity ~0 (linear true output) while the base corpus's
+    // within-copy dup structure scales linearly; the constant untagged
+    // tail then supplies the universal df = corpus-size hot shingles.
+    def docsX(mult: Int, hotTail: Boolean): DataFrame = {
+      val docs = graft.core.Tables.documents(spark, d)
+      val rep = (0 until mult).map { m =>
+        docs.select((col("doc_id") + lit(m * 1000000L)).as("doc_id"),
+          expr(s"array_join(transform(split(text, ' '), w -> concat(w, '$m')), ' ')")
+            .as("text"))
+      }.reduce(_ union _)
+      val out =
+        if (hotTail) rep.select(col("doc_id"),
+          concat(col("text"), lit(" omega tail marker words")).as("text"))
+        else rep
+      out.localCheckpoint()
+    }
+    def embX(mult: Int, hotCluster: Boolean): DataFrame = {
+      val emb = graft.core.Tables.embeddings(spark, d)
+      val rep = (0 until mult).map { m =>
+        emb.select((col("vec_id") + lit(m * 1000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ union _)
+      val out =
+        if (hotCluster) rep.select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(10)) === 0,
+            expr("transform(sequence(1, 64), i -> CAST(0.1 AS FLOAT))"))
+            .otherwise(col("embedding")).as("embedding"))
+        else rep
+      out.localCheckpoint()
+    }
+
+    val dataRatio = hi.toDouble / lo
+
+    val docsLo = docsX(lo, hotTail = true)
+    val docsHi = docsX(hi, hotTail = true)
+    println(s"hot-universal docs: ${docsLo.count()} -> ${docsHi.count()}")
+    val ngLo = time(s"ngram_jaccard hot-universal x$lo")(
+      graft.llm.TextDedup.ngramJaccardJoin(docsLo, "doc_id", "text", 0.5).count())
+    val ngHi = time(s"ngram_jaccard hot-universal x$hi")(
+      graft.llm.TextDedup.ngramJaccardJoin(docsHi, "doc_id", "text", 0.5).count())
+    verdict("ngram_jaccard_hot", ngLo, ngHi, dataRatio)
+
+    val plainLo = docsX(lo, hotTail = false)
+    val plainHi = docsX(hi, hotTail = false)
+    val mhLo = time(s"minhash_lsh x$lo")(
+      graft.llm.TextDedup.minhashLsh(plainLo, "doc_id", "text", 0.8).count())
+    val mhHi = time(s"minhash_lsh x$hi")(
+      graft.llm.TextDedup.minhashLsh(plainHi, "doc_id", "text", 0.8).count())
+    verdict("minhash_lsh", mhLo, mhHi, dataRatio)
+    val shLo = time(s"simhash x$lo")(
+      graft.llm.TextDedup.simhashPairs(plainLo, "doc_id", "text", 3).count())
+    val shHi = time(s"simhash x$hi")(
+      graft.llm.TextDedup.simhashPairs(plainHi, "doc_id", "text", 3).count())
+    verdict("simhash", shLo, shHi, dataRatio)
+
+    // blocked exact cosine: 2× the vectors = 4× the dot products; the pin
+    // is wall ~ work model, i.e. the block layout adds no extra blowup
+    val embLo = embX(lo / 2, hotCluster = false)
+    val embHi = embX(lo, hotCluster = false)
+    println(s"vectors: ${embLo.count()} -> ${embHi.count()}")
+    val cbLo = time(s"cosine_blocked x${lo / 2}")(
+      graft.llm.Embeddings.cosineDedupBlocked(embLo, "vec_id", "embedding", 64, 0.45).count())
+    val cbHi = time(s"cosine_blocked x$lo")(
+      graft.llm.Embeddings.cosineDedupBlocked(embHi, "vec_id", "embedding", 64, 0.45).count())
+    verdict("cosine_blocked", cbLo, cbHi, model = 4.0)
+
+    // hot-cluster: dense qualifying output (every pair of the 10% clone
+    // set qualifies at cos 1.0) — must complete, output grows ~n²/100
+    val embHot = embX(lo / 2, hotCluster = true)
+    time(s"cosine_blocked hot-cluster x${lo / 2}")(
+      graft.llm.Embeddings.cosineDedupBlocked(embHot, "vec_id", "embedding", 64, 0.45).count())
+
+    spark.stop()
+    if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
+    else println("ADVERSARIAL PROBE: PASS")
+  }
+}

@@ -16,11 +16,15 @@ object ScaleProbe {
       println(f"PROBE $n: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
     val docs = graft.core.Tables.documents(spark, d)
-    // replicate with distinct ids and a per-copy token prefix so copies
-    // are NOT near-dups of each other (keeps pair counts realistic)
+    // replicate with distinct ids, tagging EVERY word per copy so copies
+    // are genuinely not near-dups (a one-word prefix leaves Jaccard
+    // ≈ (W-2)/(W-1) ≈ 0.98 between copies — every doc would gain mult-1
+    // twins and pair output would be Ω(mult²) by construction; see
+    // AdversarialProbe's corpus note)
     val big = (0 until mult).map { m =>
       docs.select((col("doc_id") + lit(m * 1000000L)).as("doc_id"),
-        concat(lit(s"copy$m "), col("text")).as("text"))
+        expr(s"array_join(transform(split(text, ' '), w -> concat(w, '$m')), ' ')")
+          .as("text"))
     }.reduce(_ union _).cache()
     println("docs: " + big.count())
     time(s"minhash_lsh x$mult")(
