@@ -42,8 +42,11 @@ object Multimodal {
     }
   }
 
-  /** REAL image metadata parsing from the container headers — pure JVM,
-    * public-spec formats, no codec library needed:
+  /** REAL media metadata parsing from the container headers — pure JVM,
+    * public-spec formats, no codec library needed. Images return
+    * (width, height, mime); WAV returns (sampleRate, channels,
+    * "audio/wav"); MP4 returns the first track's (width, height,
+    * "video/mp4"). Image formats:
     *   - PNG (RFC 2083 / W3C PNG spec): 8-byte signature
     *     89 50 4E 47 0D 0A 1A 0A, then the IHDR chunk — width at byte
     *     offset 16, height at 20, both 4-byte big-endian.
@@ -65,13 +68,79 @@ object Multimodal {
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
     def parse(p: Array[Byte]): Option[(Int, Int, String)] =
-      parsePng(p).orElse(parseJpeg(p))
+      parsePng(p).orElse(parseJpeg(p)).orElse(parseWav(p)).orElse(parseMp4(p))
 
     def parsePng(p: Array[Byte]): Option[(Int, Int, String)] =
       if (p.length >= 24 && p.startsWith(pngSig) &&
           p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
         Some((u32(p, 16).toInt, u32(p, 20).toInt, "image/png"))
       else None
+
+    /** WAV (RIFF, public Microsoft/IBM spec): "RIFF" size "WAVE", then
+      * chunks of (4-byte id, 4-byte LE size). The fmt chunk carries
+      * channels at offset +2 and sample rate at +4 (both LE). Returned as
+      * (sampleRate, channels, "audio/wav") — the (w, h) slots carry the
+      * two integers a pipeline partitions/filters on. */
+    def parseWav(p: Array[Byte]): Option[(Int, Int, String)] = {
+      def le32(i: Int): Long =
+        (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+          ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+      def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+      if (p.length < 36 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var i = 12
+      while (i + 8 <= p.length) {
+        val sz = le32(i + 4)
+        if (tag(i) == "fmt ") {
+          if (i + 12 > p.length) return None
+          val channels = ((p(i + 10) & 0xff) | ((p(i + 11) & 0xff) << 8))
+          val rate = le32(i + 12).toInt
+          return Some((rate, channels, "audio/wav"))
+        }
+        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      None
+    }
+
+    /** MP4 / ISO-BMFF (ISO 14496-12, public): a tree of boxes, each
+      * (4-byte BE size, 4-byte type). Video dimensions live in
+      * moov→trak→tkhd at offsets 76/80 (version-0 box) as 16.16
+      * fixed-point — walk the container boxes, take the first track with
+      * nonzero dimensions. */
+    def parseMp4(p: Array[Byte]): Option[(Int, Int, String)] = {
+      def u32b(i: Int): Long =
+        ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+          ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+      def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+      if (p.length < 12 || tag(4) != "ftyp") return None
+      def walk(from: Int, to: Int): Option[(Int, Int)] = {
+        var i = from
+        while (i + 8 <= to) {
+          val sz = u32b(i)
+          if (sz < 8) return None
+          val t = tag(i + 4)
+          val end = math.min(to.toLong, i + sz).toInt
+          if (t == "moov" || t == "trak") {
+            val r = walk(i + 8, end)
+            if (r.isDefined) return r
+          } else if (t == "tkhd") {
+            // payload: ver/flags(4), times+id+reserved+duration (20 for
+            // v0, 32 for v1), reserved(8), layer/alt/vol/reserved(8),
+            // matrix(36), width(4), height(4)
+            val ver = p(i + 8) & 0xff
+            val off = if (ver == 1) i + 8 + 4 + 32 + 8 + 8 + 36
+                      else i + 8 + 4 + 20 + 8 + 8 + 36
+            if (off + 8 <= p.length) {
+              val w = (u32b(off) >> 16).toInt     // 16.16 fixed point
+              val h = (u32b(off + 4) >> 16).toInt
+              if (w > 0 && h > 0) return Some((w, h))
+            }
+          }
+          i = end
+        }
+        None
+      }
+      walk(0, p.length).map { case (w, h) => (w, h, "video/mp4") }
+    }
 
     def parseJpeg(p: Array[Byte]): Option[(Int, Int, String)] = {
       if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)

@@ -1,0 +1,185 @@
+package graft.llm
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization ANN (Jégou, Douze, Schmid: "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011 — public paper): split each
+  * vector into `m` subvectors, k-means each subspace into `ksub`
+  * centroids, store each vector as `m` small codes. At 100 TB this is THE
+  * memory story for dense retrieval: a 64-dim float vector (256 bytes)
+  * becomes m = 16 byte-codes (16 bytes) — 16× less shuffle and cache
+  * footprint — and queries score candidates with an asymmetric-distance
+  * (ADC) table of m × ksub partial distances, m table lookups per
+  * candidate instead of a dim-length dot product.
+  *
+  * Spark shape: the codebooks are tiny (m·ksub·dsub floats) and ride to
+  * executors as a broadcast; encoding and scoring are typed
+  * `mapPartitions` (per-partition imperative argmin/lookup loops — the
+  * case where the charter's preference order bottoms out, since a
+  * per-element expression tree over m·ksub centroids would be enormous
+  * and never codegen). Training samples per-subspace k-means on the ML
+  * KMeans estimator. Nothing corpus-sized ever reaches the driver; the
+  * query side is collected only because queries are driver-sized by
+  * contract (same as the broadcast side of [[Embeddings.bruteForceKnn]]).
+  *
+  * Registered rows-only (approximate by construction); PqSpec pins code
+  * shape, centroid round-trip, self-distance-zero on codebook-exact
+  * vectors, and recall@k against exact Euclidean brute force.
+  */
+object Pq {
+
+  /** codebooks(j)(c) = subspace-j centroid c (dsub floats). */
+  final case class PqModel(m: Int, dsub: Int,
+                           codebooks: Array[Array[Array[Float]]])
+
+  /** Per-subspace k-means over the corpus — m small ML KMeans fits. */
+  def fit(emb: DataFrame, vecCol: String, dim: Int, m: Int,
+          ksub: Int = 16, seed: Long = 42L): PqModel = {
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    val dsub = dim / m
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val codebooks = (0 until m).map { j =>
+      val sub = emb.select(array_to_vector(
+        expr(s"slice($vecCol, ${j * dsub + 1}, $dsub)").cast("array<double>"))
+        .as("features"))
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(20).fit(sub)
+        .clusterCenters.map(_.toArray.map(_.toFloat))
+    }.toArray
+    PqModel(m, dsub, codebooks)
+  }
+
+  /** Encode each vector as its per-subspace nearest-centroid indices:
+    * (id, code array<int> of length m). */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             model: PqModel): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val mdl = bc.value
+        it.map { case (id, v) =>
+          val code = Array.tabulate(mdl.m) { j =>
+            val cb = mdl.codebooks(j)
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < cb.length) {
+              var s = 0.0; var t = 0
+              while (t < mdl.dsub) {
+                val diff = v(j * mdl.dsub + t) - cb(c)(t)
+                s += diff * diff; t += 1
+              }
+              if (s < bestD) { bestD = s; best = c }
+              c += 1
+            }
+            best
+          }
+          (id, code)
+        }
+      }.toDF("id", "code")
+  }
+
+  /** ADC distance table for one query: table(j)(c) = ||q_j - cb(j)(c)||². */
+  private def adcTable(q: Array[Float], mdl: PqModel): Array[Array[Double]] =
+    Array.tabulate(mdl.m) { j =>
+      val cb = mdl.codebooks(j)
+      Array.tabulate(cb.length) { c =>
+        var s = 0.0; var t = 0
+        while (t < mdl.dsub) {
+          val diff = q(j * mdl.dsub + t) - cb(c)(t)
+          s += diff * diff; t += 1
+        }
+        s
+      }
+    }
+
+  /** Approximate top-k by ADC over the encoded corpus: for each query,
+    * distance ≈ Σ_j table(j)(code(j)) — m lookups per candidate row.
+    * Output: (query_id, neighbor_id, rank, adist), Euclidean semantics. */
+  def adcSearch(encoded: DataFrame, model: PqModel,
+                queries: Seq[(Long, Array[Float])], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      queries.map { case (qid, q) => (qid, adcTable(q, model)) })
+    encoded.select(col("id"), col("code")).as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (id, code) =>
+          qs.iterator.filter(_._1 != id).map { case (qid, tab) =>
+            var s = 0.0; var j = 0
+            while (j < code.length) { s += tab(j)(code(j)); j += 1 }
+            (qid, id, s)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "adist")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adist"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+  }
+
+  // model + encoded corpus cached per (context, corpus, m, ksub, seed) —
+  // same build-once contract (and harness clearCache re-persist) as
+  // Ivf.cachedIndex
+  private val cache = new ConcurrentHashMap[
+    (SparkContext, String, Int, Int, Long), (PqModel, DataFrame)]()
+
+  def cachedModel(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  m: Int, ksub: Int, seed: Long,
+                  corpusKey: String): (PqModel, DataFrame) = {
+    val entry = cache.computeIfAbsent(
+      (emb.sparkSession.sparkContext, corpusKey, m, ksub, seed), _ => {
+        val mdl = fit(emb, vecCol, dim, m, ksub, seed)
+        (mdl, encode(emb, idCol, vecCol, mdl).persist())
+      })
+    if (entry._2.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      entry._2.persist()
+    entry
+  }
+
+  /** Build-or-reuse + ADC shortlist + exact re-rank in one call (registry
+    * entry point) — the standard PQ retrieval pipeline: the compressed
+    * codes prune the corpus to a shortlist of `k * rerank` candidates per
+    * query (m table lookups per row, 16× less data scanned), then only
+    * the shortlist's full vectors are touched for exact Euclidean
+    * ranking. Queries are looked up from the corpus by id (driver-sized
+    * collect — the query side is small by contract). */
+  def annKnn(emb: DataFrame, queryIds: Seq[Long], idCol: String,
+             vecCol: String, dim: Int, k: Int, m: Int = 16, ksub: Int = 16,
+             rerank: Int = 8, corpusKey: String = "default",
+             seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (mdl, encoded) = cachedModel(emb, idCol, vecCol, dim, m, ksub, seed, corpusKey)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qs = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .filter(r => queryIds.contains(r._1)).collect().toSeq
+    val shortlist = adcSearch(encoded, mdl, qs, k * rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val v = Embeddings.withNorm(emb, idCol, vecCol, dim)
+    val qdf = broadcast(qs.toDF("qid", "qvec")
+      .select(col("qid"), col("qvec"),
+        sqrt(Embeddings.dot("qvec", "qvec", dim)).as("qnrm")))
+    shortlist
+      .join(qdf, col("query_id") === col("qid"))
+      .join(v, col("neighbor_id") === col("id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("qnrm") * col("qnrm") + col("nrm") * col("nrm")
+          - Embeddings.dot("qvec", "vec", dim) * 2.0d).as("dist2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist2"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist2"))
+  }
+}

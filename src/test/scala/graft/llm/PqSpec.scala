@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.core.Tables
+
+/** Product-quantization properties: code shape/compression, exact
+  * round-trip on codebook-composed vectors, and ADC recall against exact
+  * Euclidean brute force (why rows-only: ADC distances depend on the
+  * KMeans codebooks, which no SQL oracle can reproduce). */
+class PqSpec extends SparkTestBase {
+
+  private val dim = 64
+  private lazy val emb = Tables.embeddings(spark, sf0001).cache()
+  private lazy val model = Pq.fit(emb, "embedding", dim, m = 16, ksub = 16)
+
+  test("codes: length m, every entry a valid centroid index") {
+    val codes = Pq.encode(emb, "vec_id", "embedding", model)
+      .select("code").collect().map(_.getSeq[Int](0))
+    assert(codes.nonEmpty)
+    assert(codes.forall(_.length == 16))          // 256-byte float vector -> 16 codes
+    assert(codes.forall(_.forall(c => c >= 0 && c < 16)))
+  }
+
+  test("codebook-composed vector round-trips: encode returns its indices, ADC self-distance 0") {
+    import spark.implicits._
+    val picked = (0 until 16).map(j => (j * 5 + 3) % 16)
+    val v = picked.zipWithIndex.flatMap { case (c, j) =>
+      model.codebooks(j)(c).toSeq }.toArray
+    val df = Seq((1000L, v)).toDF("vec_id", "embedding")
+    val code = Pq.encode(df, "vec_id", "embedding", model)
+      .select("code").collect().head.getSeq[Int](0)
+    assert(code.toList == picked.toList)
+    // a corpus row with the exact same composed vector scores adist 0
+    val hit = Pq.adcSearch(Pq.encode(df, "vec_id", "embedding", model),
+      model, Seq((2000L, v)), k = 1).collect().head
+    assert(hit.getAs[Long]("neighbor_id") == 1000L)
+    assert(hit.getAs[Double]("adist") == 0.0)
+  }
+
+  test("ADC-shortlist + exact-rerank recall@5 vs exact Euclidean brute force") {
+    val all = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queries = all.filter(_._1 < 8)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val exact = queries.map { case (qid, q) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (id, v) => (id, d2(q, v)) }
+        .sortBy { case (id, dd) => (dd, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val approx = Pq.annKnn(emb, (0L until 8L), "vec_id", "embedding",
+        dim, k = 5, m = 16, ksub = 16, corpusKey = "pqspec")
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recalls = exact.keys.toSeq.map { q =>
+      (exact(q) intersect approx(q)).size.toDouble / exact(q).size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean ADC recall@5 $mean (per-query: $recalls)")
+  }
+}

@@ -74,7 +74,39 @@ class InfraSpec extends SparkTestBase {
     ).map(_.toByte)
     assert(Multimodal.ImageHeaders.parse(sof2).contains((500, 300, "image/jpeg")))
 
-    // non-image payloads fall back to the deterministic stub
+    // WAV via the JDK's own RIFF encoder: 22.05 kHz mono
+    val wavBytes = {
+      val fmt = new javax.sound.sampled.AudioFormat(22050f, 16, 1, true, false)
+      val pcm = new Array[Byte](2048)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.ImageHeaders.parse(wavBytes).contains((22050, 1, "audio/wav")))
+
+    // MP4: minimal ISO-BMFF box tree ftyp + moov{trak{tkhd v0}} with a
+    // 640x360 track (16.16 fixed-point dimensions)
+    val mp4 = {
+      val bb = java.nio.ByteBuffer.allocate(200) // BE by default
+      def box(tag: String, payload: Int): Unit = {
+        bb.putInt(8 + payload); bb.put(tag.getBytes("US-ASCII"))
+      }
+      box("ftyp", 8); bb.put("isom".getBytes); bb.putInt(0)
+      val tkhdPayload = 4 + 20 + 8 + 8 + 36 + 8
+      box("moov", 8 + 8 + tkhdPayload)
+      box("trak", 8 + tkhdPayload)
+      box("tkhd", tkhdPayload)
+      bb.putInt(0)                       // version 0 + flags
+      (0 until (20 + 8 + 8 + 36) / 4).foreach(_ => bb.putInt(0))
+      bb.putInt(640 << 16); bb.putInt(360 << 16)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    assert(Multimodal.ImageHeaders.parse(mp4).contains((640, 360, "video/mp4")))
+
+    // non-media payloads fall back to the deterministic stub
     assert(Multimodal.ImageHeaders.parse("plain text".getBytes("UTF-8")).isEmpty)
 
     // end-to-end through the typed Spark surface
