@@ -68,7 +68,18 @@ object Multimodal {
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
     def parse(p: Array[Byte]): Option[(Int, Int, String)] =
-      parsePng(p).orElse(parseJpeg(p)).orElse(parseWav(p)).orElse(parseMp4(p))
+      parsePng(p).orElse(parseJpeg(p)).orElse(parseGif(p))
+        .orElse(parseWav(p)).orElse(parseMp4(p))
+
+    /** GIF (GIF87a/GIF89a, public spec): logical screen width/height as
+      * 16-bit little-endian at offsets 6/8. */
+    def parseGif(p: Array[Byte]): Option[(Int, Int, String)] = {
+      def le16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+      val sig = if (p.length >= 10) new String(p, 0, 6, "US-ASCII") else ""
+      if (sig == "GIF87a" || sig == "GIF89a")
+        Some((le16(6), le16(8), "image/gif"))
+      else None
+    }
 
     def parsePng(p: Array[Byte]): Option[(Int, Int, String)] =
       if (p.length >= 24 && p.startsWith(pngSig) &&

@@ -277,18 +277,22 @@ object TextDedup {
   /** 64-bit SimHash over word-frequency features. bit b = sign of
     * sum(count * (+1 if bit b of xxhash64(word) else -1)). Identical word
     * multisets get identical signatures (deterministic recall for exact
-    * dups); near-dups land within a small Hamming distance. */
+    * dups); near-dups land within a small Hamming distance.
+    *
+    * One shuffle, not two: summing ±1 per word OCCURRENCE equals summing
+    * ±count per distinct word, so the per-(id, word) count pre-aggregation
+    * (a full extra shuffle of the word-level relation) is redundant — the
+    * 64 bit-sums partial-aggregate map-side straight to the per-id
+    * shuffle, which moves one 64-column partial row per (id, partition). */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wc = docs
+    val occ = docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
-      .groupBy(col("id"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("word")))
     val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"s$b"))
-    wc.groupBy(col("id"))
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"s$b"))
+    occ.groupBy(col("id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
         (0 until 64).map(b =>

@@ -74,6 +74,9 @@ class InfraSpec extends SparkTestBase {
     ).map(_.toByte)
     assert(Multimodal.ImageHeaders.parse(sof2).contains((500, 300, "image/jpeg")))
 
+    val gif = encode("gif", 13, 7)
+    assert(Multimodal.ImageHeaders.parse(gif).contains((13, 7, "image/gif")))
+
     // WAV via the JDK's own RIFF encoder: 22.05 kHz mono
     val wavBytes = {
       val fmt = new javax.sound.sampled.AudioFormat(22050f, 16, 1, true, false)
