@@ -166,6 +166,19 @@ object Pq {
       .filter(r => queryIds.contains(r._1)).collect().toSeq
     val shortlist = adcSearch(encoded, mdl, qs, k * rerank)
       .select(col("query_id"), col("neighbor_id"))
+    exactRerank(emb, idCol, vecCol, dim, qs, shortlist, k)
+  }
+
+  /** Exact Euclidean ranking of a (query_id, neighbor_id) shortlist:
+    * touches only the shortlist's full vectors — the final stage of every
+    * PQ pipeline (and the reason raw ADC ranking error doesn't surface in
+    * the output: see DESIGN.md). */
+  private def exactRerank(emb: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, qs: Seq[(Long, Array[Float])],
+                          shortlist: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
     val v = Embeddings.withNorm(emb, idCol, vecCol, dim)
     val qdf = broadcast(qs.toDF("qid", "qvec")
       .select(col("qid"), col("qvec"),
@@ -181,5 +194,51 @@ object Pq {
           .orderBy(col("dist2"), col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist2"))
+  }
+
+  /** IVF-ADC (the paper's full system): the IVF coarse quantizer prunes
+    * the corpus to `nprobe`/`nlist` of its cells, ADC scores only those
+    * cells' codes, and the shortlist is exact-reranked. At 100 TB the two
+    * prunings compose: a probe reads nprobe/nlist of the files
+    * (cell-partitioned layout, see [[Ivf.save]]) and scans them at 16×
+    * compression. With nprobe == nlist this equals [[annKnn]] exactly —
+    * the cells partition the corpus, so probing all of them is the plain
+    * PQ scan (PqSpec pins it). */
+  def ivfAdcKnn(emb: DataFrame, queryIds: Seq[Long], idCol: String,
+                vecCol: String, dim: Int, k: Int, nlist: Int, nprobe: Int,
+                m: Int = 16, ksub: Int = 16, rerank: Int = 8,
+                corpusKey: String = "default", seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val index = Ivf.cachedIndex(emb, idCol, vecCol, dim, nlist, seed, corpusKey)
+    val (mdl, encoded) = cachedModel(emb, idCol, vecCol, dim, m, ksub, seed, corpusKey)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qs = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .filter(r => queryIds.contains(r._1)).collect().toSeq
+    val bc = spark.sparkContext.broadcast(
+      qs.map { case (qid, q) => (qid, adcTable(q, mdl)) }.toMap)
+    val cands = Ivf.probeCells(index, queryIds, dim, nprobe)
+      .select(col("qid"), col("cell"))
+      .join(index.assigned.select(col("id"), col("cell")), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+    val shortlist = cands.join(encoded, Seq("id"))
+      .select(col("qid"), col("id"), col("code"))
+      .as[(Long, Long, Array[Int])]
+      .mapPartitions { it =>
+        val qt = bc.value
+        it.map { case (qid, id, code) =>
+          val tab = qt(qid)
+          var s = 0.0; var j = 0
+          while (j < code.length) { s += tab(j)(code(j)); j += 1 }
+          (qid, id, s)
+        }
+      }.toDF("query_id", "neighbor_id", "adist")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adist"), col("neighbor_id"))))
+      .filter(col("rk") <= k * rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(emb, idCol, vecCol, dim, qs, shortlist, k)
   }
 }

@@ -255,6 +255,10 @@ object LlmQueries {
       (0L until 8L), "vec_id", "embedding", dim, k = 5, m = 16, ksub = 16,
       corpusKey = d), // codebooks+codes cached per corpus, 16x compression
       None), // approximate — code shape/round-trip/recall pinned in PqSpec
+    Q("knn_ann_ivfpq", (s, d) => graft.llm.Pq.ivfAdcKnn(Tables.embeddings(s, d),
+      (0L until 8L), "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 6,
+      m = 16, ksub = 16, corpusKey = d), // cell pruning × code compression
+      None), // approximate — nprobe==nlist ≡ plain PQ pinned in PqSpec
     Q("lang_id", langId, Some(langIdSql)),
     Q("token_count", tokenCount,
       Some("""SELECT doc_id AS id, len(string_split(text, ' ')) AS n_ws_tokens,

@@ -38,6 +38,26 @@ class PqSpec extends SparkTestBase {
     assert(hit.getAs[Double]("adist") == 0.0)
   }
 
+  test("IVF-ADC with nprobe == nlist equals the plain PQ scan exactly") {
+    // the cells partition the corpus: probing all of them is the full
+    // scan, so the composed pipeline must reproduce annKnn bit-for-bit
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val plain = key(Pq.annKnn(emb, (0L until 6L), "vec_id", "embedding",
+      dim, k = 5, m = 16, ksub = 16, corpusKey = "pqspec"))
+    val composed = key(Pq.ivfAdcKnn(emb, (0L until 6L), "vec_id", "embedding",
+      dim, k = 5, nlist = 8, nprobe = 8, m = 16, ksub = 16, corpusKey = "pqspec"))
+    assert(composed == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("IVF-ADC partial probe still returns k per query") {
+    val partial = Pq.ivfAdcKnn(emb, (0L until 6L), "vec_id", "embedding",
+      dim, k = 5, nlist = 8, nprobe = 4, m = 16, ksub = 16, corpusKey = "pqspec")
+      .collect().groupBy(_.getLong(0))
+    assert(partial.size == 6 && partial.values.forall(_.length == 5))
+  }
+
   test("ADC-shortlist + exact-rerank recall@5 vs exact Euclidean brute force") {
     val all = emb.select(col("vec_id").cast("long"), col("embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
