@@ -301,9 +301,18 @@ object TextDedup {
   }
 
   /** SimHash near-dup candidates: pairs within `maxHamming` of each other.
-    * Candidates come from 8 x 8-bit LSH bands (pigeonhole: any pair with
-    * Hamming <= 7 shares at least one untouched band, so recall for
-    * maxHamming <= 7 is guaranteed, not probabilistic).
+    * Candidates come from equal-width LSH bands with the band count
+    * chosen from the pigeonhole requirement: a pair within Hamming h
+    * shares at least one untouched band as long as there are >= h+1
+    * bands, so recall is guaranteed, not probabilistic. Using the FEWEST
+    * sufficient bands (the smallest divisor of 64 that is >= h+1) makes
+    * each band as wide as possible — for the default h = 3 that is 4
+    * bands of 16 bits, i.e. 2^16 bucket values per band instead of the
+    * 2^8 a fixed 8x8 layout would give. Bucket-value cardinality is the
+    * scale ceiling of any banding scheme (buckets per band are bounded by
+    * 2^width, so occupancy grows linearly with corpus size and in-bucket
+    * pair work quadratically); maximizing width pushes that ceiling out
+    * by a factor of 256 while also halving the band rows shuffled.
     * Output: (id1, id2, hamming).
     *
     * Why no DuckDB oracle (registered rows-only): the signature is built
@@ -317,12 +326,17 @@ object TextDedup {
     * the hash function itself. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 7, "8-band pigeonhole guarantee holds up to Hamming 7")
+    require(maxHamming <= 7, "the 8-band layout caps the guarantee at Hamming 7")
+    val nBands = Seq(1, 2, 4, 8).find(_ >= maxHamming + 1).get
+    val width = 64 / nBands
+    def bandHash(j: Int): Column =
+      if (nBands == 1) col("simhash") // h = 0: exact signature match
+      else shiftright(col("simhash"), j * width)
+        .bitwiseAND(lit((1L << width) - 1))
     val sigs = simhashSignatures(docs, idCol, textCol)
     val bands = sigs.select(col("id"), col("simhash"),
-      explode(array((0 until 8).map(j =>
-        struct(lit(j).as("band"),
-          shiftright(col("simhash"), j * 8).bitwiseAND(0xFF).as("bh"))): _*)).as("bb"))
+      explode(array((0 until nBands).map(j =>
+        struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     // same one-shuffle bucket kernel as candidatesFromBands (the self-join
     // formulation costs two shuffle reads of the band relation plus a
