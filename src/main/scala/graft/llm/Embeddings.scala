@@ -138,26 +138,65 @@ object Embeddings {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val planes: Seq[Seq[Float]] = (0 until bits).map(b =>
       (0 until dim).map(i => if ((mix(b.toLong * 131071 + i) & 1L) == 0L) 1.0f else -1.0f))
-    val bitCols = (0 until bits).map { b =>
-      val proj = expr(s"graft_dot(vec, element_at(planes, ${b + 1}))")
-      when(proj > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    // signature = array of 64-bit words, so signatures LONGER than 64
+    // bits are first-class: at 100 TB the bucket space must grow with the
+    // corpus (see signLshCandidates' scale note), and the way to grow it
+    // at constant recall is more signature bits
+    val words = (bits + 63) / 64
+    val wordCols = (0 until words).map { w =>
+      val lo = w * 64
+      (lo until math.min(lo + 64, bits)).map { b =>
+        val proj = expr(s"graft_dot(vec, element_at(planes, ${b + 1}))")
+        when(proj > 0, shiftleft(lit(1L), b - lo)).otherwise(0L)
+      }.reduce(_.bitwiseOR(_))
     }
     emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
         typedLit(planes).as("planes"))
-      .select(col("id"), col("vec"), bitCols.reduce(_.bitwiseOR(_)).as("lsh"))
+      .select(col("id"), col("vec"), array(wordCols: _*).as("lsh"))
   }
 
   /** Candidate pairs sharing at least one of `bands` signature bands —
     * generated by [[TextDedup.candidatesFromBands]]'s one-shuffle
     * groupBy-bucket kernel (a self-join formulation costs two shuffle
-    * reads of the band relation plus the distinct, for identical output). */
+    * reads of the band relation plus the distinct, for identical output).
+    *
+    * Scale note: a band has 2^(bits/bands) bucket values, and bucket
+    * occupancy — hence in-bucket pair work — grows linearly with corpus
+    * size once those saturate (the defaults give 4-bit/16-value bands:
+    * deliberately coarse for recall at test scale). Unlike SimHash's
+    * pigeonhole (where band width is free to grow at fixed recall), sign-
+    * LSH recall is (1-(1-(1-θ/π)^w)^b), so at 100 TB keep the per-band
+    * collision probability but grow the bucket space by lengthening the
+    * SIGNATURE: e.g. bits = 256 with bands = 16 gives 16-bit buckets at
+    * the same band count. Signatures are cheap (one dot per bit). */
   def signLshCandidates(sigs: DataFrame, bits: Int = 64, bands: Int = 16): DataFrame = {
     val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
+    // band j occupies signature bits [j*w, (j+1)*w) across the 64-bit
+    // words; a band that straddles a word boundary stitches its low part
+    // (top of word w0) and high part (bottom of word w1). Masks keep
+    // Spark's arithmetic shiftright from sign-extending into the bucket.
+    def bh(j: Int): Column = {
+      val lo = j * bandBits
+      val w0 = lo / 64
+      val w1 = (lo + bandBits - 1) / 64
+      val off = lo % 64
+      if (bandBits == 64) element_at(col("lsh"), w0 + 1)
+      else if (w0 == w1)
+        shiftright(element_at(col("lsh"), w0 + 1), off)
+          .bitwiseAND(lit((1L << bandBits) - 1))
+      else {
+        val lowBits = 64 - off
+        shiftright(element_at(col("lsh"), w0 + 1), off)
+          .bitwiseAND(lit((1L << lowBits) - 1))
+          .bitwiseOR(shiftleft(
+            element_at(col("lsh"), w1 + 1)
+              .bitwiseAND(lit((1L << (bandBits - lowBits)) - 1)),
+            lowBits))
+      }
+    }
     val bandDf = sigs.select(col("id"),
       explode(array((0 until bands).map(j =>
-        struct(lit(j).as("band"),
-          shiftright(col("lsh"), j * bandBits).bitwiseAND(mask).as("bh"))): _*)).as("bb"))
+        struct(lit(j).as("band"), bh(j).as("bh"))): _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     TextDedup.candidatesFromBands(bandDf)
   }

@@ -76,6 +76,27 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.5, s"ANN recall $recall too low")
   }
 
+  test("sign-LSH multi-word signatures: 128 bits / 32 bands matches 64-bit recall") {
+    // the 100 TB knob: grow the bucket space by lengthening the signature
+    // at the same per-band width — signatures are arrays of 64-bit words,
+    // so bits > 64 must be first-class, deterministic, and at least as
+    // recalled as the short signature at equal band width
+    val qids = (0L until 8L)
+    val brute = Embeddings.bruteForceKnn(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 64, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Embeddings.annLshKnn(emb, qids, "vec_id", "embedding", 64, 5,
+        bits = 128, bands = 32)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = run()
+    assert(run() == ann) // deterministic hyperplanes -> same result on rerun
+    assert(ann.map(_._1) == qids.toSet)
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"128-bit ANN recall $recall too low")
+  }
+
   test("hot-shingle split verify equals plain verify on a crowded corpus") {
     import spark.implicits._
     // 30-copy crowd => every crowd shingle has df ~30 (hot at cap 8);
