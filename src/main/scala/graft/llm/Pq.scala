@@ -162,8 +162,8 @@ object Pq {
     val spark = emb.sparkSession
     import spark.implicits._
     val qs = emb.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .filter(r => queryIds.contains(r._1)).collect().toSeq
+      .filter(col(idCol).isInCollection(queryIds)) // codegen'd scan filter
+      .as[(Long, Array[Float])].collect().toSeq
     val shortlist = adcSearch(encoded, mdl, qs, k * rerank)
       .select(col("query_id"), col("neighbor_id"))
     exactRerank(emb, idCol, vecCol, dim, qs, shortlist, k)
@@ -214,8 +214,8 @@ object Pq {
     val spark = emb.sparkSession
     import spark.implicits._
     val qs = emb.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .filter(r => queryIds.contains(r._1)).collect().toSeq
+      .filter(col(idCol).isInCollection(queryIds)) // codegen'd scan filter
+      .as[(Long, Array[Float])].collect().toSeq
     val bc = spark.sparkContext.broadcast(
       qs.map { case (qid, q) => (qid, adcTable(q, mdl)) }.toMap)
     val cands = Ivf.probeCells(index, queryIds, dim, nprobe)
