@@ -37,14 +37,26 @@ object MiscQueries {
 
   /** Logalyzer (`hadoop-tools/hadoop-extras/.../Logalyzer.java:69`):
     * grep-and-sort over "logs" — regex filter + multi-column
-    * KeyFieldBasedComparator sort (`doAnalyze :215`). */
-  private def logalyzer(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    * KeyFieldBasedComparator sort (`doAnalyze :215`).
+    *
+    * The narrow filtered relation is persisted (lazily) before the global
+    * sort: a range exchange executes its child TWICE — once in the
+    * RangePartitioner's sampling job, once for the shuffle itself — so an
+    * uncached plan would re-scan the full log and re-run the regex +
+    * `get_json_object` extraction per pass. At 100 TB that second pass is
+    * the dominant cost; caching the survivors (a small fraction after the
+    * grep) means the sampler reads cheap cached rows instead. Same policy
+    * as [[graft.llm.TextDedup]]: the cache entry stays until the caller
+    * clears it (Verify/Bench `clearCache()` between queries). */
+  private def logalyzer(s: SparkSession, d: String): DataFrame = {
+    val narrow = Tables.events(s, d)
       .filter(col("event_type").rlike("^(error|purchase)$") &&
         get_json_object(col("props"), "$.k").cast("long") >= 50)
       .select(col("event_id"), col("event_type"), col("ts"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .orderBy(col("event_type"), col("ts").desc, col("event_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    narrow.orderBy(col("event_type"), col("ts").desc, col("event_id"))
+  }
 
   /** Salted two-phase aggregation (ops.Skew): exact algebraic merge, hot
     * keys spread over 8 partial buckets. Oracle = the plain GROUP BY. */

@@ -94,20 +94,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_min") || p.contains("partial min"), p)
   }
 
-  test("logalyzer: k extraction projected below the range exchange, narrow shuffle") {
+  test("logalyzer: k extraction cached below the range exchange, narrow shuffle") {
     val df = graft.SparkEntry.queries("logalyzer")(spark, sf0001)
     val formatted = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     // the get_json_object extraction must be computed BELOW the sort's
     // range exchange: the shuffle then moves narrow (event_id, type, ts,
     // k) rows — never the wide props JSON — and nothing above the
-    // exchange re-parses JSON. (The range-sampling pass re-executes the
-    // scan+filter+project child; keeping that child narrow and
-    // extraction-once-per-operator is the best a semantic sort allows.)
+    // exchange re-parses JSON. The exchange must read the persisted
+    // narrow relation (InMemoryTableScan): a range exchange executes its
+    // child twice (RangePartitioner sampling pass + shuffle pass), so an
+    // uncached child would re-scan the full log and re-run the regex +
+    // JSON extraction a second time — THE dominant cost at 100 TB.
     val ex = "\\(\\d+\\) Exchange".r.findFirstMatchIn(formatted)
     assert(ex.isDefined, formatted)
     val aboveExchange = formatted.substring(ex.get.start)
     assert(!aboveExchange.contains("get_json_object"), formatted)
+    assert(formatted.contains("InMemoryTableScan"), formatted)
     assert(aboveExchange.linesIterator.take(3).mkString("\n").contains("k#"),
       formatted)
   }
