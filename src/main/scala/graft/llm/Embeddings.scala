@@ -98,12 +98,14 @@ object Embeddings {
 
   /** Exact brute-force cosine top-k: for each query row, the k nearest
     * non-self vectors by (cos desc, id asc). The query side is broadcast
-    * (small by construction); ranking is a window over the query id — at
-    * 1000 executors this is a map-side broadcast join plus one shuffle on
-    * query_id, never an all-pairs shuffle. */
+    * (small by construction); ranking is [[graft.ops.TopK.topKPerGroup]]
+    * — a k-bounded buffer with map-side partial merge, so the shuffle
+    * carries at most k rows per query per map task. The window
+    * formulation (`row_number` over qid) would instead funnel the ENTIRE
+    * scored corpus for a query through one task's sort — with few
+    * queries, a handful of tasks each sorting n rows. */
   def bruteForceKnn(emb: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, dim: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = withNorm(emb, idCol, vecCol, dim)
     val q = withNorm(queries, idCol, vecCol, dim)
       .withColumnRenamed("id", "qid").withColumnRenamed("vec", "qvec")
@@ -111,10 +113,7 @@ object Embeddings {
     val scored = base.join(broadcast(q), col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("neighbor_id"),
         (dot("qvec", "vec", dim) / (col("qnrm") * col("nrm"))).as("cos"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    graft.ops.TopK.topKPerGroup(scored, "qid", "cos", "neighbor_id", k)
       .select(col("qid").as("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
@@ -208,7 +207,6 @@ object Embeddings {
   def annLshKnn(emb: DataFrame, queryIds: Seq[Long],
                 idCol: String, vecCol: String, dim: Int, k: Int,
                 bits: Int = 64, bands: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sigs = signLshSignatures(emb, idCol, vecCol, dim, bits)
     val cands = signLshCandidates(sigs, bits, bands)
     // symmetrize, keep pairs touching a query id
@@ -221,10 +219,10 @@ object Embeddings {
       .join(v.as("b"), col("nid") === col("b.id"))
       .select(col("qid"), col("nid"),
         (dot("a.vec", "b.vec", dim) / (col("a.nrm") * col("b.nrm"))).as("cos"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
-      .filter(col("rank") <= k)
+    // bounded per-query top-k (see bruteForceKnn): a hot LSH bucket can
+    // put a large share of the corpus in one query's candidate set, and a
+    // window sort over that group would serialize it through one task
+    graft.ops.TopK.topKPerGroup(scored, "qid", "cos", "nid", k)
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
         col("rank"), col("cos"))
   }

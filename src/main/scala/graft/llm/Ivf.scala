@@ -108,10 +108,11 @@ object Ivf {
         (Embeddings.dot("qvec", "vec", dim) / (col("qnrm") * col("nrm"))).as("cos"))
       // no dedup needed: every vector lives in exactly one cell and the
       // probed cells per query are distinct
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    // bounded per-query top-k: the probed cells hold nprobe/nlist of the
+    // corpus, so a row_number window here would sort that whole fraction
+    // in one task per query; the TopK aggregator keeps O(k) state with
+    // map-side partial merge (same tie order: cos desc, neighbor asc)
+    graft.ops.TopK.topKPerGroup(scored, "qid", "cos", "neighbor_id", k)
       .select(col("qid").as("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 

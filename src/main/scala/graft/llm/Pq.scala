@@ -104,12 +104,11 @@ object Pq {
     * Output: (query_id, neighbor_id, rank, adist), Euclidean semantics. */
   def adcSearch(encoded: DataFrame, model: PqModel,
                 queries: Seq[(Long, Array[Float])], k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = encoded.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(
       queries.map { case (qid, q) => (qid, adcTable(q, model)) })
-    encoded.select(col("id"), col("code")).as[(Long, Array[Int])]
+    val scored = encoded.select(col("id"), col("code")).as[(Long, Array[Int])]
       .mapPartitions { it =>
         val qs = bc.value
         it.flatMap { case (id, code) =>
@@ -120,11 +119,15 @@ object Pq {
           }
         }
       }.toDF("query_id", "neighbor_id", "adist")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("adist"), col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+    // bounded per-query top-k over the full scored corpus: negate the
+    // distance so the descending TopK buffer ranks ascending adist (ties
+    // neighbor asc — same order the row_number formulation would use,
+    // without funneling n rows per query through one window-sort task)
+    graft.ops.TopK.topKPerGroup(
+        scored.withColumn("negd", -col("adist")),
+        "query_id", "negd", "neighbor_id", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("negd")).as("adist"))
   }
 
   // model + encoded corpus cached per (context, corpus, m, ksub, seed) —
@@ -157,7 +160,6 @@ object Pq {
              vecCol: String, dim: Int, k: Int, m: Int = 16, ksub: Int = 16,
              rerank: Int = 8, corpusKey: String = "default",
              seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (mdl, encoded) = cachedModel(emb, idCol, vecCol, dim, m, ksub, seed, corpusKey)
     val spark = emb.sparkSession
     import spark.implicits._
@@ -196,6 +198,27 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist2"))
   }
 
+  // (cell, id, code) with codes CO-LOCATED with their IVF cells — joined
+  // once at build time and cached, the FAISS IVFADC layout. Keyed like
+  // the other caches; re-persisted after a harness clearCache.
+  private val cellCodeCache = new ConcurrentHashMap[
+    (SparkContext, String, Int, Int, Int, Long), DataFrame]()
+
+  private def cachedCellCodes(index: Ivf.IvfIndex, encoded: DataFrame,
+                              nlist: Int, m: Int, ksub: Int, seed: Long,
+                              corpusKey: String): DataFrame = {
+    val sc = encoded.sparkSession.sparkContext
+    val cc = cellCodeCache.computeIfAbsent(
+      (sc, corpusKey, nlist, m, ksub, seed), _ =>
+        index.assigned.select(col("id"), col("cell"))
+          .join(encoded, Seq("id"))
+          .select(col("cell"), col("id"), col("code"))
+          .persist())
+    if (cc.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      cc.persist()
+    cc
+  }
+
   /** IVF-ADC (the paper's full system): the IVF coarse quantizer prunes
     * the corpus to `nprobe`/`nlist` of its cells, ADC scores only those
     * cells' codes, and the shortlist is exact-reranked. At 100 TB the two
@@ -203,14 +226,20 @@ object Pq {
     * (cell-partitioned layout, see [[Ivf.save]]) and scans them at 16×
     * compression. With nprobe == nlist this equals [[annKnn]] exactly —
     * the cells partition the corpus, so probing all of them is the plain
-    * PQ scan (PqSpec pins it). */
+    * PQ scan (PqSpec pins it).
+    *
+    * The codes are joined to their cells ONCE, at build time
+    * ([[cachedCellCodes]]): the query path is then a broadcast of the
+    * tiny (qid, cell) probe list against the cached cell-code layout —
+    * no corpus-sized shuffle per call. (Joining `encoded` by id at query
+    * time would re-shuffle every code row on every invocation.) */
   def ivfAdcKnn(emb: DataFrame, queryIds: Seq[Long], idCol: String,
                 vecCol: String, dim: Int, k: Int, nlist: Int, nprobe: Int,
                 m: Int = 16, ksub: Int = 16, rerank: Int = 8,
                 corpusKey: String = "default", seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val index = Ivf.cachedIndex(emb, idCol, vecCol, dim, nlist, seed, corpusKey)
     val (mdl, encoded) = cachedModel(emb, idCol, vecCol, dim, m, ksub, seed, corpusKey)
+    val cellCodes = cachedCellCodes(index, encoded, nlist, m, ksub, seed, corpusKey)
     val spark = emb.sparkSession
     import spark.implicits._
     val qs = emb.select(col(idCol).cast("long"), col(vecCol))
@@ -218,11 +247,10 @@ object Pq {
       .as[(Long, Array[Float])].collect().toSeq
     val bc = spark.sparkContext.broadcast(
       qs.map { case (qid, q) => (qid, adcTable(q, mdl)) }.toMap)
-    val cands = Ivf.probeCells(index, queryIds, dim, nprobe)
-      .select(col("qid"), col("cell"))
-      .join(index.assigned.select(col("id"), col("cell")), Seq("cell"))
+    val probes = Ivf.probeCells(index, queryIds, dim, nprobe)
+      .select(col("qid"), col("cell")) // |queries| × nprobe rows — bounded
+    val scored = broadcast(probes).join(cellCodes, Seq("cell"))
       .filter(col("id") =!= col("qid"))
-    val shortlist = cands.join(encoded, Seq("id"))
       .select(col("qid"), col("id"), col("code"))
       .as[(Long, Long, Array[Int])]
       .mapPartitions { it =>
@@ -234,10 +262,10 @@ object Pq {
           (qid, id, s)
         }
       }.toDF("query_id", "neighbor_id", "adist")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("adist"), col("neighbor_id"))))
-      .filter(col("rk") <= k * rerank)
+    // bounded shortlist selection, same tie order as adcSearch
+    val shortlist = graft.ops.TopK.topKPerGroup(
+        scored.withColumn("negd", -col("adist")),
+        "query_id", "negd", "neighbor_id", k * rerank)
       .select(col("query_id"), col("neighbor_id"))
     exactRerank(emb, idCol, vecCol, dim, qs, shortlist, k)
   }

@@ -115,6 +115,27 @@ class PlanShapeSpec extends SparkTestBase {
       formatted)
   }
 
+  test("knn queries: per-query ranking is a bounded aggregation, not a corpus window sort") {
+    // row_number().over(partitionBy(qid)) funnels each query's ENTIRE
+    // scored candidate set (the whole corpus for brute force / plain PQ,
+    // nprobe/nlist of it for IVF) through one task's sort. The TopK
+    // aggregator ranks with O(k) state and map-side partial merge — the
+    // shuffle carries at most k rows per query per task. knn_bruteforce
+    // and knn_ann_lsh have NO window at all; the PQ paths keep exactly
+    // one, over the already-bounded k*rerank exact-rerank shortlist.
+    for (q <- Seq("knn_bruteforce", "knn_ann_lsh")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        s"$q: $p")
+      assert(!p.contains("Window"), s"$q must not window-sort the corpus: $p")
+    }
+    for (q <- Seq("knn_ann_ivf", "knn_ann_pq", "knn_ann_ivfpq")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        s"$q: $p")
+    }
+  }
+
   test("collocations: no full-vocabulary relation is broadcast-hinted") {
     val df = graft.SparkEntry.queries("collocations")(spark, sf0001)
     val analyzed = df.queryExecution.analyzed.toString
