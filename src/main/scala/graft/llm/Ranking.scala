@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * rows with tf = 0 never materialize — and both corpus scalars
   * (n_docs, avgdl) and per-term document frequencies ride back in as
   * broadcast joins, so the corpus is scanned once and shuffled zero
-  * times; the only wide op is the per-term top-k.
+  * times; the per-term top-k is a bounded aggregation
+  * ([[graft.ops.TopK]]), not a posting-list window sort.
   *
   * Cross-engine note: `bm25` (the full score) multiplies by
   * idf = ln((N - df + 0.5) / (df + 0.5) + 1). ln is the one step that is
@@ -56,13 +57,20 @@ object Ranking {
       .join(broadcast(dfPerTerm), "term")
       .crossJoin(broadcast(corpus))
       .withColumn("tf_norm", tfNorm)
-    val ranked = scored.withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("term"))
-          .orderBy(col("tf_norm").desc, col("id"))))
-      .filter(col("rank") <= topK)
-    ranked.select(col("term"), col("id"), col("tf"), col("dl"), col("df_t"),
-      col("n_docs"), col("tf_norm"), col("rank"))
+    // bounded per-term top-k: a hot term's posting list (a stopword
+    // query) is corpus-scale, and a row_number window over it would sort
+    // the whole list in one task. The TopK aggregator keeps O(k) state
+    // with map-side partial merge (same order: tf_norm desc, id asc);
+    // the tiny |terms| x k winner set then broadcast-joins back onto the
+    // scored postings for the payload columns — two map-side passes over
+    // the postings, zero corpus-sized shuffles.
+    val top = graft.ops.TopK.topKPerGroupStr(
+      scored.select(col("term"), col("tf_norm"), col("id")),
+      "term", "tf_norm", "id", topK)
+    scored.join(broadcast(top.select(col("term"), col("id"), col("rank"))),
+        Seq("term", "id"))
+      .select(col("term"), col("id"), col("tf"), col("dl"), col("df_t"),
+        col("n_docs"), col("tf_norm"), col("rank"))
   }
 
   /** Full BM25 score (idf-weighted) — see the class note on why this is

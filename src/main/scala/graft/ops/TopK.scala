@@ -59,4 +59,24 @@ object TopK {
       }
       .toDF(keyCol, tagCol, ordCol, "rank")
   }
+
+  /** [[topKPerGroup]] for STRING group keys (e.g. per-term posting
+    * lists) — same bounded buffer, same (ord desc, tag asc) order. */
+  def topKPerGroupStr(df: DataFrame, keyCol: String, ordCol: String,
+                      tagCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(keyCol).cast("string"), col(ordCol).cast("double"),
+      col(tagCol).cast("long")).as[(String, Double, Long)]
+    val agg = new TopKAgg(k).toColumn
+    ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("top"))
+      .flatMap { case (key, top) =>
+        top.iterator.zipWithIndex.map { case ((ord, tag), i) =>
+          (key, tag, ord, i + 1)
+        }
+      }
+      .toDF(keyCol, tagCol, ordCol, "rank")
+  }
 }

@@ -31,6 +31,16 @@ class TopKSpec extends SparkTestBase {
     assert(got == Set((1L, 10L, 1), (1L, 11L, 2), (2L, 12L, 1)))
   }
 
+  test("string-keyed variant: same (ord desc, tag asc) ranking per group") {
+    import spark.implicits._
+    val df = Seq(("a", 3.0, 10L), ("a", 1.0, 11L), ("b", 9.0, 12L),
+      ("a", 3.0, 9L)).toDF("key", "ord", "tag")
+    val got = TopK.topKPerGroupStr(df, "key", "ord", "tag", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    // ties on ord broken by ascending tag: 9 ranks before 10
+    assert(got == Set(("a", 9L, 1), ("a", 10L, 2), ("b", 12L, 1)))
+  }
+
   test("partial aggregation: shuffle carries at most k rows per group per task") {
     import spark.implicits._
     // plan-level: the typed aggregator appears as a two-phase (partial +
