@@ -38,15 +38,24 @@ object Ivf {
     * `centroids` is the tiny (cell, center, cnorm2) broadcast side. */
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
 
-  /** Fit the coarse quantizer ONCE and materialize the cell layout. */
+  /** Fit the coarse quantizer ONCE and materialize the cell layout.
+    * The k-means TRAINS on a bounded sample (≤ `maxTrain` rows — see
+    * [[Pq.fit]] for why quantizer training never needs the full corpus;
+    * corpora under the cap train on every row, so test-scale results are
+    * unchanged) but ASSIGNS every corpus row to its cell. */
   def build(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-            nlist: Int, seed: Long = 42L): IvfIndex = {
+            nlist: Int, seed: Long = 42L, maxTrain: Long = 1L << 18): IvfIndex = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val feats = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
       array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
-      .fit(feats)
+    val n = emb.count()
+    val train = (if (n <= maxTrain) feats.select(col("features"))
+                 else feats.select(col("features"))
+                   .sample(withReplacement = false, maxTrain.toDouble / n, seed))
+      .persist()
+    val model = try new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .fit(train) finally train.unpersist()
     val assigned = model.transform(feats)
       .select(col("id"), col("vec"), col("prediction").as("cell"),
         sqrt(Embeddings.dot("vec", "vec", dim)).as("nrm"))

@@ -36,21 +36,38 @@ object Pq {
   final case class PqModel(m: Int, dsub: Int,
                            codebooks: Array[Array[Array[Float]]])
 
-  /** Per-subspace k-means over the corpus — m small ML KMeans fits. */
+  /** Per-subspace k-means — m small ML KMeans fits over a BOUNDED
+    * training sample. Quantizer training never needs the full corpus
+    * (standard large-scale practice — FAISS caps training points per
+    * centroid): codebook quality saturates at a few thousand points per
+    * centroid, while m fits × 20 iterations over 10⁹ vectors would scan
+    * the corpus hundreds of times. Corpora ≤ `maxTrain` train on every
+    * row (so small/test corpora are bit-identical with or without the
+    * cap); larger ones train on a seeded Bernoulli sample, persisted once
+    * and shared by all m subspace fits, then unpersisted (fit is eager —
+    * the KMeans fits are terminal actions). The sample is deterministic
+    * for a fixed input partitioning. */
   def fit(emb: DataFrame, vecCol: String, dim: Int, m: Int,
-          ksub: Int = 16, seed: Long = 42L): PqModel = {
+          ksub: Int = 16, seed: Long = 42L, maxTrain: Long = 1L << 18): PqModel = {
     require(dim % m == 0, s"dim $dim must split into $m subvectors")
     val dsub = dim / m
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val codebooks = (0 until m).map { j =>
-      val sub = emb.select(array_to_vector(
-        expr(s"slice($vecCol, ${j * dsub + 1}, $dsub)").cast("array<double>"))
-        .as("features"))
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(20).fit(sub)
-        .clusterCenters.map(_.toArray.map(_.toFloat))
-    }.toArray
-    PqModel(m, dsub, codebooks)
+    val n = emb.count()
+    val train = (if (n <= maxTrain) emb.select(col(vecCol))
+                 else emb.select(col(vecCol))
+                   .sample(withReplacement = false, maxTrain.toDouble / n, seed))
+      .persist()
+    try {
+      val codebooks = (0 until m).map { j =>
+        val sub = train.select(array_to_vector(
+          expr(s"slice($vecCol, ${j * dsub + 1}, $dsub)").cast("array<double>"))
+          .as("features"))
+        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(20).fit(sub)
+          .clusterCenters.map(_.toArray.map(_.toFloat))
+      }.toArray
+      PqModel(m, dsub, codebooks)
+    } finally train.unpersist()
   }
 
   /** Encode each vector as its per-subspace nearest-centroid indices:

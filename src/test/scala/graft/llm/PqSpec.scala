@@ -38,6 +38,15 @@ class PqSpec extends SparkTestBase {
     assert(hit.getAs[Double]("adist") == 0.0)
   }
 
+  test("fit trains on a bounded sample when the corpus exceeds maxTrain; codes cover the full corpus") {
+    val mdl = Pq.fit(emb, "embedding", dim, m = 8, ksub = 8, maxTrain = 64L)
+    assert(mdl.codebooks.length == 8 && mdl.codebooks.forall(_.length == 8))
+    val codes = Pq.encode(emb, "vec_id", "embedding", mdl)
+    assert(codes.count() == emb.count()) // every row encoded, sampled or not
+    assert(codes.select("code").collect()
+      .forall(_.getSeq[Int](0).forall(c => c >= 0 && c < 8)))
+  }
+
   test("IVF-ADC with nprobe == nlist equals the plain PQ scan exactly") {
     // the cells partition the corpus: probing all of them is the full
     // scan, so the composed pipeline must reproduce annKnn bit-for-bit
