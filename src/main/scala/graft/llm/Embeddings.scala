@@ -168,7 +168,13 @@ object Embeddings {
     * collision probability but grow the bucket space by lengthening the
     * SIGNATURE: e.g. bits = 256 with bands = 16 gives 16-bit buckets at
     * the same band count. Signatures are cheap (one dot per bit). */
-  def signLshCandidates(sigs: DataFrame, bits: Int = 64, bands: Int = 16): DataFrame = {
+  def signLshCandidates(sigs: DataFrame, bits: Int = 64, bands: Int = 16): DataFrame =
+    TextDedup.candidatesFromBands(signLshBands(sigs, bits, bands))
+
+  /** The banded signature relation (id, band, bh) — the shared kernel
+    * under [[signLshCandidates]] (corpus-wide pair generation, for
+    * dedup) and [[annLshKnn]] (query-side banding, for search). */
+  def signLshBands(sigs: DataFrame, bits: Int = 64, bands: Int = 16): DataFrame = {
     val bandBits = bits / bands
     // band j occupies signature bits [j*w, (j+1)*w) across the 64-bit
     // words; a band that straddles a word boundary stitches its low part
@@ -193,11 +199,10 @@ object Embeddings {
             lowBits))
       }
     }
-    val bandDf = sigs.select(col("id"),
+    sigs.select(col("id"),
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"), bh(j).as("bh"))): _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    TextDedup.candidatesFromBands(bandDf)
   }
 
   /** Approximate top-k: exact cosine ranking restricted to sign-LSH
@@ -208,11 +213,19 @@ object Embeddings {
                 idCol: String, vecCol: String, dim: Int, k: Int,
                 bits: Int = 64, bands: Int = 16): DataFrame = {
     val sigs = signLshSignatures(emb, idCol, vecCol, dim, bits)
-    val cands = signLshCandidates(sigs, bits, bands)
-    // symmetrize, keep pairs touching a query id
-    val sym = cands.select(col("id1").as("qid"), col("id2").as("nid"))
-      .union(cands.select(col("id2").as("qid"), col("id1").as("nid")))
-      .filter(col("qid").isInCollection(queryIds))
+    // band the QUERY side alone and broadcast it against the corpus
+    // bands: candidates are generated per query (its bucket-mates only).
+    // Running the corpus-wide pair kernel and filtering to the query ids
+    // afterwards — the dedup formulation — would materialize every
+    // in-bucket pair in the corpus (quadratic in hot-bucket occupancy)
+    // to answer a driver-sized query list.
+    val bandDf = signLshBands(sigs, bits, bands)
+    val qBands = bandDf.filter(col("id").isInCollection(queryIds))
+      .select(col("id").as("qid"), col("band"), col("bh"))
+    val sym = broadcast(qBands).join(bandDf, Seq("band", "bh"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"))
+      .distinct() // a pair may share several bands
     val v = withNorm(emb, idCol, vecCol, dim)
     val scored = sym
       .join(v.as("a"), col("qid") === col("a.id"))

@@ -129,6 +129,21 @@ object AdversarialProbe {
     time(s"cosine_blocked hot-cluster x${lo / 2}")(
       graft.llm.Embeddings.cosineDedupBlocked(embHot, "vec_id", "embedding", 64, 0.45).count())
 
+    // ANN query path on the hot-cluster corpus: query 0 IS a clone, so
+    // its LSH bucket holds ~10% of the corpus. Query-side banding scores
+    // those bucket-mates once per query — candidate work LINEAR in n —
+    // where the corpus-wide pair kernel would first materialize the clone
+    // bucket's ~(n/10)² pairs to answer 8 queries. Wall must track the
+    // data ratio, not its square.
+    val embHotHi = embX(lo, hotCluster = true)
+    val annLo = time(s"ann_lsh hot-cluster x${lo / 2}")(
+      graft.llm.Embeddings.annLshKnn(embHot, (0L until 8L),
+        "vec_id", "embedding", 64, 5).count())
+    val annHi = time(s"ann_lsh hot-cluster x$lo")(
+      graft.llm.Embeddings.annLshKnn(embHotHi, (0L until 8L),
+        "vec_id", "embedding", 64, 5).count())
+    verdict("ann_lsh_hot", annLo, annHi, model = 2.0)
+
     spark.stop()
     if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
     else println("ADVERSARIAL PROBE: PASS")
