@@ -9,14 +9,18 @@ import org.apache.spark.sql.functions._
   * deserialization per partition batch, case-class Encoders, codegen'd
   * scan underneath).
   *
-  * Metadata decode is REAL for PNG and JPEG ([[ImageHeaders]] parses the
-  * container headers directly — pure JVM, no codec library). Pixel-level
-  * work (frames/resize/featurize) is STUBBED (this container has no
-  * image/audio libraries): [[FakeCodec]] is a deterministic stand-in.
-  * The Spark-side plumbing — schema, binary payload handling,
-  * partition-batched decode, frame sampling, feature extraction shape —
-  * is real and tested; swapping FakeCodec for a JNI/javacv decoder
-  * changes no plan shape.
+  * Metadata decode is REAL for PNG/JPEG/GIF/WAV/MP4 ([[ImageHeaders]]
+  * parses the container headers directly — pure JVM, no codec library).
+  * Pixel-level work is REAL for every format the JDK's built-in ImageIO
+  * decodes (PNG, JPEG, GIF, BMP, TIFF — `java.desktop` ships the codecs;
+  * no external library): [[JvmImageCodec]] decodes to RGB, resizes by
+  * area-averaging, extracts luminance block features, and pulls frames
+  * out of multi-frame containers (animated GIF / multi-page TIFF).
+  * 16-bit PCM WAV audio gets real per-block RMS energy features
+  * ([[WavCodec]]). Only payloads NO JDK codec recognizes (and video
+  * beyond the MP4 header — the JDK has no H.264 decoder) fall back to
+  * the deterministic byte-level [[FakeCodec]] stand-in, so the operators
+  * stay total over arbitrary binary.
   *
   * Scale: payloads stay in executor memory one partition at a time;
   * nothing is collected; decode parallelism = input partitions.
@@ -180,6 +184,200 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel-level image codec on the JDK's built-in ImageIO readers
+    * (`java.desktop` module: PNG, JPEG, GIF, BMP, WBMP, TIFF — public
+    * javax.imageio API, no external library). All paths are
+    * deterministic: decoding is exact for lossless formats, resampling
+    * is integer area-averaging in fixed row-major order, and luminance
+    * uses the ITU-R BT.601 integer weights. Every method returns None
+    * for payloads no JDK reader accepts — callers fall back to the
+    * byte-level stub so operators stay total. */
+  object JvmImageCodec {
+    // BufferedImage work needs no display; be explicit for executors.
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false) // in-memory, no temp files
+
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Accept only payloads with an unambiguous image magic (PNG, JPEG,
+      * GIF, BMP, TIFF). The JDK also registers a WBMP reader whose
+      * "magic" is two near-arbitrary bytes — without this gate, random
+      * binary starting 00 00 would be misdecoded as an image instead of
+      * falling back to the byte-level stub. */
+    private def looksLikeImage(p: Array[Byte]): Boolean =
+      p.length >= 8 && {
+        val (a, b, c, d) = (p(0) & 0xff, p(1) & 0xff, p(2) & 0xff, p(3) & 0xff)
+        (a == 0x89 && b == 0x50 && c == 0x4e && d == 0x47) || // PNG
+        (a == 0xff && b == 0xd8) ||                           // JPEG
+        (a == 'G' && b == 'I' && c == 'F') ||                 // GIF
+        (a == 'B' && b == 'M') ||                             // BMP
+        (a == 'I' && b == 'I' && c == 0x2a && d == 0x00) ||   // TIFF LE
+        (a == 'M' && b == 'M' && c == 0x00 && d == 0x2a)      // TIFF BE
+      }
+
+    /** Decode to (width, height, row-major packed ARGB pixels). */
+    def decodeArgb(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      if (!looksLikeImage(payload)) None
+      else Option(try ImageIO.read(new ByteArrayInputStream(payload))
+                  catch { case _: Exception => null })
+        .map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+        }
+
+    /** Decode to (width, height, row-major RGB byte triplets). */
+    def decodeRgb(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      decodeArgb(payload).map { case (w, h, px) =>
+        val rgb = new Array[Byte](px.length * 3)
+        var i = 0
+        while (i < px.length) {
+          rgb(3 * i) = ((px(i) >> 16) & 0xff).toByte
+          rgb(3 * i + 1) = ((px(i) >> 8) & 0xff).toByte
+          rgb(3 * i + 2) = (px(i) & 0xff).toByte
+          i += 1
+        }
+        (w, h, rgb)
+      }
+
+    /** PNG-encode packed ARGB pixels (lossless, deterministic). */
+    def encodePng(w: Int, h: Int, argb: Array[Int]): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, argb, 0, w)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Real image downscale by integer `factor`: mean of each
+      * factor×factor block per channel (area averaging — the resampler
+      * of choice for large downscales), re-encoded as PNG. */
+    def resizePng(payload: Array[Byte], factor: Int): Option[Array[Byte]] =
+      decodeArgb(payload).map { case (w, h, px) =>
+        val (w2, h2) = (math.max(w / factor, 1), math.max(h / factor, 1))
+        val out = new Array[Int](w2 * h2)
+        var y2 = 0
+        while (y2 < h2) {
+          var x2 = 0
+          while (x2 < w2) {
+            var (r, g, b, n) = (0L, 0L, 0L, 0L)
+            var y = y2 * factor
+            val yHi = math.min(y + factor, h)
+            while (y < yHi) {
+              var x = x2 * factor
+              val xHi = math.min(x + factor, w)
+              while (x < xHi) {
+                val p = px(y * w + x)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                n += 1; x += 1
+              }
+              y += 1
+            }
+            out(y2 * w2 + x2) =
+              (((r / n).toInt << 16) | ((g / n).toInt << 8) | (b / n).toInt)
+            x2 += 1
+          }
+          y2 += 1
+        }
+        encodePng(w2, h2, out)
+      }
+
+    /** `dim` luminance block means in [0,1]: pixels in row-major order
+      * split into `dim` equal contiguous runs, BT.601 integer luma
+      * (77r + 150g + 29b) >> 8 averaged per run — a real, deterministic
+      * image feature vector with the ANN kernels' shape contract. */
+    def luminanceFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+      decodeArgb(payload).map { case (_, _, px) =>
+        Array.tabulate(dim) { i =>
+          val lo = (i.toLong * px.length / dim).toInt
+          val hi = ((i + 1).toLong * px.length / dim).toInt
+          if (hi <= lo) 0f
+          else {
+            var s = 0L; var j = lo
+            while (j < hi) {
+              val p = px(j)
+              s += (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) +
+                29 * (p & 0xff)) >> 8
+              j += 1
+            }
+            s.toFloat / (hi - lo) / 255f
+          }
+        }
+      }
+
+    /** All frames of a multi-frame container (animated GIF, multi-page
+      * TIFF), each re-encoded as a standalone PNG. Single-frame images
+      * yield one frame; GIF delta frames come back as the reader stores
+      * them (the full-canvas composite is a renderer concern). */
+    def frames(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+      if (!looksLikeImage(payload)) return None
+      val iis = try ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+                catch { case _: Exception => null }
+      if (iis == null) return None
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        reader.setInput(iis, false, true)
+        try {
+          val n = reader.getNumImages(true)
+          Some((0 until n).map { i =>
+            val img = reader.read(i)
+            val (w, h) = (img.getWidth, img.getHeight)
+            encodePng(w, h, img.getRGB(0, 0, w, h, null, 0, w))
+          })
+        } finally reader.dispose()
+      } catch { case _: Exception => None } finally iis.close()
+    }
+  }
+
+  /** REAL audio feature extraction for 16-bit PCM WAV (RIFF spec, pure
+    * JVM): per-block RMS energy over the `data` chunk samples — the
+    * standard first-pass audio feature (silence/energy profiling). */
+  object WavCodec {
+    /** `dim` RMS values in [0,1] over equal contiguous sample blocks
+      * (all channels interleaved, as stored). None unless the payload
+      * is RIFF/WAVE with 16-bit PCM format and a data chunk. */
+    def rmsFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+      val p = payload
+      def le16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+      def le32(i: Int): Long =
+        (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+          ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+      def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+      if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var (i, fmtOk, dataAt, dataLen) = (12, false, -1, 0)
+      while (i + 8 <= p.length && (dataAt < 0 || !fmtOk)) {
+        val sz = le32(i + 4).toInt
+        tag(i) match {
+          case "fmt " if i + 24 <= p.length =>
+            // audioFormat 1 = PCM; bitsPerSample at +22
+            fmtOk = le16(i + 8) == 1 && le16(i + 22) == 16
+          case "data" =>
+            dataAt = i + 8; dataLen = math.min(sz, p.length - dataAt)
+          case _ =>
+        }
+        i += 8 + sz + (sz & 1)
+      }
+      if (!fmtOk || dataAt < 0 || dataLen < 2) return None
+      val nSamples = dataLen / 2
+      Some(Array.tabulate(dim) { d =>
+        val lo = (d.toLong * nSamples / dim).toInt
+        val hi = ((d + 1).toLong * nSamples / dim).toInt
+        if (hi <= lo) 0f
+        else {
+          var s = 0.0; var j = lo
+          while (j < hi) {
+            val v = le16(dataAt + 2 * j).toShort.toDouble / 32768.0
+            s += v * v; j += 1
+          }
+          math.sqrt(s / (hi - lo)).toFloat
+        }
+      })
+    }
+  }
+
   /** Wrap a (id, binary) DataFrame into the typed media schema. */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String,
               kind: String): Dataset[MediaRow] = {
@@ -203,54 +401,72 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: every `stride` bytes take a `frameSize`-byte slice —
-    * the plumbing shape of video frame extraction (1 → n explode). */
+  /** Frame extraction (1 → n explode). REAL for multi-frame image
+    * containers the JDK decodes (animated GIF, multi-page TIFF): each
+    * frame comes back PNG-encoded via [[JvmImageCodec.frames]]. Payloads
+    * no reader accepts (e.g. real video — the JDK has no H.264 decoder)
+    * fall back to the byte-slice stand-in: every `stride` bytes take a
+    * `frameSize`-byte slice, preserving the plumbing shape. */
   def sampleFrames(media: Dataset[MediaRow], frameSize: Int, stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      Iterator.range(0, math.max(m.payload.length - frameSize + 1, 0), stride)
-        .zipWithIndex
-        .map { case (off, idx) =>
-          Frame(m.media_id, idx, java.util.Arrays.copyOfRange(m.payload, off, off + frameSize))
-        }
+      JvmImageCodec.frames(m.payload) match {
+        case Some(fs) =>
+          fs.iterator.zipWithIndex.map { case (f, idx) => Frame(m.media_id, idx, f) }
+        case None =>
+          Iterator.range(0, math.max(m.payload.length - frameSize + 1, 0), stride)
+            .zipWithIndex
+            .map { case (off, idx) =>
+              Frame(m.media_id, idx, java.util.Arrays.copyOfRange(m.payload, off, off + frameSize))
+            }
+      }
     }
   }
 
-  /** Resize (stub): block-average downsample of the payload by `factor`
-    * — the byte-level stand-in for image resizing; output metadata
-    * reflects the new dimensions like a real resampler would. */
+  /** Downsample by `factor`. REAL for JDK-decodable images: pixel
+    * area-averaging, PNG re-encoded ([[JvmImageCodec.resizePng]]).
+    * Unrecognized payloads fall back to byte-level block averaging so
+    * the operator stays total over arbitrary binary. */
   def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { m =>
-      val p = m.payload
-      val out = Array.tabulate(math.max(p.length / factor, 1)) { i =>
-        var s = 0; var j = i * factor
-        val hi = math.min(j + factor, p.length)
-        val lo = j
-        while (j < hi) { s += p(j) & 0xff; j += 1 }
-        (s / math.max(hi - lo, 1)).toByte
+      val out = JvmImageCodec.resizePng(m.payload, factor).getOrElse {
+        val p = m.payload
+        Array.tabulate(math.max(p.length / factor, 1)) { i =>
+          var s = 0; var j = i * factor
+          val hi = math.min(j + factor, p.length)
+          val lo = j
+          while (j < hi) { s += p(j) & 0xff; j += 1 }
+          (s / math.max(hi - lo, 1)).toByte
+        }
       }
       MediaRow(m.media_id, m.kind, out)
     }
   }
 
-  /** Fixed-width feature vector per media item (stub featurizer: mean
-    * byte value per equal-size block — deterministic, right output shape
-    * for the ANN kernels in [[Embeddings]]). */
+  /** Fixed-width feature vector per media item — the shape contract for
+    * the ANN kernels in [[Embeddings]]. REAL where a JDK codec applies:
+    * luminance block means for images ([[JvmImageCodec]]), per-block RMS
+    * energy for 16-bit PCM WAV ([[WavCodec]]); mean-byte-per-block
+    * fallback for anything else. */
   def featurize(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.map { m =>
-      val p = m.payload
-      val feat = Array.tabulate(dim) { i =>
-        val lo = (i.toLong * p.length / dim).toInt
-        val hi = ((i + 1).toLong * p.length / dim).toInt
-        if (hi <= lo) 0f
-        else {
-          var s = 0L; var j = lo
-          while (j < hi) { s += (p(j) & 0xff); j += 1 }
-          s.toFloat / (hi - lo)
+      val feat = JvmImageCodec.luminanceFeatures(m.payload, dim)
+        .orElse(WavCodec.rmsFeatures(m.payload, dim))
+        .getOrElse {
+          val p = m.payload
+          Array.tabulate(dim) { i =>
+            val lo = (i.toLong * p.length / dim).toInt
+            val hi = ((i + 1).toLong * p.length / dim).toInt
+            if (hi <= lo) 0f
+            else {
+              var s = 0L; var j = lo
+              while (j < hi) { s += (p(j) & 0xff); j += 1 }
+              s.toFloat / (hi - lo)
+            }
+          }
         }
-      }
       MediaFeature(m.media_id, feat)
     }
   }

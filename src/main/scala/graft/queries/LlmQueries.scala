@@ -227,6 +227,38 @@ object LlmQueries {
       .orderBy(col("media_id"), col("dim_idx"))
   }
 
+  /** REAL codec roundtrip, oracle-checked: per doc, render a constant-
+    * gray image (dims and gray level derived arithmetically from the
+    * id), PNG-encode it, decode the pixels back, then area-average
+    * resize by 2 and decode again — all through the JDK ImageIO codec
+    * ([[Multimodal.JvmImageCodec]]). Every output column is the DECODED
+    * value, so a codec regression breaks the hash; DuckDB only has to
+    * reproduce the arithmetic (PNG is lossless, area-average of a
+    * constant image is that constant). */
+  private def multimodalPixels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 13 + 2).toInt; val h = (id % 7 + 2).toInt
+      val g = (id % 251).toInt
+      val png = Multimodal.JvmImageCodec.encodePng(
+        w, h, Array.fill(w * h)((g << 16) | (g << 8) | g))
+      val (dw, dh, rgb) = Multimodal.JvmImageCodec.decodeRgb(png).get
+      val small = Multimodal.JvmImageCodec.resizePng(png, 2).get
+      val (rw, rh, rrgb) = Multimodal.JvmImageCodec.decodeRgb(small).get
+      (id, dw, dh, dw * dh, rgb(0) & 0xff, rw, rh, rrgb(0) & 0xff)
+    }.toDF("media_id", "width", "height", "n_pixels", "gray",
+           "r_width", "r_height", "r_gray")
+  }
+
+  private val multimodalPixelsSql: String =
+    """SELECT doc_id AS media_id,
+      |  (doc_id % 13 + 2) AS width, (doc_id % 7 + 2) AS height,
+      |  (doc_id % 13 + 2) * (doc_id % 7 + 2) AS n_pixels,
+      |  (doc_id % 251) AS gray,
+      |  (doc_id % 13 + 2) // 2 AS r_width, (doc_id % 7 + 2) // 2 AS r_height,
+      |  (doc_id % 251) AS r_gray
+      |FROM documents ORDER BY media_id""".stripMargin
+
   // no orderBy: the driver's compare sorts rows anyway, and a global
   // sort's range-partition sampling pass would compute the fingerprint
   // expression twice
@@ -268,6 +300,7 @@ object LlmQueries {
     Q("quality_score", quality, Some(qualitySql)),
     Q("multimodal_decode", multimodalDecode, Some(multimodalDecodeSql)),
     Q("multimodal_features", multimodalFeatures, None), // shape: MultimodalSpec
+    Q("multimodal_pixels", multimodalPixels, Some(multimodalPixelsSql)),
     Q("doc_fingerprint", docFingerprint,
       Some("""SELECT doc_id AS id,
              |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
