@@ -158,7 +158,24 @@ object OpsQueries {
         "o_custkey", "o_totalprice", "o_orderkey", k = 3)
       .orderBy(col("o_custkey"), col("rank"))
 
+  /** Z-order layout key ([[graft.ops.ZOrder]]): the Morton interleave of
+    * two order dimensions — the clustering key that keeps BOTH columns'
+    * per-file min/max tight at 100 TB (multi-dimensional data skipping).
+    * Emitted as data here so the bit-interleave is oracle-checked term
+    * for term; ZOrderSpec pins the actual layout/pruning behavior. */
+  private def zorderKey(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(1024)).as("x"),
+        pmod(col("o_custkey"), lit(1024)).as("y"))
+      .withColumn("zkey", graft.ops.ZOrder.zKey(10, col("x"), col("y")))
+      .orderBy(col("o_orderkey"))
+
   val all: Seq[Q] = Seq(
+    Q("zorder_key", zorderKey,
+      Some(s"""SELECT o_orderkey, o_orderkey % 1024 AS x, o_custkey % 1024 AS y,
+              |  ${graft.ops.ZOrder.sqlZKey(10, "(o_orderkey % 1024)", "(o_custkey % 1024)")} AS zkey
+              |FROM orders ORDER BY o_orderkey""".stripMargin)),
     Q("topk_per_group", topkPerGroup,
       Some("""SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
              |  SELECT o_custkey, o_orderkey, o_totalprice,
