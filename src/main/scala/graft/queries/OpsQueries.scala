@@ -158,6 +158,63 @@ object OpsQueries {
         "o_custkey", "o_totalprice", "o_orderkey", k = 3)
       .orderBy(col("o_custkey"), col("rank"))
 
+  /** CDC merge ([[graft.ops.Merge]]): apply a synthesized change feed
+    * (updates, deletes, inserts, two versions with latest-wins) onto the
+    * orders snapshot — incremental maintenance without a full rebuild.
+    * Money flows through integer cents so both engines aggregate
+    * bit-identically. */
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      Ops.cents(col("o_totalprice")).as("price_cents"))
+    val src = Tables.orders(s, d)
+    val v1 = src.filter(pmod(col("o_orderkey"), lit(10)) < 3)
+      .select(
+        when(pmod(col("o_orderkey"), lit(3)) === 2,
+          col("o_orderkey") + 60000000L)
+          .otherwise(col("o_orderkey")).as("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0, lit("U"))
+          .when(pmod(col("o_orderkey"), lit(3)) === 1, lit("D"))
+          .otherwise(lit("I")).as("op"),
+        col("o_custkey"),
+        (Ops.cents(col("o_totalprice")) * 2).as("price_cents"),
+        lit(1L).as("version"))
+    val v2 = src.filter(pmod(col("o_orderkey"), lit(20)) === 0)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
+        (Ops.cents(col("o_totalprice")) * 3).as("price_cents"),
+        lit(2L).as("version"))
+    graft.ops.Merge.applyChanges(base, v1.unionAll(v2), "o_orderkey",
+        "op", "version", Seq("o_custkey", "price_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val mergeUpsertSql: String = {
+    val cents = Ops.sqlCents("o_totalprice")
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, $cents AS price_cents FROM orders),
+       |v1 AS (
+       |  SELECT CASE WHEN o_orderkey % 3 = 2 THEN o_orderkey + 60000000
+       |    ELSE o_orderkey END AS o_orderkey,
+       |    CASE o_orderkey % 3 WHEN 0 THEN 'U' WHEN 1 THEN 'D' ELSE 'I' END AS op,
+       |    o_custkey, $cents * 2 AS price_cents, 1 AS version
+       |  FROM orders WHERE o_orderkey % 10 < 3),
+       |v2 AS (
+       |  SELECT o_orderkey, 'U' AS op, o_custkey, $cents * 3 AS price_cents,
+       |    2 AS version
+       |  FROM orders WHERE o_orderkey % 20 = 0),
+       |changes AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+       |latest AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+       |    ORDER BY version DESC) AS rn FROM changes) t WHERE rn = 1)
+       |SELECT coalesce(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+       |  CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_custkey
+       |    ELSE b.o_custkey END AS o_custkey,
+       |  CASE WHEN l.o_orderkey IS NOT NULL THEN l.price_cents
+       |    ELSE b.price_cents END AS price_cents
+       |FROM base b FULL JOIN latest l ON b.o_orderkey = l.o_orderkey
+       |WHERE l.op IS NULL OR l.op <> 'D'
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
   /** Z-order layout key ([[graft.ops.ZOrder]]): the Morton interleave of
     * two order dimensions — the clustering key that keeps BOTH columns'
     * per-file min/max tight at 100 TB (multi-dimensional data skipping).
@@ -172,6 +229,7 @@ object OpsQueries {
       .orderBy(col("o_orderkey"))
 
   val all: Seq[Q] = Seq(
+    Q("merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Q("zorder_key", zorderKey,
       Some(s"""SELECT o_orderkey, o_orderkey % 1024 AS x, o_custkey % 1024 AS y,
               |  ${graft.ops.ZOrder.sqlZKey(10, "(o_orderkey % 1024)", "(o_custkey % 1024)")} AS zkey

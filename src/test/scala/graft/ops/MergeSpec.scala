@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** CDC merge semantics: upsert/delete/insert resolution, latest-version
+  * wins, and the scale-safe plan shape (aggregate, not window). */
+class MergeSpec extends SparkTestBase {
+
+  private def apply2(base: Seq[(Long, String, Long)],
+                     changes: Seq[(Long, String, String, Long, Long)]) = {
+    import spark.implicits._
+    Merge.applyChanges(
+      base.toDF("k", "name", "amount"),
+      changes.toDF("k", "op", "name", "amount", "version"),
+      "k", "op", "version", Seq("name", "amount"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("update replaces, delete removes, insert adds, untouched rows stay") {
+    val out = apply2(
+      base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)),
+      changes = Seq(
+        (2L, "U", "b2", 21L, 1L),
+        (3L, "D", "", 0L, 1L),
+        (4L, "I", "d", 40L, 1L)))
+    assert(out == Seq((1L, "a", 10L), (2L, "b2", 21L), (4L, "d", 40L)))
+  }
+
+  test("latest version wins per key — an update after a delete revives") {
+    val out = apply2(
+      base = Seq((1L, "a", 10L), (2L, "b", 20L)),
+      changes = Seq(
+        (1L, "U", "a1", 11L, 1L),
+        (1L, "U", "a2", 12L, 2L),   // later version supersedes
+        (2L, "D", "", 0L, 1L),
+        (2L, "U", "b9", 29L, 2L)))  // revival: U at v2 beats D at v1
+    assert(out == Seq((1L, "a2", 12L), (2L, "b9", 29L)))
+  }
+
+  test("delete of a missing key is a no-op; delete beats earlier update") {
+    val out = apply2(
+      base = Seq((1L, "a", 10L)),
+      changes = Seq(
+        (9L, "D", "", 0L, 1L),      // no such key — nothing to emit
+        (1L, "U", "a1", 11L, 1L),
+        (1L, "D", "", 0L, 2L)))     // latest is the delete
+    assert(out == Seq.empty)
+  }
+
+  test("plan ranks changes with an aggregate, not a per-key window sort") {
+    import spark.implicits._
+    val plan = Merge.applyChanges(
+      Seq((1L, "a", 10L)).toDF("k", "name", "amount"),
+      Seq((1L, "U", "a1", 11L, 1L)).toDF("k", "op", "name", "amount", "version"),
+      "k", "op", "version", Seq("name", "amount"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Aggregate"), plan)
+  }
+}
