@@ -144,6 +144,50 @@ object AdversarialProbe {
         "vec_id", "embedding", 64, 5).count())
     verdict("ann_lsh_hot", annLo, annHi, model = 2.0)
 
+    // CDC merge on a HOT-KEY feed: half of all changes hit ONE key (the
+    // adversarial change-capture shape — one row updated over and over).
+    // Merge ranks changes with a max_by partial aggregate, so the hot
+    // key collapses map-side to one candidate per task; a row_number
+    // window would funnel half the feed through a single task's sort
+    // and scale with the hot key's history, not the data.
+    def mergeX(mult: Int): Long = {
+      val o = graft.core.Tables.orders(spark, d)
+      val base = (0 until mult).map { m =>
+        o.select((col("o_orderkey") + lit(m * 10000000L)).as("k"),
+          col("o_custkey").as("cust"),
+          graft.queries.Ops.cents(col("o_totalprice")).as("price_cents"))
+      }.reduce(_ union _).localCheckpoint()
+      val changes = (0 until mult).map { m =>
+        o.select(
+          when(pmod(col("o_orderkey"), lit(2)) === 0, lit(42L))
+            .otherwise(col("o_orderkey") + lit(m * 10000000L)).as("k"),
+          lit("U").as("op"), col("o_custkey").as("cust"),
+          (graft.queries.Ops.cents(col("o_totalprice")) * 2).as("price_cents"),
+          (col("o_orderkey") + lit(m * 10000000L)).as("version"))
+      }.reduce(_ union _).localCheckpoint()
+      graft.ops.Merge.applyChanges(base, changes, "k", "op", "version",
+        Seq("cust", "price_cents")).count()
+    }
+    val mgLo = time(s"merge hot-key x$lo")(mergeX(lo))
+    val mgHi = time(s"merge hot-key x$hi")(mergeX(hi))
+    verdict("merge_hot_key", mgLo, mgHi, dataRatio)
+
+    // Z-order clustering: one range shuffle + in-partition sort — must
+    // track the data ratio like any global sort (range sampler included).
+    def zorderX(mult: Int): Long = {
+      val o = graft.core.Tables.orders(spark, d)
+      val rep = (0 until mult).map { m =>
+        o.select((col("o_orderkey") + lit(m * 10000000L)).as("o_orderkey"),
+          pmod(col("o_orderkey"), lit(4096)).as("x"),
+          pmod(col("o_custkey"), lit(4096)).as("y"))
+      }.reduce(_ union _).localCheckpoint()
+      graft.ops.ZOrder.cluster(rep, bits = 12, numFiles = 64,
+        col("x"), col("y")).count()
+    }
+    val zoLo = time(s"zorder_cluster x$lo")(zorderX(lo))
+    val zoHi = time(s"zorder_cluster x$hi")(zorderX(hi))
+    verdict("zorder_cluster", zoLo, zoHi, dataRatio)
+
     spark.stop()
     if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
     else println("ADVERSARIAL PROBE: PASS")
