@@ -48,4 +48,50 @@ object Merge {
     }
     joined.filter(!isDelete).select(outCols: _*)
   }
+
+  /** SCD type-2: apply the change feed as HISTORY — every version of a
+    * key is kept as a row with a validity interval `[valid_from,
+    * valid_to)` (`valid_to` NULL = current), instead of [[applyChanges]]'
+    * overwrite. The temporal-warehouse primitive: "what did this row say
+    * at version v" stays answerable forever.
+    *
+    * Semantics: a key's first change closes its current history row at
+    * that change's version; each I/U change opens a row valid from its
+    * version until the key's next change (any op); a D closes the
+    * interval chain without opening one (the key has no current row
+    * until a later I/U revives it).
+    *
+    * Plan shape: the `lead` window runs over the CHANGE FEED partitioned
+    * by key — per-key state is the one-row lookahead of a streaming
+    * frame, and a key's cost is its own change history (which is also
+    * its output size, so no formulation does better); the snapshot
+    * itself is never windowed. Plus one partial-agg (min version per
+    * key) and one shuffle join against the current rows.
+    *
+    * `history` must carry `keyCol`, `payloadCols`, `valid_from`,
+    * `valid_to`; versions must be unique per (key, version, op).
+    */
+  def applyChangesScd2(history: DataFrame, changes: DataFrame, keyCol: String,
+                       opCol: String, versionCol: String,
+                       payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol), col(opCol))
+    val seq = changes
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+    val newRows = seq.filter(col(opCol) =!= "D")
+      .select((col(keyCol) +: payloadCols.map(col)) ++
+        Seq(col("valid_from"), col("valid_to")): _*)
+
+    val firstV = changes.groupBy(col(keyCol))
+      .agg(min(col(versionCol)).as("__first_v"))
+    val current = history.filter(col("valid_to").isNull)
+      .join(firstV, Seq(keyCol), "left")
+      .withColumn("valid_to", col("__first_v")) // NULL when key untouched
+      .drop("__first_v")
+    val past = history.filter(col("valid_to").isNotNull)
+
+    past.unionByName(current).unionByName(newRows)
+  }
 }

@@ -163,7 +163,10 @@ object OpsQueries {
     * orders snapshot — incremental maintenance without a full rebuild.
     * Money flows through integer cents so both engines aggregate
     * bit-identically. */
-  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+  /** Shared synthetic CDC fixture: the orders snapshot plus a
+    * two-version change feed (updates, deletes, inserts, version
+    * conflicts) — deterministic id-arithmetic so DuckDB mirrors it. */
+  private def cdcFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
       Ops.cents(col("o_totalprice")).as("price_cents"))
     val src = Tables.orders(s, d)
@@ -182,9 +185,59 @@ object OpsQueries {
       .select(col("o_orderkey"), lit("U").as("op"), col("o_custkey"),
         (Ops.cents(col("o_totalprice")) * 3).as("price_cents"),
         lit(2L).as("version"))
-    graft.ops.Merge.applyChanges(base, v1.unionAll(v2), "o_orderkey",
+    (base, v1.unionAll(v2))
+  }
+
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val (base, changes) = cdcFixture(s, d)
+    graft.ops.Merge.applyChanges(base, changes, "o_orderkey",
         "op", "version", Seq("o_custkey", "price_cents"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** SCD2 over the same fixture: the snapshot becomes the version-0
+    * history, the feed becomes validity intervals. */
+  private def scd2History(s: SparkSession, d: String): DataFrame = {
+    val (base, changes) = cdcFixture(s, d)
+    val history = base
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+    graft.ops.Merge.applyChangesScd2(history, changes, "o_orderkey",
+        "op", "version", Seq("o_custkey", "price_cents"))
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
+  private val scd2HistorySql: String = {
+    val cents = Ops.sqlCents("o_totalprice")
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, $cents AS price_cents FROM orders),
+       |v1 AS (
+       |  SELECT CASE WHEN o_orderkey % 3 = 2 THEN o_orderkey + 60000000
+       |    ELSE o_orderkey END AS o_orderkey,
+       |    CASE o_orderkey % 3 WHEN 0 THEN 'U' WHEN 1 THEN 'D' ELSE 'I' END AS op,
+       |    o_custkey, $cents * 2 AS price_cents, CAST(1 AS BIGINT) AS version
+       |  FROM orders WHERE o_orderkey % 10 < 3),
+       |v2 AS (
+       |  SELECT o_orderkey, 'U' AS op, o_custkey, $cents * 3 AS price_cents,
+       |    CAST(2 AS BIGINT) AS version
+       |  FROM orders WHERE o_orderkey % 20 = 0),
+       |changes AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+       |seq AS (
+       |  SELECT *, version AS valid_from,
+       |    lead(version) OVER (PARTITION BY o_orderkey
+       |      ORDER BY version, op) AS valid_to
+       |  FROM changes),
+       |new_rows AS (
+       |  SELECT o_orderkey, o_custkey, price_cents, valid_from, valid_to
+       |  FROM seq WHERE op <> 'D'),
+       |firstv AS (
+       |  SELECT o_orderkey, min(version) AS fv FROM changes GROUP BY 1),
+       |current_rows AS (
+       |  SELECT b.o_orderkey, b.o_custkey, b.price_cents,
+       |    CAST(0 AS BIGINT) AS valid_from, f.fv AS valid_to
+       |  FROM base b LEFT JOIN firstv f USING (o_orderkey))
+       |SELECT * FROM current_rows UNION ALL SELECT * FROM new_rows
+       |ORDER BY o_orderkey, valid_from""".stripMargin
   }
 
   private val mergeUpsertSql: String = {
@@ -230,6 +283,7 @@ object OpsQueries {
 
   val all: Seq[Q] = Seq(
     Q("merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    Q("scd2_history", scd2History, Some(scd2HistorySql)),
     Q("zorder_key", zorderKey,
       Some(s"""SELECT o_orderkey, o_orderkey % 1024 AS x, o_custkey % 1024 AS y,
               |  ${graft.ops.ZOrder.sqlZKey(10, "(o_orderkey % 1024)", "(o_custkey % 1024)")} AS zkey

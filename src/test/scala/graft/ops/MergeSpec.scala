@@ -49,6 +49,51 @@ class MergeSpec extends SparkTestBase {
     assert(out == Seq.empty)
   }
 
+  private def scd2(history: Seq[(Long, String, Long, Long, Option[Long])],
+                   changes: Seq[(Long, String, String, Long, Long)]) = {
+    import spark.implicits._
+    Merge.applyChangesScd2(
+      history.toDF("k", "name", "amount", "valid_from", "valid_to"),
+      changes.toDF("k", "op", "name", "amount", "version"),
+      "k", "op", "version", Seq("name", "amount"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(t => (t._1, t._4)).toSeq
+  }
+
+  test("scd2: update chain becomes contiguous intervals, last one open") {
+    val out = scd2(
+      history = Seq((1L, "a", 10L, 0L, None)),
+      changes = Seq((1L, "U", "a1", 11L, 3L), (1L, "U", "a2", 12L, 7L)))
+    assert(out == Seq(
+      (1L, "a", 10L, 0L, Some(3L)),
+      (1L, "a1", 11L, 3L, Some(7L)),
+      (1L, "a2", 12L, 7L, None)))
+  }
+
+  test("scd2: delete closes without opening; a later insert revives") {
+    val out = scd2(
+      history = Seq((1L, "a", 10L, 0L, None), (2L, "b", 20L, 0L, None)),
+      changes = Seq(
+        (1L, "D", "", 0L, 4L),
+        (1L, "I", "a9", 19L, 8L)))  // gap [4,8): key 1 did not exist
+    assert(out == Seq(
+      (1L, "a", 10L, 0L, Some(4L)),
+      (1L, "a9", 19L, 8L, None),
+      (2L, "b", 20L, 0L, None)))    // untouched key stays current
+  }
+
+  test("scd2: closed past rows pass through unmodified") {
+    val out = scd2(
+      history = Seq((1L, "old", 1L, 0L, Some(2L)), (1L, "a", 10L, 2L, None)),
+      changes = Seq((1L, "U", "a1", 11L, 5L)))
+    assert(out == Seq(
+      (1L, "old", 1L, 0L, Some(2L)),
+      (1L, "a", 10L, 2L, Some(5L)),
+      (1L, "a1", 11L, 5L, None)))
+  }
+
   test("plan ranks changes with an aggregate, not a per-key window sort") {
     import spark.implicits._
     val plan = Merge.applyChanges(
