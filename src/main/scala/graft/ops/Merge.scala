@@ -94,4 +94,15 @@ object Merge {
 
     past.unionByName(current).unionByName(newRows)
   }
+
+  /** Time-travel read over an SCD2 history: the snapshot as of version
+    * `v` — rows whose validity interval contains `v`. A plain filter, so
+    * it pushes down to the scan; over a history partitioned/clustered by
+    * interval bounds it prunes files too. `snapshotAsOf(scd2History, v)`
+    * equals `applyChanges` run with only the changes `<= v` — pinned in
+    * MergeSpec. */
+  def snapshotAsOf(history: DataFrame, v: Long): DataFrame =
+    history.filter(col("valid_from") <= v &&
+        (col("valid_to").isNull || col("valid_to") > v))
+      .drop("valid_from", "valid_to")
 }

@@ -94,6 +94,30 @@ class MergeSpec extends SparkTestBase {
       (1L, "a1", 11L, 5L, None)))
   }
 
+  test("scd2 + snapshotAsOf time-travel equals merge of the changes <= v") {
+    import spark.implicits._
+    val history = Seq((1L, "a", 10L, 0L, None: Option[Long]),
+      (2L, "b", 20L, 0L, None: Option[Long]))
+      .toDF("k", "name", "amount", "valid_from", "valid_to")
+    val feed = Seq(
+      (1L, "U", "a1", 11L, 3L), (2L, "D", "", 0L, 4L),
+      (3L, "I", "c", 30L, 5L), (1L, "U", "a2", 12L, 6L))
+    val full = Merge.applyChangesScd2(history,
+      feed.toDF("k", "op", "name", "amount", "version"),
+      "k", "op", "version", Seq("name", "amount"))
+
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    for (v <- Seq(0L, 3L, 4L, 5L, 6L, 99L)) {
+      val expected = snap(Merge.applyChanges(
+        Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "amount"),
+        feed.filter(_._5 <= v).toDF("k", "op", "name", "amount", "version"),
+        "k", "op", "version", Seq("name", "amount")))
+      assert(snap(Merge.snapshotAsOf(full, v)) == expected, s"as of v=$v")
+    }
+  }
+
   test("plan ranks changes with an aggregate, not a per-key window sort") {
     import spark.implicits._
     val plan = Merge.applyChanges(
