@@ -121,4 +121,29 @@ object Sampling {
         (target * col("total_tokens").cast("double")
           / col("n_tokens").cast("double")).as("weight"))
   }
+
+  /** EXACT-k-per-stratum deterministic sample: the k rows with the
+    * largest salted md5 rank in each stratum (exactly min(k, |stratum|)
+    * rows — where [[stratifiedSample]]'s rate threshold only hits a
+    * target size in expectation). Rows ride the bounded
+    * [[graft.ops.TopK]] buffer — O(k) state per stratum per task,
+    * map-side partial merge, at most k rows per stratum per task on the
+    * shuffle — so a billion-row stratum never sorts in one task (the
+    * row_number formulation would).
+    *
+    * The rank is the first 13 hex chars of md5(salt ‖ id) as an integer:
+    * 52 bits, exactly representable in the buffer's double, and
+    * reproducible in any engine with md5 (the DuckDB oracle casts the
+    * same prefix through '0x…'::BIGINT). Prefix property: the exact-k
+    * sample is a superset of the exact-j sample for j < k (same order,
+    * shorter cut), so growing a sample never resamples. */
+  def exactKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+                       k: Int, salt: String): DataFrame = {
+    val rank = conv(substring(
+        md5(concat(lit(salt), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    graft.ops.TopK.topKPerGroupStr(
+        df.withColumn("__rank", rank), stratumCol, "__rank", idCol, k)
+      .select(col(stratumCol), col(idCol), col("rank"))
+  }
 }

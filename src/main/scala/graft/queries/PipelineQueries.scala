@@ -380,8 +380,28 @@ object PipelineQueries {
       |  FROM r JOIN o ON o.bucket = r.bucket AND o.rn = r.rn + 1)
       |SELECT id, bucket, bin, n FROM r""".stripMargin
 
+  /** Exact-k deterministic stratified sample ([[Sampling
+    * .exactKPerStratum]]): exactly 20 docs per language by salted-hash
+    * rank, through the bounded TopK buffer (never a full per-stratum
+    * sort). The oracle reproduces the 52-bit rank via
+    * '0x&lt;13-hex-md5-prefix&gt;'::BIGINT. */
+  private def sampleExactK(s: SparkSession, d: String): DataFrame =
+    Sampling.exactKPerStratum(Tables.documents(s, d), "lang", "doc_id",
+        k = 20, salt = "k7")
+      .orderBy(col("lang"), col("rank"))
+
+  private val sampleExactKSql: String =
+    """SELECT lang, doc_id, rank FROM (
+      |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+      |    ORDER BY CAST(concat('0x',
+      |      substr(md5(concat('k7', CAST(doc_id AS VARCHAR))), 1, 13))
+      |      AS BIGINT) DESC, doc_id) AS rank
+      |  FROM documents) t
+      |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sample_hash", sampleHash, Some(sampleHashSql)),
+    Q("sample_exact_k", sampleExactK, Some(sampleExactKSql)),
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Q("mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
     Q("pii_redact", piiRedact, Some(piiRedactSql)),

@@ -39,6 +39,32 @@ class PipelineSpec extends SparkTestBase {
     assert(all.count() == docs.count())
   }
 
+  test("exact-k sample: exact size per stratum, deterministic, prefix-monotone") {
+    val k10 = Sampling.exactKPerStratum(docs, "lang", "doc_id", 10, "k7")
+    val k25 = Sampling.exactKPerStratum(docs, "lang", "doc_id", 25, "k7")
+    val sizes = k10.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exactly min(k, |stratum|) rows — never "in expectation"
+    strata.foreach { case (lang, n) =>
+      assert(sizes(lang) == math.min(10L, n), s"$lang")
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // growing k only extends the sample (same hash order, longer cut)
+    assert(ids(k10).subsetOf(ids(k25)))
+    // rerun identical (salted hash, no rand())
+    assert(ids(Sampling.exactKPerStratum(docs, "lang", "doc_id", 10, "k7"))
+      == ids(k10))
+    // a different salt draws a genuinely different sample
+    assert(ids(Sampling.exactKPerStratum(docs, "lang", "doc_id", 10, "x1"))
+      != ids(k10))
+    // plan: bounded-buffer aggregate, never a per-stratum window sort
+    val plan = k10.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("stratified sample equals per-stratum hash samples") {
     val rates = Map("src0" -> Sampling.rateToHex(0.5), "src1" -> Sampling.rateToHex(0.25))
     val dflt = Sampling.rateToHex(0.1)
