@@ -78,10 +78,18 @@ object Ivf {
   private val cache =
     new ConcurrentHashMap[(SparkContext, String, Int, Long), IvfIndex]()
 
+  /** Cache discriminator: the user's corpusKey PLUS the input plan's
+    * semantic hash — two different corpora passed with the same (or
+    * defaulted) corpusKey must not share an index, or the second call
+    * would silently probe the first corpus's cells. Same source + same
+    * transformations → same hash, so legitimate reuse still hits. */
+  private[llm] def corpusId(df: DataFrame, key: String): String =
+    s"$key#${df.queryExecution.analyzed.semanticHash()}"
+
   def cachedIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                   nlist: Int, seed: Long, corpusKey: String): IvfIndex = {
     val idx = cache.computeIfAbsent(
-      (emb.sparkSession.sparkContext, corpusKey, nlist, seed),
+      (emb.sparkSession.sparkContext, corpusId(emb, corpusKey), nlist, seed),
       _ => build(emb, idCol, vecCol, dim, nlist, seed))
     // a harness-level spark.catalog.clearCache() (Verify/Bench run one
     // between queries) unpersists the assignment behind our back; without

@@ -46,6 +46,37 @@ object Multimodal {
     }
   }
 
+  /** Validated RIFF chunk walk shared by the WAV header parser and the
+    * PCM feature extractor: yields (tag, dataOffset, dataSize) for each
+    * well-formed chunk of a RIFF/WAVE payload. Chunk sizes come from
+    * untrusted bytes, so the walk REJECTS any size that is negative or
+    * runs past the buffer and stops instead of looping or indexing out
+    * of bounds — the operators above promise to stay total over
+    * arbitrary binary, corrupt and adversarial payloads included. */
+  private[llm] def riffChunks(p: Array[Byte]): Iterator[(String, Int, Int)] = {
+    def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return Iterator.empty
+    new Iterator[(String, Int, Int)] {
+      private var i = 12
+      def hasNext: Boolean = {
+        if (i + 8 > p.length) return false
+        val sz = (p(i + 4) & 0xffL) | ((p(i + 5) & 0xffL) << 8) |
+          ((p(i + 6) & 0xffL) << 16) | ((p(i + 7) & 0xffL) << 24)
+        // reject sizes that leave the buffer (also catches the would-be
+        // negative .toInt values that made the old walk spin or crash)
+        sz <= p.length.toLong - (i + 8)
+      }
+      def next(): (String, Int, Int) = {
+        val sz = ((p(i + 4) & 0xffL) | ((p(i + 5) & 0xffL) << 8) |
+          ((p(i + 6) & 0xffL) << 16) | ((p(i + 7) & 0xffL) << 24)).toInt
+        val out = (tag(i), i + 8, sz)
+        i += 8 + sz + (sz & 1) // chunks are word-aligned
+        out
+      }
+    }
+  }
+
   /** REAL media metadata parsing from the container headers — pure JVM,
     * public-spec formats, no codec library needed. Images return
     * (width, height, mime); WAV returns (sampleRate, channels,
@@ -96,25 +127,14 @@ object Multimodal {
       * channels at offset +2 and sample rate at +4 (both LE). Returned as
       * (sampleRate, channels, "audio/wav") — the (w, h) slots carry the
       * two integers a pipeline partitions/filters on. */
-    def parseWav(p: Array[Byte]): Option[(Int, Int, String)] = {
-      def le32(i: Int): Long =
-        (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
-          ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
-      def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
-      if (p.length < 36 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-      var i = 12
-      while (i + 8 <= p.length) {
-        val sz = le32(i + 4)
-        if (tag(i) == "fmt ") {
-          if (i + 12 > p.length) return None
-          val channels = ((p(i + 10) & 0xff) | ((p(i + 11) & 0xff) << 8))
-          val rate = le32(i + 12).toInt
-          return Some((rate, channels, "audio/wav"))
-        }
-        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    def parseWav(p: Array[Byte]): Option[(Int, Int, String)] =
+      Multimodal.riffChunks(p).collectFirst {
+        case (tag, off, sz) if tag == "fmt " && sz >= 16 =>
+          val channels = (p(off + 2) & 0xff) | ((p(off + 3) & 0xff) << 8)
+          val rate = (p(off + 4) & 0xff) | ((p(off + 5) & 0xff) << 8) |
+            ((p(off + 6) & 0xff) << 16) | ((p(off + 7) & 0xff) << 24)
+          (rate, channels, "audio/wav")
       }
-      None
-    }
 
     /** MP4 / ISO-BMFF (ISO 14496-12, public): a tree of boxes, each
       * (4-byte BE size, 4-byte type). Video dimensions live in
@@ -137,7 +157,7 @@ object Multimodal {
           if (t == "moov" || t == "trak") {
             val r = walk(i + 8, end)
             if (r.isDefined) return r
-          } else if (t == "tkhd") {
+          } else if (t == "tkhd" && i + 9 <= end) {
             // payload: ver/flags(4), times+id+reserved+duration (20 for
             // v0, 32 for v1), reserved(8), layer/alt/vol/reserved(8),
             // matrix(36), width(4), height(4)
@@ -342,23 +362,17 @@ object Multimodal {
     def rmsFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
       val p = payload
       def le16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
-      def le32(i: Int): Long =
-        (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
-          ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
-      def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
-      if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-      var (i, fmtOk, dataAt, dataLen) = (12, false, -1, 0)
-      while (i + 8 <= p.length && (dataAt < 0 || !fmtOk)) {
-        val sz = le32(i + 4).toInt
-        tag(i) match {
-          case "fmt " if i + 24 <= p.length =>
-            // audioFormat 1 = PCM; bitsPerSample at +22
-            fmtOk = le16(i + 8) == 1 && le16(i + 22) == 16
-          case "data" =>
-            dataAt = i + 8; dataLen = math.min(sz, p.length - dataAt)
+      var (fmtOk, dataAt, dataLen) = (false, -1, 0)
+      // validated walk: corrupt/adversarial chunk sizes end the scan
+      // instead of looping or indexing out of bounds
+      Multimodal.riffChunks(p).foreach { case (tag, off, sz) =>
+        tag match {
+          case "fmt " if sz >= 16 =>
+            // audioFormat 1 = PCM; bitsPerSample at data offset +14
+            fmtOk = le16(off) == 1 && le16(off + 14) == 16
+          case "data" => if (dataAt < 0) { dataAt = off; dataLen = sz }
           case _ =>
         }
-        i += 8 + sz + (sz & 1)
       }
       if (!fmtOk || dataAt < 0 || dataLen < 2) return None
       val nSamples = dataLen / 2

@@ -157,7 +157,10 @@ object Pq {
                   m: Int, ksub: Int, seed: Long,
                   corpusKey: String): (PqModel, DataFrame) = {
     val entry = cache.computeIfAbsent(
-      (emb.sparkSession.sparkContext, corpusKey, m, ksub, seed), _ => {
+      // Ivf.corpusId folds the plan's semantic hash into the key so two
+      // corpora with the same (or defaulted) corpusKey never share a
+      // codebook/code cache
+      (emb.sparkSession.sparkContext, Ivf.corpusId(emb, corpusKey), m, ksub, seed), _ => {
         val mdl = fit(emb, vecCol, dim, m, ksub, seed)
         (mdl, encode(emb, idCol, vecCol, mdl).persist())
       })
@@ -226,7 +229,7 @@ object Pq {
                               corpusKey: String): DataFrame = {
     val sc = encoded.sparkSession.sparkContext
     val cc = cellCodeCache.computeIfAbsent(
-      (sc, corpusKey, nlist, m, ksub, seed), _ =>
+      (sc, Ivf.corpusId(encoded, corpusKey), nlist, m, ksub, seed), _ =>
         index.assigned.select(col("id"), col("cell"))
           .join(encoded, Seq("id"))
           .select(col("cell"), col("id"), col("code"))

@@ -22,8 +22,18 @@ object TopK {
   final class TopKAgg(k: Int)
       extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
     private def insert(b: List[(Double, Long)], v: (Double, Long)): List[(Double, Long)] = {
-      // descending ord, ascending tag on ties
-      val (front, back) = b.span(x => x._1 > v._1 || (x._1 == v._1 && x._2 < v._2))
+      // descending ord, ascending tag on ties. Compare via
+      // java.lang.Double.compare, NOT primitive >/==: a NaN ord (e.g.
+      // cosine of a zero-norm vector) makes every primitive comparison
+      // false, so its buffer position — and therefore which rows it
+      // evicts — would depend on insertion/merge order across
+      // partitions. Double.compare totals the order (NaN greatest,
+      // matching how Spark's sort-based formulations rank it) and keeps
+      // results partition-count-independent.
+      val (front, back) = b.span { x =>
+        val c = java.lang.Double.compare(x._1, v._1)
+        c > 0 || (c == 0 && x._2 < v._2)
+      }
       val merged = front ::: v :: back
       if (merged.length > k) merged.take(k) else merged
     }
@@ -39,11 +49,23 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  /** `cast("long")` on a non-numeric column yields nulls that only blow
+    * up deep inside the aggregation ("Null value appeared in
+    * non-nullable field") — fail at the API boundary instead. */
+  private def requireNumeric(df: DataFrame, role: String, c: String): Unit = {
+    val t = df.schema(c).dataType
+    require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$role column '$c' must be numeric (long-codable) for the bounded " +
+        s"top-k buffer, got ${t.simpleString}; map string ids to a " +
+        "surrogate long (e.g. xxhash64) first")
+  }
+
   /** Top-k rows per group: (key, ord desc, tag asc) → (key, tag, ord,
     * rank). `tagCol` is a long row identifier carried through the
     * bounded buffer (join back for wider payloads). */
   def topKPerGroup(df: DataFrame, keyCol: String, ordCol: String,
                    tagCol: String, k: Int): DataFrame = {
+    requireNumeric(df, "key", keyCol); requireNumeric(df, "tag", tagCol)
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(col(keyCol).cast("long"), col(ordCol).cast("double"),
@@ -64,6 +86,7 @@ object TopK {
     * lists) — same bounded buffer, same (ord desc, tag asc) order. */
   def topKPerGroupStr(df: DataFrame, keyCol: String, ordCol: String,
                       tagCol: String, k: Int): DataFrame = {
+    requireNumeric(df, "tag", tagCol)
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(col(keyCol).cast("string"), col(ordCol).cast("double"),

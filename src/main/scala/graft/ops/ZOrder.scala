@@ -47,10 +47,15 @@ object ZOrder {
     * [[zKey]] over arbitrary numeric ranges. */
   def normalize(c: Column, min: Long, max: Long, bits: Int): Column = {
     val span = math.max(max - min, 1L)
-    // scale into the full bit range, clamping the max value into range
-    least(
-      ((c.cast("long") - lit(min)) * lit((1L << bits) - 1) / lit(span)).cast("long"),
-      lit((1L << bits) - 1))
+    // clamp BOTH ends: stats bounds go stale, and a value below `min`
+    // would otherwise produce a negative key input whose two's-
+    // complement bits interleave near the TOP of the Morton range —
+    // silently widening that file's min/max and defeating the skipping
+    greatest(
+      least(
+        ((c.cast("long") - lit(min)) * lit((1L << bits) - 1) / lit(span)).cast("long"),
+        lit((1L << bits) - 1)),
+      lit(0L))
   }
 
   /** Cluster `df` into `numFiles` output splits by the Morton key of

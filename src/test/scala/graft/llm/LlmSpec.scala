@@ -194,4 +194,24 @@ class LlmSpec extends SparkTestBase {
     val prefix = TextDedup.ngramJaccardJoin(docs, "doc_id", "text", 0.5).count()
     assert(prefix == exact)
   }
+
+  test("signLshBands straddle stitching (bits=96) matches reference extraction") {
+    import spark.implicits._
+    // bandBits = 6 does not divide 64: bands at lo = 60, 120, ... span
+    // two signature words — the mask-and-shift stitch is the scale knob
+    // for >64-bit signatures and must agree with plain bit extraction.
+    // Words chosen with high bits set to catch sign-extension leaks.
+    val words = Seq(0xdeadbeefcafebabeL, 0x123456789abcdef0L)
+    def ref(lo: Int, w: Int): Long =
+      (0 until w).map { d =>
+        val b = lo + d
+        ((words(b / 64) >>> (b % 64)) & 1L) << d
+      }.reduce(_ | _)
+    val got = Embeddings.signLshBands(
+        Seq((1L, words)).toDF("id", "lsh"), bits = 96, bands = 16)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    (0 until 16).foreach { j =>
+      assert(got(j) == ref(j * 6, 6), s"band $j")
+    }
+  }
 }

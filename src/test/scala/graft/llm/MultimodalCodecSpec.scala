@@ -63,6 +63,47 @@ class MultimodalCodecSpec extends SparkTestBase {
     assert(WavCodec.rmsFeatures(junk, 4).isEmpty)
   }
 
+  test("adversarial RIFF payloads: corrupt chunk sizes neither hang nor throw") {
+    def riff(chunks: Array[Byte]*): Array[Byte] = {
+      val body = chunks.flatten.toArray
+      val buf = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put("WAVE".getBytes("US-ASCII")).put(body)
+      buf.array()
+    }
+    def chunk(tag: String, size: Int, dataLen: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(tag.getBytes("US-ASCII")).putInt(size)
+        .put(new Array[Byte](dataLen))
+      buf.array()
+    }
+    // size 0xFFFFFFF8 → old walk advanced by 0 (infinite loop);
+    // 0xFFFFFFF0 walked backwards (index crash); huge positive size
+    // runs past the buffer. All must now scan as "no valid chunk".
+    for (bad <- Seq(0xFFFFFFF8, 0xFFFFFFF0, Int.MaxValue)) {
+      val p = riff(chunk("JUNK", bad, 16))
+      assert(Multimodal.ImageHeaders.parseWav(p).isEmpty)
+      assert(WavCodec.rmsFeatures(p, 4).isEmpty)
+    }
+    // fmt chunk whose declared size would satisfy a naive length guard
+    // but whose data runs past the payload end: rejected, not read
+    val truncated = riff(chunk("fmt ", 16, 4))
+    assert(Multimodal.ImageHeaders.parseWav(truncated).isEmpty)
+    assert(WavCodec.rmsFeatures(truncated, 4).isEmpty)
+    // undersized fmt chunk (sz < 16): spec-invalid, skipped
+    val tiny = riff(chunk("fmt ", 8, 8))
+    assert(Multimodal.ImageHeaders.parseWav(tiny).isEmpty)
+  }
+
+  test("adversarial MP4: 8-byte tkhd box at buffer end does not throw") {
+    val buf = java.nio.ByteBuffer.allocate(24)
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII")).put(new Array[Byte](8))
+    buf.putInt(8).put("tkhd".getBytes("US-ASCII")) // box ends AT p.length
+    assert(Multimodal.ImageHeaders.parseMp4(buf.array()).isEmpty)
+  }
+
   test("frames extracts every page of a multi-page TIFF as PNG") {
     val writer = ImageIO.getImageWritersByFormatName("tiff").next()
     val bos = new ByteArrayOutputStream()

@@ -89,4 +89,23 @@ class PqSpec extends SparkTestBase {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"mean ADC recall@5 $mean (per-query: $recalls)")
   }
+
+  test("defaulted corpusKey cannot alias two different corpora") {
+    // the cache folds the input plan's semantic hash into its key, so
+    // back-to-back calls over DIFFERENT corpora with the default key
+    // must not share codebooks/codes — neighbors must come from the
+    // corpus actually queried
+    val corpusA = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 300)
+    val corpusB = emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 300)
+    Pq.annKnn(corpusA, (0L until 4L), "vec_id", "embedding", dim, k = 3,
+      m = 16, ksub = 16)
+    val idsB = emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 300)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val bQueries = idsB.toSeq.sorted.take(4)
+    val neighbors = Pq.annKnn(corpusB, bQueries, "vec_id", "embedding", dim,
+        k = 3, m = 16, ksub = 16)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(neighbors.subsetOf(idsB),
+      s"neighbors leaked from the other corpus: ${neighbors -- idsB}")
+  }
 }

@@ -52,4 +52,28 @@ class TopKSpec extends SparkTestBase {
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
     assert("(?i)partial".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("NaN ords rank first and results are partition-count-independent") {
+    import spark.implicits._
+    // cosine of a zero-norm vector is NaN; primitive comparisons would
+    // place it by insertion order — Double.compare makes NaN greatest
+    val rows = Seq((1L, Double.NaN, 100L), (1L, 9.0, 1L), (1L, 8.0, 2L),
+      (1L, 7.0, 3L), (1L, Double.NaN, 99L))
+    def run(parts: Int) =
+      TopK.topKPerGroup(rows.toDF("key", "ord", "tag").repartition(parts),
+          "key", "ord", "tag", k = 3)
+        .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    val single = run(1)
+    assert(single == Set((99L, 1), (100L, 2), (1L, 3))) // NaN first, tag asc
+    assert(run(8) == single)
+  }
+
+  test("non-numeric tag column fails fast with a clear contract error") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, "doc-1")).toDF("key", "ord", "tag")
+    val e = intercept[IllegalArgumentException] {
+      TopK.topKPerGroupStr(df, "key", "ord", "tag", k = 1)
+    }
+    assert(e.getMessage.contains("must be numeric"))
+  }
 }

@@ -42,12 +42,14 @@ class ZOrderSpec extends SparkTestBase {
       .count() == 0)
   }
 
-  test("normalize maps arbitrary ranges onto [0, 2^bits)") {
+  test("normalize maps arbitrary ranges onto [0, 2^bits), clamping BOTH ends") {
     import spark.implicits._
-    val vals = Seq(-1000L, -1L, 0L, 999L, 123456L).toDF("v")
+    // -5000 is below the declared min (stale stats) and 999999 above the
+    // max — both must clamp instead of wrapping through negative keys
+    val vals = Seq(-5000L, -1000L, -1L, 0L, 999L, 123456L, 999999L).toDF("v")
       .withColumn("n", ZOrder.normalize(col("v"), -1000L, 123456L, 10))
       .collect().map(_.getLong(1))
-    assert(vals.head == 0L && vals.last == 1023L)
+    assert(vals.head == 0L && vals(1) == 0L && vals.last == 1023L)
     assert(vals.forall(n => n >= 0 && n < 1024))
   }
 
