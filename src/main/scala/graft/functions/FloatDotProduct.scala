@@ -84,5 +84,8 @@ object GraftFunctions {
       "graft_dot", exprs => FloatDotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_mingram", exprs => MinGramDigest(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_heavy_hitters",
+      exprs => HeavyHitterSketch(exprs.head, exprs(1)), "built-in")
   }
 }

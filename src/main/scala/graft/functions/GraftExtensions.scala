@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinGramDigest].getName, "graft_mingram"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinGramDigest(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitterSketch].getName, "graft_heavy_hitters"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HeavyHitterSketch(exprs.head, exprs(1))))
   }
 }

@@ -127,6 +127,24 @@ object MiscQueries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Exact heavy hitters over the document token stream via the native
+    * Misra–Gries aggregate + candidate-verify second pass
+    * ([[graft.ops.FrequentItems]]) — bounded sketch state instead of a
+    * vocabulary-sized shuffle, yet the output is exact counts, so it
+    * oracle-checks against a plain GROUP BY/HAVING. */
+  private def heavyHitters(s: SparkSession, d: String): DataFrame =
+    graft.ops.FrequentItems.exactHeavyHitters(
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok")),
+      "tok", phi = 0.02)
+
+  private val heavyHittersSql: String =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+      |tot AS (SELECT count(*) AS n FROM toks)
+      |SELECT item, count(*) AS cnt FROM toks, tot
+      |GROUP BY item, n HAVING count(*) > n * 0.02
+      |ORDER BY cnt DESC, item""".stripMargin
+
   /** Rumen-style log analytics (`hadoop-tools/hadoop-rumen`): parse the
     * JSON props column with a declared schema (from_json — codegen'd,
     * no per-record driver work) and aggregate over extracted fields. */
@@ -149,6 +167,7 @@ object MiscQueries {
              |      FROM events) t
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("approx_stats", approxStats, None), // sketches are engine-specific
+    Q("heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("typed_pipeline", typedPipeline,
       Some("""SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
              |  count(*) AS n
