@@ -1,0 +1,159 @@
+package graft.llm
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer training (Sennrich, Haddow &
+  * Birch, "Neural Machine Translation of Rare Words with Subword Units",
+  * ACL 2016 — public paper; no reference-repo counterpart, the reference
+  * stops at whitespace tokens, `STR/PipeMapper.java` style).
+  *
+  * Classic BPE trains on the WORD-FREQUENCY table, not the corpus: the
+  * corpus collapses to (distinct word, count) once — for 100 TB of text
+  * that is the one corpus-sized shuffle — and every merge round after it
+  * runs over the vocabulary-sized symbol table:
+  *
+  *   round := count adjacent symbol pairs weighted by word count
+  *            (one shuffle whose key space shrinks as merges apply)
+  *          → take the (count, left, right)-max pair — distributed
+  *            TakeOrderedAndProject, one driver-sized row
+  *          → rewrite the symbol table with that pair merged (per-row
+  *            typed map, no shuffle).
+  *
+  * So nMerges rounds cost nMerges vocabulary-sized shuffles — never a
+  * second corpus pass. Per-round `localCheckpoint` keeps the lineage
+  * linear exactly as in [[DedupPipeline.components]] (one action per
+  * round; without it analysis re-walks a plan one map deeper each round).
+  *
+  * Everything is deterministic: integer counts, total tie-break order
+  * (count desc, then left asc, right asc — same rule the in-test
+  * sequential reference uses), so the learned merge list is bit-stable
+  * across partitionings and reruns. The SQL-oracle gate can't replay an
+  * iterated argmax, so the registry entries are rows-only; BpeSpec pins
+  * the distributed trainer to a sequential reference implementation.
+  */
+object Bpe {
+
+  /** End-of-word marker symbol (distinct from any 1-char symbol). */
+  val EOW = "</w>"
+
+  private[llm] case class WordSyms(syms: Seq[String], cnt: Long)
+
+  /** (distinct word, count) — the only corpus-sized aggregation. */
+  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  private def toSyms(word: String): Seq[String] =
+    word.map(_.toString) :+ EOW
+
+  /** One left-to-right pass merging every non-overlapping (a, b) —
+    * the BPE merge convention (greedy, leftmost first). */
+  private[llm] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = new ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else {
+        out += syms(i); i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Learn `nMerges` merges from the corpus. Returns (left, right) in
+    * rank order; stops early when the best pair's weighted count falls
+    * below `minPairCount` (singleton pairs are noise, and merging them
+    * would make the result depend on the vocabulary's hash order). */
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                  minPairCount: Long = 2L): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var table: Dataset[WordSyms] = wordCounts(docs, textCol)
+      .select(col("w"), col("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => WordSyms(toSyms(w), c) }
+      .localCheckpoint()
+    val merges = ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val best = table
+        .flatMap(w => w.syms.iterator.sliding(2).withPartial(false)
+          .map { case Seq(a, b) => (a, b, w.cnt) })
+        .toDF("l", "r", "c")
+        .groupBy(col("l"), col("r")).agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1) // TakeOrderedAndProject — never a single-partition sort
+        .collect() // exactly one driver-sized row per round
+      best.headOption match {
+        case Some(row) if row.getLong(2) >= minPairCount =>
+          val (a, b) = (row.getString(0), row.getString(1))
+          merges += ((a, b))
+          val next = table.map(w => WordSyms(applyMerge(w.syms, a, b), w.cnt))
+            .localCheckpoint() // truncate lineage: one map per round otherwise
+          table = next
+        case _ => done = true
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** Greedy BPE encoding of one word under the learned ranks: repeatedly
+    * merge the lowest-rank adjacent pair until none applies. */
+  private[llm] def encodeWord(word: String,
+                              ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = toSyms(word)
+    var more = true
+    while (more && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bi = i }
+        i += 1
+      }
+      if (bi < 0 || bestRank == Int.MaxValue) more = false
+      else syms = applyMerge(syms, syms(bi), syms(bi + 1))
+    }
+    syms
+  }
+
+  /** Corpus token-frequency table under `merges`: (token, n), n summed
+    * over word occurrences. Encoding runs once per DISTINCT word (the
+    * corpus never re-tokenizes row by row), and the rank map shipped in
+    * the closure is nMerges entries — driver-small by construction. */
+  def tokenFrequencies(docs: DataFrame, textCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    wordCounts(docs, textCol)
+      .select(col("w"), col("cnt"))
+      .as[(String, Long)]
+      .flatMap { case (w, c) => encodeWord(w, ranks).map(t => (t, c)) }
+      .toDF("token", "n")
+      .groupBy(col("token")).agg(sum(col("n")).as("n"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  /** The learned merge table as a relation: (rank, left, right). */
+  def mergesDf(spark: SparkSession, merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+  }
+
+  /** Inverse of [[encodeWord]] for a token sequence: strip the EOW
+    * markers and concatenate — whitespace tokenization then BPE is
+    * lossless, which BpeSpec asserts corpus-wide. */
+  def decodeTokens(tokens: Seq[String]): String =
+    tokens.mkString.replace(EOW, " ").trim
+}

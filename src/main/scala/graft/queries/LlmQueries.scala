@@ -306,5 +306,18 @@ object LlmQueries {
              |  list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
              |    i -> md5(substr(text, i, 8)))) AS fp
              |FROM documents ORDER BY id""".stripMargin)),
+
+    // BPE tokenizer training is an ITERATED distributed argmax (one
+    // merge decided per round) — a one-shot SQL oracle can't replay the
+    // loop, so both entries are rows-only; BpeSpec pins the distributed
+    // trainer bit-exactly to a sequential reference implementation and
+    // proves corpus-wide encode/decode losslessness.
+    Q("bpe_merges", (s, d) => graft.llm.Bpe.mergesDf(s,
+      graft.llm.Bpe.trainMerges(Tables.documents(s, d), "text", nMerges = 24)),
+      None),
+    Q("bpe_token_freq", (s, d) => graft.llm.Bpe.tokenFrequencies(
+      Tables.documents(s, d), "text",
+      graft.llm.Bpe.trainMerges(Tables.documents(s, d), "text", nMerges = 24)),
+      None),
   )
 }

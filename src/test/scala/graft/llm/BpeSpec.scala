@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Pins the distributed BPE trainer ([[Bpe.trainMerges]]) bit-exactly to
+  * a sequential reference implementation (the registry entries are
+  * rows-only — a one-shot SQL oracle cannot replay an iterated argmax),
+  * and proves the encode side lossless corpus-wide.
+  */
+class BpeSpec extends SparkTestBase {
+
+  /** Textbook sequential BPE over a word-frequency map, same tie-break
+    * as the distributed trainer: count desc, then (left, right) asc. */
+  private def refTrain(wc: Map[String, Long], nMerges: Int,
+                       minPair: Long = 2L): Seq[(String, String)] = {
+    var table: Seq[(Vector[String], Long)] =
+      wc.toSeq.map { case (w, c) => (w.map(_.toString).toVector :+ Bpe.EOW, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      table.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      val best = counts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case Some(((a, b), n)) if n >= minPair =>
+          merges += ((a, b))
+          table = table.map { case (syms, c) =>
+            (Bpe.applyMerge(syms, a, b).toVector, c)
+          }
+        case _ => done = true
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  private def wordCounts(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+
+  test("distributed trainer == sequential reference on the documents corpus") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val texts = docs.select(col("text")).collect().map(_.getString(0)).toSeq
+    val got = Bpe.trainMerges(docs, "text", nMerges = 30)
+    val want = refTrain(wordCounts(texts), nMerges = 30)
+    assert(got == want)
+  }
+
+  test("tie-breaks are deterministic and partitioning-independent") {
+    import spark.implicits._
+    // 'ab' and 'cd' pair counts tie exactly; ('a','b') < ('c','d') must win
+    val texts = Seq("ab ab cd cd", "ab cd", "ab cd xy")
+    val want = refTrain(wordCounts(texts), nMerges = 8)
+    for (parts <- Seq(1, 3, 8)) {
+      val df = spark.sparkContext.parallelize(texts, parts).toDF("text")
+      assert(Bpe.trainMerges(df, "text", nMerges = 8) == want, s"parts=$parts")
+    }
+  }
+
+  test("encode is lossless over every distinct corpus word; tokens come from the learned vocab") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 30)
+    val ranks = merges.zipWithIndex.toMap
+    val vocab: Set[String] =
+      merges.map { case (a, b) => a + b }.toSet ++ Set(Bpe.EOW)
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      val toks = Bpe.encodeWord(w, ranks)
+      assert(Bpe.decodeTokens(toks) == w, s"roundtrip broke for '$w'")
+      toks.foreach(t => assert(
+        t.length == 1 || vocab.contains(t) ||
+          (t.endsWith(Bpe.EOW) && (t == Bpe.EOW || vocab.contains(t))),
+        s"token '$t' of '$w' is neither a single char nor a learned merge"))
+    }
+  }
+
+  test("tokenFrequencies: mass conservation against whitespace tokens") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 20)
+    val freq = Bpe.tokenFrequencies(docs, "text", merges)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // every word contributes exactly one EOW-carrying token, so the
+    // total EOW mass equals the corpus whitespace-token count
+    val eowMass = freq.filter(_._1.endsWith(Bpe.EOW)).map(_._2).sum
+    val nWords = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    assert(eowMass == nWords)
+    // and total character mass (EOW stripped) equals the corpus
+    // non-space character mass — nothing lost, nothing invented
+    val charMass = freq.map { case (t, n) => t.replace(Bpe.EOW, "").length * n }.sum
+    val nChars = docs.select(
+      sum(length(regexp_replace(col("text"), " ", ""))).as("c"))
+      .collect()(0).getLong(0)
+    assert(charMass == nChars)
+  }
+}
