@@ -205,6 +205,54 @@ object Embeddings {
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023 — public paper): k-means the embedding space
+    * into cells (the [[Ivf]] coarse quantizer, shared build + cache),
+    * then verify exact cosine only WITHIN each cell — semantic near-dups
+    * sit close in embedding space, so co-clustered pairs capture them
+    * while the cross-cell n² never happens. Output: (id1, id2, cos) for
+    * co-clustered pairs with cos ≥ threshold — by construction a SUBSET
+    * of [[cosineDedup]] and exactly equal to it restricted to
+    * co-clustered ids (SemDedupSpec pins both).
+    *
+    * Scale shape: the within-cell join is an equi-join on (cell, block):
+    * cells bound the candidate space (n²/nlist per cell on balanced
+    * corpora), and the 1-Bucket-Theta sub-blocking from
+    * [[cosineDedupBlocked]] bounds per-task memory even when one cell
+    * swallows the corpus (the KMeans-collapse adversary) — a hot cell
+    * degrades to the blocked-exact cost, never to one task holding the
+    * cell. Shuffle volume: subBlocks·n + n rows. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    threshold: Double, nlist: Int = 16, subBlocks: Int = 4,
+                    corpusKey: String = "default", seed: Long = 42L): DataFrame = {
+    val idx = Ivf.cachedIndex(emb, idCol, vecCol, dim, nlist, seed, corpusKey)
+    val v = idx.assigned // (id, vec, cell, nrm), cell-partitioned + persisted
+      .withColumn("blk", pmod(hash(col("id")), lit(subBlocks)))
+    val left = v.withColumn("partner",
+      explode(sequence(lit(0), lit(subBlocks - 1))))
+    left.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.partner") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        (dot("a.vec", "b.vec", dim) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** [[semanticDedup]] → duplicate clusters → surviving ids: connected
+    * components over the co-clustered pair graph, keep the minimum id
+    * per component (the family convention — [[DedupPipeline]]). */
+  def semanticSurvivors(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        threshold: Double, nlist: Int = 16,
+                        corpusKey: String = "default"): DataFrame = {
+    val pairs = semanticDedup(emb, idCol, vecCol, dim, threshold, nlist,
+      corpusKey = corpusKey)
+    val reps = DedupPipeline.components(pairs)
+    emb.join(reps, emb(idCol) === reps("id"), "left_outer")
+      .filter(col("rep").isNull || col("rep") === emb(idCol))
+      .select(emb(idCol))
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to sign-LSH
     * candidate pairs. Recall measured against [[bruteForceKnn]] in the
     * spec; at 100 TB the candidate join replaces the O(n^2) product with

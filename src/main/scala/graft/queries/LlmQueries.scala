@@ -276,6 +276,11 @@ object LlmQueries {
     Q("dedup_simhash", dedupSimhash, None), // probabilistic — LlmSpec properties
     Q("dedup_embedding_cosine", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("dedup_embedding_lsh", dedupEmbeddingLsh, None), // subset-of-exact — LlmSpec recall pin
+    Q("dedup_semantic", (s, d) => graft.llm.Embeddings.semanticDedup(
+      Tables.embeddings(s, d), "vec_id", "embedding", dim, threshold = 0.45,
+      nlist = 16, corpusKey = d), // shares the cached IVF build with knn_ann_ivf
+      None), // KMeans cells aren't SQL-expressible — SemDedupSpec pins
+             // subset-of-exact and exact-restricted-to-co-clustered equality
 
     Q("knn_bruteforce", knnBrute, Some(knnBruteSql)),
     Q("knn_ann_lsh", knnAnnLsh, None), // approximate — recall vs brute in LlmSpec
