@@ -274,6 +274,71 @@ object TextDedup {
     verifyJaccardSplit(cands, sh, dfCap).filter(col("jaccard") >= threshold)
   }
 
+  /** The persisted-index half of incremental dedup: the corpus's LSH band
+    * relation (id, band, bh), meant to be WRITTEN ONCE (parquet,
+    * partitioned or bucketed by (band, bh)) and joined against by every
+    * subsequent ingest batch via [[incrementalMinhashLsh]]. Parameters
+    * must match the ingest call exactly — a band layout mismatch silently
+    * produces disjoint buckets, so both sides take them explicitly
+    * instead of defaulting independently. */
+  def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, numHashes: Int = 128,
+                       bands: Int = 32): DataFrame =
+    lshBands(minhashSignatures(shingles(docs, idCol, textCol, shingleN),
+      numHashes), bands, numHashes / bands)
+
+  /** Incremental MinHash+LSH dedup — the production ingest shape: dedup a
+    * NEW batch against an already-indexed corpus without re-hashing the
+    * corpus. At 100 TB the corpus-side cost per ingest must be (a) one
+    * bucket-equi-join of the small batch's bands against the persisted
+    * [[minhashBandIndex]] relation and (b) re-shingling ONLY the corpus
+    * docs that actually collided — never a corpus-wide signature rebuild.
+    *
+    * Output: (id1, id2, jaccard) for every qualifying pair INVOLVING a
+    * new doc — both new-new (within the batch) and new-corpus. Pinned in
+    * IncrementalDedupSpec: exactly equal to [[minhashLsh]] over
+    * (corpus ∪ batch) minus its corpus-corpus pairs — the signatures are
+    * per-doc, so batch-vs-index candidate generation loses nothing.
+    *
+    * `corpusDocs` is scanned once, column-pruned to (id, text), and
+    * shingled only for candidate ids (the semi join filters before the
+    * explode). Same persist contract as [[minhashLsh]]: the batch shingle
+    * relation stays cached until the caller clears it. */
+  def incrementalMinhashLsh(newDocs: DataFrame, corpusDocs: DataFrame,
+                            index: DataFrame, idCol: String, textCol: String,
+                            threshold: Double = 0.8, shingleN: Int = 3,
+                            numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val newSh = shingles(newDocs, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newBands = lshBands(minhashSignatures(newSh, numHashes),
+      bands, numHashes / bands)
+    // within-batch pairs: the usual one-shuffle bucket kernel
+    val inBatch = candidatesFromBands(newBands)
+    // cross pairs: batch bands probe the persisted corpus buckets — an
+    // equi-join on (band, bh) sized by the BATCH, not the corpus
+    val cross = newBands.as("n")
+      .join(index.as("o"),
+        col("n.band") === col("o.band") && col("n.bh") === col("o.bh") &&
+          col("n.id") =!= col("o.id"))
+      .select(least(col("n.id"), col("o.id")).as("id1"),
+        greatest(col("n.id"), col("o.id")).as("id2"))
+      .distinct()
+    val cands = inBatch.unionByName(cross).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // re-shingle only the corpus docs that collided with the batch
+    val candIds = cands.select(col("id1").as("cid"))
+      .unionByName(cands.select(col("id2").as("cid"))).distinct()
+    val corpusCandSh = shingles(
+      corpusDocs.join(candIds, corpusDocs(idCol) === col("cid"), "left_semi"),
+      idCol, textCol, shingleN)
+    // the batch may re-ingest an id the corpus already holds (the id1<id2
+    // canonical form would otherwise double its shingle set): batch wins
+    val sh = newSh.unionByName(
+      corpusCandSh.join(newSh.select(col("id")).distinct(), Seq("id"),
+        "left_anti"))
+    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash over word-frequency features. bit b = sign of
     * sum(count * (+1 if bit b of xxhash64(word) else -1)). Identical word
     * multisets get identical signatures (deterministic recall for exact

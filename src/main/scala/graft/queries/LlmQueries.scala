@@ -265,12 +265,29 @@ object LlmQueries {
   private def docFingerprint(s: SparkSession, d: String): DataFrame =
     TextStats.fingerprint(Tables.documents(s, d), "doc_id", "text")
 
+  /** Incremental ingest: the odd-doc_id batch dedups against the
+    * even-doc_id corpus through its persisted band index — the corpus is
+    * never re-signatured. The verified output is exact Jaccard, so the
+    * oracle is the same all-pairs relation as dedup_minhash_lsh
+    * restricted to pairs touching the batch. */
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val index = TextDedup.minhashBandIndex(corpus, "doc_id", "text")
+    TextDedup.incrementalMinhashLsh(batch, corpus, index, "doc_id", "text",
+      threshold = 0.8)
+  }
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact,
       Some("""SELECT md5(lower(text)) AS digest, min(doc_id) AS keep_id,
              |  count(*) AS copies
              |FROM documents GROUP BY 1""".stripMargin)),
     Q("dedup_minhash_lsh", dedupMinhash, Some(jaccardOracle(0.8))),
+    Q("dedup_incremental", dedupIncremental,
+      Some(s"""SELECT * FROM (${jaccardOracle(0.8)}) q
+              |WHERE id1 % 2 = 1 OR id2 % 2 = 1""".stripMargin)),
     Q("dedup_ngram_jaccard", dedupNgram, Some(jaccardOracle(0.5))),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_simhash", dedupSimhash, None), // probabilistic — LlmSpec properties

@@ -129,6 +129,26 @@ object AdversarialProbe {
     time(s"cosine_blocked hot-cluster x${lo / 2}")(
       graft.llm.Embeddings.cosineDedupBlocked(embHot, "vec_id", "embedding", 64, 0.45).count())
 
+    // SemDeDup: within-cell verify is the same quadratic work model as
+    // blocked cosine, shrunk by the cell partition (n²/nlist on balanced
+    // corpora) — 2× the vectors = 4× the in-cell dot products. The
+    // KMeans build is sample-bounded, so it must not add a growth term.
+    val sdLo = time(s"semantic_dedup x${lo / 2}")(
+      graft.llm.Embeddings.semanticDedup(embLo, "vec_id", "embedding", 64,
+        0.45, nlist = 16, corpusKey = s"probe-sd-$lo-lo").count())
+    val sdHi = time(s"semantic_dedup x$lo")(
+      graft.llm.Embeddings.semanticDedup(embHi, "vec_id", "embedding", 64,
+        0.45, nlist = 16, corpusKey = s"probe-sd-$lo-hi").count())
+    verdict("semantic_dedup", sdLo, sdHi, model = 4.0)
+
+    // KMeans-collapse adversary: the 10% clone set co-clusters into ONE
+    // cell (dense qualifying output inside it). The 1-Bucket-Theta
+    // sub-blocking must keep every task bounded so the run completes at
+    // blocked-exact cost — never one straggler task holding the cell.
+    time(s"semantic_dedup hot-cell x${lo / 2}")(
+      graft.llm.Embeddings.semanticDedup(embHot, "vec_id", "embedding", 64,
+        0.45, nlist = 16, corpusKey = s"probe-sd-hot-$lo").count())
+
     // ANN query path on the hot-cluster corpus: query 0 IS a clone, so
     // its LSH bucket holds ~10% of the corpus. Query-side banding scores
     // those bucket-mates once per query — candidate work LINEAR in n —
