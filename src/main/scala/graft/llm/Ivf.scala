@@ -151,6 +151,36 @@ object Ivf {
       .select(col("qid"), col("assigned_cell"), col("cell"), col("crk"))
   }
 
+  /** Assign a NEW batch of vectors to an existing index's cells WITHOUT
+    * refitting the quantizer — the ingest path of an index maintained
+    * across corpus versions (the vector-side sibling of
+    * [[TextDedup.incrementalMinhashLsh]]). Centroids are collected
+    * (nlist rows — the same driver-side footprint the KMeans model
+    * itself has) and inlined as literals, so assignment is MAP-ONLY: no
+    * shuffle until the final repartition co-locates new rows with their
+    * cell. Argmin tie-break matches [[probe]]'s cell ranking (cdist2,
+    * then cell id). The centroids do not move — quantizer drift is the
+    * caller's rebuild decision, the standard IVF maintenance contract. */
+  def ingest(index: IvfIndex, newEmb: DataFrame, idCol: String,
+             vecCol: String, dim: Int): IvfIndex = {
+    graft.functions.GraftFunctions.register(newEmb.sparkSession)
+    val cents = index.centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val scored = cents.map { case (cell, center, cnorm2) =>
+      struct(
+        (col("nrm") * col("nrm")
+          - call_function("graft_dot", col("vec"), typedLit(center)) * 2.0d
+          + lit(cnorm2)).as("d"),
+        lit(cell).as("cell"))
+    }
+    val withCell = Embeddings.withNorm(newEmb, idCol, vecCol, dim)
+      .withColumn("best", array_min(array(scored.toIndexedSeq: _*)))
+      .select(col("id"), col("vec"), col("best.cell").as("cell"), col("nrm"))
+    IvfIndex(index.assigned.unionByName(withCell.repartition(col("cell"))),
+      index.centroids)
+  }
+
   /** Persist the index as a cell-PARTITIONED parquet table — the 100 TB
     * layout: a probe's cell filter becomes a partition filter, so only
     * nprobe/nlist of the files are ever opened (IvfSpec pins
