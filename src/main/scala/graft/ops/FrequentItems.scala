@@ -38,21 +38,25 @@ object FrequentItems {
     require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
     graft.functions.GraftFunctions.register(items.sparkSession)
     val k = math.ceil(1.0 / phi).toInt
+    // Re-alias to a private name so a caller column named "item"/"n"
+    // can't collide with ours, and build the sketch call with
+    // call_function (no string-SQL, so backtick-needing names work).
+    val in = items.select(col(itemCol).as("__hh_item"))
     // pass 1: sketch + exact N in ONE aggregation (single scan)
-    val summary = items.agg(
-      expr(s"graft_heavy_hitters($itemCol, $k)").as("hh"),
+    val summary = in.agg(
+      call_function("graft_heavy_hitters", col("__hh_item"), lit(k)).as("hh"),
       count(lit(1)).as("n"))
     val candidates = summary
-      .select(col("n"), explode(col("hh")).as("h"))
-      .select(col("h.item").as("item"), col("n"))
+      .select(col("n").as("__hh_n"), explode(col("hh")).as("h"))
+      .select(col("h.item").as("__hh_cand"), col("__hh_n"))
     // pass 2: exact counts for the ≤ 2k candidates only; the candidate
     // set is tiny by construction so the join side is always broadcast
-    items
-      .join(broadcast(candidates), col(itemCol) === col("item"))
-      .groupBy(col("item"), col("n"))
+    in
+      .join(broadcast(candidates), col("__hh_item") === col("__hh_cand"))
+      .groupBy(col("__hh_item"), col("__hh_n"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > col("n") * lit(phi))
-      .select(col("item"), col("cnt"))
+      .filter(col("cnt") > col("__hh_n") * lit(phi))
+      .select(col("__hh_item").as("item"), col("cnt"))
       .orderBy(col("cnt").desc, col("item"))
   }
 }

@@ -65,7 +65,8 @@ object TopK {
     * bounded buffer (join back for wider payloads). */
   def topKPerGroup(df: DataFrame, keyCol: String, ordCol: String,
                    tagCol: String, k: Int): DataFrame = {
-    requireNumeric(df, "key", keyCol); requireNumeric(df, "tag", tagCol)
+    requireNumeric(df, "key", keyCol); requireNumeric(df, "ord", ordCol)
+    requireNumeric(df, "tag", tagCol)
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(col(keyCol).cast("long"), col(ordCol).cast("double"),
@@ -86,7 +87,7 @@ object TopK {
     * lists) — same bounded buffer, same (ord desc, tag asc) order. */
   def topKPerGroupStr(df: DataFrame, keyCol: String, ordCol: String,
                       tagCol: String, k: Int): DataFrame = {
-    requireNumeric(df, "tag", tagCol)
+    requireNumeric(df, "ord", ordCol); requireNumeric(df, "tag", tagCol)
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(col(keyCol).cast("string"), col(ordCol).cast("double"),

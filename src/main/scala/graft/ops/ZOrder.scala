@@ -47,14 +47,20 @@ object ZOrder {
     * [[zKey]] over arbitrary numeric ranges. */
   def normalize(c: Column, min: Long, max: Long, bits: Int): Column = {
     val span = math.max(max - min, 1L)
-    // clamp BOTH ends: stats bounds go stale, and a value below `min`
+    val top = (1L << bits) - 1
+    // Double math, not a long multiply: (c - min) * (2^bits - 1) wraps
+    // silently (ANSI off) once the span exceeds ~2^(63-bits), scrambling
+    // keys and defeating the skipping. A double loses at most ulp-level
+    // precision — shifting a value by one bucket, harmless for layout.
+    // Clamp BOTH ends: stats bounds go stale, and a value below `min`
     // would otherwise produce a negative key input whose two's-
     // complement bits interleave near the TOP of the Morton range —
     // silently widening that file's min/max and defeating the skipping
     greatest(
       least(
-        ((c.cast("long") - lit(min)) * lit((1L << bits) - 1) / lit(span)).cast("long"),
-        lit((1L << bits) - 1)),
+        floor((c.cast("double") - lit(min.toDouble)) * lit(top.toDouble)
+          / lit(span.toDouble)).cast("long"),
+        lit(top)),
       lit(0L))
   }
 

@@ -257,7 +257,8 @@ object OpsQueries {
        |changes AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
        |latest AS (SELECT * FROM (
        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
-       |    ORDER BY version DESC) AS rn FROM changes) t WHERE rn = 1)
+       |    ORDER BY version DESC, op DESC, o_custkey DESC, price_cents DESC
+       |  ) AS rn FROM changes) t WHERE rn = 1)
        |SELECT coalesce(b.o_orderkey, l.o_orderkey) AS o_orderkey,
        |  CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_custkey
        |    ELSE b.o_custkey END AS o_custkey,

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Streaming CDC: maintain the live snapshot of a keyed table from a
   * change stream — the stream-side of [[graft.ops.Merge]]. Each key's
@@ -33,22 +34,45 @@ object CdcStreams {
   }
 
   /** The latest-wins total order — identical to batch Merge's
-    * `max_by(struct(op, payload), struct(version, op, payload))`. */
-  private def ord(c: Change): (Long, String, String, Long) =
-    (c.version, c.op, c.name, c.amount)
+    * `max_by(struct(op, payload), struct(version, op, payload))`.
+    * Strings compare as UTF-8 bytes (Catalyst's binary string order),
+    * not Scala's UTF-16 code units — the two differ for strings mixing
+    * supplementary-plane and U+E000..U+FFFF characters, and the batch
+    * path is the authority. */
+  private def cmpStr(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+  private val changeOrd: Ordering[Change] = new Ordering[Change] {
+    def compare(x: Change, y: Change): Int = {
+      var c = java.lang.Long.compare(x.version, y.version)
+      if (c == 0) c = cmpStr(x.op, y.op)
+      if (c == 0) c = cmpStr(x.name, y.name)
+      if (c == 0) c = java.lang.Long.compare(x.amount, y.amount)
+      c
+    }
+  }
+
+  private val updateOrd: Ordering[SnapUpdate] = new Ordering[SnapUpdate] {
+    def compare(x: SnapUpdate, y: SnapUpdate): Int = {
+      var c = java.lang.Long.compare(x.version, y.version)
+      if (c == 0) c = cmpStr(x.op, y.op)
+      if (c == 0) c = cmpStr(x.name, y.name)
+      if (c == 0) c = java.lang.Long.compare(x.amount, y.amount)
+      c
+    }
+  }
 
   /** Fold a change stream into per-key snapshot updates (update-mode
     * output). Works on a static Dataset too (same code path, one
     * "batch"). */
   def cdcSnapshot(changes: Dataset[Change]): Dataset[SnapUpdate] = {
     import changes.sparkSession.implicits._
-    import scala.math.Ordering.Implicits._
     changes.groupByKey(_.k)
       .mapGroupsWithState[Change, SnapUpdate](GroupStateTimeout.NoTimeout) {
         (k, it, state) =>
-          val incoming = it.maxBy(ord)
+          val incoming = it.max(changeOrd)
           val best = state.getOption match {
-            case Some(prev) if ord(prev) >= ord(incoming) => prev
+            case Some(prev) if changeOrd.gteq(prev, incoming) => prev
             case _ => state.update(incoming); incoming
           }
           SnapUpdate(k, best.op, best.name, best.amount, best.version)
@@ -63,7 +87,7 @@ object CdcStreams {
     import updates.sparkSession.implicits._
     updates.groupByKey(_.k)
       .mapGroups { (_, it) =>
-        it.maxBy(u => (u.version, u.op, u.name, u.amount))
+        it.max(updateOrd)
       }
       .filter(!_.deleted)
       .map(u => (u.k, u.name, u.amount))
