@@ -133,6 +133,64 @@ object Ivf {
       .select(col("qid").as("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** The pruned corpus scan [[probeFromDisk]] performs — exposed so
+    * IvfSpec can pin that on the saved cell-partitioned layout this is a
+    * PARTITION filter (file-level pruning), not a post-scan row filter. */
+  def prunedScan(index: IvfIndex, cells: Seq[Int]): DataFrame =
+    index.assigned.filter(col("cell").isInCollection(cells))
+
+  /** [[probe]] for a DISK-BACKED index (see [[save]]/[[load]]), with
+    * STATIC partition pruning: the probed cells are ranked first, the
+    * distinct cell ids collected (bounded by |queries| × nprobe), and
+    * applied as an `isInCollection` filter on the partition column — so
+    * the corpus scan opens only the probed cells' files instead of
+    * reading everything and filtering after ([[probe]]'s equi-join prunes
+    * nothing on a cold parquet scan without DPP kicking in). Joining the
+    * per-query probe list back on `cell` afterwards restricts each query
+    * to ITS cells, so the output is bit-identical to [[probe]]. */
+  def probeFromDisk(index: IvfIndex, queryIds: Seq[Long], dim: Int, k: Int,
+                    nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = index.assigned.filter(col("id").isInCollection(queryIds))
+      .select(col("id").as("qid"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val probed = q.crossJoin(broadcast(index.centroids))
+      .withColumn("cdist2",
+        col("qnrm") * col("qnrm")
+          - Embeddings.dot("qvec", "center", dim) * 2.0d + col("cnorm2"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cdist2"), col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qnrm"), col("cell"))
+      .persist() // read twice: cell-list collect + the bucket join; tiny
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scored = broadcast(probed).join(prunedScan(index, cells), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("neighbor_id"),
+        (Embeddings.dot("qvec", "vec", dim) / (col("qnrm") * col("nrm"))).as("cos"))
+    graft.ops.TopK.topKPerGroup(scored, "qid", "cos", "neighbor_id", k)
+      .select(col("qid").as("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Full disk lifecycle in one registry-callable step: build + [[save]]
+    * on first use of this data (guarded by [[IndexStore.ensure]]'s
+    * completion marker), then answer from a COLD [[load]] — the path a
+    * fresh session takes, proving queries never rebuild. `dataPath` is
+    * the SOURCE data location; the index directory is derived from its
+    * content fingerprint, so regenerated data gets a fresh index. */
+  def annKnnFromDisk(emb: DataFrame, dataPath: String, queryIds: Seq[Long],
+                     idCol: String, vecCol: String, dim: Int, k: Int,
+                     nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    val dir = IndexStore.indexDir(spark, s"ivf${nlist}_$seed", dataPath)
+    IndexStore.ensure(spark, dir) {
+      val idx = build(emb, idCol, vecCol, dim, nlist, seed)
+      save(idx, dir)
+      idx.assigned.unpersist()
+    }
+    probeFromDisk(load(spark, dir), queryIds, dim, k, nprobe)
+  }
+
   /** The nprobe nearest cells per query (build-metric ranking) — exposed
     * for the IvfSpec pin that the top-1 probe is the assigned cell. */
   def probeCells(index: IvfIndex, queryIds: Seq[Long], dim: Int,

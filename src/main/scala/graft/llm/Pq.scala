@@ -147,6 +147,38 @@ object Pq {
         (-col("negd")).as("adist"))
   }
 
+  /** Persist a fitted model + encoded corpus: the codebooks as a tiny
+    * (j, c, center) relation, the codes as parquet — the durable form of
+    * [[cachedModel]]'s session cache. At 100 TB the codes table IS the
+    * compressed corpus (16×), so it is the artifact worth storing; pair
+    * with [[graft.llm.IndexStore.ensure]] for crash-safe build-once. */
+  def save(model: PqModel, encoded: DataFrame, path: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val rows = for {
+      j <- 0 until model.m
+      c <- model.codebooks(j).indices
+    } yield (j, c, model.codebooks(j)(c).toSeq)
+    rows.toDF("j", "c", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    encoded.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load a [[save]]d model + encoded corpus. Shape is reconstructed
+    * from the codebook relation itself (m = #subspaces, dsub = centroid
+    * length), so the pair round-trips with no side metadata. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): (PqModel, DataFrame) = {
+    val cb = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = cb.map(_._1).max + 1
+    val dsub = cb.head._3.length
+    val codebooks = Array.tabulate(m) { j =>
+      cb.filter(_._1 == j).sortBy(_._2).map(_._3)
+    }
+    (PqModel(m, dsub, codebooks), spark.read.parquet(s"$path/codes"))
+  }
+
   // model + encoded corpus cached per (context, corpus, m, ksub, seed) —
   // same build-once contract (and harness clearCache re-persist) as
   // Ivf.cachedIndex

@@ -287,6 +287,20 @@ object TextDedup {
     lshBands(minhashSignatures(shingles(docs, idCol, textCol, shingleN),
       numHashes), bands, numHashes / bands)
 
+  /** Persist a [[minhashBandIndex]] relation, partitioned by `band`: an
+    * ingest probe joins on (band, bh), so each of its 32 band-bucketed
+    * shuffle partitions reads only its own band's files. (Bucketing by
+    * bh inside each band partition would also pre-sort the join side —
+    * that needs a metastore table; the directory layout is the portable
+    * 80 % of it.) Pair with [[graft.llm.IndexStore.ensure]] so a crash
+    * mid-write reads back as absent, not as a partial index. */
+  def saveBandIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("band").parquet(path)
+
+  def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Incremental MinHash+LSH dedup — the production ingest shape: dedup a
     * NEW batch against an already-indexed corpus without re-hashing the
     * corpus. At 100 TB the corpus-side cost per ingest must be (a) one

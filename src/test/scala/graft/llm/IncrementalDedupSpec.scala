@@ -54,6 +54,26 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(out.filter($"id1" === 2000001L || $"id2" === 2000001L).count() == 0)
   }
 
+  test("band index parquet round-trip: disk-loaded index gives identical pairs") {
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val index = TextDedup.minhashBandIndex(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhband").toString + "/bands"
+    TextDedup.saveBandIndex(index, dir)
+    val loaded = TextDedup.loadBandIndex(spark, dir)
+    // the relation itself round-trips (partitionBy moves `band` to the
+    // end and narrows it to int — compare as sets of values) ...
+    def rel(df: DataFrame) = df.select(col("id"), col("band").cast("long"),
+      col("bh")).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rel(loaded) == rel(index))
+    // ... and so does the ingest result through it
+    assert(pairSet(TextDedup.incrementalMinhashLsh(
+        batch, corpus, loaded, "doc_id", "text", threshold = 0.8)) ==
+      pairSet(TextDedup.incrementalMinhashLsh(
+        batch, corpus, index, "doc_id", "text", threshold = 0.8)))
+  }
+
   test("empty batch yields empty output") {
     val corpus = Tables.documents(spark, sf0001).filter(col("doc_id") % 2 === 0)
     val batch = corpus.filter(lit(false))

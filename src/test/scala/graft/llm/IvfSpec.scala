@@ -81,4 +81,29 @@ class IvfSpec extends SparkTestBase {
     val disk = knnSet(Ivf.probe(loaded, (0L until 6L), 64, 5, nprobe = 4))
     assert(disk == mem)
   }
+
+  test("probeFromDisk: statically pruned probe equals the dynamic-join probe") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Ivf.save(index, dir)
+    val loaded = Ivf.load(spark, dir)
+    val mem = knnSet(Ivf.probe(index, (0L until 6L), 64, 5, nprobe = 4))
+    val disk = knnSet(Ivf.probeFromDisk(loaded, (0L until 6L), 64, 5, nprobe = 4))
+    assert(disk == mem)
+  }
+
+  test("annKnnFromDisk: cold-session lifecycle — build+save once, probe from disk") {
+    val dataPath = s"$sf0001/embeddings.parquet"
+    def run() = knnSet(Ivf.annKnnFromDisk(emb, dataPath, (0L until 6L),
+      "vec_id", "embedding", 64, 5, nlist = 8, nprobe = 4))
+    val first = run()
+    // second call must NOT rebuild: the marker short-circuits ensure
+    val idxDir = IndexStore.indexDir(spark, "ivf8_42", dataPath)
+    assert(!IndexStore.ensure(spark, idxDir) {
+      fail("index rebuilt despite completion marker")
+    })
+    assert(run() == first)
+    // same quantizer params + seed ⇒ same cells ⇒ same answer as the
+    // in-memory probe path
+    assert(first == knnSet(Ivf.probe(index, (0L until 6L), 64, 5, nprobe = 4)))
+  }
 }

@@ -90,6 +90,23 @@ class PqSpec extends SparkTestBase {
     assert(mean >= 0.5, s"mean ADC recall@5 $mean (per-query: $recalls)")
   }
 
+  test("save/load round-trips the model and codes; loaded ADC search is identical") {
+    val dir = java.nio.file.Files.createTempDirectory("pq").toString
+    val encoded = Pq.encode(emb, "vec_id", "embedding", model)
+    Pq.save(model, encoded, dir)
+    val (mdl2, codes2) = Pq.load(spark, dir)
+    assert(mdl2.m == model.m && mdl2.dsub == model.dsub)
+    for (j <- 0 until model.m; c <- model.codebooks(j).indices)
+      assert(mdl2.codebooks(j)(c).sameElements(model.codebooks(j)(c)), s"cb($j)($c)")
+    val qs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id") < 4).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(key(Pq.adcSearch(codes2, mdl2, qs, k = 5)) ==
+      key(Pq.adcSearch(encoded, model, qs, k = 5)))
+  }
+
   test("defaulted corpusKey cannot alias two different corpora") {
     // the cache folds the input plan's semantic hash into its key, so
     // back-to-back calls over DIFFERENT corpora with the default key
