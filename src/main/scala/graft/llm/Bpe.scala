@@ -65,17 +65,82 @@ object Bpe {
     out.toSeq
   }
 
-  /** Learn `nMerges` merges from the corpus. Returns (left, right) in
-    * rank order; stops early when the best pair's weighted count falls
-    * below `minPairCount` (singleton pairs are noise, and merging them
-    * would make the result depend on the vocabulary's hash order). */
+  /** Learn `nMerges` merges from the corpus — HYBRID dispatch. The
+    * word-frequency table is vocabulary-sized, not corpus-sized: even
+    * 100 TB of web text holds ~10⁷–10⁸ distinct words, and BPE training
+    * is typically run on a capped vocabulary anyway. When the table fits
+    * `maxLocalVocab` it is collected ONCE and the merge loop runs
+    * driver-side ([[trainMergesLocal]]) — each distributed round costs a
+    * full Spark job (shuffle + 1-row collect), so 32k merge rounds at
+    * job-latency each would dominate wall-clock regardless of data size.
+    * Larger vocabularies fall back to the distributed per-round loop
+    * ([[trainMergesDistributed]]). Both paths use the identical merge
+    * rule and total tie-break order, so the learned list is bit-equal
+    * (BpeSpec pins local == distributed == sequential reference). */
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
-                  minPairCount: Long = 2L): Seq[(String, String)] = {
+                  minPairCount: Long = 2L,
+                  maxLocalVocab: Long = 1L << 18): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var table: Dataset[WordSyms] = wordCounts(docs, textCol)
-      .select(col("w"), col("cnt"))
-      .as[(String, Long)]
+    // materialized once (localCheckpoint), shared by the size probe and
+    // whichever trainer runs — the corpus is scanned exactly once either way
+    val wc = wordCounts(docs, textCol)
+      .select(col("w"), col("cnt")).as[(String, Long)]
+      .localCheckpoint()
+    if (wc.count() <= maxLocalVocab)
+      trainMergesLocal(wc.collect().toSeq, nMerges, minPairCount)
+    else trainMergesDistributed(wc, nMerges, minPairCount)
+  }
+
+  /** Driver-side merge loop over a collected word-frequency table — the
+    * promoted form of BpeSpec's sequential reference. Recounts pairs per
+    * round (O(vocab · avg-word-len) a round): simple, allocation-light,
+    * and exact; at the `maxLocalVocab` bound that is a few million sliding
+    * steps per round, microseconds-to-milliseconds against the
+    * job-latency floor every distributed round pays. */
+  private[llm] def trainMergesLocal(wc: Seq[(String, Long)], nMerges: Int,
+                                    minPairCount: Long): Seq[(String, String)] = {
+    var table: Seq[(Seq[String], Long)] =
+      wc.map { case (w, c) => (toSyms(w), c) }
+    val merges = ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      table.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      // same total order as the distributed orderBy: n desc, l asc, r asc
+      val best = counts.reduceOption[((String, String), Long)] {
+        case (x @ ((xl, xr), xn), y @ ((yl, yr), yn)) =>
+          if (xn != yn) { if (xn > yn) x else y }
+          else if (xl != yl) { if (xl < yl) x else y }
+          else if (xr <= yr) x else y
+      }
+      best match {
+        case Some(((a, b), n)) if n >= minPairCount =>
+          merges += ((a, b))
+          table = table.map { case (syms, c) => (applyMerge(syms, a, b), c) }
+        case _ => done = true
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** The distributed per-round loop — the unbounded-vocabulary fallback;
+    * memory-safe at any scale (nothing vocabulary-sized on the driver). */
+  private[llm] def trainMergesDistributed(wc: Dataset[(String, Long)],
+                                          nMerges: Int,
+                                          minPairCount: Long): Seq[(String, String)] = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    var table: Dataset[WordSyms] = wc
       .map { case (w, c) => WordSyms(toSyms(w), c) }
       .localCheckpoint()
     val merges = ArrayBuffer.empty[(String, String)]

@@ -46,12 +46,15 @@ class BpeSpec extends SparkTestBase {
     texts.flatMap(_.split(" ")).filter(_.nonEmpty)
       .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
 
-  test("distributed trainer == sequential reference on the documents corpus") {
+  test("hybrid paths agree: local == distributed == sequential reference") {
     val docs = graft.core.Tables.documents(spark, sf0001)
     val texts = docs.select(col("text")).collect().map(_.getString(0)).toSeq
-    val got = Bpe.trainMerges(docs, "text", nMerges = 30)
     val want = refTrain(wordCounts(texts), nMerges = 30)
-    assert(got == want)
+    // hybrid dispatch takes the local path (vocab ≪ maxLocalVocab) ...
+    assert(Bpe.trainMerges(docs, "text", nMerges = 30) == want)
+    // ... and forcing the distributed fallback learns the same list
+    assert(Bpe.trainMerges(docs, "text", nMerges = 30, maxLocalVocab = 0L)
+      == want)
   }
 
   test("tie-breaks are deterministic and partitioning-independent") {
@@ -61,7 +64,10 @@ class BpeSpec extends SparkTestBase {
     val want = refTrain(wordCounts(texts), nMerges = 8)
     for (parts <- Seq(1, 3, 8)) {
       val df = spark.sparkContext.parallelize(texts, parts).toDF("text")
-      assert(Bpe.trainMerges(df, "text", nMerges = 8) == want, s"parts=$parts")
+      // force the distributed loop — the path whose determinism depends
+      // on partitioning; the local path collects and cannot vary
+      assert(Bpe.trainMerges(df, "text", nMerges = 8, maxLocalVocab = 0L)
+        == want, s"parts=$parts")
     }
   }
 
