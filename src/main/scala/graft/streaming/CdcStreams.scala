@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Streaming CDC: maintain the live snapshot of a keyed table from a
@@ -64,19 +64,110 @@ object CdcStreams {
 
   /** Fold a change stream into per-key snapshot updates (update-mode
     * output). Works on a static Dataset too (same code path, one
-    * "batch"). */
-  def cdcSnapshot(changes: Dataset[Change]): Dataset[SnapUpdate] = {
+    * "batch").
+    *
+    * `tombstoneRetentionMs` is the retention knob for unbounded key
+    * spaces: when set, a key whose state is a tombstone arms a
+    * processing-time timer; once it expires the tombstone is dropped
+    * from state, so a LATER ingest of that key — any version — is
+    * accepted fresh (CdcStreamsSpec pins it). That is the deliberate
+    * trade every retention policy makes: out-of-order deliveries
+    * straggling past the retention window can resurrect a deleted key,
+    * so size the window to the feed's maximum disorder. Unset (the
+    * default), tombstones are kept forever and resurrection is
+    * impossible.
+    *
+    * Two operational notes when the knob is set: (1) Spark schedules
+    * timer-check batches continuously under the default trigger — give
+    * the query a processing-time trigger interval; and (2) after an
+    * eviction the revived row's version may be LOWER than the forgotten
+    * delete's, so downstream consumers must treat the update stream as
+    * last-emission-wins per key (which keyed update-mode sinks already
+    * do), not re-sort it by version. */
+  def cdcSnapshot(changes: Dataset[Change],
+                  tombstoneRetentionMs: Option[Long] = None): Dataset[SnapUpdate] = {
+    import changes.sparkSession.implicits._
+    val conf = if (tombstoneRetentionMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    changes.groupByKey(_.k)
+      .flatMapGroupsWithState[Change, SnapUpdate](OutputMode.Update, conf) {
+        (k, it, state) =>
+          if (state.hasTimedOut) {
+            // only tombstones arm the timer, but a live row can still see
+            // a stale one (armed while deleted, then revived by a
+            // higher-version change) — never drop live state on timeout
+            if (state.getOption.exists(_.op == "D")) state.remove()
+            Iterator.empty
+          } else {
+            val incoming = it.max(changeOrd)
+            val best = state.getOption match {
+              case Some(prev) if changeOrd.gteq(prev, incoming) => prev
+              case _ => state.update(incoming); incoming
+            }
+            for (ms <- tombstoneRetentionMs if best.op == "D")
+              state.setTimeoutDuration(ms)
+            Iterator.single(SnapUpdate(k, best.op, best.name, best.amount, best.version))
+          }
+      }
+  }
+
+  // ---- SCD2 (history-maintaining) stream fold ----
+
+  /** One validity interval of a key's history — the stream twin of a
+    * [[graft.ops.Merge.applyChangesScd2]] output row. */
+  case class HistRow(k: Long, name: String, amount: Long,
+                     valid_from: Long, valid_to: Option[Long])
+
+  /** A key's full corrected history as of one emission; `emit` is a
+    * per-key sequence number, so "the latest emission per key" is the
+    * converged history whatever order a sink retains rows in. */
+  case class KeyHistory(k: Long, emit: Long, rows: Seq[HistRow])
+
+  /** Per-key SCD2 stream state: the key's deduplicated change set plus
+    * the emission counter. Public — Catalyst's encoder codegen (Janino)
+    * cannot touch members of a non-public class. */
+  case class Scd2State(changes: Seq[Change], emit: Long)
+
+  /** The interval chain of a key's sorted change list: each change's row
+    * is valid until the NEXT change's version (any op); a D closes the
+    * chain without opening a row — identical semantics to batch
+    * [[graft.ops.Merge.applyChangesScd2]]'s lead-window. */
+  private[streaming] def intervalsOf(sorted: Seq[Change]): Seq[HistRow] =
+    sorted.zipWithIndex.collect { case (c, i) if c.op != "D" =>
+      HistRow(c.k, c.name, c.amount, c.version,
+        if (i + 1 < sorted.length) Some(sorted(i + 1).version) else None)
+    }
+
+  /** Fold a change stream into SCD2 HISTORY — the history-maintaining
+    * sibling of [[cdcSnapshot]]. State per key is its own change set
+    * (deduplicated, so redelivery is idempotent) — the same cost bound
+    * as the batch path, whose window also carries a key's full history;
+    * an out-of-order change lands BETWEEN two known versions, closing
+    * and reopening the surrounding intervals, so each batch re-emits the
+    * key's whole corrected interval list rather than a delta.
+    * CdcStreamsSpec pins: latest emission per key ≡ batch
+    * `applyChangesScd2` over the same feed, under any batch split. */
+  def cdcScd2(changes: Dataset[Change]): Dataset[KeyHistory] = {
     import changes.sparkSession.implicits._
     changes.groupByKey(_.k)
-      .mapGroupsWithState[Change, SnapUpdate](GroupStateTimeout.NoTimeout) {
-        (k, it, state) =>
-          val incoming = it.max(changeOrd)
-          val best = state.getOption match {
-            case Some(prev) if changeOrd.gteq(prev, incoming) => prev
-            case _ => state.update(incoming); incoming
-          }
-          SnapUpdate(k, best.op, best.name, best.amount, best.version)
+      .flatMapGroupsWithState[Scd2State, KeyHistory](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (k, it, state) =>
+          val prev = state.getOption.getOrElse(Scd2State(Nil, 0L))
+          val merged = (prev.changes ++ it).distinct.sorted(changeOrd)
+          val next = Scd2State(merged, prev.emit + 1)
+          state.update(next)
+          Iterator.single(KeyHistory(k, next.emit, intervalsOf(merged)))
       }
+  }
+
+  /** Reduce emitted [[KeyHistory]] rows to the converged history (what a
+    * keyed update-mode sink holds): latest emission per key, exploded.
+    * Batch-side helper for tests/backfills. */
+  def historyOf(updates: Dataset[KeyHistory]): Dataset[HistRow] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.k)
+      .mapGroups { (_, it) => it.maxBy(_.emit) }
+      .flatMap(_.rows)
   }
 
   /** Reduce emitted updates to the final snapshot (what an update-mode
