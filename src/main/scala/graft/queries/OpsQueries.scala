@@ -274,6 +274,33 @@ object OpsQueries {
     * per-file min/max tight at 100 TB (multi-dimensional data skipping).
     * Emitted as data here so the bit-interleave is oracle-checked term
     * for term; ZOrderSpec pins the actual layout/pruning behavior. */
+  /** MapFile point-lookup serving path (reference `IO/MapFile.java:559`
+    * `Reader.seek` / `get`): the distributed MapFile is a bucketed+sorted
+    * parquet table — the key's hash names the ONE bucket file to open
+    * (SelectedBucketsCount 1 of 16, pinned in TeraAndOpsSpec) and the
+    * within-file sort keeps row-group min/max tight for the seek. The
+    * query BENCHES the whole serving story: build the table (the
+    * write-once artifact — rebuilt per session because the in-memory
+    * catalog forgets it) + one keyed lookup. autoBucketedScan is pinned
+    * off session-wide: Spark's auto mode falls back to a regular scan
+    * for plans with no join/agg, which silently discards the bucket
+    * pruning a lookup-serving session exists for (no other main-code
+    * relation is bucketed, so nothing else changes). */
+  private def mapfileLookup(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      Ops.cents(col("o_totalprice")).as("price_cents"))
+    s.sql("DROP TABLE IF EXISTS graft_mapfile_orders")
+    // a previous SESSION's files linger after its in-memory catalog died
+    // — clear the managed location or the CREATE collides with them
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_mapfile_orders")
+    wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+    orders.write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_mapfile_orders")
+    s.table("graft_mapfile_orders").filter(col("o_orderkey") === 7L)
+  }
+
   private def zorderKey(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .select(col("o_orderkey"),
@@ -285,6 +312,9 @@ object OpsQueries {
   val all: Seq[Q] = Seq(
     Q("merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Q("scd2_history", scd2History, Some(scd2HistorySql)),
+    Q("mapfile_lookup", mapfileLookup,
+      Some(s"""SELECT o_orderkey, o_custkey, ${Ops.sqlCents("o_totalprice")} AS price_cents
+              |FROM orders WHERE o_orderkey = 7""".stripMargin)),
     Q("zorder_key", zorderKey,
       Some(s"""SELECT o_orderkey, o_orderkey % 1024 AS x, o_custkey % 1024 AS y,
               |  ${graft.ops.ZOrder.sqlZKey(10, "(o_orderkey % 1024)", "(o_custkey % 1024)")} AS zkey

@@ -208,6 +208,71 @@ object AdversarialProbe {
     val zoHi = time(s"zorder_cluster x$hi")(zorderX(hi))
     verdict("zorder_cluster", zoLo, zoHi, dataRatio)
 
+    // Incremental dedup at extreme corpus ≫ batch asymmetry: the indexed
+    // corpus grows hi/lo ×, the ingest batch stays FIXED (a tagged twin
+    // of corpus copy 0, so every batch doc near-dups one corpus doc —
+    // candidates and verify genuinely fire). Per-ingest wall must stay
+    // sublinear in the corpus: the only corpus-sized terms are columnar
+    // scans (the band-index probe join's index side and the semi-join-
+    // pruned re-shingle); all pair work is batch-sized. Bound: the wall
+    // may not even TRACK the corpus ratio (model 2 × slack 2 = 4× for a
+    // 4× corpus with a fixed batch; expected ~flat). A FAIL means a
+    // corpus-sized rebuild or quadratic snuck into the ingest path.
+    // ingest-shaped batch: a tenth of the table (production increments
+    // are small relative to the corpus — a full-table batch would just
+    // measure the batch pipeline's own fixed cost on both sides)
+    val batch1 = graft.core.Tables.documents(spark, d)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+        expr("array_join(transform(split(text, ' '), w -> concat(w, '0')), ' ')")
+          .as("text"))
+      .localCheckpoint()
+    def incrIndex(mult: Int): (DataFrame, DataFrame) = {
+      val corpus = docsX(mult, hotTail = false)
+      val index = graft.llm.TextDedup
+        .minhashBandIndex(corpus, "doc_id", "text").localCheckpoint()
+      (corpus, index) // index build is the amortized write-once artifact — untimed
+    }
+    val (corpLo, idxLo) = incrIndex(lo)
+    val (corpHi, idxHi) = incrIndex(hi)
+    val incLo = time(s"incremental_dedup corpus x$lo batch x1")(
+      graft.llm.TextDedup.incrementalMinhashLsh(batch1, corpLo, idxLo,
+        "doc_id", "text", 0.8).count())
+    val incHi = time(s"incremental_dedup corpus x$hi batch x1")(
+      graft.llm.TextDedup.incrementalMinhashLsh(batch1, corpHi, idxHi,
+        "doc_id", "text", 0.8).count())
+    verdict("incremental_corpus_asym", incLo, incHi, model = 2.0)
+    // and the production claim itself: ingest through the index must beat
+    // full re-dedup of (corpus ∪ batch) by a wide margin at the hi mult
+    val fullHi = time(s"full_rededup x$hi+batch")(
+      graft.llm.TextDedup.minhashLsh(corpHi.unionByName(batch1),
+        "doc_id", "text", 0.8).count())
+    val okIncr = incHi * 2 <= fullHi
+    if (!okIncr) failed = true
+    println(f"RATIO incremental_vs_full: ${fullHi / incHi}%.2fx cheaper than " +
+      f"re-dedup (need >= 2x) -> ${if (okIncr) "PASS" else "FAIL"}")
+
+    // Heavy hitters on an ALL-DISTINCT vocabulary: every row is a new
+    // key, so the Misra–Gries summary purges constantly (each purge
+    // decrements all k counters) — maximum sketch pressure, zero true
+    // heavy hitters. Per-task state stays ≤ 2k and the shuffle carries
+    // O(k · partitions) rows, so wall must track the scan (model = data
+    // ratio); the exact verify pass sees ≤ 2k candidates and must stay
+    // noise. A FAIL means purge cost or candidate fan-out grew with the
+    // vocabulary.
+    // generated OUTSIDE the timed region like every other probe input —
+    // materializing tens of millions of checkpoint rows inside time()
+    // measures the block manager, not the sketch
+    def hhItems(mult: Int): DataFrame = spark.range(mult * 1000000L)
+      .select(concat(lit("item"), col("id")).as("w")).localCheckpoint()
+    val hhItemsLo = hhItems(lo)
+    val hhItemsHi = hhItems(hi)
+    val hhLo = time(s"heavy_hitters all-distinct x$lo")(
+      graft.ops.FrequentItems.exactHeavyHitters(hhItemsLo, "w", 0.01).count())
+    val hhHi = time(s"heavy_hitters all-distinct x$hi")(
+      graft.ops.FrequentItems.exactHeavyHitters(hhItemsHi, "w", 0.01).count())
+    verdict("heavy_hitters_distinct", hhLo, hhHi, dataRatio)
+
     spark.stop()
     if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
     else println("ADVERSARIAL PROBE: PASS")

@@ -73,6 +73,14 @@ class TeraAndOpsSpec extends SparkTestBase {
     } finally spark.conf.set(key, prev)
   }
 
+  test("mapfile_lookup registry query: the point lookup opens ONE of 16 buckets") {
+    val df = graft.SparkEntry.queries("mapfile_lookup")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 16"), plan)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
   test("XML-delimited records reader extracts tag bodies") {
     val dir = Files.createTempDirectory("xml")
     Files.writeString(dir.resolve("a.xml"),
