@@ -271,6 +271,99 @@ object Pq {
     cc
   }
 
+  /** Save the complete IVF-ADC retrieval artifact: the coarse-quantizer
+    * layout ([[Ivf.save]] — cell-partitioned), the PQ codebooks, and the
+    * cell-code relation partitioned by cell. Everything a cold serving
+    * session needs except the raw vectors, which stay in the source
+    * table and are only touched by the exact rerank's shortlist join.
+    * Wrap in [[IndexStore.ensure]] for the crash-safe build-once
+    * contract (several writes → one completion marker). */
+  def saveIvfAdc(index: Ivf.IvfIndex, model: PqModel, cellCodes: DataFrame,
+                 path: String): Unit = {
+    val spark = cellCodes.sparkSession
+    import spark.implicits._
+    Ivf.save(index, s"$path/ivf")
+    val rows = for {
+      j <- 0 until model.m
+      c <- model.codebooks(j).indices
+    } yield (j, c, model.codebooks(j)(c).toSeq)
+    rows.toDF("j", "c", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    cellCodes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cellcodes")
+  }
+
+  /** IVF-ADC probe against a [[saveIvfAdc]]'d layout — the cold-session
+    * serving path. Static pruning composes with compression here exactly
+    * as the 100 TB story claims: the probed cells are collected (bounded
+    * by |queries| × nprobe) and applied as PARTITION filters on the
+    * cell-code scan, so only nprobe/nlist of the files are opened, and
+    * those files hold 16×-compressed codes, not vectors. Output is
+    * bit-identical to [[ivfAdcKnn]] with the same build (PqSpec pins it).
+    * `emb` supplies query vectors and the rerank's shortlist vectors. */
+  def ivfAdcKnnFromDisk(emb: DataFrame, path: String, queryIds: Seq[Long],
+                        idCol: String, vecCol: String, dim: Int, k: Int,
+                        nprobe: Int, rerank: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val index = Ivf.load(spark, s"$path/ivf")
+    val cb = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val mdl = PqModel(cb.map(_._1).max + 1, cb.head._3.length,
+      Array.tabulate(cb.map(_._1).max + 1)(j => cb.filter(_._1 == j).sortBy(_._2).map(_._3)))
+    val qs = emb.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isInCollection(queryIds))
+      .as[(Long, Array[Float])].collect().toSeq
+    val bc = spark.sparkContext.broadcast(
+      qs.map { case (qid, q) => (qid, adcTable(q, mdl)) }.toMap)
+    val probes = Ivf.probeCells(index, queryIds, dim, nprobe)
+      .select(col("qid"), col("cell")).persist()
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val prunedCodes = spark.read.parquet(s"$path/cellcodes")
+      .filter(col("cell").isInCollection(cells)) // PartitionFilters on the layout
+    val scored = broadcast(probes).join(prunedCodes, Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("code"))
+      .as[(Long, Long, Array[Int])]
+      .mapPartitions { it =>
+        val qt = bc.value
+        it.map { case (qid, id, code) =>
+          var s = 0.0; var j = 0
+          while (j < code.length) { s += qt(qid)(j)(code(j)); j += 1 }
+          (qid, id, s)
+        }
+      }.toDF("query_id", "neighbor_id", "adist")
+    val shortlist = graft.ops.TopK.topKPerGroup(
+        scored.withColumn("negd", -col("adist")),
+        "query_id", "negd", "neighbor_id", k * rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(emb, idCol, vecCol, dim, qs, shortlist, k)
+  }
+
+  /** Build-or-load + cold probe in one registry-callable step — the
+    * IVF-ADC sibling of [[Ivf.annKnnFromDisk]]: first use of this data
+    * builds and [[saveIvfAdc]]s (marker-gated), every call answers from
+    * the loaded layout. */
+  def ivfAdcKnnDisk(emb: DataFrame, dataPath: String, queryIds: Seq[Long],
+                    idCol: String, vecCol: String, dim: Int, k: Int,
+                    nlist: Int, nprobe: Int, m: Int = 16, ksub: Int = 16,
+                    rerank: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    val dir = IndexStore.indexDir(spark, s"ivfadc${nlist}_${m}_${ksub}_$seed", dataPath)
+    IndexStore.ensure(spark, dir) {
+      val index = Ivf.build(emb, idCol, vecCol, dim, nlist, seed)
+      val mdl = fit(emb, vecCol, dim, m, ksub, seed)
+      val encoded = encode(emb, idCol, vecCol, mdl)
+      val cellCodes = index.assigned.select(col("id"), col("cell"))
+        .join(encoded, Seq("id"))
+        .select(col("cell"), col("id"), col("code"))
+      saveIvfAdc(index, mdl, cellCodes, dir)
+      index.assigned.unpersist()
+    }
+    ivfAdcKnnFromDisk(emb, dir, queryIds, idCol, vecCol, dim, k, nprobe, rerank)
+  }
+
   /** IVF-ADC (the paper's full system): the IVF coarse quantizer prunes
     * the corpus to `nprobe`/`nlist` of its cells, ADC scores only those
     * cells' codes, and the shortlist is exact-reranked. At 100 TB the two

@@ -328,6 +328,13 @@ object LlmQueries {
       (0L until 8L), "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 6,
       m = 16, ksub = 16, corpusKey = d), // cell pruning × code compression
       None), // approximate — nprobe==nlist ≡ plain PQ pinned in PqSpec
+    Q("knn_ann_ivfpq_disk", (s, d) => graft.llm.Pq.ivfAdcKnnDisk(
+      Tables.embeddings(s, d), s"$d/embeddings.parquet", (0L until 8L),
+      "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 6),
+      // the durable composed artifact: cell-partitioned 16×-compressed
+      // codes + codebooks + coarse layout, probed cold with the cells as
+      // partition filters
+      None), // approximate — disk≡memory + PartitionFilters pinned in PqSpec
     Q("lang_id", langId, Some(langIdSql)),
     Q("token_count", tokenCount,
       Some("""SELECT doc_id AS id, len(string_split(text, ' ')) AS n_ws_tokens,

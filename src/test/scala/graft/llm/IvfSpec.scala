@@ -89,6 +89,12 @@ class IvfSpec extends SparkTestBase {
     val mem = knnSet(Ivf.probe(index, (0L until 6L), 64, 5, nprobe = 4))
     val disk = knnSet(Ivf.probeFromDisk(loaded, (0L until 6L), 64, 5, nprobe = 4))
     assert(disk == mem)
+    // the scan probeFromDisk issues against the saved layout carries the
+    // probed cells as PARTITION filters (file pruning), not a row filter
+    val explained = Ivf.prunedScan(loaded, Seq(1, 3)).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(explained.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      explained)
   }
 
   test("annKnnFromDisk: cold-session lifecycle — build+save once, probe from disk") {

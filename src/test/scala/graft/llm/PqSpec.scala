@@ -107,6 +107,27 @@ class PqSpec extends SparkTestBase {
       key(Pq.adcSearch(encoded, model, qs, k = 5)))
   }
 
+  test("IVF-ADC disk lifecycle: cold probe equals the in-memory composed pipeline") {
+    val dataPath = s"$sf0001/embeddings.parquet"
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val disk = key(Pq.ivfAdcKnnDisk(emb, dataPath, (0L until 6L),
+      "vec_id", "embedding", dim, k = 5, nlist = 8, nprobe = 4))
+    val mem = key(Pq.ivfAdcKnn(emb, (0L until 6L), "vec_id", "embedding",
+      dim, k = 5, nlist = 8, nprobe = 4, m = 16, ksub = 16, corpusKey = "pqspec"))
+    assert(disk == mem)
+    assert(disk.nonEmpty)
+    // the saved cell-code layout turns probed cells into PARTITION filters
+    val dir = IndexStore.indexDir(spark, "ivfadc8_16_16_42", dataPath)
+    val explained = spark.read.parquet(s"$dir/cellcodes")
+      .filter(col("cell").isInCollection(Seq(1, 3))).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(explained.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      explained)
+    // marker present → a second call must not rebuild
+    assert(!IndexStore.ensure(spark, dir) { fail("rebuilt despite marker") })
+  }
+
   test("defaulted corpusKey cannot alias two different corpora") {
     // the cache folds the input plan's semantic hash into its key, so
     // back-to-back calls over DIFFERENT corpora with the default key
