@@ -324,8 +324,12 @@ object TextDedup {
                             numHashes: Int = 128, bands: Int = 32): DataFrame = {
     val newSh = shingles(newDocs, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // band relation persists too: it feeds BOTH the in-batch bucket kernel
+    // and the index probe join, and recomputing it re-runs the whole
+    // numHashes-column signature aggregation (measured 2× on the bench)
     val newBands = lshBands(minhashSignatures(newSh, numHashes),
       bands, numHashes / bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // within-batch pairs: the usual one-shuffle bucket kernel
     val inBatch = candidatesFromBands(newBands)
     // cross pairs: batch bands probe the persisted corpus buckets — an
@@ -346,10 +350,15 @@ object TextDedup {
       corpusDocs.join(candIds, corpusDocs(idCol) === col("cid"), "left_semi"),
       idCol, textCol, shingleN)
     // the batch may re-ingest an id the corpus already holds (the id1<id2
-    // canonical form would otherwise double its shingle set): batch wins
+    // canonical form would otherwise double its shingle set): batch wins.
+    // The combined relation persists: verifyJaccard reads it four ways
+    // (sizes, the df filter, both sides of the intersection join), and
+    // unpersisted the semi-join + explode re-ran per consumer — this was
+    // the gap that made ingest cost 3× the equivalent full dedup's verify
     val sh = newSh.unionByName(
       corpusCandSh.join(newSh.select(col("id")).distinct(), Seq("id"),
         "left_anti"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
 
