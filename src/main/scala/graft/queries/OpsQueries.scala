@@ -207,6 +207,15 @@ object OpsQueries {
       .orderBy(col("o_orderkey"), col("valid_from"))
   }
 
+  /** Time travel over the SCD2 history ([[graft.ops.Merge.snapshotAsOf]]):
+    * the snapshot as of version 1 — after the v1 changes, before the v2
+    * updates. A plain interval filter, so the oracle is the SCD2 oracle
+    * wrapped in the same predicate: the time-travel read is exactly as
+    * checkable as the history it reads. */
+  private def timeTravel(s: SparkSession, d: String): DataFrame =
+    graft.ops.Merge.snapshotAsOf(scd2History(s, d), 1L)
+      .orderBy(col("o_orderkey"))
+
   private val scd2HistorySql: String = {
     val cents = Ops.sqlCents("o_totalprice")
     s"""WITH base AS (
@@ -312,6 +321,10 @@ object OpsQueries {
   val all: Seq[Q] = Seq(
     Q("merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Q("scd2_history", scd2History, Some(scd2HistorySql)),
+    Q("time_travel", timeTravel,
+      Some(s"""SELECT o_orderkey, o_custkey, price_cents FROM ($scd2HistorySql) h
+              |WHERE valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)
+              |ORDER BY o_orderkey""".stripMargin)),
     Q("mapfile_lookup", mapfileLookup,
       Some(s"""SELECT o_orderkey, o_custkey, ${Ops.sqlCents("o_totalprice")} AS price_cents
               |FROM orders WHERE o_orderkey = 7""".stripMargin)),
