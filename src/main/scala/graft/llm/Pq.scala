@@ -164,20 +164,22 @@ object Pq {
     encoded.write.mode("overwrite").parquet(s"$path/codes")
   }
 
-  /** Load a [[save]]d model + encoded corpus. Shape is reconstructed
-    * from the codebook relation itself (m = #subspaces, dsub = centroid
-    * length), so the pair round-trips with no side metadata. */
-  def load(spark: org.apache.spark.sql.SparkSession,
-           path: String): (PqModel, DataFrame) = {
-    val cb = spark.read.parquet(s"$path/codebooks").collect()
+  /** Reconstruct a model from a saved (j, c, center) codebook relation —
+    * shape comes from the relation itself (m = #subspaces, dsub =
+    * centroid length), so saved models carry no side metadata. */
+  private def readModel(spark: org.apache.spark.sql.SparkSession,
+                        codebooksPath: String): PqModel = {
+    val cb = spark.read.parquet(codebooksPath).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
     val m = cb.map(_._1).max + 1
-    val dsub = cb.head._3.length
-    val codebooks = Array.tabulate(m) { j =>
-      cb.filter(_._1 == j).sortBy(_._2).map(_._3)
-    }
-    (PqModel(m, dsub, codebooks), spark.read.parquet(s"$path/codes"))
+    PqModel(m, cb.head._3.length,
+      Array.tabulate(m)(j => cb.filter(_._1 == j).sortBy(_._2).map(_._3)))
   }
+
+  /** Load a [[save]]d model + encoded corpus. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): (PqModel, DataFrame) =
+    (readModel(spark, s"$path/codebooks"), spark.read.parquet(s"$path/codes"))
 
   // model + encoded corpus cached per (context, corpus, m, ksub, seed) —
   // same build-once contract (and harness clearCache re-persist) as
@@ -307,10 +309,7 @@ object Pq {
     val spark = emb.sparkSession
     import spark.implicits._
     val index = Ivf.load(spark, s"$path/ivf")
-    val cb = spark.read.parquet(s"$path/codebooks").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    val mdl = PqModel(cb.map(_._1).max + 1, cb.head._3.length,
-      Array.tabulate(cb.map(_._1).max + 1)(j => cb.filter(_._1 == j).sortBy(_._2).map(_._3)))
+    val mdl = readModel(spark, s"$path/codebooks")
     val qs = emb.select(col(idCol).cast("long"), col(vecCol))
       .filter(col(idCol).isInCollection(queryIds))
       .as[(Long, Array[Float])].collect().toSeq
