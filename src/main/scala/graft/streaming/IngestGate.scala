@@ -36,7 +36,11 @@ import graft.llm.{DedupPipeline, TextDedup}
   * query; foreachBatch is the Structured Streaming idiom for exactly
   * this batch-composed maintenance (the same place a Delta MERGE sits).
   * State (corpus, index) is lineage-truncated every step via
-  * localCheckpoint, so a long stream's plan stays flat.
+  * localCheckpoint, so a long stream's plan stays flat. At production
+  * scale the state lives on disk instead: append admitted docs to the
+  * corpus table and their bands via [[TextDedup.saveBandIndex]] /
+  * [[graft.llm.IndexStore]] — the per-batch math is identical, only the
+  * union targets change.
   */
 object IngestGate {
 
