@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.llm.{DedupPipeline, Embeddings, Multimodal, TextDedup, TextStats}
+import graft.llm.{DedupPipeline, EditSimilarity, Embeddings, Multimodal, TextDedup, TextStats}
 
 /** North-star LLM-pipeline queries (SURVEY.md §7.1 `engine.llm`):
   * deduplication, embedding similarity, text analysis over the
@@ -48,6 +48,16 @@ object LlmQueries {
   private def dedupNgram(s: SparkSession, d: String): DataFrame =
     TextDedup.ngramJaccardJoin(Tables.documents(s, d), "doc_id", "text",
       threshold = 0.5)
+
+  /** Edit-distance near-dup pairs on the 80-char prefix: PassJoin
+    * segment pigeonhole filter + banded Levenshtein verify. The filter
+    * is lossless and the distance exact, so — unlike the probabilistic
+    * MinHash/SimHash members of the dedup family — this one is
+    * oracle-checked: DuckDB's `levenshtein` agrees character-for-
+    * character with Spark's on this ASCII corpus. */
+  private def dedupEditDistance(s: SparkSession, d: String): DataFrame =
+    EditSimilarity.editDistanceJoin(
+      Tables.documents(s, d), "doc_id", "text", t = 6, prefixLen = 80)
 
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
@@ -298,6 +308,14 @@ object LlmQueries {
       Some(s"""SELECT * FROM (${jaccardOracle(0.8)}) q
               |WHERE id1 % 2 = 1 OR id2 % 2 = 1""".stripMargin)),
     Q("dedup_ngram_jaccard", dedupNgram, Some(jaccardOracle(0.5))),
+    Q("dedup_edit_distance", dedupEditDistance,
+      // the length band (|Δl| > t ⇒ dist > t) keeps the brute-force
+      // oracle cheap; the Spark side never does all-pairs at all
+      Some("""SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |  levenshtein(substr(a.text,1,80), substr(b.text,1,80)) AS dist
+             |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+             |WHERE abs(length(substr(a.text,1,80)) - length(substr(b.text,1,80))) <= 6
+             |  AND levenshtein(substr(a.text,1,80), substr(b.text,1,80)) <= 6""".stripMargin)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_simhash", dedupSimhash, None), // probabilistic — LlmSpec properties
     Q("dedup_embedding_cosine", dedupEmbedding, Some(dedupEmbeddingSql)),
