@@ -59,6 +59,18 @@ object LlmQueries {
     EditSimilarity.editDistanceJoin(
       Tables.documents(s, d), "doc_id", "text", t = 6, prefixLen = 80)
 
+  /** Fuzzy decontamination shape: the odd-doc_id "benchmark" set matched
+    * against the even-doc_id corpus within edit distance 6 — the
+    * two-relation PassJoin, where only the corpus side is segmented and
+    * the batch side probes it. */
+  private def editMatchBatch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    EditSimilarity.editDistanceJoinBetween(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      t = 6, prefixLen = 80)
+  }
+
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
       maxHamming = 3)
@@ -314,6 +326,13 @@ object LlmQueries {
       Some("""SELECT a.doc_id AS id1, b.doc_id AS id2,
              |  levenshtein(substr(a.text,1,80), substr(b.text,1,80)) AS dist
              |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+             |WHERE abs(length(substr(a.text,1,80)) - length(substr(b.text,1,80))) <= 6
+             |  AND levenshtein(substr(a.text,1,80), substr(b.text,1,80)) <= 6""".stripMargin)),
+    Q("edit_match_batch", editMatchBatch,
+      Some("""SELECT a.doc_id AS probe_id, b.doc_id AS ref_id,
+             |  levenshtein(substr(a.text,1,80), substr(b.text,1,80)) AS dist
+             |FROM documents a JOIN documents b
+             |  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
              |WHERE abs(length(substr(a.text,1,80)) - length(substr(b.text,1,80))) <= 6
              |  AND levenshtein(substr(a.text,1,80), substr(b.text,1,80)) <= 6""".stripMargin)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),

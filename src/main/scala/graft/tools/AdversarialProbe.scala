@@ -112,6 +112,27 @@ object AdversarialProbe {
       graft.llm.TextDedup.simhashPairs(plainHi, "doc_id", "text", 3).count())
     verdict("simhash", shLo, shHi, dataRatio)
 
+    // edit-distance join on the HOT-PREFIX corpus: every doc gains a
+    // constant 42-char header, the PassJoin family's worst shape (the
+    // header's segments would be corpus-sized buckets). The corpus-LCP
+    // strip must reduce it to the plain case: near-linear wall. A
+    // 6-char per-copy token right after the header puts every cross-copy
+    // pair at distance > t, so the TRUE pair output scales exactly
+    // linearly and wall growth measures the candidate machinery alone.
+    def hotPrefixDocs(mult: Int): DataFrame = docsX(mult, hotTail = false)
+      .select(col("doc_id"),
+        concat(lit("GRAFT-CORPUS-EXPORT-HEADER-v1:fixed-field;"),
+          expr("repeat(CAST(doc_id div 1000000 AS STRING), 5)"), lit(";"),
+          col("text")).as("text"))
+      .localCheckpoint()
+    val edLo = time(s"edit_distance hot-prefix x$lo")(
+      graft.llm.EditSimilarity.editDistanceJoin(
+        hotPrefixDocs(lo), "doc_id", "text", t = 4, prefixLen = 80).count())
+    val edHi = time(s"edit_distance hot-prefix x$hi")(
+      graft.llm.EditSimilarity.editDistanceJoin(
+        hotPrefixDocs(hi), "doc_id", "text", t = 4, prefixLen = 80).count())
+    verdict("edit_distance_hot_prefix", edLo, edHi, dataRatio)
+
     // blocked exact cosine: 2× the vectors = 4× the dot products; the pin
     // is wall ~ work model, i.e. the block layout adds no extra blowup
     val embLo = embX(lo / 2, hotCluster = false)

@@ -72,6 +72,58 @@ class EditSimilaritySpec extends SparkTestBase {
     assert(got.contains((1L, 2L, 1)) && got.contains((1L, 4L, 0)))
   }
 
+  test("two-relation join == brute cross filter on batch vs corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val batch = docs.filter(col("id") % 2 === 1)
+    val corpus = docs.filter(col("id") % 2 === 0)
+    val got = EditSimilarity.editDistanceJoinBetween(
+        batch, "id", "text", corpus, "id", "text", t = 6, prefixLen = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bp = batch.select(col("id").as("pid"), substring(col("text"), 1, 80).as("ps"))
+    val br = corpus.select(col("id").as("rid"), substring(col("text"), 1, 80).as("rs"))
+    val want = bp.crossJoin(br)
+      .withColumn("dist", levenshtein(col("ps"), col("rs")))
+      .filter(col("dist") <= 6)
+      .select(col("pid"), col("rid"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("randomized corpora over a 2-letter alphabet match brute force") {
+    import org.scalacheck.{Gen, rng}
+    // low-entropy alphabet forces segment collisions, tied distances,
+    // and every length class from empty through past-segmenting
+    val strGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val corpusGen = Gen.listOfN(16, strGen)
+    for (seed <- 0 until 4; t <- Seq(1, 3)) {
+      val texts = corpusGen(Gen.Parameters.default, rng.Seed(1000L * seed + t)).get
+      val docs = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+      val got = asSet(run(docs, t, plen = 80))
+      val want = asSet(brute(docs, t, plen = 80))
+      assert(got === want, s"seed=$seed t=$t corpus=$texts")
+    }
+  }
+
+  test("corpus-wide constant header is stripped before segmenting") {
+    // every string shares a 44-char header — without LCP stripping the
+    // segments covering it are corpus-sized buckets; with it the join
+    // runs on the distinctive tails and stays exact
+    val header = "GRAFT-DOC-FORMAT-1;charset=ascii;population="
+    val docs = (1L to 40L)
+      .map(i => (i, header + s"row $i with tail ${"pad" * (i % 7).toInt}"))
+      .toDF("id", "text")
+    assert(asSet(run(docs, t = 6, plen = 200)) === asSet(brute(docs, t = 6, plen = 200)))
+  }
+
+  test("all-identical corpus: every pair at distance zero") {
+    val docs = (1L to 6L).map(i => (i, "same text everywhere")).toDF("id", "text")
+    val got = asSet(run(docs, t = 2, plen = 80))
+    assert(got === (for { a <- 1L to 6L; b <- 1L to 6L if a < b } yield (a, b, 0)).toSet)
+  }
+
   test("mixed lengths around the segmenting floor match brute force") {
     // lengths straddling k..k+t where the probe window clamps
     val docs = (1L to 12L).map(i => (i, "abcdefghijkl".take(2 + (i % 9).toInt)))
