@@ -115,23 +115,51 @@ object AdversarialProbe {
     // edit-distance join on the HOT-PREFIX corpus: every doc gains a
     // constant 42-char header, the PassJoin family's worst shape (the
     // header's segments would be corpus-sized buckets). The corpus-LCP
-    // strip must reduce it to the plain case: near-linear wall. A
-    // 6-char per-copy token right after the header puts every cross-copy
-    // pair at distance > t, so the TRUE pair output scales exactly
-    // linearly and wall growth measures the candidate machinery alone.
+    // strip must reduce it to the plain case: near-linear wall. The
+    // per-copy word tags put every cross-copy pair past the threshold —
+    // the ~78-char post-header window holds ≥11 short tagged words, each
+    // a mandatory substitution, far above t=6 — so the TRUE pair output
+    // scales exactly linearly and wall growth measures the candidate
+    // machinery alone.
     def hotPrefixDocs(mult: Int): DataFrame = docsX(mult, hotTail = false)
       .select(col("doc_id"),
-        concat(lit("GRAFT-CORPUS-EXPORT-HEADER-v1:fixed-field;"),
-          expr("repeat(CAST(doc_id div 1000000 AS STRING), 5)"), lit(";"),
-          col("text")).as("text"))
+        concat(lit("GRAFT-CORPUS-EXPORT-HEADER-v1:fixed-field;"), col("text"))
+          .as("text"))
       .localCheckpoint()
     val edLo = time(s"edit_distance hot-prefix x$lo")(
       graft.llm.EditSimilarity.editDistanceJoin(
-        hotPrefixDocs(lo), "doc_id", "text", t = 4, prefixLen = 80).count())
+        hotPrefixDocs(lo), "doc_id", "text", t = 6, prefixLen = 120).count())
     val edHi = time(s"edit_distance hot-prefix x$hi")(
       graft.llm.EditSimilarity.editDistanceJoin(
-        hotPrefixDocs(hi), "doc_id", "text", t = 4, prefixLen = 80).count())
+        hotPrefixDocs(hi), "doc_id", "text", t = 6, prefixLen = 120).count())
     verdict("edit_distance_hot_prefix", edLo, edHi, dataRatio)
+
+    // Documented LIMIT, measured but not a pass/fail gate: a per-GROUP
+    // constant affix INSIDE the probed window (interior boilerplate the
+    // corpus-LCP strip cannot remove — here an 8-char token shared by a
+    // QUARTER of the corpus, wide enough to fill a whole segment) makes
+    // that segment's bucket group-sized, and candidate pairs grow with
+    // group size² exactly as EditSimilarity's scaladoc caveat states.
+    // Group COUNT is fixed at 4 so doubling the corpus doubles group
+    // size → ~4× candidates. The numbers put a magnitude on "normalize
+    // known affixes out first" (the shingle family is the fallback when
+    // you can't).
+    def groupAffixDocs(mult: Int): DataFrame = docsX(mult, hotTail = false)
+      .select(col("doc_id"),
+        concat(lit("GRAFT-CORPUS-EXPORT-HEADER-v1:fixed-field;"),
+          expr("repeat(CAST(doc_id % 4 AS STRING), 8)"), lit(";"),
+          col("text")).as("text"))
+      .localCheckpoint()
+    val gaMultLo = math.max(1, lo / 4)
+    val gaMultHi = math.max(2, lo / 2)
+    val gaLo = time(s"edit_distance group-affix LIMIT x$gaMultLo")(
+      graft.llm.EditSimilarity.editDistanceJoin(
+        groupAffixDocs(gaMultLo), "doc_id", "text", t = 4, prefixLen = 80).count())
+    val gaHi = time(s"edit_distance group-affix LIMIT x$gaMultHi")(
+      graft.llm.EditSimilarity.editDistanceJoin(
+        groupAffixDocs(gaMultHi), "doc_id", "text", t = 4, prefixLen = 80).count())
+    println(f"LIMIT edit_distance_group_affix: ${gaHi / gaLo}%.2fx wall for 2x data " +
+      "(quadratic by construction — documented caveat, not a gate)")
 
     // blocked exact cosine: 2× the vectors = 4× the dot products; the pin
     // is wall ~ work model, i.e. the block layout adds no extra blowup
@@ -284,14 +312,23 @@ object AdversarialProbe {
     // generated OUTSIDE the timed region like every other probe input —
     // materializing tens of millions of checkpoint rows inside time()
     // measures the block manager, not the sketch
-    def hhItems(mult: Int): DataFrame = spark.range(mult * 1000000L)
+    // 4M rows per multiple: at 1M/multiple a fully-warmed JVM finishes
+    // the lo point in ~0.2 s — BELOW the per-job fixed-cost floor — and
+    // the lo/hi ratio measures the floor, not the sketch (an isolated
+    // fresh-JVM A/B showed 5.1x warm-vs-warm where the end-of-suite
+    // measurement said 18x)
+    def hhItems(mult: Int): DataFrame = spark.range(mult * 4000000L)
       .select(concat(lit("item"), col("id")).as("w")).localCheckpoint()
     val hhItemsLo = hhItems(lo)
     val hhItemsHi = hhItems(hi)
-    val hhLo = time(s"heavy_hitters all-distinct x$lo")(
-      graft.ops.FrequentItems.exactHeavyHitters(hhItemsLo, "w", 0.01).count())
-    val hhHi = time(s"heavy_hitters all-distinct x$hi")(
-      graft.ops.FrequentItems.exactHeavyHitters(hhItemsHi, "w", 0.01).count())
+    // min-of-2 on both points: the lo run is sub-second, so a single
+    // measurement's fixed-overhead jitter (JIT, GC, first-stage launch)
+    // can swing the ratio across the bound in either direction — the
+    // min pairs like with like
+    val hhLo = (0 until 2).map(_ => time(s"heavy_hitters all-distinct x$lo")(
+      graft.ops.FrequentItems.exactHeavyHitters(hhItemsLo, "w", 0.01).count())).min
+    val hhHi = (0 until 2).map(_ => time(s"heavy_hitters all-distinct x$hi")(
+      graft.ops.FrequentItems.exactHeavyHitters(hhItemsHi, "w", 0.01).count())).min
     verdict("heavy_hitters_distinct", hhLo, hhHi, dataRatio)
 
     spark.stop()
