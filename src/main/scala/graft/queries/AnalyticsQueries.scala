@@ -53,6 +53,15 @@ object AnalyticsQueries {
         sqrt(col("ss").cast("double") / col("n") - mean * mean).as("stddev_len"))
   }
 
+  /** Exact order-price quantiles per status: the scale-correct exact
+    * quantile (value-count aggregation first; the per-group window runs
+    * over distinct values only — see [[graft.ops.Quantiles]]). */
+  private def quantilesExact(s: SparkSession, d: String): DataFrame =
+    graft.ops.Quantiles.exactQuantiles(
+      Tables.orders(s, d), "o_orderstatus", cents(col("o_totalprice")),
+      Seq(("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)))
+      .select(col("g").as("status"), col("p"), col("v").as("q_cents"))
+
   /** Rollup over (returnflag, linestatus): subtotals + grand total with
     * grouping_id — beyond-reference multi-dimensional agg (built-in). */
   private def rollupAgg(s: SparkSession, d: String): DataFrame =
@@ -345,6 +354,21 @@ object AnalyticsQueries {
       Some("""SELECT median(length(w)) AS median_len
              |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
              |WHERE w <> ''""".stripMargin)),
+    Q("quantiles_exact", quantilesExact,
+      // integer-rank discrete quantiles: ceil(p*n) via (num*n+den-1) div
+      // den on both sides, so no FP enters the compare anywhere
+      Some("""WITH byv AS (SELECT o_orderstatus AS status,
+             |       CAST(round(o_totalprice*100) AS BIGINT) AS v,
+             |       count(*) AS cnt FROM orders GROUP BY 1, 2),
+             |cum AS (SELECT status, v, cnt,
+             |       sum(cnt) OVER (PARTITION BY status ORDER BY v) AS hi,
+             |       sum(cnt) OVER (PARTITION BY status) AS n FROM byv),
+             |specs(p, num, den) AS (SELECT * FROM (VALUES
+             |       ('p10',1,10),('p25',1,4),('p50',1,2),('p75',3,4),('p90',9,10)) t)
+             |SELECT c.status, s.p, c.v AS q_cents
+             |FROM cum c JOIN specs s
+             |  ON ((s.num * c.n + s.den - 1) // s.den)
+             |     BETWEEN c.hi - c.cnt + 1 AND c.hi""".stripMargin)),
     Q("word_stddev", wordStddev,
       Some("""SELECT n, s, ss,
              |  sqrt(CAST(ss AS DOUBLE) / n
