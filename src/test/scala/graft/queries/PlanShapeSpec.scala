@@ -94,6 +94,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_min") || p.contains("partial min"), p)
   }
 
+  test("dedup_edit_distance: segment-probe candidates via hash join; nested loops only for scalars and the short residue") {
+    val p = plan("dedup_edit_distance")
+    // the candidate join on (l, i, seg) must stay an equi-join — a
+    // regression to theta/cartesian would be all-pairs in disguise
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // nested loops are only legitimate against constant-sized sides:
+    // the 1-row corpus-LCP scalar (a conditionless Cross) and the
+    // length-banded short-string residue (strings under t+1 chars;
+    // `abs(...) <= t` band). Audit on executedPlan.toString, where the
+    // join conditions print inline
+    val phys = graft.SparkEntry.queries("dedup_edit_distance")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val bnlj = phys.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty, phys) // the residue + scalar joins exist
+    bnlj.foreach { line =>
+      assert(line.contains("Cross") || line.contains("abs("), line)
+    }
+  }
+
   test("logalyzer: k extraction cached below the range exchange, narrow shuffle") {
     val df = graft.SparkEntry.queries("logalyzer")(spark, sf0001)
     val formatted = df.queryExecution.explainString(
