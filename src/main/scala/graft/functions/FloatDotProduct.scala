@@ -87,5 +87,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_heavy_hitters",
       exprs => HeavyHitterSketch(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll",
+      exprs => KllSketch(exprs.head, exprs(1)), "built-in")
   }
 }

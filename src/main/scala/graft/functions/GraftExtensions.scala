@@ -32,5 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HeavyHitterSketch].getName, "graft_heavy_hitters"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HeavyHitterSketch(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll"),
+      new ExpressionInfo(classOf[KllSketch].getName, "graft_kll"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllSketch(exprs.head, exprs(1))))
   }
 }

@@ -34,16 +34,51 @@ object Quantiles {
       groupCol: String,
       valueCol: Column,
       specs: Seq[(String, Int, Int)]): DataFrame = {
+    val byVal = df
+      .select(col(groupCol).as("g"), valueCol.as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    rankSelect(byVal, specs)
+  }
+
+  /** Approximate quantiles from the one-pass [[graft.functions.KllSketch]]
+    * aggregate: state per group is O(k·log(n/k)) regardless of value
+    * CARDINALITY — the regime where [[exactQuantiles]]'s distinct-value
+    * shuffle stops being small (raw timestamps, scores, byte sizes).
+    * The sketch's weighted CDF feeds the SAME integer-rank selection as
+    * the exact path, so the two differ only in the multiset they rank
+    * over; KllSpec pins the rank error and the exact-below-k case. */
+  def approxQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: Column,
+      specs: Seq[(String, Int, Int)],
+      k: Int = 512): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val byVal = df
+      .select(col(groupCol).as("g"), valueCol.as("v"))
+      .groupBy(col("g"))
+      .agg(call_function("graft_kll", col("v"), lit(k)).as("sk"))
+      .select(col("g"), explode(col("sk")).as("e"))
+      // equal values can appear at several sketch levels — re-coalesce
+      // so the CDF has one row per (group, value) like the exact path
+      .groupBy(col("g"), col("e.v").as("v"))
+      .agg(sum(col("e.w")).as("cnt"))
+    rankSelect(byVal, specs)
+  }
+
+  /** Shared tail: cumulative counts over the (g, v, cnt) relation and
+    * integer-arithmetic rank selection. The window input is the
+    * compressed multiset (distinct values or sketch atoms), never raw
+    * rows. */
+  private def rankSelect(
+      byVal: DataFrame,
+      specs: Seq[(String, Int, Int)]): DataFrame = {
     require(specs.nonEmpty, "at least one quantile spec required")
     specs.foreach { case (label, num, den) =>
       require(num >= 1 && num <= den, s"$label: need 1 <= num <= den, got $num/$den")
     }
-    val spark = df.sparkSession
+    val spark = byVal.sparkSession
     import spark.implicits._
-
-    val byVal = df
-      .select(col(groupCol).as("g"), valueCol.as("v"))
-      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
 
     val cum = byVal
       .withColumn("hi", sum(col("cnt")).over(Window.partitionBy("g").orderBy("v")))

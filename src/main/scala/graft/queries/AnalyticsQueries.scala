@@ -62,6 +62,18 @@ object AnalyticsQueries {
       Seq(("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)))
       .select(col("g").as("status"), col("p"), col("v").as("q_cents"))
 
+  /** One-pass KLL-sketch deciles over the same fixture: bounded state per
+    * group regardless of value cardinality (see
+    * [[graft.ops.Quantiles.approxQuantiles]]). Approximate by
+    * construction → rows-only; KllSketchSpec pins the rank-error bound
+    * and exact-below-capacity behavior. */
+  private def quantilesSketch(s: SparkSession, d: String): DataFrame =
+    graft.ops.Quantiles.approxQuantiles(
+      Tables.orders(s, d), "o_orderstatus", cents(col("o_totalprice")),
+      Seq(("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)),
+      k = 512)
+      .select(col("g").as("status"), col("p"), col("v").as("q_cents"))
+
   /** Rollup over (returnflag, linestatus): subtotals + grand total with
     * grouping_id — beyond-reference multi-dimensional agg (built-in). */
   private def rollupAgg(s: SparkSession, d: String): DataFrame =
@@ -369,6 +381,10 @@ object AnalyticsQueries {
              |FROM cum c JOIN specs s
              |  ON ((s.num * c.n + s.den - 1) // s.den)
              |     BETWEEN c.hi - c.cnt + 1 AND c.hi""".stripMargin)),
+    Q("quantiles_sketch", quantilesSketch,
+      None), // sketch estimates depend on partition arrival order (within
+             // the pinned error bound) — no stable oracle; KllSketchSpec
+             // pins rank error vs the exact pass
     Q("word_stddev", wordStddev,
       Some("""SELECT n, s, ss,
              |  sqrt(CAST(ss AS DOUBLE) / n

@@ -1,0 +1,93 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.ops.Quantiles
+import org.apache.spark.sql.functions._
+
+/** Pins for the KLL quantile sketch: exactness below capacity, total
+  * weight preservation under arbitrary partitioning (the merge is
+  * weight-lossless by construction), the rank-error bound on random
+  * data, and agreement with the exact path on the real fixture.
+  */
+class KllSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val specs =
+    Seq(("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+
+  test("below capacity the sketch IS the data: approx == exact") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 300).map(_ => ("g", rnd.nextLong() % 100000))
+    val exact = Quantiles.exactQuantiles(rows.toDF("g", "v"), "g", col("v"), specs)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    val approx = Quantiles.approxQuantiles(rows.toDF("g", "v"), "g", col("v"), specs, k = 512)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(approx === exact)
+  }
+
+  test("total weight equals n for any partitioning") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(5)
+    val values = (1 to 100000).map(_ => rnd.nextLong() % 1000000)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = values.toDF("v").repartition(parts)
+      val total = df.agg(call_function("graft_kll", col("v"), lit(64)).as("sk"))
+        .select(explode(col("sk")).as("e")).agg(sum("e.w")).head().getLong(0)
+      assert(total === values.length.toLong, s"parts=$parts")
+    }
+  }
+
+  test("rank error within the levels*n/k bound on 200k random values") {
+    val rnd = new scala.util.Random(11)
+    val n = 200000
+    val k = 512
+    val values = Array.fill(n)(rnd.nextLong() % 10000000)
+    val sorted = values.sorted
+    val got = Quantiles.approxQuantiles(
+        values.toSeq.toDF("v").select(lit("g").as("g"), col("v")), "g", col("v"), specs, k)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    // analytic-shape bound: each level compaction perturbs ranks by its
+    // weight; levels ~ log2(n/k) + 1
+    val levels = (math.log(n.toDouble / k) / math.log(2)).ceil.toInt + 1
+    val bound = levels.toLong * n / k
+    for ((p, num, den) <- specs) {
+      val target = (num.toLong * n + den - 1) / den
+      val est = got(p)
+      // true rank range of the estimate in the sorted data (1-based)
+      val lo = java.util.Arrays.binarySearch(sorted, est) match {
+        case i if i >= 0 => // first occurrence
+          var j = i; while (j > 0 && sorted(j - 1) == est) j -= 1; j + 1
+        case i => -i // insertion point + 1 - 1
+      }
+      var hiIdx = java.util.Arrays.binarySearch(sorted, est)
+      if (hiIdx >= 0) { while (hiIdx < n - 1 && sorted(hiIdx + 1) == est) hiIdx += 1 }
+      else hiIdx = -hiIdx - 2
+      val hi = hiIdx + 1
+      val err = if (target < lo) lo - target else if (target > hi) target - hi else 0L
+      assert(err <= bound, s"$p: rank err $err > bound $bound (target $target, est covers [$lo,$hi])")
+    }
+  }
+
+  test("orders fixture: sketch deciles within 2% rank error of exact") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val n = orders.count()
+    val cents = (round(col("o_totalprice") * 100)).cast("long")
+    val exactVals = orders.select(cents.as("v")).orderBy("v")
+      .collect().map(_.getLong(0))
+    val got = Quantiles.approxQuantiles(orders, "o_orderstatus", cents, specs, k = 512)
+    // every (status, p) answered exactly once
+    assert(got.count() === 3L * specs.length)
+    // global-group sanity on the largest status: rank error <= 2% of n
+    val gotO = Quantiles.approxQuantiles(
+        orders.select(lit("all").as("s"), cents.as("v")), "s", col("v"), specs, k = 512)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    for ((p, num, den) <- specs) {
+      val target = (num.toLong * n + den - 1) / den
+      val est = gotO(p)
+      val rank = exactVals.count(_ <= est)
+      val lo = exactVals.count(_ < est) + 1
+      val err = if (target < lo) lo - target else if (target > rank) target - rank else 0L
+      assert(err <= (n * 0.02).toLong + 1, s"$p: rank err $err at n=$n")
+    }
+  }
+}
