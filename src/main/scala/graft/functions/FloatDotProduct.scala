@@ -90,5 +90,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll",
       exprs => KllSketch(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_merge",
+      exprs => KllMergeSketch(exprs.head, exprs(1)), "built-in")
   }
 }

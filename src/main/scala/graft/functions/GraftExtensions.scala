@@ -37,5 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KllSketch].getName, "graft_kll"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KllSketch(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[KllMergeSketch].getName, "graft_kll_merge"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllMergeSketch(exprs.head, exprs(1))))
   }
 }

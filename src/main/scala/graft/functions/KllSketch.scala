@@ -102,6 +102,87 @@ case class KllSketch(
     copy(child = newChildren(0), kExpr = newChildren(1))
 }
 
+/** Re-aggregate FINALIZED sketch outputs (`graft_kll_merge(sketch, k)`):
+  * each input row is a weighted-CDF array produced by [[KllSketch]], and
+  * every (v, w = 2^h) atom is re-inserted at level h
+  * ([[KllSketch.Summary.addWeighted]]) — reconstructing the summary
+  * structure the atoms came from, then merging across rows with the same
+  * compactor rules.
+  *
+  * This is the missing half of the 100 TB sketch story: a SKETCH TABLE.
+  * Persist per-unit sketches (per day, per source, per file) once, then
+  * answer quantile queries over any subset or regrouping by aggregating
+  * the tiny sketch rows — the raw data is never re-scanned. Soundness is
+  * the same mergeability argument as the partial/final split inside one
+  * aggregation; the rank-error bound degrades only by the extra
+  * compaction rounds the merge itself triggers (pinned in KllSketchSpec
+  * against the exact pass).
+  */
+case class KllMergeSketch(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllSketch.Summary] {
+
+  private lazy val k: Int = kExpr.eval(InternalRow.empty).asInstanceOf[Int]
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kll_merge"
+  override def dataType: DataType = KllSketch.resultType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, kExpr.dataType) match {
+      case (ArrayType(st: StructType, _), IntegerType)
+          if st.fields.length == 2 &&
+            st.fields.forall(_.dataType == LongType) && kExpr.foldable =>
+        kExpr.eval(InternalRow.empty) match {
+          case i: java.lang.Integer if i >= 8 => TypeCheckResult.TypeCheckSuccess
+          case _ => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires k to be an INT literal >= 8")
+        }
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<STRUCT<BIGINT,BIGINT>>, foldable INT) " +
+          s"arguments, got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def createAggregationBuffer(): KllSketch.Summary = new KllSketch.Summary(k)
+
+  override def update(b: KllSketch.Summary, input: InternalRow): KllSketch.Summary = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        val atom = arr.getStruct(i, 2)
+        b.addWeighted(atom.getLong(0), atom.getLong(1))
+        i += 1
+      }
+    }
+    b
+  }
+
+  override def merge(a: KllSketch.Summary, b: KllSketch.Summary): KllSketch.Summary = {
+    a.mergeIn(b); a
+  }
+
+  override def eval(b: KllSketch.Summary): Any = b.result()
+
+  override def serialize(b: KllSketch.Summary): Array[Byte] = b.toBytes
+  override def deserialize(bytes: Array[Byte]): KllSketch.Summary =
+    KllSketch.Summary.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
 object KllSketch {
 
   val resultType: DataType = ArrayType(StructType(Seq(
@@ -128,6 +209,26 @@ object KllSketch {
       levels(0) += v
       count += 1
       if (levels(0).length >= k) compact(0)
+    }
+
+    /** Re-insert a weighted atom (v, w = 2^h) at its level — the inverse
+      * of [[result]]'s flatten, so feeding one summary's output atoms
+      * back in reconstructs an equivalent summary (same per-level
+      * multisets; parity restarts, which only steers FUTURE compaction
+      * choices). This is what makes finalized sketch OUTPUTS re-
+      * aggregable: a saved sketch table can be rolled up later without
+      * the raw data. */
+    def addWeighted(v: Long, w: Long): Unit = {
+      require(w > 0 && (w & (w - 1)) == 0,
+        s"sketch atom weight must be a power of two, got $w")
+      val h = java.lang.Long.numberOfTrailingZeros(w)
+      while (levels.length <= h) {
+        levels += ArrayBuffer.empty[Long]
+        parity += false
+      }
+      levels(h) += v
+      count += w
+      if (levels(h).length >= k) compact(h)
     }
 
     def mergeIn(other: Summary): Unit = {

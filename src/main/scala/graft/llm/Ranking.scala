@@ -81,4 +81,68 @@ object Ranking {
     val idf = log((n - dfT + lit(0.5)) / (dfT + lit(0.5)) + lit(1.0))
     perTerm.withColumn("bm25", idf * col("tf_norm"))
   }
+
+  /** Query-vs-corpus exact n-gram Jaccard top-k — the SPARSE retrieval
+    * arm of hybrid search (the dense arm is
+    * [[Embeddings.bruteForceKnn]] / the ANN family). Unlike the dedup
+    * operators' pair joins, this is asymmetric: the query set is small,
+    * so its shingle relation broadcasts and the corpus's shingle relation
+    * is scanned once with NO corpus-sized shuffle before the bounded
+    * per-query top-k. Output: (query_id, neighbor_id, rank, jac) with
+    * rank by (jac desc, neighbor_id asc) — the single IEEE division
+    * inter/(nq+nd−inter) over exact counts, so the ranking (and the
+    * score itself) is reproducible bit-for-bit in any engine.
+    */
+  def jaccardTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  textCol: String, k: Int, n: Int = 3): DataFrame = {
+    val sh = TextDedup.shingles(corpus, idCol, textCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nd"))
+    val qsh = TextDedup.shingles(queries, idCol, textCol, n)
+      .withColumnRenamed("id", "qid")
+    val qsizes = qsh.groupBy(col("qid")).agg(count(lit(1)).as("nq"))
+    val inter = broadcast(qsh).join(sh, "shingle")
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid"), col("id")).agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(broadcast(qsizes), "qid")
+      .join(sizes, "id")
+      .select(col("qid"), col("id"),
+        (col("inter").cast("double") /
+          (col("nq") + col("nd") - col("inter")).cast("double")).as("jac"))
+    graft.ops.TopK.topKPerGroup(scored, "qid", "jac", "id", k)
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        col("rank"), col("jac"))
+  }
+
+  /** Reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse per-query rankings from independent retrieval systems by
+    * score(d) = Σ_s 1/(c + rank_s(d)), missing-from-a-list terms
+    * contributing 0. Rank lists are per-query bounded, so the fusion
+    * join and the final bounded top-k are list-sized — the corpus is
+    * never touched here, which is the whole point of fusing RANKS
+    * instead of incomparable raw scores. Each term is one IEEE division
+    * of integers and the terms are summed in the given fixed order, so
+    * the fused score is bit-reproducible cross-engine (unlike
+    * score-normalization fusion, which needs transcendental softmax/
+    * z-score steps).
+    *
+    * `rankings` each expose (query_id, neighbor_id, rank). Output:
+    * (query_id, neighbor_id, rank, rrf), top `k` per query by
+    * (rrf desc, neighbor_id asc).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], c: Int = 60, k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val sides = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("neighbor_id"), col("rank").as(s"__r$i"))
+    }
+    val joined = sides.reduce(
+      (a, b) => a.join(b, Seq("query_id", "neighbor_id"), "full_outer"))
+    val score = sides.indices
+      .map(i => coalesce(lit(1.0) / (lit(c) + col(s"__r$i")), lit(0.0)))
+      .reduce(_ + _)
+    val fused = joined.select(col("query_id"), col("neighbor_id"),
+      score.as("rrf"))
+    graft.ops.TopK.topKPerGroup(fused, "query_id", "rrf", "neighbor_id", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("rrf"))
+  }
 }

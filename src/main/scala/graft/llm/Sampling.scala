@@ -146,4 +146,67 @@ object Sampling {
         df.withColumn("__rank", rank), stratumCol, "__rank", idCol, k)
       .select(col(stratumCol), col(idCol), col("rank"))
   }
+
+  /** 2^52 — the one-past-max of the 13-hex-char md5 rank domain, exactly
+    * representable as a double. */
+  private val maxRankDouble = 4503599627370496.0d
+
+  /** Priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+    * estimation of arbitrary subset sums", JACM 54(6), 2007 — public
+    * paper): a WEIGHT-sensitive sample of exactly min(k, n) rows that
+    * supports unbiased subset-sum estimation — the training-data use is
+    * sampling documents proportionally to token count while still being
+    * able to estimate any subgroup's true token total from the sample
+    * alone. Each row gets priority p = u / w with u uniform; the sample
+    * is the k SMALLEST priorities (heavy rows get small priorities, so
+    * inclusion probability rises with weight), and with τ the (k+1)-th
+    * smallest priority, ŵ = max(w, 2^52/τ) is the Horvitz–Thompson-style
+    * weight estimate: E[Σ_S ŵ · 1(i∈S)] = w_i per row, so any subset's
+    * ŵ-sum unbiasedly estimates its true weight-sum.
+    *
+    * Everything is deterministic and cross-engine bit-exact BY
+    * CONSTRUCTION: u is the salted 52-bit md5 rank (the same digest
+    * machinery as [[exactKPerStratum]], reproducible anywhere, +1 so
+    * u ∈ [1, 2^52] and priorities stay finite and positive), and both
+    * p = u/w and ŵ's 2^52/τ are single correctly-rounded IEEE divisions
+    * of exact integers — no `pow`/`ln` as in exponential-key weighted
+    * reservoirs (Efraimidis–Spirakis), whose transcendental keys are NOT
+    * guaranteed to reproduce across engines. That choice is what lets
+    * the registry query be oracle-hashed rather than rows-only.
+    *
+    * Scale: one scan assigns priorities map-side; the global k+1-smallest
+    * is TakeOrderedAndProject (per-partition bounded top-k, no full
+    * sort); ranking and τ-extraction then run over k+1 rows. Weights
+    * must be positive integers — w ≤ 0 would make p non-positive or
+    * divide by zero (the caller owns that contract, same as rate bounds
+    * in [[rateToHex]]).
+    *
+    * Output: (id, weight, priority, rank, w_est), rank 1..min(k,n) by
+    * (priority asc, id asc); when n ≤ k the whole input returns with
+    * ŵ = w (τ undefined — nothing was excluded, the estimate is exact).
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = conv(substring(
+        md5(concat(lit(salt), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long") + lit(1L)
+    val pri = u.cast("double") / col(weightCol).cast("double")
+    val top = df
+      .select(col(idCol).as("id"), col(weightCol).cast("long").as("weight"),
+        pri.as("priority"))
+      .orderBy(col("priority"), col("id"))
+      .limit(k + 1)
+      .persist() // k+1 rows, read twice (ranking + τ)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("priority"), col("id"))))
+    val tau = ranked
+      .agg(max(when(col("rank") === k + 1, col("priority"))).as("tau"))
+    ranked.filter(col("rank") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col("id"), col("weight"), col("priority"), col("rank"),
+        greatest(col("weight").cast("double"),
+          coalesce(lit(maxRankDouble) / col("tau"), lit(0.0d))).as("w_est"))
+  }
 }

@@ -66,6 +66,47 @@ object Quantiles {
     rankSelect(byVal, specs)
   }
 
+  /** The rows of a SKETCH TABLE: one KLL summary per (group, unit) —
+    * persist these (unit = day / source / file) and answer later
+    * quantile queries over any unit subset or regrouping from the tiny
+    * sketch rows alone, raw data never re-scanned. The 100 TB
+    * pre-aggregation pattern: a year of per-day sketches is ~365·k·log n
+    * longs per group, and [[rollupQuantiles]] over them is metadata-
+    * sized work. Output: (g, u, sketch). */
+  def sketchTable(
+      df: DataFrame,
+      groupCol: String,
+      unitCol: String,
+      valueCol: Column,
+      k: Int = 512): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(groupCol).as("g"), col(unitCol).as("u"), valueCol.as("v"))
+      .groupBy(col("g"), col("u"))
+      .agg(call_function("graft_kll", col("v"), lit(k)).as("sketch"))
+  }
+
+  /** Quantiles from a sketch table: `graft_kll_merge` re-aggregates the
+    * FINALIZED per-unit summaries (each weighted atom re-enters at its
+    * level, reconstructing the compactor structure — see
+    * [[graft.functions.KllMergeSketch]]), then the same integer-rank
+    * selection as the exact path runs on the merged CDF. */
+  def rollupQuantiles(
+      sketches: DataFrame,
+      groupCol: String,
+      sketchCol: String,
+      specs: Seq[(String, Int, Int)],
+      k: Int = 512): DataFrame = {
+    graft.functions.GraftFunctions.register(sketches.sparkSession)
+    val byVal = sketches
+      .select(col(groupCol).as("g"), col(sketchCol).as("__sk"))
+      .groupBy(col("g"))
+      .agg(call_function("graft_kll_merge", col("__sk"), lit(k)).as("sk"))
+      .select(col("g"), explode(col("sk")).as("e"))
+      .groupBy(col("g"), col("e.v").as("v"))
+      .agg(sum(col("e.w")).as("cnt"))
+    rankSelect(byVal, specs)
+  }
+
   /** Shared tail: cumulative counts over the (g, v, cnt) relation and
     * integer-arithmetic rank selection. The window input is the
     * compressed multiset (distinct values or sketch atoms), never raw

@@ -74,6 +74,22 @@ object AnalyticsQueries {
       k = 512)
       .select(col("g").as("status"), col("p"), col("v").as("q_cents"))
 
+  /** The sketch-table lifecycle in one query: per-(status, order-month)
+    * KLL summaries — the rows a warehouse would PERSIST — rolled up to
+    * per-status quantiles via `graft_kll_merge`, raw orders scanned
+    * exactly once and only for the sketch build. Approximate → rows-only;
+    * KllSketchSpec pins roundtrip-exactness of atom re-insertion, weight
+    * conservation, and the rank-error bound vs the exact pass. */
+  private def quantilesRollup(s: SparkSession, d: String): DataFrame = {
+    val sketches = graft.ops.Quantiles.sketchTable(
+      Tables.orders(s, d), "o_orderstatus",
+      "o_orderdate", cents(col("o_totalprice")), k = 512)
+    graft.ops.Quantiles.rollupQuantiles(sketches, "g", "sketch",
+      Seq(("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)),
+      k = 512)
+      .select(col("g").as("status"), col("p"), col("v").as("q_cents"))
+  }
+
   /** Rollup over (returnflag, linestatus): subtotals + grand total with
     * grouping_id — beyond-reference multi-dimensional agg (built-in). */
   private def rollupAgg(s: SparkSession, d: String): DataFrame =
@@ -385,6 +401,10 @@ object AnalyticsQueries {
       None), // sketch estimates depend on partition arrival order (within
              // the pinned error bound) — no stable oracle; KllSketchSpec
              // pins rank error vs the exact pass
+    Q("quantiles_rollup", quantilesRollup,
+      None), // same approximate-by-construction reason as quantiles_sketch;
+             // KllSketchSpec pins atom-reinsertion roundtrip, weight
+             // conservation, and the rolled-up rank-error bound
     Q("word_stddev", wordStddev,
       Some("""SELECT n, s, ss,
              |  sqrt(CAST(ss AS DOUBLE) / n

@@ -169,6 +169,66 @@ object LlmQueries {
     Embeddings.annLshKnn(Tables.embeddings(s, d), queryIds = (0L until 8L),
       "vec_id", "embedding", dim, k = 5)
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the dense arm (exact
+    * cosine top-20 over embeddings) and the sparse arm (exact 3-gram
+    * Jaccard top-20 over the document texts) for queries 0–7 — the
+    * testdata's `vec_id` and `doc_id` spaces are both 0..n-1 over the
+    * same synthetic corpus, so the two systems rank the same id space.
+    * Integer ranks + fixed-order IEEE divisions make the fused score
+    * bit-exact, so the full fusion pipeline is oracle-checked
+    * ([[graft.llm.Ranking.rrfFuse]]). */
+  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val dense = Embeddings.bruteForceKnn(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 8),
+        "vec_id", "embedding", dim, k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val sparse = graft.llm.Ranking.jaccardTopK(Tables.documents(s, d),
+        Tables.documents(s, d).filter(col("doc_id") < 8),
+        "doc_id", "text", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    graft.llm.Ranking.rrfFuse(Seq(dense, sparse), c = 60, k = 10)
+  }
+
+  private val hybridRrfSql: String =
+    s"""WITH $sqlNorms,
+       |dense AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |          ${sqlDot("q.embedding", "v.embedding")} / (q.nrm * v.nrm) AS cos
+       |        FROM v q JOIN v ON q.vec_id < 8 AND v.vec_id <> q.vec_id) s) t
+       |  WHERE rank <= 20),
+       |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM docs)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS qid, b.doc_id AS did, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < 8 AND b.doc_id <> a.doc_id
+       |  GROUP BY 1, 2),
+       |sparse AS (SELECT qid, did, rank FROM (
+       |  SELECT qid, did, row_number() OVER (PARTITION BY qid
+       |      ORDER BY CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) DESC, did)
+       |    AS rank
+       |  FROM inter JOIN sizes s1 ON qid = s1.doc_id
+       |             JOIN sizes s2 ON did = s2.doc_id) t
+       |  WHERE rank <= 20),
+       |fused AS (SELECT
+       |    coalesce(d.query_id, s.qid) AS query_id,
+       |    coalesce(d.neighbor_id, s.did) AS neighbor_id,
+       |    coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rank), CAST(0.0 AS DOUBLE))
+       |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + s.rank), CAST(0.0 AS DOUBLE))
+       |      AS rrf
+       |  FROM dense d FULL OUTER JOIN sparse s
+       |    ON d.query_id = s.qid AND d.neighbor_id = s.did)
+       |SELECT query_id, neighbor_id, rank, rrf FROM (
+       |  SELECT query_id, neighbor_id, rrf,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf DESC, neighbor_id) AS rank
+       |  FROM fused) t
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   // ---- text analysis ----
 
   private def langId(s: SparkSession, d: String): DataFrame =
@@ -346,6 +406,7 @@ object LlmQueries {
              // subset-of-exact and exact-restricted-to-co-clustered equality
 
     Q("knn_bruteforce", knnBrute, Some(knnBruteSql)),
+    Q("hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("knn_ann_lsh", knnAnnLsh, None), // approximate — recall vs brute in LlmSpec
     Q("knn_ann_ivf", (s, d) => graft.llm.Ivf.annKnn(Tables.embeddings(s, d),
       (0L until 8L), "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 6,

