@@ -74,17 +74,26 @@ object AnalyticsQueries {
       k = 512)
       .select(col("g").as("status"), col("p"), col("v").as("q_cents"))
 
-  /** The sketch-table lifecycle in one query: per-(status, order-month)
-    * KLL summaries — the rows a warehouse would PERSIST — rolled up to
-    * per-status quantiles via `graft_kll_merge`, raw orders scanned
-    * exactly once and only for the sketch build. Approximate → rows-only;
-    * KllSketchSpec pins roundtrip-exactness of atom re-insertion, weight
-    * conservation, and the rank-error bound vs the exact pass. */
+  /** The FULL sketch-table lifecycle in one query: per-(status,
+    * order-date) KLL summaries — the rows a warehouse PERSISTS — are
+    * written once to a content-fingerprinted parquet artifact (crash-safe
+    * completion marker, same lifecycle as the ANN/dedup indexes), and the
+    * answer comes from the COLD-loaded table via `graft_kll_merge`: raw
+    * orders are scanned only on the first-ever build, every subsequent
+    * quantile query is metadata-sized work over sketch rows. Approximate
+    * → rows-only; KllSketchSpec pins atom-reinsertion roundtrip, parquet
+    * roundtrip losslessness, weight conservation, and the rank-error
+    * bound vs the exact pass. */
   private def quantilesRollup(s: SparkSession, d: String): DataFrame = {
-    val sketches = graft.ops.Quantiles.sketchTable(
-      Tables.orders(s, d), "o_orderstatus",
-      "o_orderdate", cents(col("o_totalprice")), k = 512)
-    graft.ops.Quantiles.rollupQuantiles(sketches, "g", "sketch",
+    val dir = graft.llm.IndexStore.indexDir(s, "kll_orders", s"$d/orders.parquet")
+    graft.llm.IndexStore.ensure(s, dir) {
+      graft.ops.Quantiles.sketchTable(
+          Tables.orders(s, d), "o_orderstatus",
+          "o_orderdate", cents(col("o_totalprice")), k = 512)
+        .write.parquet(s"$dir/sketches")
+    }
+    graft.ops.Quantiles.rollupQuantiles(
+      s.read.parquet(s"$dir/sketches"), "g", "sketch",
       Seq(("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)),
       k = 512)
       .select(col("g").as("status"), col("p"), col("v").as("q_cents"))

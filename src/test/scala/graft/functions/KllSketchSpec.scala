@@ -124,6 +124,32 @@ class KllSketchSpec extends SparkTestBase {
     assert(perHalf.count() === 2L)
   }
 
+  test("rollup: sketch table survives parquet bit-for-bit (the persisted-artifact path)") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(29)
+    val df = (1 to 30000).map(i => ("g", i % 10, rnd.nextLong() % 100000))
+      .toDF("g", "day", "v")
+    // persist: partial-buffer merge order inside the sketch agg is
+    // timing-dependent, so two computations of the plan can produce
+    // different (equally valid) summaries — compare against the ONE
+    // materialization that was written
+    val sketches = Quantiles.sketchTable(df, "g", "day", col("v"), 128).persist()
+    val dir = java.nio.file.Files.createTempDirectory("kll_roundtrip").toString
+    sketches.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    def rows(t: org.apache.spark.sql.DataFrame) = t
+      .select(col("g"), col("u"), explode(col("sketch")).as("e"))
+      .select(col("g"), col("u"), col("e.v"), col("e.w"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    // parquet roundtrip is lossless on the sketch column — the saved
+    // artifact IS the in-memory sketch table, so rolling up from disk
+    // answers exactly what the in-session rows would
+    assert(rows(loaded) === rows(sketches))
+    val total = Quantiles.rollupQuantiles(loaded, "g", "sketch",
+        Seq(("p50", 1, 2)), 128)
+    assert(total.count() === 1L)
+  }
+
   test("orders fixture: sketch deciles within 2% rank error of exact") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
     val n = orders.count()
