@@ -93,5 +93,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_merge",
       exprs => KllMergeSketch(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll",
+      exprs => HllSketch(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_merge",
+      exprs => HllMergeSketch(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_count",
+      exprs => HllCount(exprs.head), "built-in")
   }
 }

@@ -42,5 +42,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KllMergeSketch].getName, "graft_kll_merge"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KllMergeSketch(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllSketch(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(classOf[HllMergeSketch].getName, "graft_hll_merge"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllMergeSketch(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_count"),
+      new ExpressionInfo(classOf[HllCount].getName, "graft_hll_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllCount(exprs.head)))
   }
 }

@@ -99,6 +99,42 @@ object AnalyticsQueries {
       .select(col("g").as("status"), col("p"), col("v").as("q_cents"))
   }
 
+  /** The distinct-count sketch table, full lifecycle (the COUNT DISTINCT
+    * leg of the sketch warehouse next to [[quantilesRollup]]): one HLL
+    * summary per (status, order-month) persisted once behind the
+    * crash-safe build-once store, rolled up per status from the COLD
+    * table. Per-status distinct order dates are ~2.4k at EVERY scale
+    * factor — under the p=14 sparse bound (m/4 = 4096) — so the merged
+    * summaries stay in exact-set mode and the answer equals
+    * `count(DISTINCT o_orderdate)` bit-for-bit: oracle-checked, not
+    * rows-only. DistinctSketchSpec pins the sparse/dense lifecycle, the
+    * merge-order binary invariance, and the dense error bound. */
+  private def distinctRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.llm.IndexStore.indexDir(s, "hll_orders", s"$d/orders.parquet")
+    graft.llm.IndexStore.ensure(s, dir) {
+      graft.ops.DistinctCounts.sketchTable(
+          Tables.orders(s, d)
+            .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM")),
+          "o_orderstatus", "month", col("o_orderdate"), p = 14)
+        .write.parquet(s"$dir/sketches")
+    }
+    graft.ops.DistinctCounts.rollupCounts(
+        s.read.parquet(s"$dir/sketches"), "g", "sketch", p = 14)
+      .select(col("g").as("status"), col("n_distinct"))
+  }
+
+  /** The same sketch on a cardinality that OUTGROWS the sparse bound
+    * (distinct order prices, p=12 → dense registers above 1024 keys):
+    * per-status distinct-price estimates at fixed 4 KiB state per group.
+    * Approximate by construction in dense mode → rows-only;
+    * DistinctSketchSpec pins the ±1.04/√m-scale error empirically and
+    * the exact-below-bound regime this query sits in at sf0.001. */
+  private def distinctSketch(s: SparkSession, d: String): DataFrame =
+    graft.ops.DistinctCounts.sketchCounts(
+        Tables.orders(s, d), "o_orderstatus", cents(col("o_totalprice")), p = 12)
+      .select(col("g").as("status"), col("n_distinct"))
+      .orderBy(col("status"))
+
   /** Rollup over (returnflag, linestatus): subtotals + grand total with
     * grouping_id — beyond-reference multi-dimensional agg (built-in). */
   private def rollupAgg(s: SparkSession, d: String): DataFrame =
@@ -414,6 +450,18 @@ object AnalyticsQueries {
       None), // same approximate-by-construction reason as quantiles_sketch;
              // KllSketchSpec pins atom-reinsertion roundtrip, weight
              // conservation, and the rolled-up rank-error bound
+    Q("distinct_rollup", distinctRollup,
+      // sparse-mode HLL is the exact distinct-key set (bijective
+      // finalizer on long keys), so the sketch-table rollup is
+      // oracle-checkable — see DistinctSketch.scala
+      Some("""SELECT o_orderstatus AS status,
+             |  count(DISTINCT o_orderdate) AS n_distinct
+             |FROM orders GROUP BY 1""".stripMargin)),
+    Q("distinct_sketch", distinctSketch,
+      None), // dense-register estimate above the sparse bound is
+             // approximate by construction (and its small-range
+             // correction uses ln) — DistinctSketchSpec pins the error
+             // bound and the exact sparse regime
     Q("word_stddev", wordStddev,
       Some("""SELECT n, s, ss,
              |  sqrt(CAST(ss AS DOUBLE) / n
