@@ -81,11 +81,18 @@ class StreamingSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       srcDir.resolve("events.parquet"))
     val batch = graft.core.Tables.events(spark, sf0001)
-    // raw file schema (ts = INT64 nanos) + the same normalization batch uses
+    // raw file schema + the same normalization batch uses: ts is INT64
+    // nanos in some testdata generations (read as LongType under
+    // nanosAsLong) and a native µs timestamp in others — apply the
+    // div-1000 rescale only in the former case, exactly like Tables.events
     val raw = spark.read.parquet(s"$sf0001/events.parquet")
-    val stream = spark.readStream.schema(raw.schema).parquet(srcDir.toString)
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val streamRaw = spark.readStream.schema(raw.schema).parquet(srcDir.toString)
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        streamRaw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ => streamRaw
+    }
     val q = EventStreams.tumbling(stream, "1 hour")
       .writeStream.format("memory").queryName("file_tumbling")
       .outputMode("complete").start()
