@@ -102,5 +102,26 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hll_count",
       exprs => HllCount(exprs.head), "built-in")
+    // Spark's own runtime-filter expressions (SPARK-32268), exposed by
+    // name so BloomJoin can drive them through the public Column API:
+    // graft_bloom_agg(xxhash64(k), ndv, numBits) -> BINARY filter;
+    // graft_bloom_contains(filterBytes, xxhash64(k)) -> BOOLEAN (codegen'd)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms",
+      exprs => CmsSketch(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_merge",
+      exprs => CmsMergeSketch(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_query",
+      exprs => CmsQuery(exprs.head, exprs(1)), "built-in")
   }
 }

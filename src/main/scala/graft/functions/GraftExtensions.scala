@@ -57,5 +57,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllCount].getName, "graft_hll_count"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HllCount(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CmsSketch(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms_merge"),
+      new ExpressionInfo(classOf[CmsMergeSketch].getName, "graft_cms_merge"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CmsMergeSketch(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms_query"),
+      new ExpressionInfo(classOf[CmsQuery].getName, "graft_cms_query"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CmsQuery(exprs.head, exprs(1))))
   }
 }

@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, Sh
   */
 object DistinctCounts {
 
-  private def keyed(df: DataFrame, valueCol: Column): Column = {
+  private[ops] def keyed(df: DataFrame, valueCol: Column): Column = {
     val dt = df.select(valueCol).schema.head.dataType
     dt match {
       case LongType | IntegerType | ShortType | ByteType => valueCol.cast("long")
