@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link-analysis ranking (Page, Brin, Motwani, Winograd 1999)
+  * as pure relational algebra — the canonical "iterative job chain" the
+  * reference expresses as one MapReduce pass per iteration (driver loop
+  * re-submitting a job, the shape of every `EX/` iterative example): here
+  * each iteration is a join + partial-aggregated groupBy that Catalyst
+  * plans whole, with AQE free to re-plan each round.
+  *
+  * FIXED-POINT INTEGER formulation: ranks live as longs scaled by
+  * `scale` (default 10⁶), contributions use integral division, and the
+  * damping update is `teleport + (85 · Σcontrib) div 100`. Long sums are
+  * associative-exact — no FP association drift — so the result is
+  * bit-identical under any partitioning, merge order, or engine, which
+  * is what lets an iterative fixpoint computation pass a hash-compare
+  * oracle (the DuckDB mirror unrolls the same recurrence as chained
+  * CTEs). The ≤1-unit-per-division truncation bias is identical on both
+  * sides and two orders of magnitude below scale.
+  *
+  * Dangling nodes (no out-edges) leak their mass each round — the
+  * original formulation's behavior; redistribution variants change only
+  * the recurrence constant, not the dataflow shape.
+  *
+  * 100 TB design: the edge relation is the only corpus-sized input. It
+  * is joined once with the out-degree relation and persisted; each
+  * iteration then shuffles (a) the rank table on node id for the join —
+  * co-partitioned with the edge table's src hash partitioning after the
+  * first round, so AQE reuses the exchange — and (b) per-edge
+  * contributions into the dst-keyed partial agg (map-side combine
+  * collapses them to one row per (partition, dst) before the wire). Rank
+  * state is O(|nodes|), never collected; for hundreds of iterations the
+  * caller should checkpoint every ~10 rounds to truncate lineage (same
+  * contract as [[graft.llm.DedupPipeline]]'s connected components).
+  */
+object PageRank {
+
+  /** Ranks after `iterations` rounds over the distinct edge list.
+    * Output: (node, pr) — pr scaled by `scale`, start mass `scale` per
+    * node, damping 0.85 in exact integer arithmetic. */
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String,
+            iterations: Int, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // out-degree rides WITH each edge once; persisted — every iteration
+    // reuses it without recomputing the distinct or the degree shuffle
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist()
+    val teleport = 15L * scale / 100L
+    var ranks = nodes.select(col("node"), lit(scale).as("pr"))
+    (1 to iterations).foreach { _ =>
+      val contribs = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+        .selectExpr("dst AS node", "pr div outdeg AS c")
+        .groupBy("node").agg(sum("c").as("cs"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .selectExpr("node",
+          s"$teleport + (85 * coalesce(cs, 0L)) div 100 AS pr")
+    }
+    ranks
+  }
+}

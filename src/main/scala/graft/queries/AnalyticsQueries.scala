@@ -123,6 +123,65 @@ object AnalyticsQueries {
       .select(col("g").as("status"), col("n_distinct"))
   }
 
+  /** Fixed-point integer PageRank over the customer→supplier trade graph
+    * (distinct (o_custkey, l_suppkey) pairs; node ids disambiguated as
+    * 2k / 2k+1), 3 iterations — an iterative relational fixpoint whose
+    * exact long arithmetic lets it hash-match a DuckDB mirror that
+    * unrolls the identical recurrence as chained CTEs (see
+    * `ops/PageRank.scala`). */
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+    graft.ops.PageRank.ranks(edges, "src", "dst", iterations = 3)
+      .orderBy(col("pr").desc, col("node")).limit(100)
+  }
+
+  /** One unrolled oracle iteration: rank table `prev` → the next one,
+    * mirroring PageRank.ranks' integer recurrence exactly (`//` in
+    * DuckDB ≡ `div` in Spark on non-negative longs). */
+  private def pagerankIterSql(prev: String): String =
+    s"""SELECT n.node,
+       |  CAST(150000 + (85 * COALESCE(s.cs, 0)) // 100 AS BIGINT) AS pr
+       |FROM nodes n LEFT JOIN (
+       |  SELECT e.dst AS node, CAST(SUM(r.pr // d.outdeg) AS BIGINT) AS cs
+       |  FROM edges e JOIN $prev r ON e.src = r.node
+       |    JOIN deg d ON e.src = d.src
+       |  GROUP BY e.dst) s ON n.node = s.node""".stripMargin
+
+  private def pagerankSql: String =
+    s"""WITH edges AS (
+       |  SELECT DISTINCT CAST(2*o_custkey AS BIGINT) AS src,
+       |    CAST(2*l_suppkey+1 AS BIGINT) AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |r1 AS (${pagerankIterSql("r0")}),
+       |r2 AS (${pagerankIterSql("r1")}),
+       |r3 AS (${pagerankIterSql("r2")})
+       |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 100""".stripMargin
+
+  /** Count-Min frequency sketch warehouse roundtrip: per-returnflag
+    * sketches of supplier traffic, counter-added into one global summary,
+    * point-probed for the first 20 suppkeys. Distinct suppkeys stay under
+    * the w/4 sparse bound at every test SF, so the probes are EXACT and
+    * the whole path — build, merge, query — oracle-checks against
+    * `count(*) GROUP BY l_suppkey` (see `FreqSketch.scala`). */
+  private def freqSketch(s: SparkSession, d: String): DataFrame = {
+    val perFlag = graft.ops.FreqCounts.sketchCounts(
+      Tables.lineitem(s, d), "l_returnflag", col("l_suppkey"))
+    val global = graft.ops.FreqCounts.rollupSketches(perFlag, lit(1), col("sketch"))
+    val probes = s.range(0, 20).select(col("id").as("suppkey"))
+    graft.ops.FreqCounts.pointQueries(global, col("sketch"), probes, col("suppkey"))
+      .filter(col("freq") > 0) // absent probe keys (small SFs) drop out,
+                               // mirroring the oracle's GROUP BY domain
+      .select(col("key").as("suppkey"), col("freq"))
+      .orderBy(col("suppkey"))
+  }
+
   /** The same sketch on a cardinality that OUTGROWS the sparse bound
     * (distinct order prices, p=12 → dense registers above 1024 keys):
     * per-status distinct-price estimates at fixed 4 KiB state per group.
@@ -462,6 +521,14 @@ object AnalyticsQueries {
              // approximate by construction (and its small-range
              // correction uses ln) — DistinctSketchSpec pins the error
              // bound and the exact sparse regime
+    Q("pagerank", pagerank, Some(pagerankSql)),
+    Q("freq_sketch", freqSketch,
+      // sparse-mode Count-Min is the exact (key → count) map, so the
+      // build→merge→probe roundtrip is oracle-checkable — FreqSketchSpec
+      // pins the dense regime's (ε, δ) overcount bound
+      Some("""SELECT CAST(l_suppkey AS BIGINT) AS suppkey, count(*) AS freq
+             |FROM lineitem WHERE l_suppkey < 20
+             |GROUP BY 1 ORDER BY suppkey""".stripMargin)),
     Q("word_stddev", wordStddev,
       Some("""SELECT n, s, ss,
              |  sqrt(CAST(ss AS DOUBLE) / n

@@ -318,8 +318,59 @@ object OpsQueries {
       .withColumn("zkey", graft.ops.ZOrder.zKey(10, col("x"), col("y")))
       .orderBy(col("o_orderkey"))
 
+  /** Runtime bloom semi-join pruning: the 1-nation supplier slice's keys
+    * become a bloom filter probed on the lineitem scan BEFORE the join
+    * shuffle (graft.ops.BloomJoin — Spark's SPARK-32268 expressions driven
+    * natively). No false negatives + the real join afterwards ⇒ result is
+    * bit-identical to the unpruned join, hence fully oracle-checkable;
+    * BloomJoinSpec pins the plan shape and the pruning factor. */
+  private def bloomPruneJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.supplier(s, d).filter(col("s_nationkey") === 3)
+      .select(col("s_suppkey"), col("s_name"))
+    graft.ops.BloomJoin.prunedEquiJoin(
+        Tables.lineitem(s, d), dim, "l_suppkey", "s_suppkey",
+        ndv = 100000L, numBits = 1L << 20)
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(Ops.cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Incremental MV maintenance: the per-customer (count, revenue) view
+    * built on 90% of orders, then maintained — never recomputed — through
+    * a change feed of inserts (the held-out 10%) and deletes (every 7th
+    * base row). The oracle recomputes the final state from scratch; the
+    * hash gate demands the maintained view land bit-identically
+    * (`ops/MaterializedView.scala`; MvSpec pins arbitrary feed splits). */
+  private def mvIncremental(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val base = o.filter(col("o_orderkey") % 10 =!= 0)
+    val mv = graft.ops.MaterializedView.build(
+      base, "o_custkey", Ops.cents(col("o_totalprice")))
+    val delta = o.filter(col("o_orderkey") % 10 === 0).withColumn("op", lit("I"))
+      .unionByName(base.filter(col("o_orderkey") % 7 === 0).withColumn("op", lit("D")))
+    graft.ops.MaterializedView.applyDelta(
+        mv, delta, "o_custkey", Ops.cents(col("o_totalprice")), col("op"))
+      .select(col("k").as("o_custkey"), col("n").as("n_orders"),
+        (col("s") / 100.0).as("total_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    Q("mv_incremental", mvIncremental,
+      Some(s"""SELECT o_custkey, count(*) AS n_orders,
+              |  sum(${Ops.sqlCents("o_totalprice")}) / 100.0 AS total_price
+              |FROM orders
+              |WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0
+              |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+    Q("bloom_prune_join", bloomPruneJoin,
+      Some(s"""SELECT s_suppkey, s_name,
+              |  count(*) AS n_items,
+              |  sum(${Ops.sqlCents("l_extendedprice")}) / 100.0 AS revenue
+              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |WHERE s_nationkey = 3
+              |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin)),
     Q("scd2_history", scd2History, Some(scd2HistorySql)),
     Q("time_travel", timeTravel,
       Some(s"""SELECT o_orderkey, o_custkey, price_cents FROM ($scd2HistorySql) h
