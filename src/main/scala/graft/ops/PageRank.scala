@@ -44,11 +44,13 @@ object PageRank {
             iterations: Int, scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+      col(dstCol).cast("long").as("dst")).distinct().persist()
+    // both static relations persist: every iteration references nodes
+    // (teleport row set) and ed (edge+degree) — without the pins each
+    // round would recompute the upstream edge build (a corpus-sized
+    // join in the registered query) once per reference
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    // out-degree rides WITH each edge once; persisted — every iteration
-    // reuses it without recomputing the distinct or the degree shuffle
+      .union(e.select(col("dst").as("node"))).distinct().persist()
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .persist()
     val teleport = 15L * scale / 100L

@@ -164,6 +164,41 @@ object AnalyticsQueries {
        |r3 AS (${pagerankIterSql("r2")})
        |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 100""".stripMargin
 
+  /** Exact triangle count over the part co-occurrence graph (parts
+    * appearing in the same order, module-sampled to keep the demo graph
+    * sparse-ish): degree-oriented compact-forward wedges, closing edge
+    * as a pure equi-join (`ops/Triangles.scala`). Plain relational
+    * algebra end-to-end, so the DuckDB mirror of the same orientation
+    * hash-matches exactly. */
+  private def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = op.as("x").join(op.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    graft.ops.Triangles.count(edges, "src", "dst")
+  }
+
+  private def triangleCountSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS BIGINT) AS p
+      |  FROM lineitem WHERE l_partkey % 4 = 0),
+      |e AS (SELECT x.p AS a, y.p AS b FROM op x JOIN op y
+      |      ON x.l_orderkey = y.l_orderkey AND x.p < y.p GROUP BY 1, 2),
+      |deg AS (SELECT node, count(*) AS deg
+      |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) t
+      |        GROUP BY 1),
+      |o AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+      |             CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+      |             CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+      |      FROM (SELECT e.a, e.b, x.deg AS da, y.deg AS db FROM e
+      |            JOIN deg x ON e.a = x.node JOIN deg y ON e.b = y.node) t)
+      |SELECT count(*) AS n_triangles
+      |FROM o e1 JOIN o e2 ON e1.u = e2.u
+      |  AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+      |JOIN o e3 ON e1.v = e3.u AND e2.v = e3.v""".stripMargin
+
   /** Count-Min frequency sketch warehouse roundtrip: per-returnflag
     * sketches of supplier traffic, counter-added into one global summary,
     * point-probed for the first 20 suppkeys. Distinct suppkeys stay under
@@ -522,6 +557,7 @@ object AnalyticsQueries {
              // correction uses ln) — DistinctSketchSpec pins the error
              // bound and the exact sparse regime
     Q("pagerank", pagerank, Some(pagerankSql)),
+    Q("triangle_count", triangleCount, Some(triangleCountSql)),
     Q("freq_sketch", freqSketch,
       // sparse-mode Count-Min is the exact (key → count) map, so the
       // build→merge→probe roundtrip is oracle-checkable — FreqSketchSpec

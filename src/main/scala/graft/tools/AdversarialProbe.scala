@@ -331,6 +331,87 @@ object AdversarialProbe {
       graft.ops.FrequentItems.exactHeavyHitters(hhItemsHi, "w", 0.01).count())).min
     verdict("heavy_hitters_distinct", hhLo, hhHi, dataRatio)
 
+    // PageRank with a HOT DST (half of all edges converge on node 0 —
+    // the power-law hub every real web/trade graph has): the per-
+    // iteration groupBy(dst) must collapse the hub's contributions
+    // map-side (sum is algebraic), so the hub never serializes into one
+    // task the way a window/collect_list formulation would. Wall must
+    // track |E| (model = data ratio) across 3 iterations.
+    def prEdges(mult: Int): DataFrame = {
+      val n = mult * 500000L
+      spark.range(n).select(
+          (col("id") % (n / 4)).as("src"),
+          when(col("id") % 2 === 0, lit(0L))
+            .otherwise((col("id") * 37) % (n / 4)).as("dst"))
+        .localCheckpoint()
+    }
+    val prEdgesLo = prEdges(lo)
+    val prEdgesHi = prEdges(hi)
+    val prLo = time(s"pagerank hot-dst x$lo")(
+      graft.ops.PageRank.ranks(prEdgesLo, "src", "dst", 3).count())
+    val prHi = time(s"pagerank hot-dst x$hi")(
+      graft.ops.PageRank.ranks(prEdgesHi, "src", "dst", 3).count())
+    verdict("pagerank_hotdst", prLo, prHi, dataRatio)
+
+    // Incremental MV maintenance with a HOT-KEY change feed (half the
+    // feed hits ONE group): the delta partial-aggregates before the
+    // merge, so the hot group collapses map-side exactly like the merge
+    // hot-key probe above; the full-outer merge then carries one row per
+    // DISTINCT key. Wall must track the feed size.
+    def mvInputs(mult: Int): (DataFrame, DataFrame) = {
+      val n = mult * 600000L
+      val base = spark.range(n).select(
+        (col("id") % 50000L).as("k"), (col("id") % 997L).as("v"))
+      val mv = graft.ops.MaterializedView.build(base, "k", col("v"))
+      val delta = spark.range(n).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 50000L).as("k"),
+        (col("id") % 991L).as("v"),
+        when(col("id") % 3 === 0, lit("D")).otherwise(lit("I")).as("op"))
+      (mv.localCheckpoint(), delta.localCheckpoint())
+    }
+    val (mvStateLo, mvDeltaLo) = mvInputs(lo)
+    val (mvStateHi, mvDeltaHi) = mvInputs(hi)
+    val mvLo = time(s"mv hot-key delta x$lo")(
+      graft.ops.MaterializedView.applyDelta(
+        mvStateLo, mvDeltaLo, "k", col("v"), col("op")).count())
+    val mvHi = time(s"mv hot-key delta x$hi")(
+      graft.ops.MaterializedView.applyDelta(
+        mvStateHi, mvDeltaHi, "k", col("v"), col("op")).count())
+    verdict("mv_hotkey_delta", mvLo, mvHi, dataRatio)
+
+    // Bloom pruning at SATURATION: a deliberately-undersized filter
+    // (2^14 bits for 100k build keys -> fpp ~= 1) must degrade to
+    // "keeps everything" — still bit-correct after the real join, with
+    // wall linear in the fact side (the probe is one codegen'd hash +
+    // test per row; the filter stays 2 KiB regardless of build keys, so
+    // there is no memory cliff to fall off). A FAIL means the probe
+    // itself grew superlinear, i.e. the degraded filter leaked cost
+    // somewhere other than the join it no longer prunes.
+    def bloomFact(mult: Int): DataFrame = {
+      val n = mult * 2000000L
+      spark.range(n).select((col("id") % 100000L).as("fk"),
+        (col("id") % 1013L).as("payload")).localCheckpoint()
+    }
+    val dimKeys = spark.range(100000L).select(col("id").as("dk")).localCheckpoint()
+    val satBytes = graft.ops.BloomJoin.buildFilter(
+      dimKeys, col("dk"), ndv = 100000L, numBits = 1L << 14)
+    val bfLo = bloomFact(lo)
+    val bfHi = bloomFact(hi)
+    // min-of-2: the lo point is the FIRST bloom-probe execution in this
+    // JVM and otherwise absorbs the expression's codegen+JIT warmup
+    var keptRows = 0L
+    val blLo = (0 until 2).map(_ => time(s"bloom saturated probe x$lo")(
+      graft.ops.BloomJoin.probe(bfLo, col("fk"), satBytes).count())).min
+    val blHi = (0 until 2).map(_ => time(s"bloom saturated probe x$hi") {
+      keptRows = graft.ops.BloomJoin.probe(bfHi, col("fk"), satBytes).count()
+      keptRows
+    }).min
+    val keptAll = keptRows == hi * 2000000L
+    if (!keptAll) { failed = true }
+    println(s"BLOOM saturation keeps all rows (no false negatives): " +
+      (if (keptAll) "PASS" else s"FAIL ($keptRows)"))
+    verdict("bloom_saturated_probe", blLo, blHi, dataRatio)
+
     spark.stop()
     if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
     else println("ADVERSARIAL PROBE: PASS")
