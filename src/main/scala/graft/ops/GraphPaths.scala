@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-depth BFS hop distances from a source set — the third
+  * iterative-fixpoint pattern next to [[PageRank]] (sum-propagation) and
+  * the connected-components clustering in `llm/DedupPipeline`
+  * (min-label-propagation to convergence): here each round is one
+  * min-plus relaxation, the relational form of the frontier expansion
+  * every MapReduce graph-BFS job chain runs (one job per level, distance
+  * in the key — the reference's iterative-driver idiom).
+  *
+  * All-integer distances make the result engine-exact: the registered
+  * query hash-checks against a DuckDB oracle that unrolls the same
+  * rounds as chained CTEs. Unreached nodes simply don't appear (no
+  * sentinel infinities to agree on).
+  *
+  * Round cost: distances join edges on the source endpoint (one
+  * shuffle), candidate distances min-combine per destination with
+  * map-side partial aggregation — a hub receiving millions of frontier
+  * edges collapses to one row per partition before the wire, the same
+  * argument as PageRank's hot-dst probe. State is O(|reached nodes|) and
+  * rounds are bounded by the caller (`maxHops`), so the plan depth is
+  * static; for unbounded diameters use checkpoint-every-k like the
+  * connected-components loop.
+  */
+object GraphPaths {
+
+  /** Hop distance (node, d) for every node reachable from `sources`
+    * within `maxHops` DIRECTED hops; pass the symmetrized edge list for
+    * undirected semantics. Sources sit at d = 0 even if also reachable
+    * later. */
+  def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: DataFrame, sourceCol: String,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().persist()
+    var dist = sources.select(col(sourceCol).cast("long").as("node"))
+      .distinct().select(col("node"), lit(0L).as("d"))
+    (1 to maxHops).foreach { _ =>
+      val relaxed = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("d") + 1L).as("d"))
+      dist = dist.union(relaxed).groupBy("node").agg(min(col("d")).as("d"))
+    }
+    dist
+  }
+}

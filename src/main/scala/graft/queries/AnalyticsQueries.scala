@@ -164,6 +164,57 @@ object AnalyticsQueries {
        |r3 AS (${pagerankIterSql("r2")})
        |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 100""".stripMargin
 
+  /** Bounded BFS over the symmetrized customer↔supplier trade graph:
+    * hop distances from the nation-0 customers, 3 rounds of min-plus
+    * relaxation (`ops/GraphPaths.scala`). Integer distances, so the
+    * fixpoint prefix hash-checks against the oracle's unrolled CTEs. */
+  private def shortestHops(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("cn"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("sn"))
+    val edges = base.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionByName(base.select(col("sn").as("src"), col("cn").as("dst")))
+    val sources = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).cast("long").as("n"))
+    graft.ops.GraphPaths.shortestHops(edges, "src", "dst", sources, "n", 3)
+      .orderBy(col("node"))
+  }
+
+  private def hopsIterSql(prev: String): String =
+    s"""SELECT node, min(d) AS d FROM (
+       |  SELECT node, d FROM $prev UNION ALL
+       |  SELECT e.dst AS node, $prev.d + 1 AS d
+       |  FROM $prev JOIN e ON $prev.node = e.src) t
+       |GROUP BY node""".stripMargin
+
+  private def shortestHopsSql: String =
+    s"""WITH eb AS (SELECT DISTINCT CAST(2*o_custkey AS BIGINT) AS cn,
+       |    CAST(2*l_suppkey+1 AS BIGINT) AS sn
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT cn AS src, sn AS dst FROM eb
+       |      UNION ALL SELECT sn, cn FROM eb),
+       |d0 AS (SELECT DISTINCT CAST(2*c_custkey AS BIGINT) AS node,
+       |         CAST(0 AS BIGINT) AS d
+       |       FROM customer WHERE c_nationkey = 0),
+       |d1 AS (${hopsIterSql("d0")}),
+       |d2 AS (${hopsIterSql("d1")}),
+       |d3 AS (${hopsIterSql("d2")})
+       |SELECT node, d FROM d3 ORDER BY node""".stripMargin
+
+  /** Hourly resample + forward fill of each user's event-value series
+    * (`ops/Resample.scala`): latest observation per (user, hour) bucket,
+    * the full per-user hourly grid, gaps carry the last value forward.
+    * Fill moves raw doubles untouched — bit-exact across engines, so the
+    * whole grid hash-checks. (user_id, ts) is unique at every SF, making
+    * the per-bucket argmax deterministic. */
+  private def resampleGapfill(s: SparkSession, d: String): DataFrame =
+    graft.ops.Resample.gapFill(Tables.events(s, d), "user_id", "ts",
+        col("value"), stepSeconds = 3600L)
+      .select(col("k").as("user_id"), col("bucket"), col("v"), col("n_obs"))
+      .orderBy(col("user_id"), col("bucket"))
+
   /** Exact triangle count over the part co-occurrence graph (parts
     * appearing in the same order, module-sampled to keep the demo graph
     * sparse-ish): degree-oriented compact-forward wedges, closing edge
@@ -558,6 +609,25 @@ object AnalyticsQueries {
              // bound and the exact sparse regime
     Q("pagerank", pagerank, Some(pagerankSql)),
     Q("triangle_count", triangleCount, Some(triangleCountSql)),
+    Q("shortest_hops", shortestHops, Some(shortestHopsSql)),
+    Q("resample_gapfill", resampleGapfill,
+      Some("""WITH b AS (
+             |  SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+             |    max_by(value, ts) AS lastv, count(*) AS n_obs
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+             |         FROM b GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS bucket
+             |         FROM span),
+             |j AS (SELECT g.user_id, g.bucket, b.lastv,
+             |        COALESCE(b.n_obs, 0) AS n_obs
+             |      FROM grid g LEFT JOIN b
+             |        ON g.user_id = b.user_id AND g.bucket = b.bucket)
+             |SELECT user_id, bucket,
+             |  last_value(lastv IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY bucket) AS v,
+             |  n_obs
+             |FROM j ORDER BY user_id, bucket""".stripMargin)),
     Q("freq_sketch", freqSketch,
       // sparse-mode Count-Min is the exact (key → count) map, so the
       // build→merge→probe roundtrip is oracle-checkable — FreqSketchSpec

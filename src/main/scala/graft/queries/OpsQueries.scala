@@ -356,8 +356,57 @@ object OpsQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** Declarative data-quality audit across the warehouse load
+    * (`ops/DataAudit.scala`): five row rules on lineitem in ONE scan
+    * (stack-unpivoted codegen'd counters), primary-key uniqueness on
+    * orders, and two referential-integrity checks — all exact long
+    * counts, so the whole audit report hash-checks. */
+  private def dqAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val rowPart = graft.ops.DataAudit.rowRules(li, Seq(
+      "li_flag_domain" -> col("l_returnflag").isInCollection(Seq("A", "N", "R")),
+      "li_price_positive" -> (col("l_extendedprice") > 0),
+      "li_qty_range" -> col("l_quantity").between(1, 50),
+      "li_ship_not_null" -> col("l_shipdate").isNotNull,
+      "li_tax_range" -> col("l_tax").between(0, 0.2)))
+    val pk = graft.ops.DataAudit.uniqueCheck(o, "orders_pk_unique", Seq("o_orderkey"))
+    val fk1 = graft.ops.DataAudit.fkCheck(li, "l_orderkey", "li_fk_orderkey",
+      o, "o_orderkey")
+    val fk2 = graft.ops.DataAudit.fkCheck(o, "o_custkey", "orders_fk_custkey",
+      Tables.customer(s, d), "c_custkey")
+    rowPart.unionByName(pk).unionByName(fk1).unionByName(fk2)
+      .orderBy(col("rule"))
+  }
+
+  private def dqAuditSql: String =
+    """SELECT 'li_flag_domain' AS rule,
+      |  CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+      |  count(*) AS n_rows FROM lineitem
+      |UNION ALL SELECT 'li_price_positive',
+      |  CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM lineitem
+      |UNION ALL SELECT 'li_qty_range',
+      |  CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM lineitem
+      |UNION ALL SELECT 'li_ship_not_null',
+      |  CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM lineitem
+      |UNION ALL SELECT 'li_tax_range',
+      |  CAST(sum(CASE WHEN l_tax BETWEEN 0 AND 0.2 THEN 0 ELSE 1 END) AS BIGINT), count(*) FROM lineitem
+      |UNION ALL SELECT 'orders_pk_unique',
+      |  CAST(sum(c - 1) AS BIGINT), CAST(sum(c) AS BIGINT)
+      |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey) t
+      |UNION ALL SELECT 'li_fk_orderkey',
+      |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+      |  FROM lineitem l LEFT JOIN
+      |    (SELECT DISTINCT o_orderkey AS k FROM orders) p ON l.l_orderkey = p.k
+      |UNION ALL SELECT 'orders_fk_custkey',
+      |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+      |  FROM orders o LEFT JOIN
+      |    (SELECT DISTINCT c_custkey AS k FROM customer) p ON o.o_custkey = p.k
+      |ORDER BY rule""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    Q("dq_audit", dqAudit, Some(dqAuditSql)),
     Q("mv_incremental", mvIncremental,
       Some(s"""SELECT o_custkey, count(*) AS n_orders,
               |  sum(${Ops.sqlCents("o_totalprice")}) / 100.0 AS total_price
