@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
@@ -169,6 +169,43 @@ case class HllMergeSketch(
     copy(child = newChildren(0), pExpr = newChildren(1))
 }
 
+/** `graft_hll_intersect(a, b)`: the intersection cardinality of two
+  * summaries — EXACT while both are sparse (the summaries are the
+  * literal key sets, and the shared bijective finalizer means equal
+  * keys stay equal), the clamped inclusion–exclusion estimate
+  * `|A| + |B| − |A∪B|` once either side is dense (union = lossless
+  * register merge). This is the set-algebra payoff of the sketch-table
+  * design: overlap questions between any two saved groups answer from
+  * two fixed-size summaries, no raw-data join — with the usual caveat
+  * that inclusion–exclusion compounds the dense error, which is why the
+  * registered overlap query runs in the oracle-exact sparse regime and
+  * the dense bound lives in DistinctSketchSpec. */
+case class HllIntersect(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "graft_hll_intersect"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType | NullType, BinaryType | NullType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, BINARY) arguments, got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DistinctSketch.Summary.fromBytes(a.asInstanceOf[Array[Byte]])
+      .intersectEstimate(
+        DistinctSketch.Summary.fromBytes(b.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_hll_count(sketch)`: the distinct count out of a summary —
   * exact set size in sparse mode, the HLL estimate in dense. Scalar,
   * eval-only (CodegenFallback): it runs once per GROUP row after
@@ -290,6 +327,23 @@ object DistinctSketch {
           else raw
         math.round(est)
       }
+
+    /** |this ∩ other|: exact set intersection while BOTH summaries are
+      * sparse; clamped inclusion–exclusion over the lossless union
+      * otherwise. */
+    def intersectEstimate(other: Summary): Long = {
+      require(other.p == p, s"cannot intersect sketches with p=$p and p=${other.p}")
+      if (dense == null && other.dense == null) {
+        var n = 0L
+        val it = sparse.iterator()
+        while (it.hasNext) if (other.sparse.contains(it.next())) n += 1
+        n
+      } else {
+        val union = Summary.fromBytes(toBytes) // private-state-safe copy
+        union.mergeIn(other)
+        math.max(0L, estimate() + other.estimate() - union.estimate())
+      }
+    }
 
     /** Canonical bytes: [mode, p] then sorted keys (sparse) or the
       * registers (dense) — a pure function of the distinct-key set. */

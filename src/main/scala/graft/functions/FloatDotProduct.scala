@@ -102,6 +102,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hll_count",
       exprs => HllCount(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_intersect",
+      exprs => HllIntersect(exprs.head, exprs(1)), "built-in")
     // Spark's own runtime-filter expressions (SPARK-32268), exposed by
     // name so BloomJoin can drive them through the public Column API:
     // graft_bloom_agg(xxhash64(k), ndv, numBits) -> BINARY filter;

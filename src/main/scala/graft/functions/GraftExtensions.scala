@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HllCount(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_hll_intersect"),
+      new ExpressionInfo(classOf[HllIntersect].getName, "graft_hll_intersect"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllIntersect(exprs.head, exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

@@ -42,7 +42,12 @@ object GraphPaths {
     (1 to maxHops).foreach { _ =>
       val relaxed = dist.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("d") + 1L).as("d"))
+      // each round references the previous distance table TWICE (join
+      // input + union input) — without a pin the unpersisted lineage
+      // doubles per round and the final plan re-executes round 0 2^k
+      // times; the pinned state is O(|reached nodes|)
       dist = dist.union(relaxed).groupBy("node").agg(min(col("d")).as("d"))
+        .persist()
     }
     dist
   }

@@ -164,6 +164,25 @@ object AnalyticsQueries {
        |r3 AS (${pagerankIterSql("r2")})
        |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 100""".stripMargin
 
+  /** Sketch set algebra: pairwise overlap of the per-status order-date
+    * SETS computed from two fixed-size HLL summaries per pair
+    * (`graft_hll_intersect`) — no raw-data join. Distinct dates sit
+    * under the p=14 sparse bound at every test SF, so the intersection
+    * is the exact set intersection and the query oracle-checks against
+    * the real date-set join. */
+  private def distinctOverlap(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sk = Tables.orders(s, d)
+      .select(col("o_orderstatus").as("g"), xxhash64(col("o_orderdate")).as("v"))
+      .groupBy("g")
+      .agg(call_function("graft_hll", col("v"), lit(14)).as("sk"))
+    sk.as("a").join(sk.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("s1"), col("b.g").as("s2"),
+        call_function("graft_hll_intersect", col("a.sk"), col("b.sk")).as("n_common"))
+      .filter(col("n_common") > 0)
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** Bounded BFS over the symmetrized customer↔supplier trade graph:
     * hop distances from the nation-0 customers, 3 rounds of min-plus
     * relaxation (`ops/GraphPaths.scala`). Integer distances, so the
@@ -610,6 +629,12 @@ object AnalyticsQueries {
     Q("pagerank", pagerank, Some(pagerankSql)),
     Q("triangle_count", triangleCount, Some(triangleCountSql)),
     Q("shortest_hops", shortestHops, Some(shortestHopsSql)),
+    Q("distinct_overlap", distinctOverlap,
+      Some("""WITH ds AS (SELECT DISTINCT o_orderstatus AS s, o_orderdate AS dt
+             |            FROM orders)
+             |SELECT a.s AS s1, b.s AS s2, count(*) AS n_common
+             |FROM ds a JOIN ds b ON a.dt = b.dt AND a.s < b.s
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("resample_gapfill", resampleGapfill,
       Some("""WITH b AS (
              |  SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,

@@ -108,4 +108,41 @@ class DistinctSketchSpec extends SparkTestBase {
       .head().getLong(1)
     assert(est === 0L)
   }
+
+  test("sparse intersection is the exact set intersection, including empty and full overlap") {
+    GraftFunctions.register(spark)
+    def sketchOf(keys: Seq[Long]): Array[Byte] =
+      keys.toDF("v").agg(call_function("graft_hll", col("v"), lit(14)).as("sk"))
+        .head().getAs[Array[Byte]](0)
+    def intersect(a: Seq[Long], b: Seq[Long]): Long = {
+      val df = Seq((sketchOf(a), sketchOf(b))).toDF("a", "b")
+      df.select(call_function("graft_hll_intersect", col("a"), col("b")))
+        .head().getLong(0)
+    }
+    val rnd = new scala.util.Random(79)
+    val xs = (1 to 1500).map(_ => rnd.nextInt(3000).toLong).distinct
+    val ys = (1 to 1500).map(_ => rnd.nextInt(3000).toLong + 1500L).distinct
+    assert(intersect(xs, ys) === (xs.toSet intersect ys.toSet).size.toLong)
+    assert(intersect(xs, xs) === xs.size.toLong)
+    assert(intersect(xs, Seq(900000L)) === 0L)
+  }
+
+  test("dense intersection: inclusion-exclusion stays within the compounded error bound") {
+    GraftFunctions.register(spark)
+    val p = 12
+    val m = 1 << p
+    // two 20k-key sets with a 10k-key true overlap -> both dense at p=12
+    val a = (0L until 20000L)
+    val b = (10000L until 30000L)
+    def sk(keys: Seq[Long]): Array[Byte] =
+      keys.toDF("v").agg(call_function("graft_hll", col("v"), lit(p)).as("sk"))
+        .head().getAs[Array[Byte]](0)
+    val got = Seq((sk(a), sk(b))).toDF("a", "b")
+      .select(call_function("graft_hll_intersect", col("a"), col("b")))
+      .head().getLong(0)
+    // inclusion-exclusion compounds three +-1.04/sqrt(m) estimates over
+    // set sizes up to 30k; allow 6 sigma of the largest term
+    val tol = (6 * 1.04 / math.sqrt(m) * 30000).toLong
+    assert(math.abs(got - 10000L) <= tol, s"got $got, want 10000 +- $tol")
+  }
 }
