@@ -43,11 +43,13 @@ object GraphPaths {
       val relaxed = dist.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("d") + 1L).as("d"))
       // each round references the previous distance table TWICE (join
-      // input + union input) — without a pin the unpersisted lineage
-      // doubles per round and the final plan re-executes round 0 2^k
-      // times; the pinned state is O(|reached nodes|)
+      // input + union input), so an unpinned logical plan doubles per
+      // round — 2^maxHops analysis-time tree walks and re-executed
+      // subplans. localCheckpoint truncates lineage eagerly each round
+      // (state is O(|reached nodes|)); see GraphCores for the same
+      // pattern at fan-out three.
       dist = dist.union(relaxed).groupBy("node").agg(min(col("d")).as("d"))
-        .persist()
+        .localCheckpoint()
     }
     dist
   }

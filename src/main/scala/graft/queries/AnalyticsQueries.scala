@@ -164,6 +164,45 @@ object AnalyticsQueries {
        |r3 AS (${pagerankIterSql("r2")})
        |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 100""".stripMargin
 
+  /** Bounded k-core peeling on the part co-occurrence graph (same graph
+    * as `triangle_count`): 3 rounds at k=16, each dropping every node
+    * whose current degree is under k (`ops/GraphCores.scala`). Output is
+    * the surviving nodes with their peeled-graph degrees — integral and
+    * round-bounded, so the DuckDB mirror unrolls identically. */
+  private def kcoreNodes(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = op.as("x").join(op.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    graft.ops.GraphCores.kCoreNodes(edges, "src", "dst", k = 16, rounds = 3)
+      .orderBy(col("node"))
+  }
+
+  private def kcorePeelSql(prevE: String, dName: String, kName: String,
+                           nextE: String, k: Int): String =
+    s"""$dName AS (SELECT node, count(*) AS c FROM (
+       |  SELECT a AS node FROM $prevE UNION ALL SELECT b FROM $prevE) t
+       |  GROUP BY 1),
+       |$kName AS (SELECT node FROM $dName WHERE c >= $k),
+       |$nextE AS (SELECT a, b FROM $prevE
+       |  WHERE a IN (SELECT node FROM $kName)
+       |    AND b IN (SELECT node FROM $kName))""".stripMargin
+
+  private def kcoreNodesSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, CAST(l_partkey AS BIGINT) AS p
+       |  FROM lineitem WHERE l_partkey % 4 = 0),
+       |e0 AS (SELECT x.p AS a, y.p AS b FROM op x JOIN op y
+       |       ON x.l_orderkey = y.l_orderkey AND x.p < y.p GROUP BY 1, 2),
+       |${kcorePeelSql("e0", "d1", "k1", "e1", 16)},
+       |${kcorePeelSql("e1", "d2", "k2", "e2", 16)},
+       |${kcorePeelSql("e2", "d3", "k3", "e3", 16)}
+       |SELECT node, count(*) AS deg FROM (
+       |  SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) t
+       |GROUP BY 1 ORDER BY node""".stripMargin
+
   /** Sketch set algebra: pairwise overlap of the per-status order-date
     * SETS computed from two fixed-size HLL summaries per pair
     * (`graft_hll_intersect`) — no raw-data join. Distinct dates sit
@@ -629,6 +668,7 @@ object AnalyticsQueries {
     Q("pagerank", pagerank, Some(pagerankSql)),
     Q("triangle_count", triangleCount, Some(triangleCountSql)),
     Q("shortest_hops", shortestHops, Some(shortestHopsSql)),
+    Q("kcore_nodes", kcoreNodes, Some(kcoreNodesSql)),
     Q("distinct_overlap", distinctOverlap,
       Some("""WITH ds AS (SELECT DISTINCT o_orderstatus AS s, o_orderdate AS dt
              |            FROM orders)
