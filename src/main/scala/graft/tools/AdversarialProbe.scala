@@ -317,6 +317,18 @@ object AdversarialProbe {
     // the lo/hi ratio measures the floor, not the sketch (an isolated
     // fresh-JVM A/B showed 5.1x warm-vs-warm where the end-of-suite
     // measurement said 18x)
+    // Release every checkpoint block the EARLIER probe families pinned
+    // (160k-doc tagged corpora, 16k embeddings, 4.8M merge/zorder rows,
+    // the 512k-doc incremental corpus): the remaining probes create
+    // their own inputs after this point, and carrying gigabytes of dead
+    // blocks into the 128M-row heavy-hitter runs turns their wall into
+    // a storage/GC measurement — the r6 notes' isolated fresh-JVM A/B
+    // already showed this probe reading 18x end-of-suite where a clean
+    // JVM reads 5x, and min-of-3 made the polluted reading STABLE
+    // (9.7x vs the 4.9-6.7x of cleaner runs) rather than fixing it.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    System.gc()
+
     def hhItems(mult: Int): DataFrame = spark.range(mult * 4000000L)
       .select(concat(lit("item"), col("id")).as("w")).localCheckpoint()
     val hhItemsLo = hhItems(lo)
