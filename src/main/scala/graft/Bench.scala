@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
   * for the driver's output-tail window. */
 object Bench {
   private val runsPerQuery = 3
+  /** Complete per-query map (the stdout line may truncate to fit the
+    * driver's output tail; this file never does). */
+  private val detailPath =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,20 +62,31 @@ object Bench {
     // minimal numeric rendering: "0.30" -> "0.3", "1.00" -> "1" — the
     // naive Double toString printed "0.0" at zero decimals, burning 3
     // chars to say nothing
-    def fmt(v: Double, decimals: Int): String = {
-      val p = math.pow(10, decimals)
-      java.math.BigDecimal.valueOf(math.round(v * p) / p)
+    def fmt(v: Double): String =
+      java.math.BigDecimal.valueOf(math.round(v * 100.0) / 100.0)
         .stripTrailingZeros.toPlainString
+    def render(qs: Iterable[(String, Double)], shown: Int): String = {
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val trunc = if (shown < timed.size)
+        s""""queries_shown":$shown,"detail":"$detailPath",""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},${trunc}"failures":$fails,"queries":$m,"sf":"$sfName"}"""
     }
-    def render(decimals: Int): String = {
-      val qs = timed.map { case (k, v) =>
-        "\"" + k + "\":" + fmt(v, decimals) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"failures":$fails,"queries":$qs,"sf":"$sfName"}"""
-    }
-    // the JSON is the LAST stdout line (showSuccess off), so it only has
-    // to fit inside the driver's 2000-char output tail itself: highest
-    // precision that fits wins
-    val line = Seq(render(2), render(1)).find(_.length <= 1980).getOrElse(render(0))
+    // FULL per-query detail goes to a file — at 130 queries no precision
+    // shaves the complete map under the driver's ~2000-char output tail,
+    // which is exactly how round 7's bench line came back unparseable
+    val fw = new java.io.FileWriter(detailPath)
+    try fw.write(render(timed, timed.size) + "\n") finally fw.close()
+    // the stdout line is the LAST line and is GUARANTEED to fit: keep the
+    // summary fields, then include the slowest queries first (the only
+    // ones a per-query tail analysis cares about) while the line stays
+    // under budget; "queries_shown" flags the truncation and "detail"
+    // points at the complete map
+    val bySlowest = timed.toSeq.sortBy(-_._2)
+    val line = (timed.size to 0 by -1).iterator
+      .map(k => render(bySlowest.take(k), k))
+      .find(_.length <= 1900)
+      .getOrElse(render(Nil, 0))
     println(line)
     spark.stop()
   }

@@ -70,6 +70,11 @@ object BloomJoin {
                      factKey: String, dimKey: String,
                      ndv: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
     val bytes = buildFilter(dim, col(dimKey), ndv, numBits)
-    probe(fact, col(factKey), bytes).join(dim, col(factKey) === col(dimKey))
+    // qualified join keys: with unqualified columns a fact/dim key sharing
+    // one name is ambiguous (or resolves to a trivially-true
+    // self-comparison); the aliases pin each side explicitly
+    probe(fact, col(factKey), bytes).as("__bj_f")
+      .join(dim.as("__bj_d"),
+        col(s"__bj_f.$factKey") === col(s"__bj_d.$dimKey"))
   }
 }

@@ -57,14 +57,22 @@ object FreqCounts {
 
   /** Frequency of each probe key against each sketch row. `probes` is a
     * small relation (keys the caller cares about) broadcast against the
-    * handful of sketch rows. Output: sketch columns + (key, freq). */
+    * handful of sketch rows. Output: sketch columns + (key, freq) — `key`
+    * carries the caller's raw probe value; the sketch is probed with the
+    * SAME [[DistinctCounts.keyed]] transform the build side used, so
+    * string-keyed sketches answer correctly instead of silently returning
+    * 0 for raw-value probes. */
   def pointQueries(
       sketches: DataFrame,
       sketchCol: Column,
       probes: DataFrame,
       probeKey: Column): DataFrame = {
     graft.functions.GraftFunctions.register(sketches.sparkSession)
-    sketches.crossJoin(broadcast(probes.select(probeKey.as("key"))))
-      .withColumn("freq", call_function("graft_cms_query", sketchCol, col("key")))
+    val p = probes.select(probeKey.as("key"),
+      DistinctCounts.keyed(probes, probeKey).as("__probe_k"))
+    sketches.crossJoin(broadcast(p))
+      .withColumn("freq",
+        call_function("graft_cms_query", sketchCol, col("__probe_k")))
+      .drop("__probe_k")
   }
 }

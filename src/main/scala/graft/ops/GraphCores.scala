@@ -49,10 +49,14 @@ object GraphCores {
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
     (1 to rounds).foreach { _ =>
       val keep = degrees(e).filter(col("deg") >= k).select("node")
-      e = e
+      val next = e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .localCheckpoint()
+      // next is materialized (eager checkpoint) — the previous round's
+      // blocks are dead; release them instead of waiting on GC
+      Lineage.releaseLocalCheckpoint(e)
+      e = next
     }
     degrees(e)
   }

@@ -48,9 +48,15 @@ object GraphPaths {
       // subplans. localCheckpoint truncates lineage eagerly each round
       // (state is O(|reached nodes|)); see GraphCores for the same
       // pattern at fan-out three.
-      dist = dist.union(relaxed).groupBy("node").agg(min(col("d")).as("d"))
+      val next = dist.union(relaxed).groupBy("node").agg(min(col("d")).as("d"))
         .localCheckpoint()
+      Lineage.releaseLocalCheckpoint(dist) // superseded round's blocks
+      dist = next
     }
+    // the final dist is checkpoint-materialized, so nothing reads the
+    // pinned edge relation lazily anymore — release it here rather than
+    // leaking it into the session's block manager
+    e.unpersist(blocking = false)
     dist
   }
 }

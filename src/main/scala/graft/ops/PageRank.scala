@@ -63,6 +63,14 @@ object PageRank {
         .selectExpr("node",
           s"$teleport + (85 * coalesce(cs, 0L)) div 100 AS pr")
     }
-    ranks
+    // materialize the answer (O(|nodes|)) so the pinned static relations
+    // can be released HERE instead of leaking into the session — a lazy
+    // return would still read them at action time, leaving no safe
+    // unpersist point (the round-7 block-accumulation finding)
+    val out = ranks.localCheckpoint()
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
+    out
   }
 }

@@ -47,7 +47,12 @@ object Resample {
       .select(col(keyCol).as("k"), col(tsCol).cast("timestamp").as("__ts"),
         valueCol.as("__v"))
       .withColumn("__u", unix_timestamp(col("__ts")))
-      .select(col("k"), expr(s"(__u div $stepSeconds) * $stepSeconds").as("bucket"),
+      // floor division via pmod, exact in integer arithmetic: Spark's
+      // `div` truncates toward zero, so pre-1970 timestamps (negative
+      // epoch seconds) would bucket one step high and break the
+      // cross-engine parity with the oracle's floor(epoch/step)
+      .select(col("k"),
+        expr(s"__u - pmod(__u, ${stepSeconds}L)").as("bucket"),
         col("__ts"), col("__v"))
       .groupBy("k", "bucket")
       .agg(max_by(col("__v"), col("__ts")).as("lastv"),

@@ -75,6 +75,12 @@ object Triangles {
       .select(col("e1.v").as("wu"), col("e2.v").as("wv"))
     val closed = wedges.join(oriented,
       col("wu") === col("u") && col("wv") === col("v"))
-    closed.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
+    // one-row answer: materialize it eagerly so the oriented pin can be
+    // released here instead of leaking into the session's block manager
+    val out = closed
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
+      .localCheckpoint()
+    oriented.unpersist(blocking = false)
+    out
   }
 }

@@ -315,9 +315,15 @@ object AnalyticsQueries {
     * the whole path — build, merge, query — oracle-checks against
     * `count(*) GROUP BY l_suppkey` (see `FreqSketch.scala`). */
   private def freqSketch(s: SparkSession, d: String): DataFrame = {
+    // w = 65536 keeps the merged summary in the exact-sparse regime
+    // (distinct l_suppkey <= w/4 = 16384) through SF ~1.6 — the default
+    // 16384 went dense at SF >= ~0.5, where point probes would overcount
+    // and the oracle hash gate would fail with nothing naming the cause
+    val w = 65536
     val perFlag = graft.ops.FreqCounts.sketchCounts(
-      Tables.lineitem(s, d), "l_returnflag", col("l_suppkey"))
-    val global = graft.ops.FreqCounts.rollupSketches(perFlag, lit(1), col("sketch"))
+      Tables.lineitem(s, d), "l_returnflag", col("l_suppkey"), d = 3, w = w)
+    val global = graft.ops.FreqCounts.rollupSketches(
+      perFlag, lit(1), col("sketch"), d = 3, w = w)
     val probes = s.range(0, 20).select(col("id").as("suppkey"))
     graft.ops.FreqCounts.pointQueries(global, col("sketch"), probes, col("suppkey"))
       .filter(col("freq") > 0) // absent probe keys (small SFs) drop out,
