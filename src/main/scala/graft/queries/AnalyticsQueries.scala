@@ -99,6 +99,72 @@ object AnalyticsQueries {
       .select(col("g").as("status"), col("p"), col("v").as("q_cents"))
   }
 
+  private val decileSpecs =
+    Seq(("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+
+  /** KLL in the PROVABLY-exact sparse regime: per-status quantiles of the
+    * orders-per-day distribution. The sketch's value stream is one row
+    * per distinct order date — bounded by the fixture's fixed ~2.4k-day
+    * date DOMAIN, not by row count, so it does not grow with SF — and
+    * k = 8192 exceeds it, so no compactor ever fires anywhere (a level-0
+    * buffer can only reach k if the total stream does): the summary IS
+    * the exact weight-1 multiset under any partitioning and the quantiles
+    * equal the exact pass bit-for-bit at ANY scale factor. This is the
+    * driver-checkable certificate for the KLL kernel; [[quantilesSketch]]
+    * stays rows-only as the genuinely-approximate dense mode. */
+  private def quantilesSketchSparse(s: SparkSession, d: String): DataFrame = {
+    val perDay = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"), col("o_orderdate"))
+      .agg(count(lit(1)).as("n_orders"))
+    graft.ops.Quantiles.approxQuantiles(
+        perDay, "status", col("n_orders"), decileSpecs, k = 8192)
+      .select(col("g").as("status"), col("p"), col("v").as("q_orders"))
+  }
+
+  /** The same sparse-exactness argument through the MERGE path: per-
+    * (status, year) KLL summaries of the per-day order counts, rolled up
+    * per status via `graft_kll_merge`. Every per-unit summary holds ≤366
+    * weight-1 atoms and the merged level-0 total stays under k = 8192, so
+    * atom re-insertion never compacts either — the rollup is exactly the
+    * union multiset, certifying the finalized-output re-aggregation
+    * kernel against the oracle (not just KllSketchSpec). */
+  private def quantilesRollupSparse(s: SparkSession, d: String): DataFrame = {
+    val perDay = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).as("yr"), col("o_orderdate"))
+      .agg(count(lit(1)).as("n_orders"))
+    val sketches = graft.ops.Quantiles.sketchTable(
+      perDay, "status", "yr", col("n_orders"), k = 8192)
+    graft.ops.Quantiles.rollupQuantiles(
+        sketches, "g", "sketch", decileSpecs, k = 8192)
+      .select(col("g").as("status"), col("p"), col("v").as("q_orders"))
+  }
+
+  /** HLL one-pass distinct counts in the exact-sparse regime: distinct
+    * order DATES per status (~2.4k, fixed domain) sit under the p = 14
+    * sparse bound (m/4 = 4096) at every SF, so the direct single-pass
+    * sketch — no persisted table, unlike [[distinctRollup]] — answers
+    * `count(DISTINCT o_orderdate)` exactly; [[distinctSketch]] stays
+    * rows-only as the dense-register mode over prices. */
+  private def distinctSketchSparse(s: SparkSession, d: String): DataFrame =
+    graft.ops.DistinctCounts.sketchCounts(
+        Tables.orders(s, d), "o_orderstatus", col("o_orderdate"), p = 14)
+      .select(col("g").as("status"), col("n_distinct"))
+
+  private def quantilesSparseSql(valueAlias: String): String =
+    s"""WITH byd AS (SELECT o_orderstatus AS status, o_orderdate AS dt,
+       |    count(*) AS c FROM orders GROUP BY 1, 2),
+       |byv AS (SELECT status, c AS v, count(*) AS cnt FROM byd GROUP BY 1, 2),
+       |cum AS (SELECT status, v, cnt,
+       |        sum(cnt) OVER (PARTITION BY status ORDER BY v) AS hi,
+       |        sum(cnt) OVER (PARTITION BY status) AS n FROM byv),
+       |specs(p, num, den) AS (SELECT * FROM (VALUES
+       |       ('p10',1,10),('p25',1,4),('p50',1,2),('p75',3,4),('p90',9,10)) t)
+       |SELECT c.status, s.p, c.v AS $valueAlias
+       |FROM cum c JOIN specs s
+       |  ON ((s.num * c.n + s.den - 1) // s.den)
+       |     BETWEEN c.hi - c.cnt + 1 AND c.hi""".stripMargin
+
   /** The distinct-count sketch table, full lifecycle (the COUNT DISTINCT
     * leg of the sketch warehouse next to [[quantilesRollup]]): one HLL
     * summary per (status, order-month) persisted once behind the
@@ -659,6 +725,18 @@ object AnalyticsQueries {
       None), // same approximate-by-construction reason as quantiles_sketch;
              // KllSketchSpec pins atom-reinsertion roundtrip, weight
              // conservation, and the rolled-up rank-error bound
+    // the sparse-regime certificates: same kernels, configs where the
+    // sketch is provably exact at every SF (fixed date domain < k), so
+    // the DRIVER certifies the KLL build and merge paths — see each
+    // query's scaladoc for the no-compaction argument
+    Q("quantiles_sketch_sparse", quantilesSketchSparse,
+      Some(quantilesSparseSql("q_orders"))),
+    Q("quantiles_rollup_sparse", quantilesRollupSparse,
+      Some(quantilesSparseSql("q_orders"))),
+    Q("distinct_sketch_sparse", distinctSketchSparse,
+      Some("""SELECT o_orderstatus AS status,
+             |  count(DISTINCT o_orderdate) AS n_distinct
+             |FROM orders GROUP BY 1""".stripMargin)),
     Q("distinct_rollup", distinctRollup,
       // sparse-mode HLL is the exact distinct-key set (bijective
       // finalizer on long keys), so the sketch-table rollup is

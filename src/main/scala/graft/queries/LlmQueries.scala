@@ -169,6 +169,48 @@ object LlmQueries {
     Embeddings.annLshKnn(Tables.embeddings(s, d), queryIds = (0L until 8L),
       "vec_id", "embedding", dim, k = 5)
 
+  /** Exhaustive-setting IVF: nprobe == nlist probes every cell, and the
+    * cells PARTITION the corpus, so the search space is the full corpus
+    * and the per-pair cosine is the same expression as brute force —
+    * the result must be bit-identical to [[knnBrute]]. IvfSpec proves
+    * this in-suite; registering it with the brute-force oracle makes the
+    * DRIVER certify the IVF kernel (build, cell routing, probe-side
+    * scoring, bounded TopK) too. The pruned nprobe < nlist config stays
+    * rows-only as the genuinely-approximate production setting. */
+  private def knnAnnIvfExh(s: SparkSession, d: String): DataFrame =
+    graft.llm.Ivf.annKnn(Tables.embeddings(s, d), (0L until 8L),
+      "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 16,
+      corpusKey = d) // shares the cached index with knn_ann_ivf
+
+  /** Exhaustive-setting PQ: k·rerank = 2000 ≥ corpus−1 at every test SF,
+    * so the ADC shortlist is every non-self vector regardless of code
+    * quantization and the exact Euclidean rerank IS the whole answer —
+    * the ADC stage can reorder but never drop a true neighbor. Output is
+    * exact squared-Euclidean top-k, SQL-expressible, certifying the PQ
+    * encode/ADC/rerank pipeline through the driver. The pruned rerank=8
+    * config stays rows-only as the production setting. */
+  private def knnAnnPqExh(s: SparkSession, d: String): DataFrame =
+    graft.llm.Pq.annKnn(Tables.embeddings(s, d), (0L until 8L),
+      "vec_id", "embedding", dim, k = 5, m = 16, ksub = 16,
+      rerank = 400, corpusKey = d) // shares the cached codes with knn_ann_pq
+
+  /** Euclidean-distance mirror of [[knnBruteSql]] for the exhaustive PQ
+    * path: dist2 = |q|² + |v|² − 2⟨q,v⟩ in the exact expression order the
+    * Spark rerank uses, ties broken by neighbor id on both sides. */
+  private val knnPqExhSql: String =
+    s"""WITH $sqlNorms,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    q.nrm * q.nrm + v.nrm * v.nrm
+       |      - ${sqlDot("q.embedding", "v.embedding")} * 2.0 AS dist2
+       |  FROM v q JOIN v ON q.vec_id < 8 AND v.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, rank, dist2 FROM (
+       |  SELECT query_id, neighbor_id, dist2,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY dist2, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5""".stripMargin
+
   /** Hybrid retrieval: reciprocal-rank fusion of the dense arm (exact
     * cosine top-20 over embeddings) and the sparse arm (exact 3-gram
     * Jaccard top-20 over the document texts) for queries 0–7 — the
@@ -412,6 +454,11 @@ object LlmQueries {
       (0L until 8L), "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 6,
       corpusKey = d), // index cached per corpus — repeat calls are probe-only
       None), // approximate — exhaustive-probe==brute invariant in IvfSpec
+    // driver-checked certificates for the ANN kernels: exhaustive
+    // settings are ≡ exact search, so the full build+probe machinery
+    // runs under the oracle hash gate (see each def's scaladoc)
+    Q("knn_ann_ivf_exh", knnAnnIvfExh, Some(knnBruteSql)),
+    Q("knn_ann_pq_exh", knnAnnPqExh, Some(knnPqExhSql)),
     Q("knn_ann_ivf_disk", (s, d) => graft.llm.Ivf.annKnnFromDisk(
       Tables.embeddings(s, d), s"$d/embeddings.parquet", (0L until 8L),
       "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 6),
