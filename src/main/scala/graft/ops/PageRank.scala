@@ -73,4 +73,64 @@ object PageRank {
     ed.unpersist(blocking = false)
     out
   }
+
+  /** Iterate to CONVERGENCE instead of a fixed round count — the
+    * production form for graphs whose mixing time is unknown. Rounds run
+    * in windows of `checkpointEvery`: each window stacks its iterations
+    * lazily (linear plan growth, cheap), then pins the rank table
+    * ([[Checkpoints.pin]] — localCheckpoint, or a reliable checkpoint
+    * under `checkpointDir` so executor loss on a long run recovers from
+    * files instead of failing the job) and compares it against the
+    * previous pinned table: one O(|nodes|) join between two materialized
+    * relations per WINDOW, not per round. Stops when max |Δpr| ≤
+    * `epsUnits` (integer scaled units; the damping contraction shrinks
+    * deltas ~0.85×/round, so integer ranks reach a ±1-unit band and
+    * epsUnits = 1 terminates on every graph). Convergence may overshoot
+    * by up to checkpointEvery − 1 rounds — the documented trade for the
+    * window cadence. Returns (ranks, rounds run). */
+  def ranksConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                     epsUnits: Long = 1L, maxIterations: Int = 200,
+                     checkpointEvery: Int = 10,
+                     checkpointDir: Option[String] = None,
+                     scale: Long = 1000000L): (DataFrame, Int) = {
+    require(epsUnits >= 0L, s"epsUnits must be >= 0, got $epsUnits")
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist()
+    val teleport = 15L * scale / 100L
+    def step(r: DataFrame): DataFrame = {
+      val contribs = ed.join(r.withColumnRenamed("node", "src"), "src")
+        .selectExpr("dst AS node", "pr div outdeg AS c")
+        .groupBy("node").agg(sum("c").as("cs"))
+      nodes.join(contribs, Seq("node"), "left")
+        .selectExpr("node", s"$teleport + (85 * coalesce(cs, 0L)) div 100 AS pr")
+    }
+    var ranks = Checkpoints.pin(
+      nodes.select(col("node"), lit(scale).as("pr")), checkpointDir)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIterations) {
+      val window = math.min(checkpointEvery, maxIterations - rounds)
+      var cur = ranks
+      (1 to window).foreach(_ => cur = step(cur))
+      val next = Checkpoints.pin(cur, checkpointDir)
+      // both sides are pinned O(|nodes|) tables — the diff join is small
+      val delta = next.withColumnRenamed("pr", "pr2")
+        .join(ranks, Seq("node"))
+        .agg(coalesce(max(abs(col("pr2") - col("pr"))), lit(0L))).head().getLong(0)
+      Checkpoints.release(ranks, checkpointDir)
+      ranks = next
+      rounds += window
+      converged = delta <= epsUnits
+    }
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
+    (ranks, rounds)
+  }
 }
