@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental maintenance of an aggregate materialized view — the
@@ -44,14 +44,91 @@ object MaterializedView {
     * caller's contract violation (counts go negative and the group is
     * dropped at 0 crossing, same as SQL MERGE semantics would). */
   def applyDelta(mv: DataFrame, delta: DataFrame,
-                 keyCol: String, valueCol: Column, opCol: Column): DataFrame = {
+                 keyCol: String, valueCol: Column, opCol: Column): DataFrame =
+    merge(mv, deltaAgg(delta, keyCol, valueCol, opCol))
+
+  /** Δ pre-aggregation: one partial-agg shuffle over the feed. */
+  private def deltaAgg(delta: DataFrame, keyCol: String, valueCol: Column,
+                       opCol: Column): DataFrame = {
     val sign = when(opCol === "I", 1L).otherwise(-1L)
-    val dAgg = delta.groupBy(col(keyCol).as("k"))
+    delta.groupBy(col(keyCol).as("k"))
       .agg(sum(sign).as("dn"), sum(sign * valueCol).as("ds"))
+  }
+
+  /** The ⊕ fold — shared by the in-memory and bucketed paths so both
+    * produce bit-identical arithmetic. */
+  private def merge(mv: DataFrame, dAgg: DataFrame): DataFrame =
     mv.join(dAgg, Seq("k"), "full_outer")
       .select(col("k"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
         (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
       .filter(col("n") > 0)
+
+  // ---- the DURABLE bucketed lifecycle: the stored-table form of the
+  // scaladoc's 100 TB claim, demonstrated rather than asserted ----
+
+  private def withPart(mv: DataFrame, nParts: Int): DataFrame =
+    mv.withColumn("p", pmod(xxhash64(col("k")), lit(nParts.toLong)))
+
+  /** Materialize the view as a managed table partitioned by
+    * `p = pmod(xxhash64(k), nParts)` and bucketed+sorted by `k` inside
+    * each partition ([[Outputs.writeBucketedSorted]]). The two layout
+    * axes serve the two refresh costs: bucketing makes the merge read
+    * the MV WITHOUT a shuffle (the scan reports hash-partitioning on k,
+    * so only the Δ side exchanges — MvBucketedSpec pins one Exchange in
+    * the plan), and partitioning makes the write touch ONLY the
+    * directories whose keys changed (dynamic partition overwrite —
+    * untouched partitions keep their exact files, also spec-pinned). */
+  def buildBucketed(base: DataFrame, keyCol: String, valueCol: Column,
+                    table: String, nBuckets: Int = 16, nParts: Int = 16): Unit =
+    Outputs.writeBucketedSorted(
+      withPart(build(base, keyCol, valueCol), nParts),
+      table, nBuckets, "k", partitionCol = Some("p"))
+
+  /** The refresh's merge relation plus the changed-partition list —
+    * exposed so MvBucketedSpec can pin the plan shape (single Exchange,
+    * bucketed scan, partition filters) without duplicating the logic. */
+  def bucketedRefreshPlan(spark: SparkSession, table: String, delta: DataFrame,
+                          keyCol: String, valueCol: Column, opCol: Column,
+                          nParts: Int = 16): (DataFrame, Seq[Long]) = {
+    val dAgg = deltaAgg(delta, keyCol, valueCol, opCol)
+    // the changed-partition list is ≤ nParts values by construction —
+    // a bounded driver collect, the same contract as a partition prune
+    val changed = withPart(dAgg, nParts).select(col("p")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cur = spark.table(table)
+      .filter(col("p").isInCollection(changed)).drop("p")
+    (withPart(merge(cur, dAgg), nParts), changed)
+  }
+
+  /** Fold a change feed into the STORED view, Δ-sized end to end: reads
+    * only the changed partitions (partition filter) shuffle-free on the
+    * MV side (bucketed scan), rewrites only those partitions (dynamic
+    * overwrite), and clears partitions the deletes emptied — dynamic
+    * overwrite cannot express "this partition is now empty", so those
+    * directories are removed explicitly. */
+  def refreshBucketed(spark: SparkSession, table: String, delta: DataFrame,
+                      keyCol: String, valueCol: Column, opCol: Column,
+                      nParts: Int = 16): Unit = {
+    val (merged0, changed) = bucketedRefreshPlan(
+      spark, table, delta, keyCol, valueCol, opCol, nParts)
+    val merged = merged0.persist() // Δ+changed-partition sized; read twice
+    try {
+      val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try merged.select("k", "n", "s", "p").write.mode("overwrite")
+        .insertInto(table)
+      finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      val present = merged.select(col("p")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val emptied = changed.filterNot(present)
+      if (emptied.nonEmpty) {
+        val loc = Outputs.managedLocation(spark, table)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(loc, s"p=$p"), true))
+        spark.sql(s"REFRESH TABLE $table")
+      }
+    } finally merged.unpersist()
   }
 }

@@ -63,6 +63,31 @@ object Outputs {
     } finally cached.unpersist()
   }
 
+  /** The MapFile-analog serving layout as a reusable writer (reference
+    * `IO/MapFile.java` — sorted data + index; here: a bucketed+sorted
+    * table, optionally hash-partitioned into directories): bucketing
+    * makes key-equi-joins against the table SHUFFLE-FREE on the table
+    * side and point lookups open one bucket file; the optional partition
+    * column turns selective rewrites into partition-directory swaps
+    * (the [[MaterializedView]] refresh path). Drops any existing table
+    * and clears its managed location first — the in-memory catalog
+    * forgets tables across sessions but their files linger. */
+  def writeBucketedSorted(df: DataFrame, table: String, nBuckets: Int,
+                          keyCol: String,
+                          partitionCol: Option[String] = None): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table)
+    wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+    val w = df.write.bucketBy(nBuckets, keyCol).sortBy(keyCol)
+    partitionCol.fold(w)(p => w.partitionBy(p)).saveAsTable(table)
+  }
+
+  /** Managed location of a table created by [[writeBucketedSorted]]. */
+  private[ops] def managedLocation(s: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), table)
+
   /** NullOutputFormat (`lib/output/NullOutputFormat.java:36`): execute for
     * effects/metrics only, discard records — the noop sink forces full
     * computation (unlike count(), which lets Catalyst prune). */

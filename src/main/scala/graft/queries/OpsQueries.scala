@@ -356,6 +356,31 @@ object OpsQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** The STORED form of [[mvIncremental]] — same base, same change feed,
+    * but the view lives as a partitioned+bucketed managed table and the
+    * refresh is the Δ-sized selective path: partition-pruned shuffle-free
+    * merge read, dynamic-overwrite write touching only changed
+    * directories (`ops/MaterializedView.scala` bucketed lifecycle;
+    * MvBucketedSpec pins the plan shape and the untouched-files
+    * invariant). Same recompute oracle as mv_incremental — the driver
+    * certifies that the selective storage path changes nothing. */
+  private def mvBucketed(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val o = Tables.orders(s, d)
+    val base = o.filter(col("o_orderkey") % 10 =!= 0)
+    val tbl = "graft_mv_bucketed_orders"
+    graft.ops.MaterializedView.buildBucketed(
+      base, "o_custkey", Ops.cents(col("o_totalprice")), tbl)
+    val delta = o.filter(col("o_orderkey") % 10 === 0).withColumn("op", lit("I"))
+      .unionByName(base.filter(col("o_orderkey") % 7 === 0).withColumn("op", lit("D")))
+    graft.ops.MaterializedView.refreshBucketed(
+      s, tbl, delta, "o_custkey", Ops.cents(col("o_totalprice")), col("op"))
+    s.table(tbl)
+      .select(col("k").as("o_custkey"), col("n").as("n_orders"),
+        (col("s") / 100.0).as("total_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Declarative data-quality audit across the warehouse load
     * (`ops/DataAudit.scala`): five row rules on lineitem in ONE scan
     * (stack-unpivoted codegen'd counters), primary-key uniqueness on
@@ -408,6 +433,12 @@ object OpsQueries {
     Q("merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Q("dq_audit", dqAudit, Some(dqAuditSql)),
     Q("mv_incremental", mvIncremental,
+      Some(s"""SELECT o_custkey, count(*) AS n_orders,
+              |  sum(${Ops.sqlCents("o_totalprice")}) / 100.0 AS total_price
+              |FROM orders
+              |WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0
+              |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+    Q("mv_bucketed", mvBucketed,
       Some(s"""SELECT o_custkey, count(*) AS n_orders,
               |  sum(${Ops.sqlCents("o_totalprice")}) / 100.0 AS total_price
               |FROM orders
