@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
   def registry: Seq[Q] =
     CoreQueries.all ++ JoinQueries.all ++ OpsQueries.all ++ LlmQueries.all ++
-      AnalyticsQueries.all ++ MiscQueries.all ++ PipelineQueries.all ++ Seq(
+      AnalyticsQueries.all ++ MiscQueries.all ++ PipelineQueries.all ++
+      TpchQueries.all ++ Seq(
         // QuasiMonteCarlo pi (EX/QuasiMonteCarlo.java): deterministic
         // Halton sampling; accuracy asserted in ProgramsSpec (rows-only).
         Q("pi_qmc", (s, _) => graft.jobs.Programs.piQmc(s, 1000000L), None))
