@@ -341,7 +341,12 @@ object OpsQueries {
     * a change feed of inserts (the held-out 10%) and deletes (every 7th
     * base row). The oracle recomputes the final state from scratch; the
     * hash gate demands the maintained view land bit-identically
-    * (`ops/MaterializedView.scala`; MvSpec pins arbitrary feed splits). */
+    * (`ops/MaterializedView.scala`; MvSpec pins arbitrary feed splits).
+    * The STREAMING form is the same fold: a readStream feed applied per
+    * micro-batch via foreachBatch + applyDelta converges to this exact
+    * state under any batch split (MvStreamSpec pins stream ≡ batch, so
+    * this oracle certifies the streaming maintainer too); the STORED
+    * form is [[mvBucketed]]. */
   private def mvIncremental(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val base = o.filter(col("o_orderkey") % 10 =!= 0)

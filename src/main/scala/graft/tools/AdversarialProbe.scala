@@ -326,6 +326,11 @@ object AdversarialProbe {
     // already showed this probe reading 18x end-of-suite where a clean
     // JVM reads 5x, and min-of-3 made the polluted reading STABLE
     // (9.7x vs the 4.9-6.7x of cleaner runs) rather than fixing it.
+    // Since round 8 the graph/CC operators release their own pins
+    // (ops/Lineage, Checkpoints.release), so the bulk here is the
+    // PROBE-LOCAL localCheckpoint'd fixtures named above — this flush
+    // is the harness dropping its own inputs between families, not a
+    // cleanup for leaky operators.
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     System.gc()
 
@@ -394,6 +399,50 @@ object AdversarialProbe {
       graft.ops.MaterializedView.applyDelta(
         mvStateHi, mvDeltaHi, "k", col("v"), col("op")).count())
     verdict("mv_hotkey_delta", mvLo, mvHi, dataRatio)
+
+    // Bucketed-MV selective refresh (round 8): the stored-MV claim is
+    // that a refresh costs Δ + changed-partitions, never base-ROW-count
+    // — a rebuild scans every base row, a refresh scans the feed plus
+    // the touched 1/64th of the (key-domain-sized) view. Probe: the
+    // SAME fixed single-partition feed against a base 4× larger; the
+    // refresh wall must stay FLAT (model 1×) while the rebuild it
+    // replaces grows with the base. Rebuild walls print as the
+    // reference points.
+    def mvbBase(mult: Int): DataFrame = {
+      val n = mult * 600000L
+      spark.range(n).select((col("id") % 50000L).as("key"),
+        (col("id") % 997L).as("v")).localCheckpoint()
+    }
+    val mvbDelta = spark.range(600000L)
+      .select((col("id") % 50000L).as("key"), (col("id") % 991L).as("v"),
+        when(col("id") % 3 === 0, lit("D")).otherwise(lit("I")).as("op"))
+      .filter(pmod(xxhash64(col("key")), lit(64L)) === 0) // one partition's keys
+      .localCheckpoint()
+    val (mvbLoT, mvbHiT) = ("graft_probe_mvb_lo", "graft_probe_mvb_hi")
+    val mvbBaseLo = mvbBase(lo)
+    val mvbBaseHi = mvbBase(hi)
+    time(s"mv_bucketed rebuild x$lo (reference)") {
+      graft.ops.MaterializedView.buildBucketed(
+        mvbBaseLo, "key", col("v"), mvbLoT, 4, 64)
+      spark.table(mvbLoT).count()
+    }
+    time(s"mv_bucketed rebuild x$hi (reference)") {
+      graft.ops.MaterializedView.buildBucketed(
+        mvbBaseHi, "key", col("v"), mvbHiT, 4, 64)
+      spark.table(mvbHiT).count()
+    }
+    val mvbLo = time(s"mv_bucketed 1-partition refresh (base x$lo)") {
+      graft.ops.MaterializedView.refreshBucketed(
+        spark, mvbLoT, mvbDelta, "key", col("v"), col("op"), 64)
+      spark.table(mvbLoT).count()
+    }
+    val mvbHi = time(s"mv_bucketed 1-partition refresh (base x$hi)") {
+      graft.ops.MaterializedView.refreshBucketed(
+        spark, mvbHiT, mvbDelta, "key", col("v"), col("op"), 64)
+      spark.table(mvbHiT).count()
+    }
+    verdict("mv_bucketed_refresh_flat", mvbLo, mvbHi, 1.0)
+    Seq(mvbLoT, mvbHiT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
     // Bloom pruning at SATURATION: a deliberately-undersized filter
     // (2^14 bits for 100k build keys -> fpp ~= 1) must degrade to
