@@ -208,6 +208,34 @@ object Bpe {
       .orderBy(col("n").desc, col("token"))
   }
 
+  /** Per-DOCUMENT encoding under the learned ranks — the tokenize step
+    * that turns a cleaned corpus into training sequences: (doc_id,
+    * n_tokens, tokens). The rank map in the closure is nMerges entries
+    * (driver-small); each task keeps a word→tokens memo so every
+    * distinct word in a partition is encoded ONCE however often it
+    * repeats — at 100 TB the encode cost tracks the per-partition
+    * distinct-word count (Zipf: a small multiple of the vocabulary),
+    * not the token count. Downstream, [[Packing.pack]]-style sequence
+    * packing consumes exactly this (doc_id, n_tokens) shape. */
+  def encodeDocuments(docs: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        it.map { case (id, text) =>
+          val toks = text.split(" ").iterator.filter(_.nonEmpty)
+            .flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, ranks)))
+            .toSeq
+          (id, toks.length.toLong, toks)
+        }
+      }
+      .toDF(idCol, "n_tokens", "tokens")
+  }
+
   /** The learned merge table as a relation: (rank, left, right). */
   def mergesDf(spark: SparkSession, merges: Seq[(String, String)]): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Dynamic partition overwrite — idempotent selective re-ingest.
+  *
+  * The reference's nearest shape is MultipleOutputs re-running one named
+  * output (`CORE/mapreduce/lib/output/MultipleOutputs.java:175`) plus a
+  * by-hand directory swap; Spark makes the swap transactional per
+  * partition: with `partitionOverwriteMode=dynamic`, an INSERT OVERWRITE
+  * replaces ONLY the partition directories present in the incoming data
+  * and leaves every other partition's files untouched.
+  *
+  * This is the 100 TB backfill primitive: re-deriving one bad day of a
+  * 3-year event table rewrites 0.1 % of the data, committed by directory
+  * rename, and a concurrent reader of other partitions never sees a
+  * change. The write itself shuffles nothing beyond the delta.
+  */
+object PartitionedWrite {
+
+  /** Write `df` partitioned by `partCols` (static overwrite: the whole
+    * location is replaced). */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
+
+  /** Overwrite ONLY the partitions present in `delta`; all other
+    * partition directories under `path` keep their exact files
+    * (PartitionedWriteSpec pins file names + mtimes unchanged). */
+  def overwritePartitions(delta: DataFrame, path: String, partCols: Seq[String]): Unit = {
+    val s = delta.sparkSession
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      delta.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
+    finally
+      prev.fold(s.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        v => s.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+  }
+}

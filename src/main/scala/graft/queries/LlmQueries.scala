@@ -508,5 +508,19 @@ object LlmQueries {
       Tables.documents(s, d), "text",
       graft.llm.Bpe.trainMerges(Tables.documents(s, d), "text", nMerges = 24)),
       None),
+    // Corpus tokenization under the learned ranks — the encode step a
+    // training pipeline runs after [[Bpe.trainMerges]]; same iterated-
+    // argmax provenance as the two rows above, so rows-only. BpeSpec
+    // pins decode(encode(doc)) == doc corpus-wide and Σ n_tokens ==
+    // Σ tokenFrequencies.n on the same merges.
+    Q("bpe_encode", (s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.llm.Bpe.encodeDocuments(
+          Tables.documents(s, d), "doc_id", "text",
+          graft.llm.Bpe.trainMerges(Tables.documents(s, d), "text", nMerges = 24))
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", slice(col("tokens"), 1, 8)).as("head_tokens"))
+        .orderBy(col("doc_id"))
+    }, None),
   )
 }

@@ -434,7 +434,46 @@ object OpsQueries {
       |    (SELECT DISTINCT c_custkey AS k FROM customer) p ON o.o_custkey = p.k
       |ORDER BY rule""".stripMargin
 
+  /** Small-files repair (`ops/Compaction.scala`): damage a copy of
+    * customer into 64 tiny files, bin-pack it back, return the full
+    * relation — the oracle (source table) certifies the rewrite moved
+    * every row untouched; CompactionSpec pins the file-count collapse. */
+  private def compactFiles(s: SparkSession, d: String): DataFrame = {
+    val dir = "/tmp/graft-warehouse/compaction/customer_small"
+    Tables.customer(s, d).repartition(64)
+      .write.mode("overwrite").parquet(dir)
+    graft.ops.Compaction.compactParquet(s, dir, targetBytes = 64L * 1024 * 1024)
+    s.read.parquet(dir).orderBy(col("c_custkey"))
+  }
+
+  /** Dynamic partition overwrite (`ops/PartitionedWrite.scala`): lay
+    * orders out by status, re-derive ONLY the 'O' partition (prices
+    * doubled — exact in FP), read the final table. The oracle expresses
+    * the expected end state; PartitionedWriteSpec pins that the other
+    * partitions' files were not rewritten. */
+  private def partitionOverwrite(s: SparkSession, d: String): DataFrame = {
+    val dir = "/tmp/graft-warehouse/partitioned/orders_by_status"
+    val o = Tables.orders(s, d)
+    graft.ops.PartitionedWrite.writePartitioned(o, dir, Seq("o_orderstatus"))
+    val delta = o.filter(col("o_orderstatus") === "O")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    graft.ops.PartitionedWrite.overwritePartitions(delta, dir, Seq("o_orderstatus"))
+    s.read.parquet(dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("compact_files", compactFiles,
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+    Q("partition_overwrite", partitionOverwrite,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+             |       ELSE o_totalprice END AS o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
     Q("merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Q("dq_audit", dqAudit, Some(dqAuditSql)),
     Q("mv_incremental", mvIncremental,

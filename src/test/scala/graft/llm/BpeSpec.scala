@@ -110,4 +110,26 @@ class BpeSpec extends SparkTestBase {
       .collect()(0).getLong(0)
     assert(charMass == nChars)
   }
+
+  test("encodeDocuments: per-doc decode losslessness + mass agreement with tokenFrequencies") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 20)
+    val enc = Bpe.encodeDocuments(docs, "doc_id", "text", merges)
+    val rows = enc.collect()
+    // decode(encode(doc)) recovers the whitespace-normalized document
+    val orig = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).mkString(" ")).toMap
+    rows.foreach { r =>
+      val got = Bpe.decodeTokens(r.getSeq[String](2))
+      assert(got == orig(r.getLong(0)), s"doc ${r.getLong(0)} decode mismatch")
+    }
+    // n_tokens column is the tokens length, and total token mass equals
+    // the corpus-level tokenFrequencies mass under the same merges
+    assert(rows.forall(r => r.getLong(1) == r.getSeq[String](2).length))
+    val perDocMass = rows.map(_.getLong(1)).sum
+    val freqMass = Bpe.tokenFrequencies(docs, "text", merges)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(perDocMass == freqMass)
+  }
 }
