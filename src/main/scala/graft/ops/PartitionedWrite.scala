@@ -25,7 +25,7 @@ object PartitionedWrite {
 
   /** Overwrite ONLY the partitions present in `delta`; all other
     * partition directories under `path` keep their exact files
-    * (PartitionedWriteSpec pins file names + mtimes unchanged). */
+    * (StorageOpsSpec pins file names + mtimes unchanged). */
   def overwritePartitions(delta: DataFrame, path: String, partCols: Seq[String]): Unit = {
     val s = delta.sparkSession
     val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")

@@ -437,7 +437,7 @@ object OpsQueries {
   /** Small-files repair (`ops/Compaction.scala`): damage a copy of
     * customer into 64 tiny files, bin-pack it back, return the full
     * relation — the oracle (source table) certifies the rewrite moved
-    * every row untouched; CompactionSpec pins the file-count collapse. */
+    * every row untouched; StorageOpsSpec pins the file-count collapse. */
   private def compactFiles(s: SparkSession, d: String): DataFrame = {
     val dir = "/tmp/graft-warehouse/compaction/customer_small"
     Tables.customer(s, d).repartition(64)
@@ -449,7 +449,7 @@ object OpsQueries {
   /** Dynamic partition overwrite (`ops/PartitionedWrite.scala`): lay
     * orders out by status, re-derive ONLY the 'O' partition (prices
     * doubled — exact in FP), read the final table. The oracle expresses
-    * the expected end state; PartitionedWriteSpec pins that the other
+    * the expected end state; StorageOpsSpec pins that the other
     * partitions' files were not rewritten. */
   private def partitionOverwrite(s: SparkSession, d: String): DataFrame = {
     val dir = "/tmp/graft-warehouse/partitioned/orders_by_status"
