@@ -437,6 +437,45 @@ object LlmQueries {
              |  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
              |WHERE abs(length(substr(a.text,1,80)) - length(substr(b.text,1,80))) <= 6
              |  AND levenshtein(substr(a.text,1,80), substr(b.text,1,80)) <= 6""".stripMargin)),
+    // Cross-source record linkage (`llm/EntityResolution.scala`): a
+    // perturbed copy of customer (one digit deleted from each name,
+    // keys offset) linked back to the original — nation-blocked join,
+    // banded native levenshtein, per-record argmin with a total
+    // (dist, a_id) tie-break so the ambiguous all-digits name space
+    // resolves identically in both engines.
+    Q("entity_resolution", (s, d) => {
+      import org.apache.spark.sql.functions._
+      val c = Tables.customer(s, d)
+      val a = c.select(col("c_custkey").as("a_id"), col("c_name").as("a_name"),
+        col("c_nationkey").as("nat"))
+      val b = c.select((col("c_custkey") + 1000000L).as("b_id"),
+        expr("concat(substring(c_name, 1, cast(c_custkey % 9 + 9 as int)), " +
+             "substring(c_name, cast(c_custkey % 9 + 11 as int), 18))").as("b_name"),
+        col("c_nationkey").as("nat"))
+      graft.llm.EntityResolution.linkBest(a, b, Seq("nat"),
+          "a_id", "b_id", "a_name", "b_name", maxDist = 1)
+        .select(col("b_id"), col("a_id"), col("dist"))
+        .orderBy(col("b_id"))
+    },
+      Some("""WITH a AS (
+             |  SELECT c_custkey AS a_id, c_name AS a_name, c_nationkey AS nat
+             |  FROM customer),
+             |b AS (
+             |  SELECT c_custkey + 1000000 AS b_id,
+             |    concat(substring(c_name, 1, CAST(c_custkey % 9 + 9 AS INT)),
+             |           substring(c_name, CAST(c_custkey % 9 + 11 AS INT), 18)) AS b_name,
+             |    c_nationkey AS nat
+             |  FROM customer),
+             |cand AS (
+             |  SELECT b_id, a_id, levenshtein(a_name, b_name) AS dist
+             |  FROM b JOIN a USING (nat)
+             |  WHERE abs(length(a_name) - length(b_name)) <= 1
+             |    AND levenshtein(a_name, b_name) <= 1)
+             |SELECT b_id, a_id, dist FROM (
+             |  SELECT b_id, a_id, dist,
+             |    row_number() OVER (PARTITION BY b_id ORDER BY dist, a_id) AS rn
+             |  FROM cand) t
+             |WHERE rn = 1 ORDER BY b_id""".stripMargin)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_simhash", dedupSimhash, None), // probabilistic — LlmSpec properties
     Q("dedup_embedding_cosine", dedupEmbedding, Some(dedupEmbeddingSql)),
