@@ -323,7 +323,45 @@ object JoinQueries {
        |  (p_brand = 'Brand#12' AND l_quantity BETWEEN 10 AND 25) OR
        |  (p_brand = 'Brand#23' AND l_quantity BETWEEN 20 AND 35))""".stripMargin
 
+  /** Typed cogroup (KeyValueGroupedDataset.cogroup) — the Dataset face
+    * of the reference's reduce-side tagged join (`DataJoinReducerBase
+    * .java:230`: both inputs shuffled by key, one reducer call sees the
+    * tagged value groups): orders and lineitem co-grouped per orderkey,
+    * reconciling header totals against line sums in one pass. Per-key
+    * state is the two small groups (≤1 order, ≤7 lines); cents math
+    * keeps the output oracle-exact. */
+  private def cogroupReconcile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("c"))
+      .as[(Long, Long)]
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("c"))
+      .as[(Long, Long)]
+    o.groupByKey(_._1).cogroup(li.groupByKey(_._1)) { (k, os, ls) =>
+      var no = 0L; var so = 0L
+      os.foreach { t => no += 1; so += t._2 }
+      var nl = 0L; var sl = 0L
+      ls.foreach { t => nl += 1; sl += t._2 }
+      Iterator((k, no, nl, so, sl))
+    }.toDF("o_orderkey", "n_orders", "n_lines", "order_cents", "line_cents")
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val cogroupReconcileSql =
+    """SELECT COALESCE(o.k, l.k) AS o_orderkey,
+      |  COALESCE(o.n, 0) AS n_orders, COALESCE(l.n, 0) AS n_lines,
+      |  COALESCE(o.s, 0) AS order_cents, COALESCE(l.s, 0) AS line_cents
+      |FROM (SELECT o_orderkey AS k, count(*) AS n,
+      |        CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS s
+      |      FROM orders GROUP BY 1) o
+      |FULL JOIN (SELECT l_orderkey AS k, count(*) AS n,
+      |        CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS s
+      |      FROM lineitem GROUP BY 1) l ON o.k = l.k
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("cogroup_reconcile", cogroupReconcile, Some(cogroupReconcileSql)),
     Q("join_inner", joinInner, Some(joinInnerSql)),
     Q("join_star5", joinStar5, Some(joinStar5Sql)),
     Q("join_asof", joinAsof, Some(joinAsofSql)),

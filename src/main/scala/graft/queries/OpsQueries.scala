@@ -464,7 +464,29 @@ object OpsQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Table-level snapshot isolation (`ops/Snapshots.scala`): two append
+    * commits, then a PINNED read of version 1 — the result must be the
+    * first commit's rows even though the table has moved on, which is
+    * exactly what the manifest layer guarantees (SnapshotsSpec pins
+    * version stability, file immutability, and pinned-reader safety
+    * across replace commits too). */
+  private def snapshotRead(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 3 === 0), loc)
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 3 === 1), loc)
+    graft.ops.Snapshots.read(s, loc, version = 1)
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("snapshot_read", snapshotRead,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
     Q("compact_files", compactFiles,
       Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
              |FROM customer ORDER BY c_custkey""".stripMargin)),
