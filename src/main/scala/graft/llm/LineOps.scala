@@ -126,6 +126,49 @@ object LineOps {
       .withColumn("contaminated", col("n_shared_grams") >= minShared)
   }
 
+  /** FUZZY benchmark decontamination: exact n-gram JACCARD between each
+    * corpus document and each benchmark document, flagging docs whose
+    * best benchmark similarity reaches `minJaccard` — the near-verbatim
+    * rewrite case (reworded eval answers, shuffled sentences) that the
+    * shared-gram COUNT in [[contamination]] treats the same as one
+    * incidental phrase. Both checks run in practice: count for verbatim
+    * leakage, Jaccard for paraphrase-level leakage.
+    *
+    * Scale shape, same as [[contamination]]: the benchmark gram relation
+    * is eval-suite-sized, so it broadcasts; the corpus is scanned once
+    * and probed map-side, the per-(doc, bench) intersection counts
+    * partial-aggregate, and only gram-sharing pairs ever materialize (no
+    * all-pairs product). Benchmark sizes re-broadcast for the Jaccard
+    * denominator. Output per corpus doc: (id, n_matched_bench,
+    * max_jaccard, contaminated) — the jaccard is a single IEEE division
+    * over exact longs, bit-stable cross-engine. */
+  def fuzzyContamination(docs: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val docGrams = TextDedup.shingles(docs, idCol, textCol, n)
+    val benchGrams = TextDedup.shingles(bench, idCol, textCol, n)
+      .select(col("id").as("b_id"), col("shingle"))
+    val docSizes = docGrams.groupBy(col("id")).agg(count(lit(1)).as("na"))
+    val benchSizes = benchGrams.groupBy(col("b_id")).agg(count(lit(1)).as("nb"))
+    val matches = docGrams
+      .join(broadcast(benchGrams), "shingle")
+      .groupBy(col("id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      .join(docSizes, "id")
+      .join(broadcast(benchSizes), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+    val per = matches.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matched_bench"),
+        max(col("jaccard")).as("max_jaccard"))
+    docs.select(col(idCol).as("id"))
+      .join(per, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_matched_bench"), lit(0L)).as("n_matched_bench"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+      .withColumn("contaminated", col("n_matched_bench") >= 1)
+  }
+
   /** C4 document filter over filtered lines: a document survives iff it
     * retains at least `minLines` surviving lines and contains none of the
     * `banned` substrings (C4 uses "lorem ipsum", "javascript", "{").

@@ -81,6 +81,36 @@ object Sampling {
       .select(df.columns.map(df(_)): _*)
   }
 
+  /** Leakage-free train/validation/test assignment: the split is a pure
+    * function of the GROUP key's salted hash, so every row sharing a
+    * group value (all documents of a domain, all orders of a customer)
+    * lands in the SAME split — the grouping is what prevents evaluation
+    * leakage when near-identical rows cluster inside a group, which a
+    * row-level split cannot guarantee. `cuts` are ordered
+    * (name, upperHexExclusive) fences over the 4-hex-char sample key;
+    * the last fence must be [[fullRateHex]] so every key is assigned.
+    *
+    * Scale shape: one codegen'd CASE over a md5 prefix — assigned
+    * map-side on the scan, no shuffle, no state; reproducible across
+    * reruns and repartitionings like every sampler here. */
+  def groupSplit(df: DataFrame, groupCol: String,
+                 cuts: Seq[(String, String)],
+                 salt: String = "graft-split"): DataFrame = {
+    require(cuts.nonEmpty, "at least one split required")
+    require(cuts.forall(_._2.length == prefixLen),
+      s"all fences must be $prefixLen chars (hex digits, or fullRateHex)")
+    require(cuts.last._2 == fullRateHex,
+      s"last fence must be fullRateHex so every key is assigned")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted &&
+      cuts.map(_._2).distinct.size == cuts.size,
+      "fences must be strictly increasing")
+    val key = sampleKey(col(groupCol), salt)
+    val assigned = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, fence), rest) => when(key < lit(fence), name).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Deterministic epoch shuffle: a per-(epoch, row) sort key,
     * `md5(salt-epoch || key)`. Sorting any slice of the corpus by
     * `sort_key` yields the epoch's permutation — different epochs give

@@ -74,6 +74,48 @@ object TextStats {
               .otherwise(lit(0.0)))
   }
 
+  /** Compression-ratio quality signal: deflate(level 6) size over raw
+    * UTF-8 size per document. Template/boilerplate text compresses far
+    * better than natural prose, so the ratio is a cheap diversity /
+    * quality feature (low ratio → repetitive, machine-generated, or
+    * listing-like content) used by public corpus-filtering recipes
+    * alongside [[qualityScore]]'s surface ratios.
+    *
+    * This is the one TextStats op that can't be a Column expression —
+    * deflate is genuinely computational — so it runs as a typed
+    * `mapPartitions` with ONE `Deflater` reused per partition (the
+    * native-allocation cost amortizes over the partition; per-row
+    * allocation would dominate at 100 TB) and released on task
+    * completion. Deterministic for fixed input bytes and level, but not
+    * ANSI-SQL-expressible (no zlib in the oracle engine) — registered
+    * rows-only; CompressionStatsSpec pins byte-count exactness against a
+    * driver-side deflate, partitioning invariance, and the
+    * repetitive-vs-diverse ordering. */
+  def compressionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw =
+            if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          (id, raw.length.toLong, compressed,
+            if (raw.length == 0) 1.0 else compressed.toDouble / raw.length)
+        }
+      }
+      .toDF("id", "n_bytes", "n_deflate", "ratio")
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): the minimum
     * digest over all character k-grams — stable under content moves,
     * sensitive to content edits. */

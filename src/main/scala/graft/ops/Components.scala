@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-round connected components: exactly `rounds` rounds of
+  * min-label propagation, the same recurrence
+  * [[graft.llm.DedupPipeline.components]] runs to convergence.
+  *
+  * The bounded form exists for the same reason bounded
+  * PageRank/BFS/k-core do ([[PageRank]], [[GraphPaths]], [[GraphCores]]):
+  * a fixed unrolling is integral and deterministic, so a DuckDB mirror
+  * that chains the identical recurrence as CTEs hash-matches it — the
+  * driver's oracle certifies the propagation kernel, and ComponentsSpec
+  * pins that on a fixture converging within the bound the bounded output
+  * EQUALS the convergent pipeline's, transferring the certificate to the
+  * production path.
+  *
+  * Each round is one join + one groupBy, both shuffling on node id —
+  * a fixed per-round cost in the graph's edge count, no driver-side
+  * graph state. `checkpointDir` selects the reliable-checkpoint pin for
+  * cluster runs where an executor loss must not fail the fold
+  * ([[Checkpoints]]).
+  */
+object Components {
+
+  /** (node, rep) after exactly `rounds` propagation rounds; `rep` is the
+    * minimum node id reachable within `rounds` hops (= the component
+    * representative once `rounds` ≥ the component diameter). */
+  def labelsBounded(edges: DataFrame, srcCol: String, dstCol: String,
+                    rounds: Int,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    // symmetrize once; labels flow both directions each round
+    val sym = Checkpoints.pin(
+      edges.select(col(srcCol).as("id1"), col(dstCol).as("id2"))
+        .union(edges.select(col(dstCol).as("id1"), col(srcCol).as("id2")))
+        .distinct(),
+      checkpointDir)
+    var labels = Checkpoints.pin(
+      sym.select(col("id1").as("node")).distinct()
+        .withColumn("rep", col("node")),
+      checkpointDir)
+    for (_ <- 1 to rounds) {
+      val next = Checkpoints.pin(
+        sym.join(labels, sym("id1") === labels("node"))
+          .select(col("id2").as("node"), col("rep"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("rep")).as("rep")),
+        checkpointDir)
+      Checkpoints.release(labels, checkpointDir)
+      labels = next
+    }
+    // the final pin already materialized `labels`, so the static edge
+    // relation can be released here instead of leaking into the session
+    // (the round-7 block-accumulation finding)
+    Checkpoints.release(sym, checkpointDir)
+    labels
+  }
+
+  /** Component summary for the registry: size and minimum-id
+    * representative of each label group after `rounds` rounds. */
+  def componentSizes(edges: DataFrame, srcCol: String, dstCol: String,
+                     rounds: Int): DataFrame =
+    labelsBounded(edges, srcCol, dstCol, rounds)
+      .groupBy(col("rep")).agg(count(lit(1)).as("n_nodes"))
+}

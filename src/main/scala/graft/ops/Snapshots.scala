@@ -115,4 +115,98 @@ object Snapshots {
     val files = readManifest(s, p)
     if (files.isEmpty) s.emptyDataFrame else s.read.parquet(files: _*)
   }
+
+  private def versionFiles(s: SparkSession, loc: String, version: Long): Seq[String] = {
+    val ms = manifests(s, loc)
+    ms.find(_._1 == version)
+      .map { case (_, p) => readManifest(s, p) }
+      .getOrElse(throw new NoSuchElementException(
+        s"version $version not found at $loc"))
+  }
+
+  /** Exact multiset row-level delta `from → to`: one row per inserted /
+    * deleted occurrence, tagged in a leading `change` column.
+    *
+    * The manifest layer makes this cost O(changed data), not O(table):
+    * data files are immutable, so any file BOTH manifests name
+    * contributes nothing and is never opened — only the symmetric
+    * file-set difference is read. After an append that is exactly the
+    * delta's files; after a logical overwrite every file differs, but the
+    * per-side `exceptAll` still nets out rows that merely moved files, so
+    * the row-level answer is identical either way. At 100 TB a
+    * diff-after-append reads megabytes, not the table (SnapshotsSpec pins
+    * `inputFiles ⊆ changed files`). */
+  def diff(s: SparkSession, loc: String, fromVersion: Long,
+           toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fromF = versionFiles(s, loc, fromVersion)
+    val toF = versionFiles(s, loc, toVersion)
+    val removedF = fromF.filterNot(toF.toSet)
+    val addedF = toF.filterNot(fromF.toSet)
+    def readFiles(fs: Seq[String]): Option[DataFrame] =
+      if (fs.isEmpty) None else Some(s.read.parquet(fs: _*))
+    (readFiles(addedF), readFiles(removedF)) match {
+      case (None, None) =>
+        // identical manifests — shape the empty result from the pinned
+        // version so downstream schema handling is uniform
+        val base = read(s, loc, toVersion)
+        base.filter(lit(false)).select(
+          lit("insert").as("change") +: base.columns.map(col).toIndexedSeq: _*)
+      case (a, r) =>
+        val schemaSrc = a.orElse(r).get
+        val empty = schemaSrc.filter(lit(false))
+        val added = a.getOrElse(empty)
+        val removed = r.getOrElse(empty)
+        def tag(df: DataFrame, t: String) =
+          df.select(lit(t).as("change") +: df.columns.map(col): _*)
+        tag(added.exceptAll(removed), "insert")
+          .unionByName(tag(removed.exceptAll(added), "delete"))
+    }
+  }
+
+  /** Retention GC: keep the newest `retainLast` versions, drop every
+    * older manifest, then delete any data file no surviving manifest
+    * names. Returns (manifests dropped, data files deleted).
+    *
+    * Order matters for crash safety: manifests are removed FIRST, so a
+    * crash mid-expire leaves orphaned data files (harmless garbage the
+    * next expire collects) — never a live manifest naming deleted files.
+    * At 100 TB both sides are driver-side metadata work (manifest lines
+    * vs a data-directory listing); the deletes themselves are O(dead
+    * files). */
+  def expire(s: SparkSession, loc: String, retainLast: Int): (Int, Int) = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val f = fs(s, loc)
+    val ms = manifests(s, loc)
+    val dropped = ms.dropRight(retainLast)
+    val kept = ms.takeRight(retainLast)
+    val live = kept.flatMap { case (_, p) => readManifest(s, p) }.toSet
+    dropped.foreach { case (_, p) => f.delete(p, false) }
+    val dataRoot = new Path(loc, "data")
+    var deleted = 0
+    if (f.exists(dataRoot)) {
+      val it = f.listFiles(dataRoot, true)
+      val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.startsWith("part-") &&
+            !live.contains(st.getPath.toString))
+          dead += st.getPath
+      }
+      dead.foreach { p => if (f.delete(p, false)) deleted += 1 }
+      // drop commit directories the sweep emptied of data files
+      // (_SUCCESS markers go with their directory)
+      f.listStatus(dataRoot).foreach { d =>
+        def hasData = {
+          val c = f.listFiles(d.getPath, true)
+          var found = false
+          while (!found && c.hasNext)
+            found = c.next().getPath.getName.startsWith("part-")
+          found
+        }
+        if (d.isDirectory && !hasData) f.delete(d.getPath, true)
+      }
+    }
+    (dropped.size, deleted)
+  }
 }

@@ -269,6 +269,47 @@ object AnalyticsQueries {
        |  SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) t
        |GROUP BY 1 ORDER BY node""".stripMargin
 
+  /** Bounded connected components over the customer↔supplier trade
+    * graph (same node encoding as `pagerank`): 6 rounds of min-label
+    * propagation (`ops/Components.scala`), then component sizes. Labels
+    * are node-id minima — integral — so the DuckDB mirror unrolls the
+    * identical recurrence; ComponentsSpec pins bounded ≡ convergent
+    * ([[graft.llm.DedupPipeline.components]]) on a fixture converging
+    * within the bound. */
+  private def connectedComponents(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+    // per-NODE labels, not component sizes: every node's propagated
+    // minimum is hash-checked, so a single wrong hop anywhere fails the
+    // gate (the size rollup would mask label errors inside a component)
+    graft.ops.Components.labelsBounded(edges, "src", "dst", rounds = 6)
+      .orderBy(col("node"))
+  }
+
+  private def ccRoundSql(prev: String, next: String): String =
+    s"""$next AS (SELECT node, min(rep) AS rep FROM (
+       |  SELECT e.id2 AS node, r.rep FROM sym e JOIN $prev r ON e.id1 = r.node
+       |  UNION ALL SELECT node, rep FROM $prev) t GROUP BY node)""".stripMargin
+
+  private def connectedComponentsSql: String =
+    s"""WITH edges AS (
+       |  SELECT DISTINCT CAST(2*o_custkey AS BIGINT) AS src,
+       |    CAST(2*l_suppkey+1 AS BIGINT) AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |sym AS (SELECT src AS id1, dst AS id2 FROM edges
+       |        UNION SELECT dst, src FROM edges),
+       |r0 AS (SELECT DISTINCT id1 AS node, id1 AS rep FROM sym),
+       |${ccRoundSql("r0", "r1")},
+       |${ccRoundSql("r1", "r2")},
+       |${ccRoundSql("r2", "r3")},
+       |${ccRoundSql("r3", "r4")},
+       |${ccRoundSql("r4", "r5")},
+       |${ccRoundSql("r5", "r6")}
+       |SELECT node, rep FROM r6 ORDER BY node""".stripMargin
+
   /** Sketch set algebra: pairwise overlap of the per-status order-date
     * SETS computed from two fixed-size HLL summaries per pair
     * (`graft_hll_intersect`) — no raw-data join. Distinct dates sit
@@ -753,6 +794,7 @@ object AnalyticsQueries {
     Q("triangle_count", triangleCount, Some(triangleCountSql)),
     Q("shortest_hops", shortestHops, Some(shortestHopsSql)),
     Q("kcore_nodes", kcoreNodes, Some(kcoreNodesSql)),
+    Q("connected_components", connectedComponents, Some(connectedComponentsSql)),
     Q("distinct_overlap", distinctOverlap,
       Some("""WITH ds AS (SELECT DISTINCT o_orderstatus AS s, o_orderdate AS dt
              |            FROM orders)

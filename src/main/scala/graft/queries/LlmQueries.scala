@@ -298,6 +298,10 @@ object LlmQueries {
   private def quality(s: SparkSession, d: String): DataFrame =
     TextStats.qualityScore(Tables.documents(s, d), "doc_id", "text")
 
+  private def compressionRatio(s: SparkSession, d: String): DataFrame =
+    TextStats.compressionStats(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("id"))
+
   private val qualitySql: String = {
     val stopArr = TextStats.lexicons.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""SELECT id, n_chars, n_tokens,
@@ -526,6 +530,12 @@ object LlmQueries {
              |  length(text) AS n_chars
              |FROM documents ORDER BY id""".stripMargin)),
     Q("quality_score", quality, Some(qualitySql)),
+    Q("compression_ratio", compressionRatio,
+      None), // deflate has no oracle-engine mirror (no zlib in ANSI SQL /
+             // DuckDB); CompressionStatsSpec pins byte-count exactness vs
+             // a driver-side deflate, partitioning invariance, and the
+             // repetitive-vs-diverse ordering
+
     Q("multimodal_decode", multimodalDecode, Some(multimodalDecodeSql)),
     Q("multimodal_features", multimodalFeatures, None), // shape: MultimodalSpec
     Q("multimodal_pixels", multimodalPixels, Some(multimodalPixelsSql)),

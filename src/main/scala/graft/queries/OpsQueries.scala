@@ -481,12 +481,42 @@ object OpsQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Version-to-version row delta (`Snapshots.diff`): v1 appends a third
+    * of orders, v2 appends another third, v3 logically overwrites with
+    * the open-status subset of both thirds. diff(1 → 3) must report the
+    * second third's open rows as inserts and the first third's closed
+    * rows as deletes — rows present in both versions net out through the
+    * replace even though every v3 file is new. The file-level pruning
+    * claim (an append-shaped diff never opens unchanged files) is pinned
+    * in SnapshotsSpec via `inputFiles`. */
+  private def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders_diff"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 3 === 0), loc)
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 3 === 1), loc)
+    graft.ops.Snapshots.commitReplace(
+      o.filter(col("o_orderkey") % 3 <= 1 && col("o_orderstatus") =!= "F"), loc)
+    graft.ops.Snapshots.diff(s, loc, fromVersion = 1, toVersion = 3)
+      .orderBy(col("change"), col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("snapshot_read", snapshotRead,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 = 0
              |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_diff", snapshotDiff,
+      Some("""SELECT 'insert' AS change, o_orderkey, o_custkey, o_orderstatus,
+             |  o_totalprice, o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 1 AND o_orderstatus <> 'F'
+             |UNION ALL
+             |SELECT 'delete', o_orderkey, o_custkey, o_orderstatus,
+             |  o_totalprice, o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'F'
+             |ORDER BY change, o_orderkey""".stripMargin)),
     Q("compact_files", compactFiles,
       Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
              |FROM customer ORDER BY c_custkey""".stripMargin)),

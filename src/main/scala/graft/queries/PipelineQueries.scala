@@ -22,6 +22,32 @@ object PipelineQueries {
     """SELECT doc_id, text, lang, source, n_chars FROM documents
       |WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'""".stripMargin
 
+  /** Leakage-free dataset split (`Sampling.groupSplit`): orders split
+    * train/valid/test by the CUSTOMER's hash, so no customer straddles
+    * splits (the leakage guarantee a row-level split can't give);
+    * summarized per split. GroupSplitSpec pins the one-split-per-group
+    * property; the oracle certifies the assignment function itself. */
+  private def groupSplit(s: SparkSession, d: String): DataFrame =
+    Sampling.groupSplit(Tables.orders(s, d), "o_custkey",
+        Seq(("train", "8000"), ("valid", "c000"),
+          ("test", Sampling.fullRateHex)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("split"))
+
+  private val groupSplitSql: String =
+    """WITH a AS (SELECT
+      |  CASE WHEN substr(md5('graft-split' || CAST(o_custkey AS VARCHAR)), 1, 4)
+      |         < '8000' THEN 'train'
+      |       WHEN substr(md5('graft-split' || CAST(o_custkey AS VARCHAR)), 1, 4)
+      |         < 'c000' THEN 'valid'
+      |       ELSE 'test' END AS split, o_custkey
+      |  FROM orders)
+      |SELECT split, count(*) AS n_orders,
+      |  count(DISTINCT o_custkey) AS n_customers
+      |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def sampleStratified(s: SparkSession, d: String): DataFrame =
     Sampling.stratifiedSample(Tables.documents(s, d), "doc_id", "source",
       rates = Map("src0" -> Sampling.rateToHex(0.5),   // "8000"
@@ -338,6 +364,39 @@ object PipelineQueries {
       |  coalesce(sh.n_shared_grams, CAST(0 AS BIGINT)) >= 1 AS contaminated
       |FROM d LEFT JOIN sh ON d.id = sh.id""".stripMargin
 
+  /** Fuzzy decontamination (`LineOps.fuzzyContamination`): per-doc best
+    * n-gram Jaccard against the same pseudo-benchmark — catches
+    * paraphrase-level leakage the shared-gram count can't distinguish
+    * from one incidental phrase. Benchmark members self-match at 1.0 by
+    * construction. */
+  private def decontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    LineOps.fuzzyContamination(docs, docs.filter(col("doc_id") % 101 === 0),
+      "doc_id", "text", n = 3, minJaccard = 0.5)
+  }
+
+  private val decontaminateFuzzySql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM d)),
+      |bsh AS (SELECT doc_id AS b_id, s FROM sh WHERE doc_id % 101 = 0),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |m AS (SELECT a.doc_id AS id, b.b_id,
+      |    CAST(count(*) AS DOUBLE) / (s1.n + s2.n - count(*)) AS j
+      |  FROM sh a JOIN bsh b ON a.s = b.s
+      |    JOIN sizes s1 ON a.doc_id = s1.doc_id
+      |    JOIN sizes s2 ON b.b_id = s2.doc_id
+      |  GROUP BY a.doc_id, b.b_id, s1.n, s2.n),
+      |per AS (SELECT id, count(*) AS n_matched_bench, max(j) AS max_jaccard
+      |  FROM m WHERE j >= 0.5 GROUP BY 1)
+      |SELECT d0.doc_id AS id,
+      |  coalesce(per.n_matched_bench, CAST(0 AS BIGINT)) AS n_matched_bench,
+      |  coalesce(per.max_jaccard, 0.0) AS max_jaccard,
+      |  coalesce(per.n_matched_bench, CAST(0 AS BIGINT)) >= 1 AS contaminated
+      |FROM (SELECT doc_id FROM documents) d0
+      |LEFT JOIN per ON d0.doc_id = per.id""".stripMargin
+
   // ---- end-to-end corpus preparation ----
 
   private def pipelineE2e(s: SparkSession, d: String): DataFrame =
@@ -436,6 +495,7 @@ object PipelineQueries {
     Q("sample_exact_k", sampleExactK, Some(sampleExactKSql)),
     Q("sample_priority", samplePriority, Some(samplePrioritySql)),
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    Q("group_split", groupSplit, Some(groupSplitSql)),
     Q("mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
     Q("pii_redact", piiRedact, Some(piiRedactSql)),
     Q("gopher_repetition", gopherRepetition, Some(gopherRepetitionSql)),
@@ -449,6 +509,7 @@ object PipelineQueries {
     Q("lm_perplexity", lmPerplexity, None), // ln not bit-stable cross-engine — see scaladoc
     Q("pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("decontaminate_fuzzy", decontaminateFuzzy, Some(decontaminateFuzzySql)),
     Q("epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     Q("dup_span_fraction", dupSpanFraction, Some(dupSpanFractionSql)),
 

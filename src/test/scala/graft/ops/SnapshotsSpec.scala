@@ -76,4 +76,62 @@ class SnapshotsSpec extends SparkTestBase {
     Snapshots.commitAppend(Seq(1L).toDF("id"), loc)
     intercept[NoSuchElementException](Snapshots.read(spark, loc, version = 7))
   }
+
+  // URI spellings differ between FileStatus and inputFiles — compare
+  // filesystem paths
+  private def norm(f: String): String = new Path(f).toUri.getPath
+
+  test("diff after an append reads ONLY the delta's files") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_diff_files"
+    wipe(loc)
+    Snapshots.commitAppend((1L to 1000L).toDF("id"), loc)
+    val v1Files = dataFiles(loc).keySet.map(norm)
+    Snapshots.commitAppend(Seq(2000L, 2001L).toDF("id"), loc)
+    val deltaFiles = dataFiles(loc).keySet.map(norm) -- v1Files
+    val d = Snapshots.diff(spark, loc, 1, 2)
+    // the immutable-file argument, measured: no common file is opened
+    val opened = d.inputFiles.toSet.map(norm)
+    assert(opened.nonEmpty && opened.subsetOf(deltaFiles),
+      s"diff opened unchanged files: ${opened -- deltaFiles}")
+    assert(d.filter(col("change") === "insert").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(2000L, 2001L))
+    assert(d.filter(col("change") === "delete").count() == 0)
+  }
+
+  test("diff across a replace nets out rows that merely moved files") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_diff_replace"
+    wipe(loc)
+    Snapshots.commitAppend(Seq(1L, 2L, 3L, 3L).toDF("id"), loc)
+    Snapshots.commitReplace(Seq(2L, 3L, 4L).toDF("id"), loc)
+    val d = Snapshots.diff(spark, loc, 1, 2)
+    def ids(tag: String) = d.filter(col("change") === tag).select("id")
+      .as[Long].collect().sorted.toSeq
+    // multiset semantics: one of the two 3s survives, one is deleted
+    assert(ids("insert") == Seq(4L))
+    assert(ids("delete") == Seq(1L, 3L))
+  }
+
+  test("expire keeps retained versions readable and deletes dead files") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_expire"
+    wipe(loc)
+    Snapshots.commitAppend(Seq(1L, 2L).toDF("id"), loc)
+    Snapshots.commitAppend(Seq(3L).toDF("id"), loc)
+    Snapshots.commitReplace(Seq(9L).toDF("id"), loc)      // v1/v2 files now dead
+    val before = Snapshots.read(spark, loc).select("id").as[Long].collect().toSeq
+    val (droppedManifests, deletedFiles) = Snapshots.expire(spark, loc, retainLast = 1)
+    assert(droppedManifests == 2)
+    assert(deletedFiles > 0)
+    // latest survives bit-equal; expired versions are gone
+    assert(Snapshots.read(spark, loc).select("id").as[Long].collect().toSeq == before)
+    assert(Snapshots.latestVersion(spark, loc) == 3L)
+    intercept[NoSuchElementException](Snapshots.read(spark, loc, version = 1))
+    // every remaining data file is named by the surviving manifest
+    val live = Snapshots.read(spark, loc, 3).inputFiles.toSet.map(norm)
+    assert(dataFiles(loc).keySet.map(norm) == live)
+    // idempotent: a second expire finds nothing to do
+    assert(Snapshots.expire(spark, loc, retainLast = 1) == ((0, 0)))
+  }
 }
