@@ -456,7 +456,7 @@ object LlmQueries {
         expr("concat(substring(c_name, 1, cast(c_custkey % 9 + 9 as int)), " +
              "substring(c_name, cast(c_custkey % 9 + 11 as int), 18))").as("b_name"),
         col("c_nationkey").as("nat"))
-      graft.llm.EntityResolution.linkBest(a, b, Seq("nat"),
+      graft.llm.EntityResolution.linkBestPruned(a, b, Seq("nat"),
           "a_id", "b_id", "a_name", "b_name", maxDist = 1)
         .select(col("b_id"), col("a_id"), col("dist"))
         .orderBy(col("b_id"))

@@ -35,4 +35,29 @@ class EntityResolutionSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"linkage degenerated to all-pairs:\n$plan")
   }
+
+  test("segment-pruned linkage equals the block-joined form, including cross-block exclusion") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // names sharing a boilerplate prefix (the LCP-strip degeneracy) with
+    // random digit tails; b perturbs half the names by one deletion and
+    // scatters some records into a different block
+    val a = (1L to 120L).map { i =>
+      (i, f"Account#${rnd.nextInt(100000)}%05d", (i % 4).toInt)
+    }.toDF("a_id", "a_name", "nat")
+    val aRows = a.as[(Long, String, Int)].collect()
+    val b = aRows.map { case (i, name, nat) =>
+      val perturbed = if (i % 2 == 0) name.patch(8 + rnd.nextInt(5), "", 1) else name
+      val block = if (i % 17 == 0) 9 else nat  // some cross-block strays
+      (i + 1000L, perturbed, block)
+    }.toSeq.toDF("b_id", "b_name", "nat")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("b_id", "a_id", "dist").as[(Long, Long, Int)].collect().toSet
+    val plain = run(EntityResolution.linkBest(a, b, Seq("nat"),
+      "a_id", "b_id", "a_name", "b_name", maxDist = 1))
+    val pruned = run(EntityResolution.linkBestPruned(a, b, Seq("nat"),
+      "a_id", "b_id", "a_name", "b_name", maxDist = 1))
+    assert(pruned === plain)
+    assert(plain.nonEmpty)
+  }
 }
