@@ -189,9 +189,89 @@ object TpchQueries {
        |WHERE p_brand = 'Brand#9'
        |  AND 5 * CAST(round(l_quantity * 100) AS BIGINT) * n < sq""".stripMargin
 
+  /** Q10 analog — returned-item reporting: revenue lost to 'R'-flagged
+    * items in one quarter, per customer with nation, top 20. The
+    * returnflag + quarter filters are pushed to the scans, cutting
+    * lineitem and orders BEFORE their join; customer joins the
+    * already-aggregable stream and nation broadcasts last (25 rows onto
+    * 20-ish groups). Top-k on the exact integer revenue. */
+  private def q10Returns(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(rev4(col("l_extendedprice"), col("l_discount"))).as("r4"))
+      .orderBy(col("r4").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        (col("r4") / 10000.0).as("revenue"))
+  }
+
+  private val q10Sql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  sum(${sqlRev4("l_extendedprice", "l_discount")}) / 10000.0 AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-04-01'
+       |GROUP BY 1, 2, 3
+       |ORDER BY sum(${sqlRev4("l_extendedprice", "l_discount")}) DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** Q18 analog — large-volume customers: orders whose total quantity
+    * exceeds 300, joined back to customer. The HAVING relation is tiny
+    * (top ~0.3% of orders) and integral; no broadcast hint — at test SF
+    * AQE turns the join to broadcast on its own, and at warehouse scale
+    * (where 0.3% of orders outgrows the driver) the same plan degrades
+    * gracefully to a shuffle join instead of OOMing on a forced hint.
+    * Quantities are integral doubles — cast to long so both engines sum
+    * exact integers. */
+  private def q18BigOrders(s: SparkSession, d: String): DataFrame = {
+    val qty = col("l_quantity").cast("long")
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("big_ok"))
+      .agg(sum(qty).as("total_qty"))
+      .filter(col("total_qty") > 300L)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    o.join(big, col("o_orderkey") === col("big_ok"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("order_date"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  private val q18Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey AS big_ok,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+      |SELECT c_custkey, c_name, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, total_qty
+      |FROM orders
+      |JOIN big ON o_orderkey = big_ok
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("tpch_q3_shipping", q3Shipping, Some(q3Sql)),
     Q("tpch_q5_local", q5Local, Some(q5Sql)),
     Q("tpch_q7_volume", q7Volume, Some(q7Sql)),
-    Q("tpch_q17_smallqty", q17SmallQty, Some(q17Sql)))
+    Q("tpch_q10_returns", q10Returns, Some(q10Sql)),
+    Q("tpch_q17_smallqty", q17SmallQty, Some(q17Sql)),
+    Q("tpch_q18_bigorders", q18BigOrders, Some(q18Sql)))
 }
