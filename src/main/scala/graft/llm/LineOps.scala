@@ -130,9 +130,10 @@ object LineOps {
     * corpus document and each benchmark document, flagging docs whose
     * best benchmark similarity reaches `minJaccard` — the near-verbatim
     * rewrite case (reworded eval answers, shuffled sentences) that the
-    * shared-gram COUNT in [[contamination]] treats the same as one
-    * incidental phrase. Both checks run in practice: count for verbatim
-    * leakage, Jaccard for paraphrase-level leakage.
+    * shared-gram COUNT in [[contamination]] (the GPT-3-style overlap
+    * check, Brown et al. 2020 App. C) treats the same as one incidental
+    * phrase. Both checks run in practice: count for verbatim leakage,
+    * Jaccard for paraphrase-level leakage.
     *
     * Scale shape, same as [[contamination]]: the benchmark gram relation
     * is eval-suite-sized, so it broadcasts; the corpus is scanned once

@@ -74,12 +74,13 @@ object TextStats {
               .otherwise(lit(0.0)))
   }
 
-  /** Compression-ratio quality signal: deflate(level 6) size over raw
-    * UTF-8 size per document. Template/boilerplate text compresses far
-    * better than natural prose, so the ratio is a cheap diversity /
-    * quality feature (low ratio → repetitive, machine-generated, or
-    * listing-like content) used by public corpus-filtering recipes
-    * alongside [[qualityScore]]'s surface ratios.
+  /** Compression-ratio quality signal: deflate(level 6, RFC 1951) size
+    * over raw UTF-8 size per document. Template/boilerplate text
+    * compresses far better than natural prose, so the ratio is a cheap
+    * diversity / quality feature (low ratio → repetitive,
+    * machine-generated, or listing-like content) used by public
+    * corpus-filtering recipes (e.g. the Gopher data-quality analyses,
+    * Rae et al. 2021) alongside [[qualityScore]]'s surface ratios.
     *
     * This is the one TextStats op that can't be a Column expression —
     * deflate is genuinely computational — so it runs as a typed

@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Bounded-round connected components: exactly `rounds` rounds of
   * min-label propagation, the same recurrence
-  * [[graft.llm.DedupPipeline.components]] runs to convergence.
+  * [[graft.llm.DedupPipeline.components]] runs to convergence
+  * (relational O(diameter)-round CC per Rastogi et al., "Finding
+  * Connected Components in Map-Reduce in Logarithmic Rounds", ICDE
+  * 2013 — the hash-min variant).
   *
   * The bounded form exists for the same reason bounded
   * PageRank/BFS/k-core do ([[PageRank]], [[GraphPaths]], [[GraphCores]]):

@@ -502,6 +502,29 @@ object OpsQueries {
       .orderBy(col("change"), col("o_orderkey"))
   }
 
+  /** Retention GC lifecycle (`Snapshots.expire`): three commits (two
+    * appends, one logical overwrite that orphans every earlier file),
+    * expire down to the latest version, then read the survivor. The
+    * in-query guards make the GC itself part of the correctness gate:
+    * exactly two manifests must drop, dead files must actually delete,
+    * and the post-GC read must still hash-match the overwrite's content
+    * (the oracle). SnapshotsSpec additionally pins live-file-set
+    * equality and idempotence. */
+  private def snapshotExpire(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders_expire"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 3 === 0), loc)
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 3 === 1), loc)
+    graft.ops.Snapshots.commitReplace(o.filter(col("o_orderstatus") === "O"), loc)
+    val (droppedManifests, deletedFiles) =
+      graft.ops.Snapshots.expire(s, loc, retainLast = 1)
+    require(droppedManifests == 2 && deletedFiles > 0,
+      s"expire did not collect: $droppedManifests manifests, $deletedFiles files")
+    graft.ops.Snapshots.read(s, loc).orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("snapshot_read", snapshotRead,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -517,6 +540,11 @@ object OpsQueries {
              |  o_totalprice, o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'F'
              |ORDER BY change, o_orderkey""".stripMargin)),
+    Q("snapshot_expire", snapshotExpire,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderstatus = 'O'
+             |ORDER BY o_orderkey""".stripMargin)),
     Q("compact_files", compactFiles,
       Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
              |FROM customer ORDER BY c_custkey""".stripMargin)),
