@@ -46,35 +46,48 @@ object EntityResolution {
     cand.withColumn("__rn", best).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** [[linkBest]] with PassJoin segment pruning composed in: candidate
-    * pairs come from [[EditSimilarity.editDistanceJoinBetween]]'s
-    * content-selective segment join (LCP-stripped, so shared boilerplate
-    * prefixes don't degenerate into full blocks), and the blocking
-    * predicate is applied as a lossless post-verify filter — the output
-    * is EXACTLY `linkBest`'s (global dist ≤ t pairs ∩ equal blocks ==
-    * block-joined dist ≤ t pairs; EntityResolutionSpec pins equality).
+  /** [[linkBest]] with sub-block candidate pruning composed in. The
+    * candidate generator is picked by threshold:
     *
-    * Use this form when blocks are large: `linkBest` pays |block|² pairs
-    * per block before any distance math, while here the pair fan-out is
-    * bounded by segment-content collisions — at sf0.1 the registered
-    * query drops from 9M levenshtein candidates to ~60k. `prefixLen`
-    * must cover the full text length for exact-linkage parity (strings
-    * longer than it are linked on their prefix, [[EditSimilarity]]'s
-    * documented contract). Output: (bId, aId, dist). */
+    *  - `maxDist == 1`: [[EditSimilarity.deletionJoinBetween]]'s
+    *    symmetric-delete neighborhood, with the block columns composed
+    *    INTO the variant join key — candidates are Θ(N·len) regardless
+    *    of how densely keys pack their alphabet (the adversarial probe
+    *    caught the segment path at 17.5× wall for 2× records on dense
+    *    digit keys; whole-string variant buckets are occupancy-bounded
+    *    by the true neighborhood density instead).
+    *  - `maxDist > 1`: [[EditSimilarity.editDistanceJoinBetween]]'s
+    *    PassJoin segment join (LCP-stripped), block predicate applied
+    *    as a lossless post-verify filter.
+    *
+    * Either way the output is EXACTLY `linkBest`'s (global dist ≤ t
+    * pairs ∩ equal blocks == block-joined dist ≤ t pairs;
+    * EntityResolutionSpec pins equality on both paths). Use this form
+    * when blocks are large: `linkBest` pays |block|² pairs per block
+    * before any distance math. `prefixLen` must cover the full text
+    * length for exact-linkage parity (strings longer than it are linked
+    * on their prefix, [[EditSimilarity]]'s documented contract).
+    * Output: (bId, aId, dist). */
   def linkBestPruned(a: DataFrame, b: DataFrame, blockCols: Seq[String],
                      aId: String, bId: String, aText: String, bText: String,
                      maxDist: Int, prefixLen: Int = 64): DataFrame = {
-    val pairs = EditSimilarity.editDistanceJoinBetween(
-      b, bId, bText, a, aId, aText, maxDist, prefixLen)
-    val aBlocks = a.select(
-      col(aId).as("__aid") +: blockCols.map(c => col(c).as(s"__a_$c")): _*)
-    val bBlocks = b.select(
-      col(bId).as("__bid") +: blockCols.map(c => col(c).as(s"__b_$c")): _*)
-    val blocked = pairs
-      .join(aBlocks, col("ref_id") === col("__aid"))
-      .join(bBlocks, col("probe_id") === col("__bid"))
-      .filter(blockCols.map(c => col(s"__a_$c") === col(s"__b_$c"))
-        .reduce(_ && _))
+    val blocked =
+      if (maxDist == 1) {
+        EditSimilarity.deletionJoinBetween(
+          b, bId, bText, a, aId, aText, prefixLen, blockCols)
+      } else {
+        val pairs = EditSimilarity.editDistanceJoinBetween(
+          b, bId, bText, a, aId, aText, maxDist, prefixLen)
+        val aBlocks = a.select(
+          col(aId).as("__aid") +: blockCols.map(c => col(c).as(s"__a_$c")): _*)
+        val bBlocks = b.select(
+          col(bId).as("__bid") +: blockCols.map(c => col(c).as(s"__b_$c")): _*)
+        pairs
+          .join(aBlocks, col("ref_id") === col("__aid"))
+          .join(bBlocks, col("probe_id") === col("__bid"))
+          .filter(blockCols.map(c => col(s"__a_$c") === col(s"__b_$c"))
+            .reduce(_ && _))
+      }
     val best = row_number().over(
       Window.partitionBy(col("probe_id")).orderBy(col("dist"), col("ref_id")))
     blocked.withColumn("__rn", best).filter(col("__rn") === 1)

@@ -484,6 +484,97 @@ object AdversarialProbe {
     println(f"RATIO bloom_saturated_probe (informational): " +
       f"${blHi / blLo}%.2fx wall for ${dataRatio}%.0fx data at the job-floor")
 
+    // --- round-8 second wave ---
+
+    // Entity resolution (linkBestPruned) at 2x records: the scaled
+    // corpus models MORE CUSTOMERS — a denser key space with the same
+    // name shape as the registered query ("Customer#" + zero-padded
+    // digits), so the corpus-LCP strip engages identically at both
+    // scales. (A first draft tagged each copy with per-copy prefix
+    // letters; that defeats the GLOBAL LCP strip — min/max straddle the
+    // copy tags, nothing strips, and the boilerplate "Customer#" head
+    // segment degenerates into one bucket holding every string of a
+    // copy: ~900M candidates, the exact blowup the strip exists to
+    // prevent. The probe now varies the digit tail, which is what real
+    // growth does.) True cross-key dist<=1 collisions are O(digits x 10)
+    // per record — linear in the corpus. A FAIL means candidate
+    // generation grew a quadratic term on a realistically-shaped 2x
+    // corpus.
+    def erSides(mult: Int): (DataFrame, DataFrame) = {
+      val c = graft.core.Tables.customer(spark, d)
+      val a = (0 until mult).map { m =>
+        c.select((col("c_custkey") * mult + lit(m)).cast("long").as("a_id"),
+          col("c_nationkey").as("nat"))
+      }.reduce(_ union _)
+        .select(col("a_id"),
+          concat(lit("Customer#"), lpad(col("a_id").cast("string"), 9, "0"))
+            .as("a_name"),
+          col("nat")).localCheckpoint()
+      val b = a.select((col("a_id") + 100000000L).as("b_id"),
+        expr("concat(substring(a_name, 1, cast(a_id % 9 + 9 as int)), " +
+             "substring(a_name, cast(a_id % 9 + 11 as int), 30))").as("b_name"),
+        col("nat")).localCheckpoint()
+      (a, b)
+    }
+    val (erALo, erBLo) = erSides(4)
+    val (erAHi, erBHi) = erSides(8)
+    val erLo = time("entity_resolution pruned x4")(
+      graft.llm.EntityResolution.linkBestPruned(erALo, erBLo, Seq("nat"),
+        "a_id", "b_id", "a_name", "b_name", maxDist = 1).count())
+    val erHi = time("entity_resolution pruned x8")(
+      graft.llm.EntityResolution.linkBestPruned(erAHi, erBHi, Seq("nat"),
+        "a_id", "b_id", "a_name", "b_name", maxDist = 1).count())
+    verdict("entity_resolution_pruned", erLo, erHi, 2.0)
+
+    // Connected components at 2x edges: disjoint per-copy node-id
+    // shifts keep components copy-local, so the true work is linear in
+    // the edge count; 6 bounded rounds each side. A FAIL means a round's
+    // join or the per-round pin grew superlinearly.
+    def tradeEdgesX(mult: Int): DataFrame = {
+      val base = graft.core.Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(graft.core.Tables.lineitem(spark, d)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      (0 until mult).map { m =>
+        base.select((col("src") + lit(m * 10000000L)).as("src"),
+          (col("dst") + lit(m * 10000000L)).as("dst"))
+      }.reduce(_ union _).localCheckpoint()
+    }
+    val ccEdgesLo = tradeEdgesX(2)
+    val ccEdgesHi = tradeEdgesX(4)
+    val ccLo = time("connected_components x2")(
+      graft.ops.Components.labelsBounded(ccEdgesLo, "src", "dst", 6).count())
+    val ccHi = time("connected_components x4")(
+      graft.ops.Components.labelsBounded(ccEdgesHi, "src", "dst", 6).count())
+    verdict("connected_components", ccLo, ccHi, 2.0)
+
+    // Snapshot diff asymmetry: the SAME 1M-row append diffed against a
+    // 2M- vs 8M-row base must cost ~the delta, not the table — immutable
+    // common files are never opened (model 1.0, the incremental-dedup
+    // shape). A FAIL means the diff re-read unchanged data.
+    def snapTable(mult: Int): String = {
+      val loc = s"/tmp/graft-probe/snap_diff_x$mult"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = spark.range(mult * 2000000L)
+        .select(col("id"), (col("id") % 997L).as("v"))
+      graft.ops.Snapshots.commitAppend(base, loc)
+      val delta = spark.range(1000000L)
+        .select((col("id") + 1000000000L).as("id"), (col("id") % 997L).as("v"))
+      graft.ops.Snapshots.commitAppend(delta, loc)
+      loc
+    }
+    val snLoLoc = snapTable(1)
+    val snHiLoc = snapTable(4)
+    val snLo = time("snapshot_diff after append (base x1)")(
+      graft.ops.Snapshots.diff(spark, snLoLoc, 1, 2).count())
+    val snHi = time("snapshot_diff after append (base x4)")(
+      graft.ops.Snapshots.diff(spark, snHiLoc, 1, 2).count())
+    verdict("snapshot_diff_flat", snLo, snHi, 1.0)
+
     spark.stop()
     if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
     else println("ADVERSARIAL PROBE: PASS")

@@ -130,4 +130,40 @@ class EditSimilaritySpec extends SparkTestBase {
       .toDF("id", "text")
     assert(asSet(run(docs, t = 3, plen = 80)) === asSet(brute(docs, t = 3, plen = 80)))
   }
+
+  test("deletion-neighborhood join == segment join == brute force at t=1") {
+    import org.scalacheck.{Gen, rng}
+    // low-entropy strings force variant collisions (equal strings, runs
+    // of one letter) and every length class incl. empty
+    val strGen = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    for (seed <- 0 until 4) {
+      val texts = Gen.listOfN(18, strGen)(
+        Gen.Parameters.default, rng.Seed(77L + seed)).get
+      val docs = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "text")
+      val probe = docs.filter(col("id") % 2 === 1)
+      val ref = docs.filter(col("id") % 2 === 0)
+      def asPairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val del = asPairs(EditSimilarity.deletionJoinBetween(
+        probe, "id", "text", ref, "id", "text", prefixLen = 80))
+      val seg = asPairs(EditSimilarity.editDistanceJoinBetween(
+        probe, "id", "text", ref, "id", "text", t = 1, prefixLen = 80))
+      assert(del === seg, s"seed=$seed corpus=$texts")
+    }
+  }
+
+  test("deletion-neighborhood blocks compose into the join key (cross-block never matches)") {
+    val probe = Seq((1L, "alpha", 10), (2L, "beta", 20)).toDF("id", "text", "blk")
+    val ref = Seq((11L, "alpha", 10),   // same block: match at 0
+      (12L, "alpha", 99),               // other block: never a candidate
+      (13L, "betaa", 20)                // same block: dist 1
+    ).toDF("id", "text", "blk")
+    val got = EditSimilarity.deletionJoinBetween(
+        probe, "id", "text", ref, "id", "text", prefixLen = 80,
+        blockCols = Seq("blk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 11L, 0), (2L, 13L, 1)))
+  }
 }
