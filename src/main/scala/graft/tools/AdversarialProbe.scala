@@ -36,11 +36,21 @@ object AdversarialProbe {
     val d = "/root/testdata/sf0.1"
     var failed = false
 
-    def time(n: String)(f: => Long): Double = {
-      spark.catalog.clearCache() // each op pays its own persist cost
-      val t0 = System.nanoTime(); val c = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE $n: $s%.1fs ($c rows)"); s
+    // `reps` takes the min wall across repeats — the harness shares one
+    // JVM, so a single reading can eat a transient stall (GC of the
+    // previous family's released blocks, shuffle-file cleanup, page
+    // cache writeback): run D of this harness charged a structurally
+    // unchanged minhash x32 100s vs 14-16s in adjacent runs. min-of-N is
+    // only legal for IDEMPOTENT probes; anything that mutates state
+    // under measurement (the bucketed-MV refresh) must keep reps = 1.
+    def time(n: String, reps: Int = 2)(f: => Long): Double = {
+      val s = (1 to reps).map { _ =>
+        spark.catalog.clearCache() // each op pays its own persist cost
+        val t0 = System.nanoTime(); val c = f
+        val w = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE $n: $w%.1fs ($c rows)"); w
+      }.min
+      s
     }
     def verdict(op: String, rLo: Double, rHi: Double, model: Double): Unit = {
       val ratio = rHi / rLo
@@ -234,8 +244,14 @@ object AdversarialProbe {
           (graft.queries.Ops.cents(col("o_totalprice")) * 2).as("price_cents"),
           (col("o_orderkey") + lit(m * 10000000L)).as("version"))
       }.reduce(_ union _).localCheckpoint()
-      graft.ops.Merge.applyChanges(base, changes, "k", "op", "version",
+      val n = graft.ops.Merge.applyChanges(base, changes, "k", "op", "version",
         Seq("cust", "price_cents")).count()
+      // the fixtures are per-CALL: drop their blocks before returning, or
+      // repeated calls stack 10M-row checkpoints into the block manager
+      // and the next family measures eviction, not its operator
+      graft.ops.Lineage.releaseLocalCheckpoint(base)
+      graft.ops.Lineage.releaseLocalCheckpoint(changes)
+      n
     }
     val mgLo = time(s"merge hot-key x$lo")(mergeX(lo))
     val mgHi = time(s"merge hot-key x$hi")(mergeX(hi))
@@ -250,8 +266,10 @@ object AdversarialProbe {
           pmod(col("o_orderkey"), lit(4096)).as("x"),
           pmod(col("o_custkey"), lit(4096)).as("y"))
       }.reduce(_ union _).localCheckpoint()
-      graft.ops.ZOrder.cluster(rep, bits = 12, numFiles = 64,
+      val n = graft.ops.ZOrder.cluster(rep, bits = 12, numFiles = 64,
         col("x"), col("y")).count()
+      graft.ops.Lineage.releaseLocalCheckpoint(rep) // per-call fixture
+      n
     }
     val zoLo = time(s"zorder_cluster x$lo")(zorderX(lo))
     val zoHi = time(s"zorder_cluster x$hi")(zorderX(hi))
@@ -346,9 +364,9 @@ object AdversarialProbe {
     // machine's load spread on the ~30s hi point exceeds min-of-2
     // (same-day clean runs measured 4.9x, 6.7x and 9.0x ratios on
     // identical code); three samples keep the gate meaningful
-    val hhLo = (0 until 3).map(_ => time(s"heavy_hitters all-distinct x$lo")(
+    val hhLo = (0 until 3).map(_ => time(s"heavy_hitters all-distinct x$lo", reps = 1)(
       graft.ops.FrequentItems.exactHeavyHitters(hhItemsLo, "w", 0.01).count())).min
-    val hhHi = (0 until 3).map(_ => time(s"heavy_hitters all-distinct x$hi")(
+    val hhHi = (0 until 3).map(_ => time(s"heavy_hitters all-distinct x$hi", reps = 1)(
       graft.ops.FrequentItems.exactHeavyHitters(hhItemsHi, "w", 0.01).count())).min
     verdict("heavy_hitters_distinct", hhLo, hhHi, dataRatio)
 
@@ -421,22 +439,22 @@ object AdversarialProbe {
     val (mvbLoT, mvbHiT) = ("graft_probe_mvb_lo", "graft_probe_mvb_hi")
     val mvbBaseLo = mvbBase(lo)
     val mvbBaseHi = mvbBase(hi)
-    time(s"mv_bucketed rebuild x$lo (reference)") {
+    time(s"mv_bucketed rebuild x$lo (reference)", reps = 1) {
       graft.ops.MaterializedView.buildBucketed(
         mvbBaseLo, "key", col("v"), mvbLoT, 4, 64)
       spark.table(mvbLoT).count()
     }
-    time(s"mv_bucketed rebuild x$hi (reference)") {
+    time(s"mv_bucketed rebuild x$hi (reference)", reps = 1) {
       graft.ops.MaterializedView.buildBucketed(
         mvbBaseHi, "key", col("v"), mvbHiT, 4, 64)
       spark.table(mvbHiT).count()
     }
-    val mvbLo = time(s"mv_bucketed 1-partition refresh (base x$lo)") {
+    val mvbLo = time(s"mv_bucketed 1-partition refresh (base x$lo)", reps = 1) {
       graft.ops.MaterializedView.refreshBucketed(
         spark, mvbLoT, mvbDelta, "key", col("v"), col("op"), 64)
       spark.table(mvbLoT).count()
     }
-    val mvbHi = time(s"mv_bucketed 1-partition refresh (base x$hi)") {
+    val mvbHi = time(s"mv_bucketed 1-partition refresh (base x$hi)", reps = 1) {
       graft.ops.MaterializedView.refreshBucketed(
         spark, mvbHiT, mvbDelta, "key", col("v"), col("op"), 64)
       spark.table(mvbHiT).count()
@@ -466,9 +484,9 @@ object AdversarialProbe {
     // execution in a JVM costs ~13s of compilation against a ~0.1-2s scan)
     graft.ops.BloomJoin.probe(bfLo.limit(1000), col("fk"), satBytes).count()
     var keptRows = 0L
-    val blLo = (0 until 2).map(_ => time(s"bloom saturated probe x$lo")(
+    val blLo = (0 until 2).map(_ => time(s"bloom saturated probe x$lo", reps = 1)(
       graft.ops.BloomJoin.probe(bfLo, col("fk"), satBytes).count())).min
-    val blHi = (0 until 2).map(_ => time(s"bloom saturated probe x$hi") {
+    val blHi = (0 until 2).map(_ => time(s"bloom saturated probe x$hi", reps = 1) {
       keptRows = graft.ops.BloomJoin.probe(bfHi, col("fk"), satBytes).count()
       keptRows
     }).min
