@@ -164,6 +164,26 @@ object Snapshots {
     }
   }
 
+  /** Compaction as a COMMIT — the snapshot-native OPTIMIZE, closing the
+    * loop between [[Compaction]] (directory-swap, readers race the
+    * rename on object stores) and the manifest layer (no rename race is
+    * possible: a new version's files land first, the manifest publishes
+    * atomically, pinned readers keep their file lists). Rewrites the
+    * LATEST version's content into ~`targetBytes` files via the AQE
+    * rebalance hint and publishes it as a new version with identical
+    * rows; the superseded small files stay until [[expire]] collects
+    * them. Returns the published version. */
+  def commitCompaction(s: SparkSession, loc: String,
+                       targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val prev = s.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      targetBytes.toString)
+    try commitReplace(read(s, loc).hint("rebalance"), loc)
+    finally prev.fold(
+      s.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes"))(
+      v => s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v))
+  }
+
   /** Retention GC: keep the newest `retainLast` versions, drop every
     * older manifest, then delete any data file no surviving manifest
     * names. Returns (manifests dropped, data files deleted).

@@ -502,6 +502,30 @@ object OpsQueries {
       .orderBy(col("change"), col("o_orderkey"))
   }
 
+  /** Compaction-as-a-commit (`Snapshots.commitCompaction`): fragment a
+    * third of orders across two 16-file appends, OPTIMIZE into a new
+    * version, read the survivor. In-query guards pin the ≥4× file
+    * collapse and that the pre-compaction version stays pinned-readable;
+    * the oracle certifies row-for-row content through the rewrite. */
+  private def snapshotOptimize(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders_optimize"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 6 === 0).repartition(16), loc)
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 6 === 3).repartition(16), loc)
+    val filesBefore = graft.ops.Snapshots.read(s, loc).inputFiles.length
+    graft.ops.Snapshots.commitCompaction(s, loc)
+    val out = graft.ops.Snapshots.read(s, loc)
+    require(out.inputFiles.length <= filesBefore / 4,
+      s"compaction did not collapse files: $filesBefore -> ${out.inputFiles.length}")
+    require(graft.ops.Snapshots.read(s, loc, 2).inputFiles.length == filesBefore,
+      "pinned pre-compaction version lost its file list")
+    out.orderBy(col("o_orderkey"))
+  }
+
   /** Retention GC lifecycle (`Snapshots.expire`): three commits (two
     * appends, one logical overwrite that orphans every earlier file),
     * expire down to the latest version, then read the survivor. The
@@ -540,6 +564,11 @@ object OpsQueries {
              |  o_totalprice, o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'F'
              |ORDER BY change, o_orderkey""".stripMargin)),
+    Q("snapshot_optimize", snapshotOptimize,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_expire", snapshotExpire,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority

@@ -134,4 +134,28 @@ class SnapshotsSpec extends SparkTestBase {
     // idempotent: a second expire finds nothing to do
     assert(Snapshots.expire(spark, loc, retainLast = 1) == ((0, 0)))
   }
+
+  test("commitCompaction packs files into a new version; pinned readers and rows unaffected") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_optimize"
+    wipe(loc)
+    // two fragmented appends: 32 files of ~nothing each
+    Snapshots.commitAppend((1L to 4000L).toDF("id").repartition(16), loc)
+    Snapshots.commitAppend((4001L to 8000L).toDF("id").repartition(16), loc)
+    val before = Snapshots.read(spark, loc)
+    val filesBefore = before.inputFiles.length
+    assert(filesBefore >= 32)
+    val v = Snapshots.commitCompaction(spark, loc)
+    assert(v == 3L)
+    val after = Snapshots.read(spark, loc)
+    // identical multiset of rows, far fewer files
+    assert(after.inputFiles.length < filesBefore / 4)
+    assert(after.as[Long].collect().sorted.toSeq == (1L to 8000L))
+    // the pinned pre-compaction version still reads its own small files
+    assert(Snapshots.read(spark, loc, 2).as[Long].collect().sorted.toSeq
+      == (1L to 8000L))
+    // and expire now collects the fragmented originals
+    val (_, deleted) = Snapshots.expire(spark, loc, retainLast = 1)
+    assert(deleted >= 32)
+  }
 }
