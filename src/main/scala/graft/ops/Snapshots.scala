@@ -50,14 +50,25 @@ object Snapshots {
   def latestVersion(s: SparkSession, loc: String): Long =
     manifests(s, loc).lastOption.map(_._1).getOrElse(0L)
 
-  private def readManifest(s: SparkSession, p: Path): Seq[String] = {
+  // manifest lines: '#'-prefixed header lines carry commit metadata
+  // (e.g. the exactly-once batch marker); every other line is a live
+  // data-file path
+  private def manifestLines(s: SparkSession, p: Path): Seq[String] = {
     val in = fs(s, p.toString).open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
   }
 
-  /** Append `df` as a new snapshot; returns the published version. */
-  def commitAppend(df: DataFrame, loc: String): Long = {
+  private def readManifest(s: SparkSession, p: Path): Seq[String] =
+    manifestLines(s, p).filterNot(l => l.startsWith("#") || l.isEmpty)
+
+  /** Append `df` as a new snapshot; returns the published version.
+    * `marker`, if given, is recorded IN the published manifest (a `#`
+    * header line), so data and marker become visible in the same atomic
+    * rename — the hook [[markers]] / [[streaming.SnapshotSink]] build
+    * exactly-once idempotent commits on. */
+  def commitAppend(df: DataFrame, loc: String,
+                   marker: Option[String] = None): Long = {
     val s = df.sparkSession
     val f = fs(s, loc)
     val commitId = java.util.UUID.randomUUID().toString
@@ -69,9 +80,18 @@ object Snapshots {
     val prev = manifests(s, loc).lastOption
     val prevFiles = prev.map { case (_, p) => readManifest(s, p) }.getOrElse(Nil)
     val version = prev.map(_._1).getOrElse(0L) + 1
-    publish(s, loc, version, prevFiles ++ newFiles)
+    publish(s, loc, version, prevFiles ++ newFiles, marker)
     version
   }
+
+  /** Every commit marker recorded by surviving manifests (markers on
+    * expired versions are forgotten with them — size retention to the
+    * retention horizon, same as any table format's transaction log). */
+  def markers(s: SparkSession, loc: String): Set[String] =
+    manifests(s, loc).flatMap { case (_, p) =>
+      manifestLines(s, p).filter(_.startsWith("#marker="))
+        .map(_.stripPrefix("#marker="))
+    }.toSet
 
   /** Replace the table's content with `df` as a new snapshot (logical
     * overwrite; old versions stay readable — no file is deleted). */
@@ -89,13 +109,17 @@ object Snapshots {
   }
 
   private def publish(s: SparkSession, loc: String, version: Long,
-                      files: Seq[String]): Unit = {
+                      files: Seq[String],
+                      marker: Option[String] = None): Unit = {
+    marker.foreach(m => require(!m.contains("\n") && !m.contains("\r"),
+      "marker must be a single line"))
     val f = fs(s, loc)
     val md = manifestDir(loc)
     f.mkdirs(md)
     val tmp = new Path(md, f"_tmp_v$version%05d.txt")
     val out = f.create(tmp, true)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    val header = marker.map(m => s"#marker=$m\n").getOrElse("")
+    try out.write((header + files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val target = new Path(md, f"v$version%05d.txt")
     if (!f.rename(tmp, target))
