@@ -26,16 +26,25 @@ import graft.ops.Snapshots
   * not — the half-written data directory is unreferenced garbage and
   * the replay commits cleanly. No state where data is live twice.
   *
+  * Zombie attempts (a dead driver's straggler racing its restarted
+  * successor on the SAME batchId) are fenced too: the cheap pre-check
+  * here is only an optimization — [[Snapshots.commitAppend]] re-checks
+  * the marker set INSIDE its CAS publish loop, and the version claim
+  * is a no-overwrite rename, so of two live attempts one lands and the
+  * other loses the rename, re-reads, sees the marker, and aborts (-1).
+  *
   * Scale notes: the marker check is a driver-side read of O(versions)
-  * manifest headers — nothing scans data; expire() forgets markers
-  * with their versions, so retention must cover the source's maximum
-  * replay horizon (checkpoint age), exactly the transaction-log
-  * retention rule every table format documents.
+  * manifest HEADERS (markers never require reading a manifest's file
+  * list) — nothing scans data; expire() forgets markers with their
+  * versions, so retention must cover the source's maximum replay
+  * horizon (checkpoint age), exactly the transaction-log retention
+  * rule every table format documents.
   */
 object SnapshotSink {
 
   /** Commit one micro-batch exactly once; returns the published version,
-    * or -1 if `batchId` was already committed (replay detected). */
+    * or -1 if `batchId` was already committed (replay detected — whether
+    * before this call or by a concurrent attempt racing it). */
   def commitBatch(batch: DataFrame, loc: String, batchId: Long): Long = {
     val marker = s"batch=$batchId"
     if (Snapshots.markers(batch.sparkSession, loc).contains(marker)) -1L

@@ -135,6 +135,52 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.expire(spark, loc, retainLast = 1) == ((0, 0)))
   }
 
+  test("two racing committers both land, in some order, no version lost") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val loc = "/tmp/graft-test/snap_race"
+    wipe(loc)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def racer(ids: Seq[Long]) = Future {
+      gate.await()
+      Snapshots.commitAppend(ids.toDF("id"), loc)
+    }
+    val a = racer(Seq(1L, 2L)); val b = racer(Seq(10L, 20L))
+    gate.countDown()
+    val versions = Seq(Await.result(a, 2.minutes), Await.result(b, 2.minutes))
+    // the CAS loop serializes them: one wins v1, the loser retries at v2
+    assert(versions.sorted == Seq(1L, 2L), s"versions lost/duplicated: $versions")
+    assert(Snapshots.read(spark, loc).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 10L, 20L))
+    // the intermediate version holds exactly the winner's rows
+    val v1 = Snapshots.read(spark, loc, 1).as[Long].collect().sorted.toSeq
+    assert(v1 == Seq(1L, 2L) || v1 == Seq(10L, 20L))
+  }
+
+  test("expire's grace window protects unreferenced young files (in-flight commit)") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_grace"
+    wipe(loc)
+    Snapshots.commitAppend(Seq(1L).toDF("id"), loc)
+    Snapshots.commitReplace(Seq(2L).toDF("id"), loc)
+    // simulate an in-flight commit: data files written, manifest not yet
+    // published — referenced by NO manifest, but brand new
+    val inflight = new Path(s"$loc/data/inflight-commit/part-00000.parquet")
+    val fs = inflight.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(inflight, true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    // default grace: expired v1 files die, the young orphan SURVIVES
+    val (dropped, _) = Snapshots.expire(spark, loc, retainLast = 1)
+    assert(dropped == 1)
+    assert(fs.exists(inflight), "grace window failed: in-flight commit swept")
+    // zero grace (an offline table): the orphan is failed-commit garbage
+    Snapshots.expire(spark, loc, retainLast = 1, orphanGraceMs = 0L)
+    assert(!fs.exists(inflight))
+    assert(Snapshots.read(spark, loc).as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("commitCompaction packs files into a new version; pinned readers and rows unaffected") {
     import spark.implicits._
     val loc = "/tmp/graft-test/snap_optimize"

@@ -61,6 +61,33 @@ class SnapshotSinkSpec extends SparkTestBase {
       .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
   }
 
+  test("two live attempts of the same batchId commit exactly once (zombie fence)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val loc = "/tmp/graft-test/snap_sink_zombie"
+    wipe(loc)
+    SnapshotSink.commitBatch(Seq(0L).toDF("id"), loc, 0L)
+    // a restarted driver re-runs batch 1 while its predecessor's attempt
+    // is still in flight — both pass any pre-check taken before the race
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def attempt() = Future {
+      gate.await()
+      SnapshotSink.commitBatch(Seq(7L, 8L).toDF("id"), loc, 1L)
+    }
+    val a = attempt(); val b = attempt()
+    gate.countDown()
+    val results = Seq(Await.result(a, 2.minutes), Await.result(b, 2.minutes))
+    // one attempt published, the other detected the marker inside the
+    // CAS loop and aborted — never two copies of the batch
+    assert(results.count(_ == -1L) == 1, s"zombie fence failed: $results")
+    assert(results.max == 2L)
+    assert(Snapshots.read(spark, loc).as[Long].collect().sorted.toSeq
+      == Seq(0L, 7L, 8L))
+    assert(Snapshots.markers(spark, loc) == Set("batch=0", "batch=1"))
+  }
+
   test("markers expire with their versions (retention must cover the replay horizon)") {
     import spark.implicits._
     val loc = "/tmp/graft-test/snap_sink_retention"
