@@ -79,6 +79,7 @@ object EditSimilarity {
       t: Int,
       prefixLen: Int): DataFrame = {
     checkArgs(t, prefixLen)
+    requireIntegralId(docs, idCol)
     val k = t + 1
     val truncated = truncate(docs, idCol, textCol, prefixLen)
     val base = strip(truncated, lcpOf(truncated))
@@ -136,6 +137,7 @@ object EditSimilarity {
       prefixLen: Int,
       blockCols: Seq[String] = Nil): DataFrame = {
     require(prefixLen > 1, s"prefixLen must exceed 1, got $prefixLen")
+    requireIntegralId(probe, probeId); requireIntegralId(ref, refId)
     val variantExpr = expr(
       """concat(array(s), transform(sequence(1, length(s)),
         |  i -> concat(substring(s, 1, i - 1), substring(s, i + 1))))"""
@@ -177,6 +179,7 @@ object EditSimilarity {
       t: Int,
       prefixLen: Int): DataFrame = {
     checkArgs(t, prefixLen)
+    requireIntegralId(probe, probeId); requireIntegralId(ref, refId)
     val k = t + 1
     val truncP = truncate(probe, probeId, probeText, prefixLen)
     val truncR = truncate(ref, refId, refText, prefixLen)
@@ -204,6 +207,22 @@ object EditSimilarity {
   private def checkArgs(t: Int, prefixLen: Int): Unit = {
     require(t >= 1, s"threshold must be >= 1, got $t")
     require(prefixLen > t, s"prefixLen must exceed the threshold, got $prefixLen <= $t")
+  }
+
+  /** The candidate machinery keys on ids cast to long (compact shuffle
+    * keys, total tie-break order). A non-integral id would silently cast
+    * to null and produce garbage where the unpruned path works — fail
+    * fast instead. Map string ids to longs first (zipWithIndex /
+    * monotonically_increasing_id) or use the unpruned exact path. For
+    * integral ids the cast is order-preserving, so `(dist, id)`
+    * tie-breaks match the uncast path exactly. */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    val tn = df.schema(idCol).dataType.typeName
+    require(Set("byte", "short", "integer", "long").contains(tn),
+      s"id column '$idCol' must be an integral type, got $tn — " +
+        "the pruned join keys on ids cast to long; non-numeric ids " +
+        "would silently become null. Assign long ids first, or use the " +
+        "unpruned path (EntityResolution.linkBest / brute-force verify).")
   }
 
   private def truncate(docs: DataFrame, idCol: String, textCol: String,

@@ -67,6 +67,13 @@ object EntityResolution {
     * before any distance math. `prefixLen` must cover the full text
     * length for exact-linkage parity (strings longer than it are linked
     * on their prefix, [[EditSimilarity]]'s documented contract).
+    *
+    * Id contract: `aId`/`bId` must be INTEGRAL columns (the pruned
+    * candidate machinery keys on ids cast to long; [[EditSimilarity]]
+    * fails fast on anything else). For integral ids the cast is
+    * order-preserving, so the `(dist, aId)` tie-break resolves exactly
+    * as [[linkBest]]'s; records with string keys should be assigned
+    * long ids first, or linked with the unpruned [[linkBest]].
     * Output: (bId, aId, dist). */
   def linkBestPruned(a: DataFrame, b: DataFrame, blockCols: Seq[String],
                      aId: String, bId: String, aText: String, bText: String,
