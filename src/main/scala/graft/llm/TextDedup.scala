@@ -372,11 +372,12 @@ object TextDedup {
     * (a full extra shuffle of the word-level relation) is redundant — the
     * 64 bit-sums partial-aggregate map-side straight to the per-id
     * shuffle, which moves one 64-column partial row per (id, partition). */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        wordHash: Column => Column = xxhash64(_)): DataFrame = {
     val occ = docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
-      .withColumn("h", xxhash64(col("word")))
+      .withColumn("h", wordHash(col("word")))
     val bitSums = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"s$b"))
@@ -410,10 +411,16 @@ object TextDedup {
     * proven in LlmSpec: (a) given the signatures, the banded join equals
     * brute-force all-pairs Hamming filtering exactly (the pigeonhole is
     * lossless, not approximately-recalled), and (b) identical word
-    * multisets collide at Hamming 0. The only un-oracled component is
-    * the hash function itself. */
+    * multisets collide at Hamming 0. The hash function itself is closed
+    * by the `dedup_simhash_md5` certificate: the SAME kernel run with
+    * [[md5Hash60]] — an md5-prefix word hash both engines compute
+    * identically — IS oracle-green, so every component has a
+    * driver-checked regime. `wordHash` must emit a non-negative value
+    * (bits above its width read as 0 on both sides of every XOR, so a
+    * narrower hash only makes bands less selective, never incorrect). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   wordHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxHamming <= 7, "the 8-band layout caps the guarantee at Hamming 7")
     val nBands = Seq(1, 2, 4, 8).find(_ >= maxHamming + 1).get
     val width = 64 / nBands
@@ -421,7 +428,7 @@ object TextDedup {
       if (nBands == 1) col("simhash") // h = 0: exact signature match
       else shiftright(col("simhash"), j * width)
         .bitwiseAND(lit((1L << width) - 1))
-    val sigs = simhashSignatures(docs, idCol, textCol)
+    val sigs = simhashSignatures(docs, idCol, textCol, wordHash)
     val bands = sigs.select(col("id"), col("simhash"),
       explode(array((0 until nBands).map(j =>
         struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bb"))
@@ -436,4 +443,16 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Portable 60-bit word hash: the first 15 hex chars of md5, as a
+    * long. Not the production hash — `xxhash64` is codegen'd and
+    * digest-free — but md5 is bit-identical across engines (DuckDB
+    * included), which is what lets the `dedup_simhash_md5` certificate
+    * oracle-check the ENTIRE simhash kernel end to end. 60 bits so the
+    * value fits a signed long with no sign games; signature bits 60–63
+    * are then constantly 0 on both engines (the per-bit sum over bits
+    * the hash never sets is -count < 0), leaving Hamming distances
+    * untouched. */
+  def md5Hash60(word: Column): Column =
+    conv(substring(md5(word), 1, 15), 16, 10).cast("long")
 }

@@ -75,6 +75,39 @@ object LlmQueries {
     TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
       maxHamming = 3)
 
+  /** SimHash certificate: the identical kernel (signatures → pigeonhole
+    * bands → bucket pairs → exact Hamming verify) run with the portable
+    * md5-prefix word hash, which DuckDB computes bit-identically — so
+    * the whole pipeline, hash included, goes under the driver's oracle
+    * hash gate. The oracle needs NO banding: LlmSpec proves the banded
+    * join ≡ brute-force Hamming filtering, so the all-pairs SQL below is
+    * the same relation. */
+  private def dedupSimhashMd5(s: SparkSession, d: String): DataFrame =
+    TextDedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 3, wordHash = TextDedup.md5Hash60)
+
+  private val dedupSimhashMd5Sql: String = {
+    val bitSums = (0 until 60).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val sigBits = (0 until 60).map(b =>
+      s"CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0 END")
+      .mkString(" | ")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE word <> ''),
+       |bits AS (SELECT doc_id, $bitSums FROM w GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigBits AS simhash FROM bits)
+       |SELECT id1, id2, hamming FROM (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id) t
+       |WHERE hamming <= 3""".stripMargin
+  }
+
   /** Near-dup clusters: connected components over the verified MinHash
     * pair graph (J >= 0.9). Oracle: DuckDB recursive CTE computing the
     * same component minima over the same exact pair set. */
@@ -193,6 +226,52 @@ object LlmQueries {
     graft.llm.Pq.annKnn(Tables.embeddings(s, d), (0L until 8L),
       "vec_id", "embedding", dim, k = 5, m = 16, ksub = 16,
       rerank = 400, corpusKey = d) // shares the cached codes with knn_ann_pq
+
+  /** Driver-certified retrieval QUALITY for the pruned ANN variants —
+    * the rows-only knn_ann_* configs have their recall pinned only in
+    * specs; this row makes it a driver-checkable certificate. For each
+    * production (pruned) configuration, recall hits = |ANN top-5 ∩
+    * exact top-5| summed over the 8 query ids (exact integer counting;
+    * the exact side is the same kernel family's oracle-green exhaustive
+    * path: cosine brute force for ivf/lsh, exhaustive-rerank PQ — i.e.
+    * exact Euclidean — for pq/ivfpq). The output pins `hits >=
+    * floor_hits` as DATA, so a quality regression in any pruned kernel
+    * flips `floor_met` and fails the driver's hash gate; the floors are
+    * the spec-tier bounds (LlmSpec/IvfSpec/PqSpec assert the same or
+    * tighter per run), sitting well under measured hits (sf0.001:
+    * ivf 30 / lsh 36 / pq 32 / ivfpq 26 of 40; sf0.01: 31/37/34/30).
+    * The raw hit count itself is configuration- and SF-dependent,
+    * hence not part of the certified schema. */
+  private def knnRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val ids = (0L until 8L)
+    def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
+    val exactCos = pairs(knnBrute(s, d))
+    val exactL2 = pairs(knnAnnPqExh(s, d))
+    val variants: Seq[(String, DataFrame, DataFrame, Int)] = Seq(
+      ("ivf", pairs(graft.llm.Ivf.annKnn(emb, ids, "vec_id", "embedding",
+        dim, k = 5, nlist = 16, nprobe = 6, corpusKey = d)), exactCos, 12),
+      ("lsh", pairs(knnAnnLsh(s, d)), exactCos, 20),
+      ("pq", pairs(graft.llm.Pq.annKnn(emb, ids, "vec_id", "embedding",
+        dim, k = 5, m = 16, ksub = 16, corpusKey = d)), exactL2, 20),
+      ("ivfpq", pairs(graft.llm.Pq.ivfAdcKnn(emb, ids, "vec_id", "embedding",
+        dim, k = 5, nlist = 16, nprobe = 6, m = 16, ksub = 16,
+        corpusKey = d)), exactL2, 8))
+    variants.map { case (name, ann, exact, floor) =>
+      ann.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("variant"), lit(5).as("k"),
+          lit(8).as("n_queries"), lit(floor).as("floor_hits"),
+          (col("hits") >= floor).as("floor_met"))
+    }.reduce(_ unionByName _).orderBy(col("variant"))
+  }
+
+  private val knnRecallSql: String =
+    """SELECT * FROM (VALUES
+      |  ('ivf', 5, 8, 12, true), ('ivfpq', 5, 8, 8, true),
+      |  ('lsh', 5, 8, 20, true), ('pq', 5, 8, 20, true))
+      |  AS t(variant, k, n_queries, floor_hits, floor_met)
+      |ORDER BY variant""".stripMargin
 
   /** Euclidean-distance mirror of [[knnBruteSql]] for the exhaustive PQ
     * path: dist2 = |q|² + |v|² − 2⟨q,v⟩ in the exact expression order the
@@ -481,7 +560,9 @@ object LlmQueries {
              |  FROM cand) t
              |WHERE rn = 1 ORDER BY b_id""".stripMargin)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
-    Q("dedup_simhash", dedupSimhash, None), // probabilistic — LlmSpec properties
+    Q("dedup_simhash", dedupSimhash, None), // xxhash64 has no oracle-engine
+                                            // mirror — LlmSpec properties
+    Q("dedup_simhash_md5", dedupSimhashMd5, Some(dedupSimhashMd5Sql)),
     Q("dedup_embedding_cosine", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("dedup_embedding_lsh", dedupEmbeddingLsh, None), // subset-of-exact — LlmSpec recall pin
     Q("dedup_semantic", (s, d) => graft.llm.Embeddings.semanticDedup(
@@ -523,6 +604,9 @@ object LlmQueries {
       // codes + codebooks + coarse layout, probed cold with the cells as
       // partition filters
       None), // approximate — disk≡memory + PartitionFilters pinned in PqSpec
+    // retrieval-quality certificate: recall floors of the four pruned
+    // configs above, as driver-checked data (see knnRecall's scaladoc)
+    Q("knn_recall", knnRecall, Some(knnRecallSql)),
     Q("lang_id", langId, Some(langIdSql)),
     Q("token_count", tokenCount,
       Some("""SELECT doc_id AS id, len(string_split(text, ' ')) AS n_ws_tokens,
