@@ -481,6 +481,33 @@ object OpsQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The same pinned read through PURE SQL (`sources/v2/SnapshotCatalog
+    * .scala`): the table registers under a session catalog and the
+    * query is `SELECT … VERSION AS OF 1` — the DSv2 `loadTable(ident,
+    * version)` time-travel hook resolving the pinned manifest's explicit
+    * file list into Spark's native parquet scan (pushdown and pruning
+    * intact, SnapshotCatalogSpec pins both). Driver-certifies that the
+    * SQL path reads the SAME rows the API path does. */
+  private def snapshotSqlTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap.root", root)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 3 === 0), s"$root/orders")
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 3 === 1), s"$root/orders")
+    graft.ops.Snapshots.commitReplace(
+      o.filter(col("o_orderstatus") === "F"), s"$root/orders")
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            |  o_orderdate, o_orderpriority
+            |FROM graft_snap.orders VERSION AS OF 2
+            |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Version-to-version row delta (`Snapshots.diff`): v1 appends a third
     * of orders, v2 appends another third, v3 logically overwrites with
     * the open-status subset of both thirds. diff(1 → 3) must report the
@@ -554,6 +581,11 @@ object OpsQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_time_travel", snapshotSqlTimeTravel,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 <= 1
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_diff", snapshotDiff,
       Some("""SELECT 'insert' AS change, o_orderkey, o_custkey, o_orderstatus,

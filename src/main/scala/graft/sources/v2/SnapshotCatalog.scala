@@ -1,0 +1,117 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.Snapshots
+
+/** SQL surface for [[graft.ops.Snapshots]] time travel — a DSv2
+  * `TableCatalog` that maps `<catalog>.<name>` (optionally
+  * `<catalog>.<ns...>.<name>`) onto a snapshot-table directory under a
+  * configured root, so the whole lifecycle becomes usable from PURE SQL:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.snap",
+  *     "graft.sources.v2.SnapshotCatalog")
+  *   spark.conf.set("spark.sql.catalog.snap.root", "/warehouse/snaps")
+  *
+  *   spark.sql("SELECT * FROM snap.orders")                 -- latest
+  *   spark.sql("SELECT * FROM snap.orders VERSION AS OF 2") -- pinned
+  * }}}
+  *
+  * `VERSION AS OF n` arrives through `loadTable(ident, version)` — the
+  * same hook Iceberg/Delta catalogs implement — and resolves to the
+  * pinned manifest's EXPLICIT file list, handed to Spark's native
+  * parquet `FileTable`. That keeps the scale properties of the API path
+  * (`Snapshots.read`): no directory listing of the data tree, snapshot
+  * isolation against concurrent commits, and the full parquet scan
+  * stack (pushdown, column pruning, vectorized read) on top.
+  *
+  * Read-only by design: writes go through the CAS commit protocol
+  * ([[Snapshots.commitAppend]]/`commitReplace`), which needs the
+  * data-then-manifest ordering no blind SQL INSERT could provide; DDL
+  * through this catalog is rejected rather than half-supported.
+  */
+class SnapshotCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"spark.sql.catalog.$name.root must point at the snapshot warehouse root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def location(ident: Identifier): String =
+    (root +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** A directory is a table iff it has published at least one manifest. */
+  override def tableExists(ident: Identifier): Boolean =
+    Snapshots.latestVersion(spark, location(ident)) > 0
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((root +: namespace.toSeq).mkString("/"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new Path(st.getPath, "_manifests")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = tableAt(ident, -1L)
+
+  /** `VERSION AS OF <v>` — Spark routes the literal here as a string. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableAt(ident,
+      try version.toLong
+      catch { case _: NumberFormatException => throw new NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name()) })
+
+  private def tableAt(ident: Identifier, version: Long): Table = {
+    val loc = location(ident)
+    val latest = Snapshots.latestVersion(spark, loc)
+    if (latest == 0)
+      throw new NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    val v = if (version < 0) latest else version
+    // a stale/expired version surfaces as NoSuchTable with the version
+    // spelled out, not a planner-time file-not-found
+    val files =
+      try Snapshots.versionFiles(spark, loc, v)
+      catch { case _: NoSuchElementException => throw new NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ s"${ident.name()}@v$v") }
+    ParquetTable(s"$catalogName.${ident.toString}@v$v", spark,
+      CaseInsensitiveStringMap.empty(), files.toIndexedSeq, None,
+      classOf[ParquetFileFormat])
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$catalogName is a read-only snapshot catalog: $op must go through " +
+        "the Snapshots commit API (commitAppend/commitReplace)")
+
+  override def createTable(ident: Identifier,
+                           schema: org.apache.spark.sql.types.StructType,
+                           partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+                           properties: util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+}
