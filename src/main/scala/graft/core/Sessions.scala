@@ -18,6 +18,17 @@ object Sessions {
       .appName("graft")
       .getOrCreate()
 
+  /** Local session WITH task retries (`local[N, F]`). Production
+    * clusters run `spark.task.maxFailures=4`; plain `local[N]` is the
+    * anomaly — one task failure fails the job — so a session meant to
+    * behave like the cluster (and any fault-injection test of the
+    * recovery story) needs this form. */
+  def localResilient(cores: Int, maxTaskFailures: Int = 2): SparkSession =
+    withDefaults(
+        SparkSession.builder().master(s"local[$cores, $maxTaskFailures]"), cores)
+      .appName("graft")
+      .getOrCreate()
+
   def withDefaults(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -108,6 +108,55 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow + watermark, append mode: emits exactly batch-minus-held-tail") {
+    import spark.implicits._
+    // same staged file-source shape as the complete-mode test above, but
+    // run the way a production catch-up job runs: AvailableNow (process
+    // everything, then stop) with APPEND output, where the watermark
+    // decides which windows are final. The equivalence is exact and
+    // two-sided: emitted == every batch window whose END the final
+    // watermark passed; held == the trailing windows still in state —
+    // the documented stream-vs-batch edge (DESIGN.md r9).
+    val srcDir = java.nio.file.Files.createTempDirectory("evt_avnow")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    // watermarks require TIMESTAMP (tz-aware); the table's TIMESTAMP_NTZ
+    // casts deterministically under the session's pinned UTC zone — the
+    // same cast on both sides keeps the comparison exact
+    val batch = graft.core.Tables.events(spark, sf0001)
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val streamRaw = spark.readStream.schema(raw.schema).parquet(srcDir.toString)
+    val stream = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        streamRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => streamRaw
+    }).withColumn("ts", col("ts").cast("timestamp"))
+    val delay = "2 hours"
+    val q = EventStreams.watermarkedTumbling(stream, delay, "1 hour")
+      .writeStream.format("memory").queryName("avnow_tumbling")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "AvailableNow did not finish")
+    finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))
+    val emitted = spark.table("avnow_tumbling").collect().map(key).toSet
+    // final watermark = max event time - delay; a window is emitted iff
+    // its END <= watermark (wstart + 1h <= maxTs - 2h)
+    val maxTs = batch.agg(max($"ts")).head().getTimestamp(0)
+    val horizonMs = maxTs.getTime - 3L * 3600 * 1000 // delay + window width
+    val all = EventStreams.tumbling(batch, "1 hour").collect()
+    val expected = all.filter(
+      _.getTimestamp(0).getTime <= horizonMs).map(key).toSet
+    val held = all.map(key).toSet -- expected
+    assert(emitted == expected,
+      s"missing=${expected -- emitted} extra=${emitted -- expected}")
+    assert(held.nonEmpty, "fixture never exercises the held-tail edge")
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
