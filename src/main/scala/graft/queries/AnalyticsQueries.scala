@@ -165,6 +165,56 @@ object AnalyticsQueries {
        |  ON ((s.num * c.n + s.den - 1) // s.den)
        |     BETWEEN c.hi - c.cnt + 1 AND c.hi""".stripMargin
 
+  /** Dense-regime certificate for the KLL kernel: the rows-only
+    * [[quantilesSketch]] config (k = 512, genuinely approximate) has its
+    * accuracy pinned only in KllSketchSpec; this query computes the
+    * OBSERVED rank error of every estimated decile against the exact
+    * data — pure integer arithmetic: target rank ⌈num·n/den⌉, the
+    * estimate's true rank interval [below+1, atOrBelow], error = distance
+    * outside it — and asserts `err ≤ n div 50 + 1` (the spec's 2 % bound)
+    * AS DATA. The oracle predicts all-true, so any accuracy regression in
+    * the dense sketch now fails the driver's hash gate, not just a spec. */
+  private def quantilesSketchBound(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select(col("o_orderstatus").as("status"),
+      cents(col("o_totalprice")).as("v"))
+    val est = graft.ops.Quantiles.approxQuantiles(
+        Tables.orders(s, d), "o_orderstatus", cents(col("o_totalprice")),
+        decileSpecs, k = 512)
+      .select(col("g").as("status"), col("p"), col("v").as("est"))
+    val specs = decileSpecs.toDF("p", "num", "den")
+    est.join(broadcast(specs), "p")
+      .join(o, Seq("status"))
+      .groupBy(col("status"), col("p"), col("est"), col("num"), col("den"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("below"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("at_or_below"))
+      .select(col("status"), col("p"),
+        (greatest(
+          (col("below") + 1L) - ((col("num") * col("n") + col("den") - 1L) / col("den")),
+          ((col("num") * col("n") + col("den") - 1L) / col("den")) - col("at_or_below"),
+          lit(0L)) <= col("n") / 50L + 1L).as("within_bound"))
+      .orderBy(col("status"), col("p"))
+  }
+
+  /** Dense-regime certificate for the HLL kernel, same pattern: the
+    * rows-only [[distinctSketch]] config (p = 12 over distinct prices,
+    * dense registers) gets its observed error `|est − exact|` compared —
+    * in integers — against the 5 % band DistinctSketchSpec asserts
+    * (≈ 3σ at σ = 1.04/√4096). All-true oracle ⇒ driver-certified. */
+  private def distinctSketchBound(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val est = graft.ops.DistinctCounts.sketchCounts(
+        o, "o_orderstatus", cents(col("o_totalprice")), p = 12)
+      .select(col("g").as("status"), col("n_distinct").as("est"))
+    val exact = o.groupBy(col("o_orderstatus").as("status"))
+      .agg(countDistinct(cents(col("o_totalprice"))).as("exact"))
+    est.join(exact, "status")
+      .select(col("status"),
+        (abs(col("est") - col("exact")) * 20L <= col("exact")).as("within_5pct"))
+      .orderBy(col("status"))
+  }
+
   /** The distinct-count sketch table, full lifecycle (the COUNT DISTINCT
     * leg of the sketch warehouse next to [[quantilesRollup]]): one HLL
     * summary per (status, order-month) persisted once behind the
@@ -766,6 +816,16 @@ object AnalyticsQueries {
       None), // same approximate-by-construction reason as quantiles_sketch;
              // KllSketchSpec pins atom-reinsertion roundtrip, weight
              // conservation, and the rolled-up rank-error bound
+    // dense-regime error-bound certificates: observed error vs exact,
+    // bound asserted as data under an all-true oracle (see scaladocs)
+    Q("quantiles_sketch_bound", quantilesSketchBound,
+      Some("""SELECT status, p, true AS within_bound
+             |FROM (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+             |CROSS JOIN (VALUES ('p10'),('p25'),('p50'),('p75'),('p90')) t(p)
+             |ORDER BY status, p""".stripMargin)),
+    Q("distinct_sketch_bound", distinctSketchBound,
+      Some("""SELECT o_orderstatus AS status, true AS within_5pct
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     // the sparse-regime certificates: same kernels, configs where the
     // sketch is provably exact at every SF (fixed date domain < k), so
     // the DRIVER certifies the KLL build and merge paths — see each
