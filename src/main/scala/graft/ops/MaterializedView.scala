@@ -101,6 +101,46 @@ object MaterializedView {
     (withPart(merge(cur, dAgg), nParts), changed)
   }
 
+  // ---- pristine-copy support: the production refresh CADENCE ----
+  // A long-lived MV is built once and then lives in Δ-refresh cycles:
+  // restore/accept yesterday's state, fold today's delta. These helpers
+  // let a caller (and the bench) pay exactly that steady-state cost —
+  // the build happens once into a durable pristine copy; each cycle is
+  // two Δ-sized partition operations, never a base re-scan.
+
+  /** Materialize the freshly-built view once as a `p`-partitioned
+    * parquet copy — the durable "yesterday" the Δ-cycles reset from. */
+  def savePristine(base: DataFrame, keyCol: String, valueCol: Column,
+                   path: String, nParts: Int = 16): Unit =
+    withPart(build(base, keyCol, valueCol), nParts)
+      .write.partitionBy("p").parquet(path)
+
+  /** First-time table seed from the pristine copy (no base scan). */
+  def seedFromPristine(spark: SparkSession, path: String, table: String,
+                       nBuckets: Int = 16): Unit =
+    Outputs.writeBucketedSorted(spark.read.parquet(path), table, nBuckets,
+      "k", partitionCol = Some("p"))
+
+  /** Reset exactly the partitions `delta` is about to touch back to the
+    * pristine state — Δ-sized (dynamic partition overwrite over the
+    * changed-partition list; untouched partitions keep their files).
+    * Also heals a crashed previous cycle: any partition a half-applied
+    * refresh corrupted is in the same changed set and gets rewritten. */
+  def restoreChanged(spark: SparkSession, table: String, path: String,
+                     delta: DataFrame, keyCol: String, valueCol: Column,
+                     opCol: Column, nParts: Int = 16): Unit = {
+    val dAgg = deltaAgg(delta, keyCol, valueCol, opCol)
+    val changed = withPart(dAgg, nParts).select(col("p")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.read.parquet(path)
+      .filter(col("p").isInCollection(changed))
+      .select("k", "n", "s", "p")
+      .write.mode("overwrite").insertInto(table)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
+
   /** Fold a change feed into the STORED view, Δ-sized end to end: reads
     * only the changed partitions (partition filter) shuffle-free on the
     * MV side (bucketed scan), rewrites only those partitions (dynamic

@@ -368,18 +368,37 @@ object OpsQueries {
     * directories (`ops/MaterializedView.scala` bucketed lifecycle;
     * MvBucketedSpec pins the plan shape and the untouched-files
     * invariant). Same recompute oracle as mv_incremental — the driver
-    * certifies that the selective storage path changes nothing. */
+    * certifies that the selective storage path changes nothing.
+    *
+    * Measured at the production CADENCE (round-9 bench-honesty fix): the
+    * base build runs once into a content-fingerprinted pristine copy;
+    * every call after the first pays only the steady-state Δ-cycle —
+    * restore the delta's partitions from pristine, fold the delta — so
+    * the bench number tracks refresh cost, not fixture rebuilds. The
+    * restore also heals any half-applied previous cycle (same changed
+    * set), keeping repeated runs — and the oracle row — deterministic. */
   private def mvBucketed(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val o = Tables.orders(s, d)
     val base = o.filter(col("o_orderkey") % 10 =!= 0)
-    val tbl = "graft_mv_bucketed_orders"
-    graft.ops.MaterializedView.buildBucketed(
-      base, "o_custkey", Ops.cents(col("o_totalprice")), tbl)
+    // per-corpus table: the Δ-restore resets only the delta's partitions,
+    // which is only sound against THIS corpus's own previous cycle
+    val tbl = "graft_mv_bucketed_orders_" +
+      new java.io.File(d).getName.replace('.', '_').replace('-', '_')
+    val vc = Ops.cents(col("o_totalprice"))
     val delta = o.filter(col("o_orderkey") % 10 === 0).withColumn("op", lit("I"))
       .unionByName(base.filter(col("o_orderkey") % 7 === 0).withColumn("op", lit("D")))
+    val dir = graft.llm.IndexStore.indexDir(s, "mv_pristine", s"$d/orders.parquet")
+    graft.llm.IndexStore.ensure(s, dir) {
+      graft.ops.MaterializedView.savePristine(base, "o_custkey", vc, s"$dir/mv")
+    }
+    if (!s.catalog.tableExists(tbl))
+      graft.ops.MaterializedView.seedFromPristine(s, s"$dir/mv", tbl)
+    else
+      graft.ops.MaterializedView.restoreChanged(
+        s, tbl, s"$dir/mv", delta, "o_custkey", vc, col("op"))
     graft.ops.MaterializedView.refreshBucketed(
-      s, tbl, delta, "o_custkey", Ops.cents(col("o_totalprice")), col("op"))
+      s, tbl, delta, "o_custkey", vc, col("op"))
     s.table(tbl)
       .select(col("k").as("o_custkey"), col("n").as("n_orders"),
         (col("s") / 100.0).as("total_price"))
