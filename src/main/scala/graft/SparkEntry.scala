@@ -14,7 +14,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     CoreQueries.all ++ JoinQueries.all ++ OpsQueries.all ++ LlmQueries.all ++
       AnalyticsQueries.all ++ MiscQueries.all ++ PipelineQueries.all ++
-      TpchQueries.all ++ FormatQueries.all ++ Seq(
+      TpchQueries.all ++ TpchQueries2.all ++ FormatQueries.all ++ Seq(
         // QuasiMonteCarlo pi (EX/QuasiMonteCarlo.java): deterministic
         // Halton sampling; accuracy asserted in ProgramsSpec (rows-only).
         Q("pi_qmc", (s, _) => graft.jobs.Programs.piQmc(s, 1000000L), None))

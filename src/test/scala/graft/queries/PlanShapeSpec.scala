@@ -169,6 +169,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hints == 1, s"expected 1 broadcast hint (the scalar total), got $hints:\n$analyzed")
   }
 
+  test("tpch_q6_forecast: pure scan-aggregate — predicates on the scan, no join") {
+    val p = plan("tpch_q6_forecast")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("tpch_q19_disjunctive: one broadcast equi-join, residual OR post-join, no cartesian") {
+    val p = plan("tpch_q19_disjunctive")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tpch_q4_priority: EXISTS decorrelates to a semi join; date filters pushed") {
+    val p = plan("tpch_q4_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("tpch_q13_custdist: zero-order customers survive via a left outer join") {
+    val p = plan("tpch_q13_custdist")
+    assert(p.contains("LeftOuter"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("tpch_q21_waiting: double correlation stays equi-joined; top-k without global sort") {
+    val p = plan("tpch_q21_waiting")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("pipeline_e2e: sample filter applies before the packing shuffle") {
     val df = graft.SparkEntry.queries("pipeline_e2e")(spark, sf0001)
     val optimized = df.queryExecution.optimizedPlan.toString
