@@ -206,8 +206,12 @@ object Snapshots {
   }
 
   /** The live file list of a pinned version — the unit a DSv2 scan plans
-    * from (see [[graft.sources.v2.SnapshotCatalog]]). */
+    * from (see [[graft.sources.v2.SnapshotCatalog]]). Version 0 is the
+    * defined empty pre-history of every table (no manifest, no files) —
+    * what lets [[diff]]/[[changeFeed]] treat "since the beginning" as
+    * just another interval. */
   private[graft] def versionFiles(s: SparkSession, loc: String, version: Long): Seq[String] = {
+    if (version == 0L) return Nil
     val ms = manifests(s, loc)
     ms.find(_._1 == version)
       .map { case (_, p) => readManifest(s, p) }
@@ -252,6 +256,208 @@ object Snapshots {
           df.select(lit(t).as("change") +: df.columns.map(col): _*)
         tag(added.exceptAll(removed), "insert")
           .unionByName(tag(removed.exceptAll(added), "delete"))
+    }
+  }
+
+  // ---- row-level operations (copy-on-write) ----
+  // The format stores immutable files, so row-level DELETE/UPDATE are
+  // file REWRITES: find the files that contain affected rows, rewrite
+  // ONLY those without/with the change, publish kept ∪ rewritten as a
+  // new version. Untouched files are carried by reference — byte-for-
+  // byte the same files (spec-pinned via mtimes) — so the cost is
+  // O(affected files), not O(table), and every historical version stays
+  // pinned-readable. This is the Delta/Iceberg copy-on-write path; a
+  // merge-on-read (delete vectors) variant changes only read-side cost.
+
+  private def normPath(p: String): String = new Path(p).toUri.getPath
+
+  /** Files of the latest version whose rows intersect `pred`, found by
+    * one scan of the live file list tagged with `input_file_name` —
+    * exact (no false positives), delta-agnostic. Returns (affected,
+    * kept) in manifest spelling. */
+  private def affectedFiles(s: SparkSession, files: Seq[String],
+                            pred: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.input_file_name
+    if (files.isEmpty) return (Nil, Nil)
+    val hit = s.read.parquet(files: _*).filter(pred)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => normPath(r.getString(0))).toSet
+    files.partition(f => hit.contains(normPath(f)))
+  }
+
+  /** Row-level DELETE as a commit: remove every row matching `pred`,
+    * rewriting only the files that contain one. Returns the published
+    * version (a no-op delete still publishes — an auditable statement
+    * that the predicate was applied). */
+  def commitDelete(s: SparkSession, loc: String,
+                   pred: org.apache.spark.sql.Column): Long =
+    rewriteAffected(s, loc, pred, df => df.filter(!pred))
+
+  /** Row-level UPDATE as a commit: `set` maps column name → new value
+    * expression, applied to rows matching `pred`; only files containing
+    * a match are rewritten. */
+  def commitUpdate(s: SparkSession, loc: String,
+                   pred: org.apache.spark.sql.Column,
+                   set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.when
+    rewriteAffected(s, loc, pred, { df =>
+      set.foldLeft(df) { case (acc, (c, v)) =>
+        acc.withColumn(c, when(pred, v).otherwise(acc(c)))
+      }
+    })
+  }
+
+  private def rewriteAffected(s: SparkSession, loc: String,
+                              pred: org.apache.spark.sql.Column,
+                              rewrite: DataFrame => DataFrame): Long = {
+    val f = fs(s, loc)
+    var attempt = 0
+    while (attempt < 64) {
+      val prev = manifests(s, loc).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshots at $loc"))
+      val files = readManifest(s, prev._2)
+      val (affected, kept) = affectedFiles(s, files, pred)
+      if (affected.isEmpty) {
+        if (tryPublish(s, loc, prev._1 + 1, files)) return prev._1 + 1
+      } else {
+        val commitId = java.util.UUID.randomUUID().toString
+        val dataDir = new Path(loc, s"data/$commitId")
+        rewrite(s.read.parquet(affected: _*))
+          .write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+        val newFiles = f.listStatus(dataDir).toSeq
+          .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
+        if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles))
+          return prev._1 + 1
+        f.delete(dataDir, true) // lost the race: recompute against new latest
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
+  }
+
+  /** Change data feed: every row-level change from `fromVersion`
+    * (exclusive) to `toVersion` (default latest), tagged with the
+    * version that introduced it — [[diff]] per STEP, so intermediate
+    * states are visible (a row inserted at v2 and deleted at v4 appears
+    * twice), which is what a downstream incremental consumer needs.
+    * Cost is the union of per-step symmetric file differences — still
+    * never a full-table read for append-shaped histories. Output:
+    * (change, _commit_version, <row columns...>). */
+  def changeFeed(s: SparkSession, loc: String, fromVersion: Long,
+                 toVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val to = if (toVersion < 0) latestVersion(s, loc) else toVersion
+    require(to > fromVersion,
+      s"empty feed: toVersion $to must exceed fromVersion $fromVersion")
+    (fromVersion until to).map { v =>
+      val d = diff(s, loc, v, v + 1)
+      d.select(col("change") +: lit(v + 1).as("_commit_version") +:
+        d.columns.filterNot(_ == "change").map(col): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  // ---- file-level zone maps (data skipping) ----
+  // Per-file min/max of chosen columns, written as a sidecar NEXT TO the
+  // manifest before it publishes (`v<NNNNN>.stats.txt` — orphan sidecars
+  // from lost races are harmless and expire with their version). At
+  // 100 TB the win over parquet's own row-group stats is WHERE the
+  // pruning happens: the planner drops files from the scan's file list
+  // driver-side without opening a single footer — the same reason the
+  // manifest itself beats directory listing.
+
+  private def statsPath(loc: String, version: Long) =
+    new Path(manifestDir(loc), f"v$version%05d.stats.txt")
+
+  /** Compute and attach per-file (min, max) sidecar stats for `cols` to
+    * an existing version (typically called right after a commit; one
+    * scan of that version's files, grouped by file). Values are stored
+    * via `CAST AS STRING`; [[readPruned]] compares in the column's own
+    * type after casting back. */
+  def attachStats(s: SparkSession, loc: String, version: Long,
+                  cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val files = versionFiles(s, loc, version)
+    if (files.isEmpty) return
+    val agg = s.read.parquet(files: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(cols.head)).cast("string").as("min0"),
+        (max(col(cols.head)).cast("string").as("max0") +:
+          cols.tail.zipWithIndex.flatMap { case (c, i) =>
+            Seq(min(col(c)).cast("string").as(s"min${i + 1}"),
+              max(col(c)).cast("string").as(s"max${i + 1}"))
+          }): _*)
+      .collect()
+    val f = fs(s, loc)
+    val tmp = new Path(manifestDir(loc),
+      s"_tmp_stats_${java.util.UUID.randomUUID()}.txt")
+    val out = f.create(tmp, true)
+    val header = s"#cols=${cols.mkString(",")}\n"
+    val lines = agg.map { r =>
+      val path = normPath(r.getString(0))
+      val vals = (0 until cols.length).flatMap(i =>
+        Seq(Option(r.getString(1 + 2 * i)).getOrElse(""),
+          Option(r.getString(2 + 2 * i)).getOrElse("")))
+      (path +: vals).mkString("\t")
+    }
+    try out.write((header + lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, statsPath(loc, version))) f.delete(tmp, false)
+  }
+
+  /** Read a version with FILE-LEVEL skipping: keep only files whose
+    * [min, max] range for `column` intersects [lo, hi] (inclusive).
+    * Falls back to the full file list when no sidecar exists or the
+    * column is not covered — skipping is an optimization, never a
+    * correctness dependency. The residual filter still applies: callers
+    * get exactly the rows a plain `read(...).filter(between)` returns,
+    * with fewer files opened (spec-pinned via `inputFiles`). */
+  def readPruned(s: SparkSession, loc: String, column: String,
+                 lo: String, hi: String, version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = if (version < 0) latestVersion(s, loc) else version
+    val files = versionFiles(s, loc, v)
+    val sp = statsPath(loc, v)
+    val f = fs(s, loc)
+    val keep: Seq[String] =
+      if (!f.exists(sp)) files
+      else {
+        val lines = manifestLines(s, sp)
+        val cols = lines.headOption.filter(_.startsWith("#cols="))
+          .map(_.stripPrefix("#cols=").split(',').toSeq).getOrElse(Nil)
+        val ci = cols.indexOf(column)
+        if (ci < 0) files
+        else {
+          val stats = lines.filterNot(_.startsWith("#")).map(_.split('\t'))
+            .map(a => a(0) -> (a(1 + 2 * ci), a(2 + 2 * ci))).toMap
+          val dt = s.read.parquet(files: _*).schema(column).dataType
+          files.filter { file =>
+            stats.get(normPath(file)).forall { case (mn, mx) =>
+              // an absent/empty bound means "unknown" — never skip on it
+              mn.isEmpty || mx.isEmpty || rangesIntersect(dt, mn, mx, lo, hi)
+            }
+          }
+        }
+      }
+    if (keep.isEmpty)
+      s.read.parquet(files: _*).filter(org.apache.spark.sql.functions.lit(false))
+    else s.read.parquet(keep: _*).filter(col(column).between(lo, hi))
+  }
+
+  /** Typed interval intersection on the string-encoded stats: numeric
+    * columns compare as BigDecimal, everything else (strings, dates,
+    * timestamps — ISO-formatted by CAST AS STRING) lexicographically,
+    * which is order-preserving for those encodings. */
+  private def rangesIntersect(dt: org.apache.spark.sql.types.DataType,
+                              mn: String, mx: String,
+                              lo: String, hi: String): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: DecimalType =>
+        val (a, b, l, h) = (BigDecimal(mn), BigDecimal(mx),
+          BigDecimal(lo), BigDecimal(hi))
+        a <= h && b >= l
+      case _ => mn <= hi && mx >= lo
     }
   }
 
@@ -309,7 +515,10 @@ object Snapshots {
     val kept = ms.takeRight(retainLast)
     val live = kept.flatMap { case (_, p) => readManifest(s, p) }.toSet
     val expiredRefs = dropped.flatMap { case (_, p) => readManifest(s, p) }.toSet -- live
-    dropped.foreach { case (_, p) => f.delete(p, false) }
+    dropped.foreach { case (v, p) =>
+      f.delete(p, false)
+      f.delete(statsPath(loc, v), false) // zone-map sidecar goes with it
+    }
     val dataRoot = new Path(loc, "data")
     val orphanHorizon = System.currentTimeMillis() - orphanGraceMs
     var deleted = 0

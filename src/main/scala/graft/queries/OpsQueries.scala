@@ -572,6 +572,81 @@ object OpsQueries {
     out.orderBy(col("o_orderkey"))
   }
 
+  /** Row-level DELETE on the snapshot format (`Snapshots.commitDelete`):
+    * copy-on-write — only files containing a matching row are rewritten,
+    * everything else is carried by reference (SnapshotsSpec pins carried
+    * mtimes), and the pre-delete version stays pinned-readable. The
+    * in-query guard asserts the carry actually happened. */
+  private def snapshotDeleteRows(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders_delete"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+    // range layout on orderkey: the status predicate hits most files, so
+    // ALSO append a second commit whose rows can't match — its files must
+    // survive the delete untouched
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 3 === 0 && col("o_orderstatus") =!= "F"), loc)
+    val untouched = graft.ops.Snapshots.read(s, loc).inputFiles.toSet
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 3 === 1), loc)
+    graft.ops.Snapshots.commitDelete(s, loc, col("o_orderstatus") === "F")
+    val after = graft.ops.Snapshots.read(s, loc).inputFiles.toSet
+    require(untouched.subsetOf(after),
+      "copy-on-write rewrote files with no matching rows")
+    graft.ops.Snapshots.read(s, loc).orderBy(col("o_orderkey"))
+  }
+
+  /** Row-level UPDATE as a commit (`Snapshots.commitUpdate`): double the
+    * price of open orders; same copy-on-write contract. */
+  private def snapshotUpdateRows(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders_update"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    graft.ops.Snapshots.commitAppend(
+      Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0), loc)
+    graft.ops.Snapshots.commitUpdate(s, loc,
+      col("o_orderstatus") === "O",
+      Map("o_totalprice" -> (col("o_totalprice") * 2)))
+    graft.ops.Snapshots.read(s, loc).orderBy(col("o_orderkey"))
+  }
+
+  /** Change data feed (`Snapshots.changeFeed`): every row change since a
+    * consumer's checkpointed version, tagged with the commit that
+    * introduced it — append, append, row-level delete, read the feed
+    * from the beginning. Intermediate states are visible by design. */
+  private def snapshotChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders_cdf"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 3 === 0), loc)
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 3 === 1), loc)
+    graft.ops.Snapshots.commitDelete(s, loc, col("o_orderstatus") === "F")
+    graft.ops.Snapshots.changeFeed(s, loc, fromVersion = 0)
+      .orderBy(col("_commit_version"), col("change"), col("o_orderkey"))
+  }
+
+  /** File-level zone-map skipping (`Snapshots.attachStats` /
+    * `readPruned`): per-file (min, max) sidecars let the PLANNER drop
+    * files driver-side — no footer opened — and the residual filter
+    * keeps the answer exact. The in-query guard asserts files were
+    * actually skipped; the oracle certifies row-exactness. */
+  private def snapshotSkipping(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders_zonemap"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    graft.ops.Snapshots.commitAppend(
+      Tables.orders(s, d).repartitionByRange(8, col("o_orderkey")), loc)
+    graft.ops.Snapshots.attachStats(s, loc, 1L, Seq("o_orderkey"))
+    val pruned = graft.ops.Snapshots.readPruned(
+      s, loc, "o_orderkey", "100", "500")
+    val total = graft.ops.Snapshots.read(s, loc).inputFiles.length
+    require(pruned.inputFiles.length < total,
+      s"zone maps skipped nothing: ${pruned.inputFiles.length} of $total")
+    pruned.orderBy(col("o_orderkey"))
+  }
+
   /** Retention GC lifecycle (`Snapshots.expire`): three commits (two
     * appends, one logical overwrite that orphans every earlier file),
     * expire down to the latest version, then read the survivor. The
@@ -619,6 +694,39 @@ object OpsQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_delete_rows", snapshotDeleteRows,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 <= 1 AND o_orderstatus <> 'F'
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_update_rows", snapshotUpdateRows,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+             |       ELSE o_totalprice END AS o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_change_feed", snapshotChangeFeed,
+      Some("""WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+             |v2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1)
+             |SELECT * FROM (
+             |  SELECT 'insert' AS change, CAST(1 AS BIGINT) AS _commit_version,
+             |    o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |    o_orderdate, o_orderpriority FROM v1
+             |  UNION ALL
+             |  SELECT 'insert', 2, o_orderkey, o_custkey, o_orderstatus,
+             |    o_totalprice, o_orderdate, o_orderpriority FROM v2
+             |  UNION ALL
+             |  SELECT 'delete', 3, o_orderkey, o_custkey, o_orderstatus,
+             |    o_totalprice, o_orderdate, o_orderpriority
+             |  FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2) t
+             |  WHERE o_orderstatus = 'F') f
+             |ORDER BY _commit_version, change, o_orderkey""".stripMargin)),
+    Q("snapshot_skipping", snapshotSkipping,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey BETWEEN 100 AND 500
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_expire", snapshotExpire,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -135,6 +135,75 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.expire(spark, loc, retainLast = 1) == ((0, 0)))
   }
 
+  test("copy-on-write delete/update rewrite ONLY affected files; history pinned") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_cow"
+    wipe(loc)
+    // two appends -> two disjoint data files; the predicate hits only v2's
+    Snapshots.commitAppend(Seq((1L, "keep"), (2L, "keep")).toDF("id", "v"), loc)
+    Snapshots.commitAppend(Seq((10L, "drop"), (11L, "keep")).toDF("id", "v"), loc)
+    val before = dataFiles(loc)
+    val v3 = Snapshots.commitDelete(spark, loc, col("v") === "drop")
+    assert(v3 == 3L)
+    def rows(ver: Long) = Snapshots.read(spark, loc, ver)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(rows(3) == Seq((1L, "keep"), (2L, "keep"), (11L, "keep")))
+    assert(rows(2).map(_._1) == Seq(1L, 2L, 10L, 11L)) // history intact
+    // v1's file carried by reference: same path, same mtime
+    val after = dataFiles(loc)
+    val carried = before.filter { case (f, m) => after.get(f).contains(m) }
+    assert(carried.nonEmpty, "no file was carried by reference")
+    val v1Files = Snapshots.read(spark, loc, 1).inputFiles.map(norm).toSet
+    assert(v1Files.subsetOf(carried.keySet.map(norm)),
+      "the unaffected v1 file was rewritten")
+    // update: only matching rows change, others bit-stable
+    val v4 = Snapshots.commitUpdate(spark, loc, col("id") === 1L,
+      Map("v" -> org.apache.spark.sql.functions.lit("patched")))
+    assert(v4 == 4L)
+    assert(rows(4).toSet == Set((1L, "patched"), (2L, "keep"), (11L, "keep")))
+    // no-op delete still publishes an auditable version
+    assert(Snapshots.commitDelete(spark, loc, col("v") === "ghost") == 5L)
+    assert(rows(5) == rows(4))
+  }
+
+  test("changeFeed tags every row change with the version that introduced it") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_cdf"
+    wipe(loc)
+    Snapshots.commitAppend(Seq(1L, 2L).toDF("id"), loc)
+    Snapshots.commitAppend(Seq(3L).toDF("id"), loc)
+    Snapshots.commitDelete(spark, loc, col("id") === 2L)
+    val feed = Snapshots.changeFeed(spark, loc, fromVersion = 0)
+      .select("change", "_commit_version", "id")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(feed == Seq(
+      ("delete", 3L, 2L),
+      ("insert", 1L, 1L), ("insert", 1L, 2L), ("insert", 2L, 3L)))
+    // a consumer that checkpointed at v2 sees only the delete
+    assert(Snapshots.changeFeed(spark, loc, fromVersion = 2)
+      .select("change", "_commit_version", "id")
+      .as[(String, Long, Long)].collect().toSeq == Seq(("delete", 3L, 2L)))
+  }
+
+  test("zone-map skipping: pruned read opens only range-matching files, rows exact") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_zonemap"
+    wipe(loc)
+    // range-partitioned write -> files with disjoint id ranges
+    Snapshots.commitAppend(
+      (1L to 8000L).toDF("id").repartitionByRange(8, col("id")), loc)
+    Snapshots.attachStats(spark, loc, 1L, Seq("id"))
+    val pruned = Snapshots.readPruned(spark, loc, "id", "2000", "2500")
+    val allFiles = Snapshots.read(spark, loc).inputFiles.length
+    assert(pruned.inputFiles.length < allFiles,
+      s"no skipping: ${pruned.inputFiles.length} of $allFiles files")
+    assert(pruned.as[Long].collect().sorted.toSeq == (2000L to 2500L))
+    // a column without stats falls back to the full list, still correct
+    val fallback = Snapshots.readPruned(spark, loc, "id", "1", "10",
+      version = 1L)
+    assert(fallback.as[Long].collect().sorted.toSeq == (1L to 10L))
+  }
+
   test("two racing committers both land, in some order, no version lost") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
