@@ -335,6 +335,52 @@ object Snapshots {
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
   }
 
+  /** Row-level MERGE (upsert) as a commit: rows of `source` REPLACE
+    * same-key rows of the table and insert where no key matches —
+    * latest-wins over the whole row, the [[Merge]] CDC fold's
+    * storage-native counterpart. Copy-on-write: a file is rewritten iff
+    * it contains a matched key (kept files can hold no source key by
+    * construction, so ALL source rows ride in the rewrite's output).
+    * `source` must be key-unique — one upsert per key per commit, the
+    * same contract every MERGE statement imposes. */
+  def commitMerge(s: SparkSession, loc: String, source: DataFrame,
+                  keyCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val f = fs(s, loc)
+    val keys = source.select(col(keyCol)).distinct()
+    var attempt = 0
+    while (attempt < 64) {
+      val prev = manifests(s, loc).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshots at $loc"))
+      val files = readManifest(s, prev._2)
+      val hit =
+        if (files.isEmpty) Set.empty[String]
+        else s.read.parquet(files: _*)
+          // tag the file on the single-source scan side BEFORE the join —
+          // input_file_name() is undefined over a multi-source plan
+          .select(col(keyCol), input_file_name().as("f"))
+          .join(keys, Seq(keyCol), "left_semi")
+          .select(col("f")).distinct()
+          .collect().map(r => normPath(r.getString(0))).toSet
+      val (affected, kept) = files.partition(x => hit.contains(normPath(x)))
+      val commitId = java.util.UUID.randomUUID().toString
+      val dataDir = new Path(loc, s"data/$commitId")
+      val survivors =
+        if (affected.isEmpty) source
+        else s.read.parquet(affected: _*)
+          .join(keys, Seq(keyCol), "left_anti")
+          .unionByName(source)
+      survivors.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+      val newFiles = f.listStatus(dataDir).toSeq
+        .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
+      if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles))
+        return prev._1 + 1
+      f.delete(dataDir, true)
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
+  }
+
   /** Change data feed: every row-level change from `fromVersion`
     * (exclusive) to `toVersion` (default latest), tagged with the
     * version that introduced it — [[diff]] per STEP, so intermediate

@@ -647,6 +647,51 @@ object OpsQueries {
     pruned.orderBy(col("o_orderkey"))
   }
 
+  /** Row-level MERGE on the snapshot format (`Snapshots.commitMerge`):
+    * upsert a source of updated (every 6th order, doubled price) and new
+    * (the %3==1 third) rows into the %3==0 base — matched keys replaced
+    * whole-row, unmatched inserted, only key-containing files rewritten
+    * (SnapshotsSpec pins the carried file). */
+  private def snapshotMergeRows(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders_merge"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 3 === 0), loc)
+    val source = o.filter(col("o_orderkey") % 6 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(o.filter(col("o_orderkey") % 3 === 1))
+    graft.ops.Snapshots.commitMerge(s, loc, source, "o_orderkey")
+    graft.ops.Snapshots.read(s, loc)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Incremental consumption (`streaming/SnapshotTail.processOnce`): a
+    * consumer tails the same commit history as [[snapshotChangeFeed]] in
+    * TWO cursor-tracked steps; the concatenation must equal the one-shot
+    * feed — the split-consumption invariant, here under the driver's
+    * oracle (SnapshotTailSpec additionally pins crash replay and the
+    * empty-interval no-op). */
+  private def snapshotTail(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders_tail"
+    val ck = "/tmp/graft-warehouse/snapshots/orders_tail_ck"
+    Seq(loc, ck).foreach { x =>
+      val p = new org.apache.hadoop.fs.Path(x)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val o = Tables.orders(s, d)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 3 === 0), loc)
+    graft.streaming.SnapshotTail.processOnce(s, loc, ck)(df => batches += df)
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 3 === 1), loc)
+    graft.ops.Snapshots.commitDelete(s, loc, col("o_orderstatus") === "F")
+    graft.streaming.SnapshotTail.processOnce(s, loc, ck)(df => batches += df)
+    batches.reduce(_ unionByName _)
+      .orderBy(col("_commit_version"), col("change"), col("o_orderkey"))
+  }
+
   /** Retention GC lifecycle (`Snapshots.expire`): three commits (two
     * appends, one logical overwrite that orphans every earlier file),
     * expire down to the latest version, then read the survivor. The
@@ -707,6 +752,33 @@ object OpsQueries {
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 = 0
              |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_merge_rows", snapshotMergeRows,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |  CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+             |       ELSE o_totalprice END AS o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 0
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 1
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_tail", snapshotTail,
+      Some("""WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+             |v2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1)
+             |SELECT * FROM (
+             |  SELECT 'insert' AS change, CAST(1 AS BIGINT) AS _commit_version,
+             |    o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |    o_orderdate, o_orderpriority FROM v1
+             |  UNION ALL
+             |  SELECT 'insert', 2, o_orderkey, o_custkey, o_orderstatus,
+             |    o_totalprice, o_orderdate, o_orderpriority FROM v2
+             |  UNION ALL
+             |  SELECT 'delete', 3, o_orderkey, o_custkey, o_orderstatus,
+             |    o_totalprice, o_orderdate, o_orderpriority
+             |  FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2) t
+             |  WHERE o_orderstatus = 'F') f
+             |ORDER BY _commit_version, change, o_orderkey""".stripMargin)),
     Q("snapshot_change_feed", snapshotChangeFeed,
       Some("""WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
              |v2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1)

@@ -166,6 +166,32 @@ class SnapshotsSpec extends SparkTestBase {
     assert(rows(5) == rows(4))
   }
 
+  test("commitMerge upserts by key copy-on-write; kept files untouched") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_merge"
+    wipe(loc)
+    Snapshots.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), loc)
+    Snapshots.commitAppend(Seq((10L, "x")).toDF("id", "v"), loc)
+    val before = dataFiles(loc)
+    // touches only the first commit's file; inserts a new key
+    val v3 = Snapshots.commitMerge(spark, loc,
+      Seq((2L, "B2"), (42L, "new")).toDF("id", "v"), "id")
+    assert(v3 == 3L)
+    assert(Snapshots.read(spark, loc).as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "B2"), (10L, "x"), (42L, "new")))
+    // the unmatched commit's file carried by reference
+    val after = dataFiles(loc)
+    val v2File = Snapshots.read(spark, loc, 2).inputFiles.map(norm).toSet --
+      Snapshots.read(spark, loc, 1).inputFiles.map(norm).toSet
+    v2File.foreach { f =>
+      val key = before.keys.find(k => norm(k) == f).get
+      assert(after.get(key) == before.get(key), s"kept file rewritten: $f")
+    }
+    // pre-merge version pinned
+    assert(Snapshots.read(spark, loc, 2).as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b"), (10L, "x")))
+  }
+
   test("changeFeed tags every row change with the version that introduced it") {
     import spark.implicits._
     val loc = "/tmp/graft-test/snap_cdf"
