@@ -288,35 +288,52 @@ object Snapshots {
   /** Row-level DELETE as a commit: remove every row matching `pred`,
     * rewriting only the files that contain one. Returns the published
     * version (a no-op delete still publishes — an auditable statement
-    * that the predicate was applied). */
+    * that the predicate was applied).
+    *
+    * `pruneBy = (column, lo, hi)` narrows the affected-file DETECTION
+    * scan using the version's zone-map sidecar ([[attachStats]]): only
+    * files whose [min, max] intersects the range are scanned for
+    * matches, making the detection O(candidate files) instead of
+    * O(table) — the standard stats-pruned DML path. CONTRACT: the range
+    * must over-approximate `pred` (every row `pred` matches has
+    * `column` in [lo, hi]); files outside it are kept unscanned. */
   def commitDelete(s: SparkSession, loc: String,
-                   pred: org.apache.spark.sql.Column): Long =
-    rewriteAffected(s, loc, pred, df => df.filter(!pred))
+                   pred: org.apache.spark.sql.Column,
+                   pruneBy: Option[(String, String, String)] = None): Long =
+    rewriteAffected(s, loc, pred, df => df.filter(!pred), pruneBy)
 
   /** Row-level UPDATE as a commit: `set` maps column name → new value
     * expression, applied to rows matching `pred`; only files containing
-    * a match are rewritten. */
+    * a match are rewritten. `pruneBy`: same contract as
+    * [[commitDelete]]. */
   def commitUpdate(s: SparkSession, loc: String,
                    pred: org.apache.spark.sql.Column,
-                   set: Map[String, org.apache.spark.sql.Column]): Long = {
+                   set: Map[String, org.apache.spark.sql.Column],
+                   pruneBy: Option[(String, String, String)] = None): Long = {
     import org.apache.spark.sql.functions.when
     rewriteAffected(s, loc, pred, { df =>
       set.foldLeft(df) { case (acc, (c, v)) =>
         acc.withColumn(c, when(pred, v).otherwise(acc(c)))
       }
-    })
+    }, pruneBy)
   }
 
   private def rewriteAffected(s: SparkSession, loc: String,
                               pred: org.apache.spark.sql.Column,
-                              rewrite: DataFrame => DataFrame): Long = {
+                              rewrite: DataFrame => DataFrame,
+                              pruneBy: Option[(String, String, String)] = None): Long = {
     val f = fs(s, loc)
     var attempt = 0
     while (attempt < 64) {
       val prev = manifests(s, loc).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no committed snapshots at $loc"))
       val files = readManifest(s, prev._2)
-      val (affected, kept) = affectedFiles(s, files, pred)
+      val candidates = pruneBy match {
+        case Some((c, lo, hi)) => statFiles(s, loc, prev._1, files, c, lo, hi)
+        case None => files
+      }
+      val (affected, keptCand) = affectedFiles(s, candidates, pred)
+      val kept = keptCand ++ files.filterNot(candidates.toSet)
       if (affected.isEmpty) {
         if (tryPublish(s, loc, prev._1 + 1, files)) return prev._1 + 1
       } else {
@@ -415,39 +432,82 @@ object Snapshots {
     new Path(manifestDir(loc), f"v$version%05d.stats.txt")
 
   /** Compute and attach per-file (min, max) sidecar stats for `cols` to
-    * an existing version (typically called right after a commit; one
-    * scan of that version's files, grouped by file). Values are stored
-    * via `CAST AS STRING`; [[readPruned]] compares in the column's own
-    * type after casting back. */
+    * an existing version (typically called right after a commit).
+    * INCREMENTAL: files already covered by the PREVIOUS version's
+    * sidecar (same column set) inherit their rows — immutable files
+    * cannot change their stats — so the scan covers only the commit's
+    * new files: stats maintenance is O(delta), not O(table). Values are
+    * stored via `CAST AS STRING`; [[readPruned]] compares in the
+    * column's own type after casting back. */
   def attachStats(s: SparkSession, loc: String, version: Long,
                   cols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val files = versionFiles(s, loc, version)
     if (files.isEmpty) return
-    val agg = s.read.parquet(files: _*)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col(cols.head)).cast("string").as("min0"),
-        (max(col(cols.head)).cast("string").as("max0") +:
-          cols.tail.zipWithIndex.flatMap { case (c, i) =>
-            Seq(min(col(c)).cast("string").as(s"min${i + 1}"),
-              max(col(c)).cast("string").as(s"max${i + 1}"))
-          }): _*)
-      .collect()
     val f = fs(s, loc)
+    val header = s"#cols=${cols.mkString(",")}"
+    // inherit rows from the previous sidecar where the column set matches
+    val prevSidecar = statsPath(loc, version - 1)
+    val known: Map[String, String] =
+      if (version > 1 && f.exists(prevSidecar)) {
+        val lines = manifestLines(s, prevSidecar)
+        if (lines.headOption.contains(header))
+          lines.filterNot(_.startsWith("#"))
+            .map(l => l.split('\t')(0) -> l).toMap
+        else Map.empty
+      } else Map.empty
+    val fresh = files.filterNot(x => known.contains(normPath(x)))
+    val scanned: Seq[String] =
+      if (fresh.isEmpty) Nil
+      else s.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(cols.head)).cast("string").as("min0"),
+          (max(col(cols.head)).cast("string").as("max0") +:
+            cols.tail.zipWithIndex.flatMap { case (c, i) =>
+              Seq(min(col(c)).cast("string").as(s"min${i + 1}"),
+                max(col(c)).cast("string").as(s"max${i + 1}"))
+            }): _*)
+        .collect().toSeq.map { r =>
+          val path = normPath(r.getString(0))
+          val vals = (0 until cols.length).flatMap(i =>
+            Seq(Option(r.getString(1 + 2 * i)).getOrElse(""),
+              Option(r.getString(2 + 2 * i)).getOrElse("")))
+          (path +: vals).mkString("\t")
+        }
+    val inherited = files.flatMap(x => known.get(normPath(x)))
     val tmp = new Path(manifestDir(loc),
       s"_tmp_stats_${java.util.UUID.randomUUID()}.txt")
     val out = f.create(tmp, true)
-    val header = s"#cols=${cols.mkString(",")}\n"
-    val lines = agg.map { r =>
-      val path = normPath(r.getString(0))
-      val vals = (0 until cols.length).flatMap(i =>
-        Seq(Option(r.getString(1 + 2 * i)).getOrElse(""),
-          Option(r.getString(2 + 2 * i)).getOrElse("")))
-      (path +: vals).mkString("\t")
-    }
-    try out.write((header + lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((header + "\n" + (inherited ++ scanned).mkString("\n") + "\n")
+      .getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, statsPath(loc, version))) f.delete(tmp, false)
+  }
+
+  /** The subset of `files` whose sidecar range for `column` intersects
+    * [lo, hi]. Conservative by construction: no sidecar, an uncovered
+    * column, or an unknown/empty bound keeps the file. */
+  private def statFiles(s: SparkSession, loc: String, version: Long,
+                        files: Seq[String], column: String,
+                        lo: String, hi: String): Seq[String] = {
+    val sp = statsPath(loc, version)
+    val f = fs(s, loc)
+    if (!f.exists(sp)) return files
+    val lines = manifestLines(s, sp)
+    val cols = lines.headOption.filter(_.startsWith("#cols="))
+      .map(_.stripPrefix("#cols=").split(',').toSeq).getOrElse(Nil)
+    val ci = cols.indexOf(column)
+    if (ci < 0) return files
+    val stats = lines.filterNot(_.startsWith("#")).map(_.split('\t'))
+      .map(a => a(0) -> (a(1 + 2 * ci), a(2 + 2 * ci))).toMap
+    if (files.isEmpty) return files
+    val dt = s.read.parquet(files: _*).schema(column).dataType
+    files.filter { file =>
+      stats.get(normPath(file)).forall { case (mn, mx) =>
+        // an absent/empty bound means "unknown" — never skip on it
+        mn.isEmpty || mx.isEmpty || rangesIntersect(dt, mn, mx, lo, hi)
+      }
+    }
   }
 
   /** Read a version with FILE-LEVEL skipping: keep only files whose
@@ -462,28 +522,7 @@ object Snapshots {
     import org.apache.spark.sql.functions.col
     val v = if (version < 0) latestVersion(s, loc) else version
     val files = versionFiles(s, loc, v)
-    val sp = statsPath(loc, v)
-    val f = fs(s, loc)
-    val keep: Seq[String] =
-      if (!f.exists(sp)) files
-      else {
-        val lines = manifestLines(s, sp)
-        val cols = lines.headOption.filter(_.startsWith("#cols="))
-          .map(_.stripPrefix("#cols=").split(',').toSeq).getOrElse(Nil)
-        val ci = cols.indexOf(column)
-        if (ci < 0) files
-        else {
-          val stats = lines.filterNot(_.startsWith("#")).map(_.split('\t'))
-            .map(a => a(0) -> (a(1 + 2 * ci), a(2 + 2 * ci))).toMap
-          val dt = s.read.parquet(files: _*).schema(column).dataType
-          files.filter { file =>
-            stats.get(normPath(file)).forall { case (mn, mx) =>
-              // an absent/empty bound means "unknown" — never skip on it
-              mn.isEmpty || mx.isEmpty || rangesIntersect(dt, mn, mx, lo, hi)
-            }
-          }
-        }
-      }
+    val keep = statFiles(s, loc, v, files, column, lo, hi)
     if (keep.isEmpty)
       s.read.parquet(files: _*).filter(org.apache.spark.sql.functions.lit(false))
     else s.read.parquet(keep: _*).filter(col(column).between(lo, hi))

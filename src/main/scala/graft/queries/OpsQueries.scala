@@ -647,6 +647,33 @@ object OpsQueries {
     pruned.orderBy(col("o_orderkey"))
   }
 
+  /** Stats-pruned DELETE (`Snapshots.commitDelete` with `pruneBy`): on a
+    * range-clustered layout with zone-map sidecars, the affected-file
+    * DETECTION scan touches only files whose [min, max] intersects the
+    * hint — O(candidates), not O(table) — and non-candidates are carried
+    * unread (guard asserts the carry; SnapshotsSpec proves the hint
+    * actually gates the scan via the non-intersecting-hint contract). */
+  private def snapshotDeletePruned(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders_delete_pruned"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    graft.ops.Snapshots.commitAppend(
+      Tables.orders(s, d).repartitionByRange(8, col("o_orderkey")), loc)
+    graft.ops.Snapshots.attachStats(s, loc, 1L, Seq("o_orderkey"))
+    val before = graft.ops.Snapshots.read(s, loc).inputFiles.length
+    graft.ops.Snapshots.commitDelete(s, loc,
+      col("o_orderkey").between(100, 500),
+      pruneBy = Some(("o_orderkey", "100", "500")))
+    val carried = graft.ops.Snapshots.read(s, loc).inputFiles.count(
+      graft.ops.Snapshots.read(s, loc, 1).inputFiles.toSet)
+    // the 100-500 range spans at most ~3 of the 8 range-clustered files
+    // at the smallest SF (keys-per-file shrinks with the corpus), fewer
+    // at larger ones
+    require(carried >= before - 4,
+      s"pruned delete rewrote too much: carried $carried of $before")
+    graft.ops.Snapshots.read(s, loc).orderBy(col("o_orderkey"))
+  }
+
   /** Row-level MERGE on the snapshot format (`Snapshots.commitMerge`):
     * upsert a source of updated (every 6th order, doubled price) and new
     * (the %3==1 third) rows into the %3==0 base — matched keys replaced
@@ -751,6 +778,11 @@ object OpsQueries {
              |       ELSE o_totalprice END AS o_totalprice,
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_delete_pruned", snapshotDeletePruned,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey NOT BETWEEN 100 AND 500
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_merge_rows", snapshotMergeRows,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -166,6 +166,48 @@ class SnapshotsSpec extends SparkTestBase {
     assert(rows(5) == rows(4))
   }
 
+  test("stats-pruned delete: the hint gates the detection scan; stats maintenance inherits") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_cow_pruned"
+    wipe(loc)
+    Snapshots.commitAppend(
+      (1L to 4000L).toDF("id").repartitionByRange(4, col("id")), loc)
+    Snapshots.attachStats(spark, loc, 1L, Seq("id"))
+    Snapshots.commitAppend(
+      (10000L to 14000L).toDF("id").repartitionByRange(4, col("id")), loc)
+    Snapshots.attachStats(spark, loc, 2L, Seq("id"))
+    // v2's sidecar INHERITED v1's rows verbatim (immutable files keep
+    // their stats; only the new files were scanned)
+    def sidecar(v: Long) = {
+      val p = new Path(s"$loc/_manifests/v${"%05d".format(v)}.stats.txt")
+      val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val v1Rows = sidecar(1).filterNot(_.startsWith("#")).toSet
+    val v2Rows = sidecar(2).filterNot(_.startsWith("#")).toSet
+    assert(v1Rows.subsetOf(v2Rows) && v2Rows.size > v1Rows.size)
+    // pruned delete: only range-candidate files are even SCANNED for
+    // matches — provable because a hint that excludes the matching file
+    // keeps its rows (the documented over-approximation contract)
+    val vMiss = Snapshots.commitDelete(spark, loc, col("id").between(1, 50),
+      pruneBy = Some(("id", "999990", "999999")))
+    assert(Snapshots.read(spark, loc, vMiss).count() == 8001L,
+      "a non-intersecting hint must scan (and delete) nothing")
+    Snapshots.attachStats(spark, loc, vMiss, Seq("id"))
+    // a correct hint deletes exactly the matching rows and carries every
+    // non-candidate file by reference
+    val before = dataFiles(loc)
+    val v = Snapshots.commitDelete(spark, loc, col("id").between(1, 50),
+      pruneBy = Some(("id", "1", "50")))
+    import spark.implicits._
+    assert(Snapshots.read(spark, loc, v).as[Long].collect().sorted.toSeq
+      == ((51L to 4000L) ++ (10000L to 14000L)))
+    val after = dataFiles(loc)
+    val carried = before.count { case (f, m) => after.get(f).contains(m) }
+    assert(carried >= 7, s"only $carried of 8 files carried by reference")
+  }
+
   test("commitMerge upserts by key copy-on-write; kept files untouched") {
     import spark.implicits._
     val loc = "/tmp/graft-test/snap_merge"
