@@ -120,8 +120,14 @@ object Snapshots {
       }
       val prev = manifests(s, loc).lastOption
       val prevFiles = prev.map { case (_, p) => readManifest(s, p) }.getOrElse(Nil)
+      // carried files keep their delete vectors; the append's fresh files
+      // have none, and a DV can never reference them (new unique paths)
+      val prevDvs = prev.map { case (_, p) =>
+        headerLines(s, p).filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
+      }.getOrElse(Nil)
       val version = prev.map(_._1).getOrElse(0L) + 1
-      if (tryPublish(s, loc, version, prevFiles ++ newFiles, marker)) return version
+      if (tryPublish(s, loc, version, prevFiles ++ newFiles, marker, prevDvs))
+        return version
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
@@ -170,7 +176,8 @@ object Snapshots {
     * to fix. */
   private def tryPublish(s: SparkSession, loc: String, version: Long,
                          files: Seq[String],
-                         marker: Option[String] = None): Boolean = {
+                         marker: Option[String] = None,
+                         dvs: Seq[String] = Nil): Boolean = {
     marker.foreach(m => require(!m.contains("\n") && !m.contains("\r"),
       "marker must be a single line"))
     val f = fs(s, loc)
@@ -179,7 +186,10 @@ object Snapshots {
     val tmp = new Path(md,
       f"_tmp_${java.util.UUID.randomUUID().toString}%s_v$version%05d.txt")
     val out = f.create(tmp, true)
-    val header = marker.map(m => s"#marker=$m\n").getOrElse("")
+    // delete-vector references ride in the header block (leading '#'
+    // lines) like markers, so a version's DV set is an O(header) read
+    val header = marker.map(m => s"#marker=$m\n").getOrElse("") +
+      dvs.map(d => s"#dv=$d\n").mkString
     try out.write((header + files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val target = new Path(md, f"v$version%05d.txt")
@@ -202,7 +212,9 @@ object Snapshots {
       else ms.find(_._1 == version).getOrElse(
         throw new NoSuchElementException(s"version $version not found at $loc"))
     val files = readManifest(s, p)
-    if (files.isEmpty) s.emptyDataFrame else s.read.parquet(files: _*)
+    if (files.isEmpty) s.emptyDataFrame
+    else applyDv(s, s.read.parquet(files: _*),
+      headerLines(s, p).filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv=")))
   }
 
   /** The live file list of a pinned version — the unit a DSv2 scan plans
@@ -217,6 +229,39 @@ object Snapshots {
       .map { case (_, p) => readManifest(s, p) }
       .getOrElse(throw new NoSuchElementException(
         s"version $version not found at $loc"))
+  }
+
+  /** The delete-vector files a pinned version applies on read (merge-on-
+    * read deletes, [[commitDeleteMoR]]) — `#dv=` header lines, so the
+    * lookup never reads the manifest body. */
+  private[graft] def versionDvs(s: SparkSession, loc: String, version: Long): Seq[String] = {
+    if (version == 0L) return Nil
+    manifests(s, loc).find(_._1 == version)
+      .map { case (_, p) =>
+        headerLines(s, p).filter(_.startsWith("#dv="))
+          .map(_.stripPrefix("#dv="))
+      }
+      .getOrElse(throw new NoSuchElementException(
+        s"version $version not found at $loc"))
+  }
+
+  /** Subtract delete-vector rows: anti-join on the parquet metadata
+    * identity (file path, row index) — exactly how every merge-on-read
+    * table format resolves DVs at scan time. The DV relation is broadcast
+    * (DVs are bounded small by contract: [[commitCompaction]] folds them
+    * into data files, so they never accumulate past a compaction cycle);
+    * with no DVs the input is returned untouched — zero overhead on the
+    * common path. */
+  private def applyDv(s: SparkSession, df: DataFrame,
+                      dvs: Seq[String]): DataFrame = {
+    if (dvs.isEmpty) return df
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dv = broadcast(s.read.parquet(dvs: _*))
+    df.withColumn("__graft_fp", col("_metadata.file_path"))
+      .withColumn("__graft_ri", col("_metadata.row_index"))
+      .join(dv, col("__graft_fp") === dv("file") &&
+        col("__graft_ri") === dv("pos"), "left_anti")
+      .drop("__graft_fp", "__graft_ri")
   }
 
   /** Exact multiset row-level delta `from → to`: one row per inserted /
@@ -236,11 +281,27 @@ object Snapshots {
     import org.apache.spark.sql.functions.{col, lit}
     val fromF = versionFiles(s, loc, fromVersion)
     val toF = versionFiles(s, loc, toVersion)
+    val fromDv = versionDvs(s, loc, fromVersion)
+    val toDv = versionDvs(s, loc, toVersion)
     val removedF = fromF.filterNot(toF.toSet)
     val addedF = toF.filterNot(fromF.toSet)
-    def readFiles(fs: Seq[String]): Option[DataFrame] =
-      if (fs.isEmpty) None else Some(s.read.parquet(fs: _*))
-    (readFiles(addedF), readFiles(removedF)) match {
+    // a carried file contributes to the delta iff its delete-vector
+    // coverage changed between the versions: find the data files the DV
+    // delta targets (reading only the tiny DV files), and re-read exactly
+    // those on both sides — still O(changed data), never O(table)
+    val dvDelta = toDv.filterNot(fromDv.toSet) ++ fromDv.filterNot(toDv.toSet)
+    val dvChangedTargets: Set[String] =
+      if (dvDelta.isEmpty) Set.empty
+      else s.read.parquet(dvDelta.distinct: _*).select(col("file")).distinct()
+        .collect().map(r => normPath(r.getString(0))).toSet
+    val commonChanged = fromF.filter(toF.toSet)
+      .filter(f => dvChangedTargets.contains(normPath(f)))
+    def readState(files: Seq[String], dvs: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(applyDv(s, s.read.parquet(files: _*), dvs))
+    val fromSide = readState(removedF ++ commonChanged, fromDv)
+    val toSide = readState(addedF ++ commonChanged, toDv)
+    (toSide, fromSide) match {
       case (None, None) =>
         // identical manifests — shape the empty result from the pinned
         // version so downstream schema handling is uniform
@@ -299,8 +360,16 @@ object Snapshots {
     * `column` in [lo, hi]); files outside it are kept unscanned. */
   def commitDelete(s: SparkSession, loc: String,
                    pred: org.apache.spark.sql.Column,
-                   pruneBy: Option[(String, String, String)] = None): Long =
-    rewriteAffected(s, loc, pred, df => df.filter(!pred), pruneBy)
+                   pruneBy: Option[(String, String, String)] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    // SQL DELETE semantics: remove rows where pred is TRUE; rows where it
+    // evaluates NULL (nullable columns) SURVIVE. `!pred` alone would drop
+    // them from rewritten files while identical rows in unaffected files
+    // survive — layout-dependent silent data loss. Detection (filter(pred))
+    // is consistent: NULL rows never mark a file affected.
+    rewriteAffected(s, loc, pred,
+      df => df.filter(!coalesce(pred, lit(false))), pruneBy)
+  }
 
   /** Row-level UPDATE as a commit: `set` maps column name → new value
     * expression, applied to rows matching `pred`; only files containing
@@ -310,12 +379,85 @@ object Snapshots {
                    pred: org.apache.spark.sql.Column,
                    set: Map[String, org.apache.spark.sql.Column],
                    pruneBy: Option[(String, String, String)] = None): Long = {
-    import org.apache.spark.sql.functions.when
+    import org.apache.spark.sql.functions.{col, when}
     rewriteAffected(s, loc, pred, { df =>
-      set.foldLeft(df) { case (acc, (c, v)) =>
-        acc.withColumn(c, when(pred, v).otherwise(acc(c)))
-      }
+      require(set.keySet.subsetOf(df.columns.toSet),
+        s"SET names unknown columns: ${set.keySet -- df.columns.toSet}")
+      // SQL UPDATE evaluates every RHS against the OLD row, so a swap
+      // (`SET a = b, b = a`) works — one select, all assignments computed
+      // from the pre-update attributes, never the sequential fold that
+      // would let one assignment observe another's result
+      df.select(df.columns.toIndexedSeq.map { c =>
+        set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
     }, pruneBy)
+  }
+
+  /** Row-level DELETE, merge-on-read: instead of rewriting every file
+    * that holds a matching row ([[commitDelete]]'s copy-on-write), commit
+    * a DELETE VECTOR — a small parquet of (file path, row index) pairs
+    * that readers subtract with an anti-join — and carry every data file
+    * untouched. ZERO data-file writes at commit time (SnapshotsSpec pins
+    * it), which is what a frequent-small-delete workload needs at 100 TB:
+    * a one-row delete costs one tiny sidecar, not a file rewrite. The
+    * read-side cost (one broadcast anti-join) is bounded because
+    * [[commitCompaction]] folds accumulated DVs back into data files
+    * (it reads through [[read]], which applies them). `pruneBy` gates the
+    * match-detection scan via the zone-map sidecar exactly as in
+    * [[commitDelete]]. NULL-predicate rows survive (SQL DELETE
+    * semantics). */
+  def commitDeleteMoR(s: SparkSession, loc: String,
+                      pred: org.apache.spark.sql.Column,
+                      pruneBy: Option[(String, String, String)] = None): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    val f = fs(s, loc)
+    var attempt = 0
+    while (attempt < 64) {
+      val prev = manifests(s, loc).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshots at $loc"))
+      val files = readManifest(s, prev._2)
+      val dvs = headerLines(s, prev._2).filter(_.startsWith("#dv="))
+        .map(_.stripPrefix("#dv="))
+      val candidates = pruneBy match {
+        case Some((c, lo, hi)) => statFiles(s, loc, prev._1, files, c, lo, hi)
+        case None => files
+      }
+      if (candidates.isEmpty) {
+        // auditable no-op, same contract as a no-match copy-on-write delete
+        if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs))
+          return prev._1 + 1
+      } else {
+        val hits = s.read.parquet(candidates: _*)
+          .filter(coalesce(pred, lit(false)))
+          .select(col("_metadata.file_path").as("file"),
+            col("_metadata.row_index").as("pos"))
+        // rows an earlier DV already deleted must not re-enter the vector
+        // (double-counting is harmless for reads but poisons the change
+        // feed, which reports each DV delta as that commit's deletes)
+        val freshHits =
+          if (dvs.isEmpty) hits
+          else {
+            val existing = s.read.parquet(dvs: _*)
+            hits.join(broadcast(existing),
+              hits("file") === existing("file") && hits("pos") === existing("pos"),
+              "left_anti")
+          }
+        val commitId = java.util.UUID.randomUUID().toString
+        val dvDir = new Path(loc, s"data/$commitId")
+        // coalesce(1): a DV is tiny by contract — one file keeps the
+        // manifest header and the read-side broadcast build cheap
+        freshHits.coalesce(1)
+          .write.mode(SaveMode.ErrorIfExists).parquet(dvDir.toString)
+        val newDvs = f.listStatus(dvDir).toSeq
+          .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
+        if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs ++ newDvs))
+          return prev._1 + 1
+        f.delete(dvDir, true) // lost the race: recompute against new latest
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
   }
 
   private def rewriteAffected(s: SparkSession, loc: String,
@@ -328,6 +470,8 @@ object Snapshots {
       val prev = manifests(s, loc).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no committed snapshots at $loc"))
       val files = readManifest(s, prev._2)
+      val dvs = headerLines(s, prev._2).filter(_.startsWith("#dv="))
+        .map(_.stripPrefix("#dv="))
       val candidates = pruneBy match {
         case Some((c, lo, hi)) => statFiles(s, loc, prev._1, files, c, lo, hi)
         case None => files
@@ -335,15 +479,19 @@ object Snapshots {
       val (affected, keptCand) = affectedFiles(s, candidates, pred)
       val kept = keptCand ++ files.filterNot(candidates.toSet)
       if (affected.isEmpty) {
-        if (tryPublish(s, loc, prev._1 + 1, files)) return prev._1 + 1
+        if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs)) return prev._1 + 1
       } else {
         val commitId = java.util.UUID.randomUUID().toString
         val dataDir = new Path(loc, s"data/$commitId")
-        rewrite(s.read.parquet(affected: _*))
+        // the rewrite reads dv-APPLIED content: a row already merge-on-read
+        // deleted must not be resurrected by the copy-on-write rewrite.
+        // Carried files keep their DV entries; entries for rewritten files
+        // go inert with the paths they name (never reused).
+        rewrite(applyDv(s, s.read.parquet(affected: _*), dvs))
           .write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
         val newFiles = f.listStatus(dataDir).toSeq
           .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
-        if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles))
+        if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles, dvs = dvs))
           return prev._1 + 1
         f.delete(dataDir, true) // lost the race: recompute against new latest
       }
@@ -362,17 +510,35 @@ object Snapshots {
     * same contract every MERGE statement imposes. */
   def commitMerge(s: SparkSession, loc: String, source: DataFrame,
                   keyCol: String): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val f = fs(s, loc)
     val keys = source.select(col(keyCol)).distinct()
+    // the source's key envelope, computed ONCE: every matched key lies in
+    // [lo, hi] by definition, so the envelope is a valid pruneBy range for
+    // the matched-file detection scan — with a zone-map sidecar on the key
+    // column, a narrow upsert's detection is O(key-range files), not
+    // O(table) (the same stats-pruned DML path DELETE/UPDATE take)
+    val env = source.agg(min(col(keyCol)).cast("string").as("lo"),
+      max(col(keyCol)).cast("string").as("hi")).head()
+    val envelope: Option[(String, String)] =
+      if (env.isNullAt(0) || env.isNullAt(1)) None
+      else Some((env.getString(0), env.getString(1)))
     var attempt = 0
     while (attempt < 64) {
       val prev = manifests(s, loc).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no committed snapshots at $loc"))
       val files = readManifest(s, prev._2)
+      val dvs = headerLines(s, prev._2).filter(_.startsWith("#dv="))
+        .map(_.stripPrefix("#dv="))
+      val candidates = envelope match {
+        case Some((lo, hi)) => statFiles(s, loc, prev._1, files, keyCol, lo, hi)
+        // empty or all-NULL-key source: equality can never match, so no
+        // file needs scanning — every row becomes an insert
+        case None => Nil
+      }
       val hit =
-        if (files.isEmpty) Set.empty[String]
-        else s.read.parquet(files: _*)
+        if (candidates.isEmpty) Set.empty[String]
+        else s.read.parquet(candidates: _*)
           // tag the file on the single-source scan side BEFORE the join —
           // input_file_name() is undefined over a multi-source plan
           .select(col(keyCol), input_file_name().as("f"))
@@ -384,13 +550,13 @@ object Snapshots {
       val dataDir = new Path(loc, s"data/$commitId")
       val survivors =
         if (affected.isEmpty) source
-        else s.read.parquet(affected: _*)
+        else applyDv(s, s.read.parquet(affected: _*), dvs)
           .join(keys, Seq(keyCol), "left_anti")
           .unionByName(source)
       survivors.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
       val newFiles = f.listStatus(dataDir).toSeq
         .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
-      if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles))
+      if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles, dvs = dvs))
         return prev._1 + 1
       f.delete(dataDir, true)
       attempt += 1
@@ -408,15 +574,81 @@ object Snapshots {
     * (change, _commit_version, <row columns...>). */
   def changeFeed(s: SparkSession, loc: String, fromVersion: Long,
                  toVersion: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, element_at, input_file_name,
+      lit, regexp_extract, typedLit}
     val to = if (toVersion < 0) latestVersion(s, loc) else toVersion
     require(to > fromVersion,
       s"empty feed: toVersion $to must exceed fromVersion $fromVersion")
-    (fromVersion until to).map { v =>
-      val d = diff(s, loc, v, v + 1)
-      d.select(col("change") +: lit(v + 1).as("_commit_version") +:
-        d.columns.filterNot(_ == "change").map(col): _*)
-    }.reduce(_ unionByName _)
+    val byV = manifests(s, loc).toMap
+    // each manifest read once for the whole interval
+    val cache = scala.collection.mutable.Map.empty[Long, (Seq[String], Seq[String])]
+    def state(v: Long): (Seq[String], Seq[String]) = cache.getOrElseUpdate(v,
+      if (v == 0L) (Nil, Nil)
+      else {
+        val p = byV.getOrElse(v, throw new NoSuchElementException(
+          s"version $v not found at $loc"))
+        val lines = manifestLines(s, p)
+        (lines.filterNot(l => l.startsWith("#") || l.isEmpty),
+          lines.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv=")))
+      })
+    // An append-only step (nothing removed, delete vectors unchanged)
+    // contributes exactly its added files' rows as inserts — no exceptAll
+    // needed. CONTIGUOUS append-only steps collapse into ONE scan of all
+    // their added files, with each row's introducing version recovered
+    // from its commit directory's unique name — so a consumer catching up
+    // over a 1000-commit append history plans one scan plus one map
+    // lookup, not a 1000-deep union (ChangeFeedPlanSpec pins the plan
+    // depth). Replace/DML/DV steps fall back to the per-step [[diff]].
+    val steps: IndexedSeq[Either[(Long, Seq[String]), Long]] =
+      (fromVersion until to).map { v =>
+        val (ff, fd) = state(v)
+        val (tf, td) = state(v + 1)
+        val removed = ff.filterNot(tf.toSet)
+        val added = tf.filterNot(ff.toSet)
+        if (removed.isEmpty && fd == td) Left((v + 1, added))
+        else Right(v + 1)
+      }.toIndexedSeq
+    def appendRun(run: Seq[(Long, Seq[String])]): Option[DataFrame] = {
+      val files = run.flatMap(_._2)
+      if (files.isEmpty) None
+      else {
+        // every commit writes its files under data/<fresh-uuid>/, so the
+        // parent directory name identifies the introducing version
+        val dirToV: Map[String, Long] = run.flatMap { case (ver, fl) =>
+          fl.map(f => new Path(f).getParent.getName -> ver)
+        }.toMap
+        val df = s.read.parquet(files: _*)
+        Some(df.select(lit("insert").as("change") +:
+          element_at(typedLit(dirToV),
+            regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1))
+            .as("_commit_version") +:
+          df.columns.map(col).toIndexedSeq: _*))
+      }
+    }
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var i = 0
+    while (i < steps.length) {
+      if (steps(i).isLeft) {
+        val j = steps.indexWhere(_.isRight, i) match {
+          case -1 => steps.length
+          case x => x
+        }
+        appendRun(steps.slice(i, j).map(_.left.toOption.get)).foreach(parts += _)
+        i = j
+      } else {
+        val ver = steps(i).toOption.get
+        val d = diff(s, loc, ver - 1, ver)
+        parts += d.select(col("change") +: lit(ver).as("_commit_version") +:
+          d.columns.filterNot(_ == "change").map(col): _*)
+        i += 1
+      }
+    }
+    if (parts.isEmpty) {
+      // only no-op steps in the interval — schema-shaped empty feed
+      val base = read(s, loc, to)
+      base.filter(lit(false)).select(lit("insert").as("change") +:
+        lit(0L).as("_commit_version") +: base.columns.map(col).toIndexedSeq: _*)
+    } else parts.reduce(_ unionByName _)
   }
 
   // ---- file-level zone maps (data skipping) ----
@@ -448,14 +680,25 @@ object Snapshots {
     val header = s"#cols=${cols.mkString(",")}"
     // inherit rows from the previous sidecar where the column set matches
     val prevSidecar = statsPath(loc, version - 1)
+    val prevLines: Seq[String] =
+      if (version > 1 && f.exists(prevSidecar)) manifestLines(s, prevSidecar)
+      else Nil
     val known: Map[String, String] =
-      if (version > 1 && f.exists(prevSidecar)) {
-        val lines = manifestLines(s, prevSidecar)
-        if (lines.headOption.contains(header))
-          lines.filterNot(_.startsWith("#"))
-            .map(l => l.split('\t')(0) -> l).toMap
-        else Map.empty
-      } else Map.empty
+      if (prevLines.headOption.contains(header))
+        prevLines.filterNot(_.startsWith("#"))
+          .map(l => l.split("\t", -1)(0) -> l).toMap
+      else Map.empty
+    // the sidecar records each column's Catalyst type, so pruning-time
+    // interval compares never infer schema from a parquet footer — the
+    // "planner drops files without opening one" claim holds literally.
+    // Inherited from the matching previous sidecar (immutable files keep
+    // their types too); one footer open only when starting from scratch.
+    val typesHeader = prevLines.lift(1).filter(_.startsWith("#types="))
+      .filter(_ => known.nonEmpty)
+      .getOrElse {
+        val schema = s.read.parquet(files.head).schema
+        "#types=" + cols.map(c => schema(c).dataType.catalogString).mkString(",")
+      }
     val fresh = files.filterNot(x => known.contains(normPath(x)))
     val scanned: Seq[String] =
       if (fresh.isEmpty) Nil
@@ -478,7 +721,8 @@ object Snapshots {
     val tmp = new Path(manifestDir(loc),
       s"_tmp_stats_${java.util.UUID.randomUUID()}.txt")
     val out = f.create(tmp, true)
-    try out.write((header + "\n" + (inherited ++ scanned).mkString("\n") + "\n")
+    try out.write((header + "\n" + typesHeader + "\n" +
+        (inherited ++ scanned).mkString("\n") + "\n")
       .getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, statsPath(loc, version))) f.delete(tmp, false)
@@ -486,10 +730,14 @@ object Snapshots {
 
   /** The subset of `files` whose sidecar range for `column` intersects
     * [lo, hi]. Conservative by construction: no sidecar, an uncovered
-    * column, or an unknown/empty bound keeps the file. */
-  private def statFiles(s: SparkSession, loc: String, version: Long,
-                        files: Seq[String], column: String,
-                        lo: String, hi: String): Seq[String] = {
+    * column, a sidecar without a recorded type, or an unknown/empty bound
+    * keeps the file. Pure driver-side metadata work — the column type
+    * comes from the sidecar's `#types=` header, so NO parquet footer is
+    * opened to make a pruning decision (ZoneMapTypedSpec pins this by
+    * pruning over ghost paths no filesystem holds). */
+  private[graft] def statFiles(s: SparkSession, loc: String, version: Long,
+                               files: Seq[String], column: String,
+                               lo: String, hi: String): Seq[String] = {
     val sp = statsPath(loc, version)
     val f = fs(s, loc)
     if (!f.exists(sp)) return files
@@ -498,10 +746,17 @@ object Snapshots {
       .map(_.stripPrefix("#cols=").split(',').toSeq).getOrElse(Nil)
     val ci = cols.indexOf(column)
     if (ci < 0) return files
-    val stats = lines.filterNot(_.startsWith("#")).map(_.split('\t'))
+    val dtOpt = lines.lift(1).filter(_.startsWith("#types="))
+      .map(_.stripPrefix("#types=").split(',').toSeq)
+      .flatMap(_.lift(ci))
+      .map(org.apache.spark.sql.types.DataType.fromDDL)
+    if (dtOpt.isEmpty) return files // legacy/typeless sidecar: never skip
+    val dt = dtOpt.get
+    // split with a negative limit: a trailing empty field (null max on the
+    // last column) must survive as "", not shorten the array
+    val stats = lines.filterNot(_.startsWith("#")).map(_.split("\t", -1))
+      .filter(_.length >= 1 + 2 * cols.length)
       .map(a => a(0) -> (a(1 + 2 * ci), a(2 + 2 * ci))).toMap
-    if (files.isEmpty) return files
-    val dt = s.read.parquet(files: _*).schema(column).dataType
     files.filter { file =>
       stats.get(normPath(file)).forall { case (mn, mx) =>
         // an absent/empty bound means "unknown" — never skip on it
@@ -522,10 +777,14 @@ object Snapshots {
     import org.apache.spark.sql.functions.col
     val v = if (version < 0) latestVersion(s, loc) else version
     val files = versionFiles(s, loc, v)
+    // an empty version (version 0 / empty table) mirrors read(): there is
+    // no schema to infer, and zero-path parquet reads fail obscurely
+    if (files.isEmpty) return s.emptyDataFrame
     val keep = statFiles(s, loc, v, files, column, lo, hi)
     if (keep.isEmpty)
       s.read.parquet(files: _*).filter(org.apache.spark.sql.functions.lit(false))
-    else s.read.parquet(keep: _*).filter(col(column).between(lo, hi))
+    else applyDv(s, s.read.parquet(keep: _*), versionDvs(s, loc, v))
+      .filter(col(column).between(lo, hi))
   }
 
   /** Typed interval intersection on the string-encoded stats: numeric
@@ -598,8 +857,16 @@ object Snapshots {
     val ms = manifests(s, loc)
     val dropped = ms.dropRight(retainLast)
     val kept = ms.takeRight(retainLast)
-    val live = kept.flatMap { case (_, p) => readManifest(s, p) }.toSet
-    val expiredRefs = dropped.flatMap { case (_, p) => readManifest(s, p) }.toSet -- live
+    // delete-vector sidecars are referenced files like any other: live
+    // while a surviving manifest's header names them, dead with their
+    // version otherwise
+    def refs(p: Path): Seq[String] = {
+      val lines = manifestLines(s, p)
+      lines.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv=")) ++
+        lines.filterNot(l => l.startsWith("#") || l.isEmpty)
+    }
+    val live = kept.flatMap { case (_, p) => refs(p) }.toSet
+    val expiredRefs = dropped.flatMap { case (_, p) => refs(p) }.toSet -- live
     dropped.foreach { case (v, p) =>
       f.delete(p, false)
       f.delete(statsPath(loc, v), false) // zone-map sidecar goes with it

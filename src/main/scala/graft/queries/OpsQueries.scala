@@ -597,6 +597,33 @@ object OpsQueries {
     graft.ops.Snapshots.read(s, loc).orderBy(col("o_orderkey"))
   }
 
+  /** Merge-on-read DELETE (`Snapshots.commitDeleteMoR`): the delete
+    * commits a (file, row-index) DELETE VECTOR and rewrites NOTHING —
+    * the frequent-small-delete path every production table format grew
+    * (a one-row delete at 100 TB costs one tiny sidecar, not a file
+    * rewrite); readers subtract the vector with a broadcast anti-join
+    * and compaction folds it back into data files. The in-query guard
+    * pins the zero-rewrite contract: every pre-delete data file is still
+    * named, byte-identical, by the post-delete manifest (SnapshotDvSpec
+    * additionally pins mtimes, stacking, CoW interplay, and GC). */
+  private def snapshotDeleteMor(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders_delete_mor"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 3 === 0), loc)
+    val filesBefore = graft.ops.Snapshots.read(s, loc, 1).inputFiles.toSet
+    graft.ops.Snapshots.commitDeleteMoR(s, loc, col("o_orderstatus") === "F")
+    val filesAfter = graft.ops.Snapshots.versionFiles(s, loc, 2).toSet
+    require(filesAfter.map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
+        == filesBefore.map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath),
+      "merge-on-read delete must carry every data file unrewritten")
+    graft.ops.Snapshots.read(s, loc)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Row-level UPDATE as a commit (`Snapshots.commitUpdate`): double the
     * price of open orders; same copy-on-write contract. */
   private def snapshotUpdateRows(s: SparkSession, d: String): DataFrame = {
@@ -771,6 +798,11 @@ object OpsQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 <= 1 AND o_orderstatus <> 'F'
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_delete_mor", snapshotDeleteMor,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'F'
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_update_rows", snapshotUpdateRows,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -630,6 +630,41 @@ object AdversarialProbe {
     // 4x a table-scan detection would cost
     verdict("cow_delete_pruned_flat", cowLo, cowHi, 1.0)
 
+    // Zone-map-gated MERGE detection (round 10): upserting a fixed
+    // narrow-key source into an m×-bigger range-clustered table must
+    // stay FLAT — commitMerge derives the source's key envelope itself
+    // (one agg over the small source) and gates the matched-file
+    // detection scan with the sidecar, so detection is O(key-range
+    // files), not O(table). A FAIL means detection degraded to the
+    // full-table semi-join scan.
+    def mergeTable(mult: Int): String = {
+      val loc = s"/tmp/graft-probe/snap_merge_x$mult"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      (0 until mult).foreach { m =>
+        val v = graft.ops.Snapshots.commitAppend(
+          spark.range(m * 10000000L, m * 10000000L + 2000000L).toDF("id")
+            .repartitionByRange(4, col("id")), loc)
+        graft.ops.Snapshots.attachStats(spark, loc, v, Seq("id"))
+      }
+      loc
+    }
+    val smLoLoc = mergeTable(1)
+    val smHiLoc = mergeTable(4)
+    val smLo = time("merge detection, gated (table x1)", reps = 1) {
+      graft.ops.Snapshots.commitMerge(spark, smLoLoc,
+        spark.range(100L, 200L).toDF("id"), "id")
+      graft.ops.Snapshots.read(spark, smLoLoc).count()
+    }
+    val smHi = time("merge detection, gated (table x4)", reps = 1) {
+      graft.ops.Snapshots.commitMerge(spark, smHiLoc,
+        spark.range(100L, 200L).toDF("id"), "id")
+      graft.ops.Snapshots.read(spark, smHiLoc).count()
+    }
+    // as with the delete probe, the trailing count() is table-sized on
+    // both sides; the merge is the flat part under test
+    verdict("merge_detect_gated_flat", smLo, smHi, 1.0)
+
     spark.stop()
     if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
     else println("ADVERSARIAL PROBE: PASS")

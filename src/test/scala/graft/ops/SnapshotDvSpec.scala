@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+import graft.SparkTestBase
+
+/** Merge-on-read deletes (`Snapshots.commitDeleteMoR`): a delete commits
+  * a (file, row-index) DELETE VECTOR sidecar and rewrites NO data file;
+  * readers subtract it with an anti-join. The suite pins the commit-time
+  * zero-rewrite contract, read/diff/changeFeed correctness through DVs,
+  * the no-double-count rule for stacked DVs, DV-aware copy-on-write
+  * interplay (no resurrection), compaction folding DVs back into data
+  * files, and expire's DV liveness rule.
+  */
+class SnapshotDvSpec extends SparkTestBase {
+
+  private def wipe(loc: String): Unit = {
+    val p = new Path(loc)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private def dataFiles(loc: String): Map[String, Long] = {
+    val p = new Path(s"$loc/data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val b = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-"))
+          b += (f.getPath.toString -> f.getModificationTime)
+      }
+      b.toMap
+    }
+  }
+
+  private def manifestText(loc: String, v: Long): Seq[String] = {
+    val p = new Path(f"$loc/_manifests/v$v%05d.txt")
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  test("MoR delete rewrites ZERO data files; reads and history are exact") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/dv_basic"
+    wipe(loc)
+    Snapshots.commitAppend(
+      Seq((1L, "keep"), (2L, "drop"), (3L, "keep")).toDF("id", "v"), loc)
+    Snapshots.commitAppend(Seq((10L, "drop"), (11L, "keep")).toDF("id", "v"), loc)
+    val before = dataFiles(loc)
+    val v3 = Snapshots.commitDeleteMoR(spark, loc, col("v") === "drop")
+    assert(v3 == 3L)
+    // the whole point: every pre-existing data file is byte-identical and
+    // still named by the new manifest — only a DV sidecar was added
+    val after = dataFiles(loc)
+    assert(before.forall { case (f, m) => after.get(f).contains(m) },
+      "merge-on-read delete must not rewrite any data file")
+    assert(manifestText(loc, 3).exists(_.startsWith("#dv=")),
+      "v3 must reference a delete vector")
+    assert(Snapshots.read(spark, loc).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L, 11L))
+    // history pinned: v2 still shows the deleted rows
+    assert(Snapshots.read(spark, loc, 2).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L, 10L, 11L))
+  }
+
+  test("stacked MoR deletes never double-count; NULL-predicate rows survive") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/dv_stack"
+    wipe(loc)
+    Snapshots.commitAppend(
+      Seq((1L, Some("drop")), (2L, None), (3L, Some("x"))).toDF("id", "v"), loc)
+    Snapshots.commitDeleteMoR(spark, loc, col("v") === "drop")
+    // a second delete whose predicate ALSO matches the already-deleted row
+    // must record only the fresh victim (change feed integrity)
+    Snapshots.commitDeleteMoR(spark, loc, col("v").isin("drop", "x"))
+    assert(Snapshots.read(spark, loc).select("id").as[Long].collect().toSeq
+      == Seq(2L), "NULL-predicate row must survive; both matches deleted")
+    val feed = Snapshots.changeFeed(spark, loc, 0)
+      .select("change", "_commit_version", "id")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(feed == Seq(
+      ("delete", 2L, 1L), ("delete", 3L, 3L),
+      ("insert", 1L, 1L), ("insert", 1L, 2L), ("insert", 1L, 3L)),
+      s"per-version delete attribution broken: $feed")
+  }
+
+  test("diff across a MoR delete reports exactly the vector's rows as deletes") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/dv_diff"
+    wipe(loc)
+    Snapshots.commitAppend((1L to 1000L).toDF("id"), loc)
+    val v1Files = dataFiles(loc).keySet
+    Snapshots.commitDeleteMoR(spark, loc, col("id").between(10, 12))
+    val d = Snapshots.diff(spark, loc, 1, 2)
+    assert(d.filter(col("change") === "delete").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(10L, 11L, 12L))
+    assert(d.filter(col("change") === "insert").count() == 0)
+    // and an append on top: the append-only step keeps its fast path
+    Snapshots.commitAppend(Seq(5000L).toDF("id"), loc)
+    val feed = Snapshots.changeFeed(spark, loc, 1)
+    assert(feed.filter(col("change") === "insert").select("id").as[Long]
+      .collect().toSeq == Seq(5000L))
+    assert(feed.filter(col("change") === "delete").count() == 3)
+  }
+
+  test("copy-on-write delete after a MoR delete does not resurrect DV'd rows") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/dv_cow"
+    wipe(loc)
+    Snapshots.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1), loc)
+    Snapshots.commitDeleteMoR(spark, loc, col("id") === 2L)
+    // the CoW rewrite of the (affected) file must read THROUGH the DV:
+    // row 2 stays dead even though its file is rewritten
+    Snapshots.commitDelete(spark, loc, col("id") === 3L)
+    assert(Snapshots.read(spark, loc).select("id").as[Long].collect().toSeq
+      == Seq(1L))
+    // same for merge: upsert against a DV'd key inserts, never duplicates
+    Snapshots.commitMerge(spark, loc, Seq((2L, "B2")).toDF("id", "v"), "id")
+    assert(Snapshots.read(spark, loc).as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "B2")))
+  }
+
+  test("compaction folds delete vectors back into data files") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/dv_compact"
+    wipe(loc)
+    Snapshots.commitAppend((1L to 4000L).toDF("id").repartition(8), loc)
+    Snapshots.commitDeleteMoR(spark, loc, col("id") <= 1000L)
+    val v = Snapshots.commitCompaction(spark, loc)
+    // the rewritten version needs no DV: the fold happened at write time
+    assert(!manifestText(loc, v).exists(_.startsWith("#dv=")),
+      "compaction must fold DVs, not carry them")
+    assert(Snapshots.read(spark, loc).as[Long].collect().sorted.toSeq
+      == (1001L to 4000L))
+  }
+
+  test("expire keeps DV files of retained versions, collects dead ones") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/dv_expire"
+    wipe(loc)
+    Snapshots.commitAppend((1L to 100L).toDF("id"), loc)
+    Snapshots.commitDeleteMoR(spark, loc, col("id") <= 10L)
+    Snapshots.commitAppend(Seq(500L).toDF("id"), loc) // carries the DV
+    Snapshots.expire(spark, loc, retainLast = 1)
+    // the DV is still referenced by the surviving manifest — reads stay
+    // correct after GC
+    assert(Snapshots.read(spark, loc).as[Long].collect().sorted.toSeq
+      == ((11L to 100L) :+ 500L))
+    // a replace (drops all DV refs) then expire: the DV file is now dead
+    val dvFiles = manifestText(loc, 3).filter(_.startsWith("#dv="))
+      .map(_.stripPrefix("#dv="))
+    assert(dvFiles.nonEmpty)
+    Snapshots.commitReplace(Seq(7L).toDF("id"), loc)
+    Snapshots.expire(spark, loc, retainLast = 1)
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dvFiles.foreach(f => assert(!fs.exists(new Path(f)),
+      s"dead DV file survived expire: $f"))
+  }
+}

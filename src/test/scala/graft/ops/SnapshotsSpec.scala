@@ -318,6 +318,117 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.read(spark, loc).as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("DELETE keeps NULL-predicate rows regardless of file layout") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_null_pred"
+    wipe(loc)
+    // one file holds a NULL-v row NEXT TO a matching row (so the file IS
+    // rewritten); another file holds only a NULL-v row (never detected).
+    // SQL DELETE semantics: only pred=TRUE rows go — both NULL rows must
+    // survive, or the result depends on which file a row happened to be in
+    Snapshots.commitAppend(
+      Seq((1L, Some("drop")), (2L, None)).toDF("id", "v"), loc)
+    Snapshots.commitAppend(Seq((3L, None: Option[String])).toDF("id", "v"), loc)
+    Snapshots.commitDelete(spark, loc, col("v") === "drop")
+    assert(Snapshots.read(spark, loc).select("id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L), "NULL-predicate rows must survive a DELETE")
+  }
+
+  test("UPDATE evaluates all assignments against the OLD row (swap works)") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_swap"
+    wipe(loc)
+    Snapshots.commitAppend(Seq((1L, 10L, 20L)).toDF("id", "a", "b"), loc)
+    Snapshots.commitUpdate(spark, loc, col("id") === 1L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    assert(Snapshots.read(spark, loc).as[(Long, Long, Long)].collect().toSeq
+      == Seq((1L, 20L, 10L)), "SET a=b, b=a must swap, not propagate")
+    intercept[IllegalArgumentException](
+      Snapshots.commitUpdate(spark, loc, col("id") === 1L,
+        Map("nope" -> lit(0))))
+  }
+
+  test("an all-NULL stats column (empty trailing bounds) never crashes or skips") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_null_stats"
+    wipe(loc)
+    Snapshots.commitAppend(
+      Seq((1L, None: Option[Long]), (2L, None: Option[Long])).toDF("id", "x"), loc)
+    // x is last in the column list -> its empty min/max are TRAILING
+    // tab-separated fields; the parser must keep them as "", not shorten
+    Snapshots.attachStats(spark, loc, 1L, Seq("id", "x"))
+    val pruned = Snapshots.readPruned(spark, loc, "x", "5", "9")
+    // unknown bounds are conservative: the file is read, the residual
+    // filter applies (x NULL fails between) -> zero rows, zero crashes
+    assert(pruned.count() == 0)
+    assert(Snapshots.readPruned(spark, loc, "id", "2", "9")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("readPruned on an empty table returns an empty frame, not a planner error") {
+    val loc = "/tmp/graft-test/snap_pruned_empty"
+    wipe(loc)
+    assert(Snapshots.readPruned(spark, loc, "id", "1", "2").count() == 0)
+  }
+
+  test("zone-map pruning decides from the sidecar alone — no parquet footer opened") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_no_footer"
+    wipe(loc)
+    Snapshots.commitAppend(
+      (1L to 8000L).toDF("id").repartitionByRange(8, col("id")), loc)
+    Snapshots.attachStats(spark, loc, 1L, Seq("id"))
+    val files = Snapshots.versionFiles(spark, loc, 1L)
+    // delete every data file from disk: if pruning opened any footer (for
+    // schema or stats) it would now throw — the typed sidecar carries the
+    // column's Catalyst type, so the decision is pure driver metadata
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    files.foreach(f => fs.delete(new Path(f), false))
+    val keep = Snapshots.statFiles(spark, loc, 1L, files, "id", "2000", "2500")
+    assert(keep.nonEmpty && keep.size < files.size,
+      s"typed sidecar pruning failed: kept ${keep.size} of ${files.size}")
+  }
+
+  test("commitMerge's detection scan is gated by the key envelope ∩ zone maps") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/snap_merge_pruned"
+    wipe(loc)
+    // fileA smuggles key 1050 but its sidecar (falsified below) claims
+    // [1,100]; fileB is genuinely out of range. The merge's auto-derived
+    // envelope is [1050,1050]: if the detection scan honors the gate it
+    // scans NOTHING — the smuggled row survives and the source row lands
+    // as an insert (the documented over-approximation contract, exactly
+    // like commitDelete's pruneBy)
+    Snapshots.commitAppend(
+      ((1L to 100L) :+ 1050L).toDF("id").coalesce(1), loc)
+    Snapshots.commitAppend((2000L to 2100L).toDF("id").coalesce(1), loc)
+    Snapshots.attachStats(spark, loc, 2L, Seq("id"))
+    val sp = new Path(s"$loc/_manifests/v00002.stats.txt")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = {
+      val in = fs.open(sp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val lied = lines.map { l =>
+      if (l.startsWith("#")) l
+      else {
+        val a = l.split("\t", -1)
+        if (a(2) == "1050") (a(0) +: Seq("1", "100")).mkString("\t") else l
+      }
+    }
+    val out = fs.create(sp, true)
+    try out.write((lied.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val before = dataFiles(loc)
+    Snapshots.commitMerge(spark, loc, Seq(1050L).toDF("id"), "id")
+    val after = dataFiles(loc)
+    assert(before.forall { case (f, m) => after.get(f).contains(m) },
+      "the envelope gate should have kept every out-of-range file unscanned")
+    assert(Snapshots.read(spark, loc).filter(col("id") === 1050L).count() == 2,
+      "gated detection must not have scanned the lying file")
+  }
+
   test("commitCompaction packs files into a new version; pinned readers and rows unaffected") {
     import spark.implicits._
     val loc = "/tmp/graft-test/snap_optimize"
