@@ -144,6 +144,44 @@ object Snapshots {
         .map(_.stripPrefix("#marker="))
     }.toSet
 
+  /** Publish already-written data files as an APPEND commit — the
+    * manifest half of [[commitAppend]], for callers (the DSv2 SQL write
+    * path) whose files were produced by Spark's own v2 parquet write
+    * rather than a DataFrame save. Same CAS loop, same DV carry. */
+  private[graft] def publishAppend(s: SparkSession, loc: String,
+                                   newFiles: Seq[String]): Long = {
+    var attempt = 0
+    while (attempt < 64) {
+      val prev = manifests(s, loc).lastOption
+      val prevFiles = prev.map { case (_, p) => readManifest(s, p) }.getOrElse(Nil)
+      val prevDvs = prev.map { case (_, p) =>
+        headerLines(s, p).filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
+      }.getOrElse(Nil)
+      val version = prev.map(_._1).getOrElse(0L) + 1
+      if (tryPublish(s, loc, version, prevFiles ++ newFiles, None, prevDvs))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
+  }
+
+  /** Publish already-written files as a REPLACE of exactly the content of
+    * `expectedPrev` — the commit half of a SQL row-level operation whose
+    * rewrite was DERIVED from that version's rows. NO retry loop on a
+    * lost race: a concurrent commit means the derivation is stale, so the
+    * only correct outcomes are first-committer-wins or a
+    * ConcurrentModificationException the caller re-runs from scratch —
+    * retrying here would silently drop the interleaved commit's rows
+    * (write skew). The Delta/Iceberg conflict rule. */
+  private[graft] def publishReplaceExact(s: SparkSession, loc: String,
+                                         expectedPrev: Long,
+                                         newFiles: Seq[String]): Long = {
+    if (tryPublish(s, loc, expectedPrev + 1, newFiles)) expectedPrev + 1
+    else throw new java.util.ConcurrentModificationException(
+      s"snapshot table at $loc moved past version $expectedPrev during a " +
+        "row-level operation; re-run the statement against the new version")
+  }
+
   /** Replace the table's content with `df` as a new snapshot (logical
     * overwrite; old versions stay readable — no file is deleted). Same
     * CAS loop as [[commitAppend]]: racing a concurrent append, the

@@ -527,6 +527,67 @@ object OpsQueries {
             |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Row-level DELETE through PURE SQL (`sources/v2/SnapshotTable`):
+    * `DELETE FROM <catalog>.<table> WHERE …` routes through DSv2
+    * `SupportsDelete` into the SAME copy-on-write commit the API path
+    * uses — and the carried-file contract survives the SQL route (the
+    * in-query guard pins it; SnapshotSqlDmlSpec pins mtimes, the
+    * subquery fallback, and conflict detection). */
+  private def snapshotSqlDelete(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val p = new org.apache.hadoop.fs.Path(s"$root/orders_del")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val o = Tables.orders(s, d)
+    // first commit cannot match the predicate — its files must be carried
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 3 === 0 && col("o_orderstatus") =!= "F"),
+      s"$root/orders_del")
+    val untouched = graft.ops.Snapshots.read(s, s"$root/orders_del")
+      .inputFiles.toSet
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 3 === 1), s"$root/orders_del")
+    s.sql("DELETE FROM graft_snap_dml.orders_del WHERE o_orderstatus = 'F'")
+    val after = graft.ops.Snapshots.read(s, s"$root/orders_del").inputFiles.toSet
+    require(untouched.subsetOf(after),
+      "SQL DELETE rewrote files with no matching rows")
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            |  o_orderdate, o_orderpriority
+            |FROM graft_snap_dml.orders_del ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Row-level MERGE through PURE SQL: `MERGE INTO … WHEN MATCHED THEN
+    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` routes through DSv2
+    * `SupportsRowLevelOperations` — Spark's group-based rewrite, written
+    * back through the native v2 parquet write and published as an exact
+    * replace with first-committer-wins conflict detection. Same oracle
+    * as the API-path `snapshot_merge_rows`: the driver certifies the two
+    * routes agree bit-for-bit. */
+  private def snapshotSqlMerge(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val p = new org.apache.hadoop.fs.Path(s"$root/orders_mrg")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 3 === 0), s"$root/orders_mrg")
+    o.filter(col("o_orderkey") % 6 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(o.filter(col("o_orderkey") % 3 === 1))
+      .createOrReplaceTempView("graft_sql_merge_src")
+    s.sql("""MERGE INTO graft_snap_dml.orders_mrg t
+            |USING graft_sql_merge_src src ON t.o_orderkey = src.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            |  o_orderdate, o_orderpriority
+            |FROM graft_snap_dml.orders_mrg ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Version-to-version row delta (`Snapshots.diff`): v1 appends a third
     * of orders, v2 appends another third, v3 logically overwrites with
     * the open-status subset of both thirds. diff(1 → 3) must report the
@@ -798,6 +859,22 @@ object OpsQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 <= 1 AND o_orderstatus <> 'F'
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_delete", snapshotSqlDelete,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 <= 1 AND o_orderstatus <> 'F'
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_merge", snapshotSqlMerge,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |  CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+             |       ELSE o_totalprice END AS o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 0
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 1
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_delete_mor", snapshotDeleteMor,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

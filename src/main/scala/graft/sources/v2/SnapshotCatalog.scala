@@ -94,9 +94,16 @@ class SnapshotCatalog extends TableCatalog {
       try Snapshots.versionFiles(spark, loc, v)
       catch { case _: NoSuchElementException => throw new NoSuchTableException(
         Seq(catalogName) ++ ident.namespace() :+ s"${ident.name()}@v$v") }
-    ParquetTable(s"$catalogName.${ident.toString}@v$v", spark,
-      CaseInsensitiveStringMap.empty(), files.toIndexedSeq, None,
-      classOf[ParquetFileFormat])
+    // the protocol rule every DV-capable format imposes on readers
+    // without DV support: REFUSE, never silently resurrect deleted rows.
+    // The API path (Snapshots.read) subtracts DVs; compaction folds them.
+    if (Snapshots.versionDvs(spark, loc, v).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$catalogName.${ident.toString}@v$v carries merge-on-read delete " +
+          "vectors; fold them with Snapshots.commitCompaction before SQL-" +
+          "catalog reads, or read through the Snapshots API")
+    new SnapshotTable(s"$catalogName.${ident.toString}@v$v", spark, loc, v,
+      pinned = version >= 0, files)
   }
 
   private def readOnly(op: String): Nothing =

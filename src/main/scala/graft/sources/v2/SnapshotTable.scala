@@ -1,0 +1,221 @@
+package graft.sources.v2
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetTable, ParquetWrite}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{Column, functions => F}
+
+import graft.ops.Snapshots
+
+/** A snapshot table as a FULL DSv2 table: reads delegate to Spark's
+  * native parquet `FileTable` over the pinned manifest's explicit file
+  * list (pushdown, pruning, vectorization intact), and the WRITE side
+  * routes every SQL statement into the manifest commit protocol:
+  *
+  *  - `INSERT INTO snap.t ...`            → append commit (CAS loop)
+  *  - `DELETE FROM snap.t WHERE <pred>`   → [[Snapshots.commitDelete]]'s
+  *    copy-on-write path when every conjunct translates to a v1 filter
+  *    (`SupportsDelete` — the metadata-only route, rewriting ONLY
+  *    affected files and carrying the rest by reference)
+  *  - `DELETE` with a subquery, `UPDATE`, `MERGE INTO` →
+  *    `SupportsRowLevelOperations` group-based rewrite: Spark computes
+  *    the surviving rows, writes them through the native v2 parquet
+  *    write into a fresh commit directory, and the batch commit
+  *    publishes them as a REPLACE of the version the scan pinned —
+  *    with first-committer-wins conflict detection
+  *    ([[Snapshots.publishReplaceExact]]): a concurrent commit between
+  *    scan and publish raises ConcurrentModificationException instead
+  *    of silently dropping its rows.
+  *
+  * Scale note: the group-based rewrite is whole-table granularity (the
+  * delegated parquet scan exposes no group runtime-filter attributes),
+  * so SQL UPDATE/MERGE cost a full rewrite — the API path
+  * (`commitUpdate`/`commitMerge`) stays the stats-pruned
+  * O(affected-files) route for hot paths; predicate-only DELETE takes it
+  * automatically via `SupportsDelete`.
+  *
+  * Versions carrying merge-on-read delete vectors refuse to load through
+  * the SQL catalog (the delegated parquet scan cannot subtract them) —
+  * the same protocol rule every DV-bearing table format imposes on
+  * readers without DV support: refuse, never silently resurrect. The
+  * API read path applies them; `commitCompaction` folds them away.
+  */
+class SnapshotTable(ident: String, spark: SparkSession, loc: String,
+                    val snapshotVersion: Long, pinned: Boolean, files: Seq[String])
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
+
+  private val delegate = ParquetTable(ident, spark,
+    CaseInsensitiveStringMap.empty(), files.toIndexedSeq, None,
+    classOf[ParquetFileFormat])
+
+  override def name(): String = ident
+  override def schema(): StructType = delegate.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+
+  private def requireMutable(op: String): Unit =
+    if (pinned) throw new UnsupportedOperationException(
+      s"$op on a pinned historical version (VERSION AS OF $snapshotVersion) — " +
+        "only the latest version accepts writes")
+
+  // ---- INSERT INTO: append commit ----
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireMutable("INSERT")
+    new WriteBuilder {
+      override def build(): Write =
+        SnapshotTable.publishingWrite(spark, loc, delegate, info,
+          newFiles => Snapshots.publishAppend(spark, loc, newFiles))
+    }
+  }
+
+  // ---- DELETE FROM with translatable predicates: copy-on-write commit ----
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !pinned && filters.forall(f => SnapshotTable.toColumn(f).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireMutable("DELETE")
+    val pred = filters.flatMap(SnapshotTable.toColumn)
+      .reduceOption(_ && _).getOrElse(F.lit(true))
+    Snapshots.commitDelete(spark, loc, pred)
+  }
+
+  // ---- UPDATE / MERGE / subquery DELETE: group-based rewrite ----
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireMutable(info.command.toString)
+    val base = snapshotVersion
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command
+      // the rewrite publishes a WHOLE-TABLE replace, so its scan must
+      // return every row: hide the delegate's pushdown interfaces (a
+      // pushed condition would narrow the scan to matching rows — valid
+      // only for group-granularity connectors that replace just the
+      // scanned files, and it would silently drop every unmatched row
+      // here). Plain ScanBuilder → Spark pushes nothing.
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build() = delegate.newScanBuilder(options).build()
+        }
+      override def newWriteBuilder(wi: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder {
+          override def build(): Write =
+            SnapshotTable.publishingWrite(spark, loc, delegate, wi,
+              newFiles => Snapshots.publishReplaceExact(spark, loc, base, newFiles),
+              stripOperationColumn = true)
+        }
+    }
+  }
+}
+
+object SnapshotTable {
+
+  /** A v2 Write that delegates the data path to Spark's native parquet
+    * write aimed at a FRESH commit directory, then publishes the written
+    * files through `publish` at batch-commit time — data lands first,
+    * one atomic manifest rename makes it visible, abort removes the
+    * orphan directory (which [[Snapshots.expire]]'s grace sweep would
+    * also collect). */
+  private[v2] def publishingWrite(spark: SparkSession, loc: String,
+                                  delegate: ParquetTable,
+                                  info: LogicalWriteInfo,
+                                  publish: Seq[String] => Long,
+                                  stripOperationColumn: Boolean = false): Write = {
+    val dataDir = s"$loc/data/${UUID.randomUUID()}"
+    val inner = ParquetWrite(Seq(dataDir), "parquet",
+      delegate.supportsDataType _, info)
+    new Write {
+      override def description(): String = s"snapshot-commit $dataDir"
+      override def toBatch: BatchWrite = new BatchWrite {
+        private val innerBatch = inner.toBatch
+        override def createBatchWriterFactory(pi: PhysicalWriteInfo) = {
+          val f = innerBatch.createBatchWriterFactory(pi)
+          // A group-based ReplaceData query emits (__row_operation, data…),
+          // and Spark's exec strips the operation column only for
+          // connectors declaring metadata attributes — project it away
+          // ourselves so the parquet writer sees exactly info.schema rows
+          if (stripOperationColumn) new OpStrippingFactory(f, info.schema())
+          else f
+        }
+        override def useCommitCoordinator(): Boolean =
+          innerBatch.useCommitCoordinator()
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          innerBatch.commit(messages) // files land under dataDir
+          val dir = new Path(dataDir)
+          val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val newFiles =
+            if (!fs.exists(dir)) Nil // empty write still publishes
+            else fs.listStatus(dir).toSeq.map(_.getPath)
+              .filter(_.getName.startsWith("part-")).map(_.toString)
+          try publish(newFiles)
+          catch { case e: Throwable => fs.delete(dir, true); throw e }
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit = {
+          innerBatch.abort(messages)
+          val dir = new Path(dataDir)
+          dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(dir, true)
+        }
+      }
+    }
+  }
+
+  /** Drops the leading `__row_operation` column a group-based row-level
+    * rewrite prepends to its write rows, presenting the delegated parquet
+    * writers with pure data rows. One reused ProjectingInternalRow per
+    * writer — the same mechanism Spark's own metadata-aware writing task
+    * uses, no per-row allocation. */
+  private class OpStrippingFactory(
+      inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+      dataSchema: org.apache.spark.sql.types.StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long):
+        org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+      val w = inner.createWriter(partitionId, taskId)
+      val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        dataSchema, 1 to dataSchema.length)
+      new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+        override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+          proj.project(row); w.write(proj)
+        }
+        override def commit(): WriterCommitMessage = w.commit()
+        override def abort(): Unit = w.abort()
+        override def close(): Unit = w.close()
+      }
+    }
+  }
+
+  /** v1 Filter → Column, the standard translatable subset; None marks a
+    * filter `canDeleteWhere` must refuse (Spark then falls back to the
+    * row-level rewrite path, which handles anything). */
+  private[v2] def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+    case EqualNullSafe(a, v) => Some(F.col(a) <=> F.lit(v))
+    case GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+    case GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case LessThan(a, v) => Some(F.col(a) < F.lit(v))
+    case LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+    case In(a, vs) => Some(F.col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(F.col(a).isNull)
+    case IsNotNull(a) => Some(F.col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(F.col(a).endsWith(v))
+    case StringContains(a, v) => Some(F.col(a).contains(v))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case AlwaysTrue() => Some(F.lit(true))
+    case AlwaysFalse() => Some(F.lit(false))
+    case _ => None
+  }
+}

@@ -1,0 +1,174 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+import graft.SparkTestBase
+import graft.ops.Snapshots
+
+/** SQL row-level DML through the DSv2 SnapshotCatalog: INSERT routes to
+  * an append commit, predicate DELETE to the copy-on-write
+  * `commitDelete` (carried-file contract preserved THROUGH the SQL
+  * path), UPDATE / MERGE / subquery-DELETE to the group-based rewrite
+  * committed as an exact replace with first-committer-wins conflict
+  * detection. Pinned historical versions reject writes; DV-bearing
+  * versions refuse SQL reads until compacted.
+  */
+class SnapshotSqlDmlSpec extends SparkTestBase {
+
+  private val root = "/tmp/graft-test/sqldml"
+
+  private def freshTable(name: String): String = {
+    val loc = s"$root/$name"
+    val p = new Path(loc)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.conf.set("spark.sql.catalog.sqldml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqldml.root", root)
+    loc
+  }
+
+  private def dataFiles(loc: String): Map[String, Long] = {
+    val p = new Path(s"$loc/data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val b = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-"))
+          b += (f.getPath.toString -> f.getModificationTime)
+      }
+      b.toMap
+    }
+  }
+
+  test("INSERT INTO publishes an append commit; history intact") {
+    import spark.implicits._
+    val loc = freshTable("t_insert")
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "v"), loc)
+    spark.sql("INSERT INTO sqldml.t_insert VALUES (2, 'b'), (3, 'c')")
+    assert(spark.sql("SELECT id FROM sqldml.t_insert").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(Snapshots.latestVersion(spark, loc) == 2L)
+    assert(Snapshots.read(spark, loc, 1).count() == 1) // v1 pinned
+  }
+
+  test("DELETE FROM with a plain predicate takes the copy-on-write path and carries files") {
+    import spark.implicits._
+    val loc = freshTable("t_delete")
+    // two commits -> disjoint files; the predicate hits only the second
+    Snapshots.commitAppend(Seq((1L, "keep"), (2L, "keep")).toDF("id", "v"), loc)
+    Snapshots.commitAppend(Seq((10L, "drop"), (11L, "keep")).toDF("id", "v"), loc)
+    val before = dataFiles(loc)
+    spark.sql("DELETE FROM sqldml.t_delete WHERE v = 'drop'")
+    assert(spark.sql("SELECT id FROM sqldml.t_delete").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 11L))
+    // the carried-file contract THROUGH SQL: v1's files byte-identical
+    val after = dataFiles(loc)
+    val v1Files = Snapshots.read(spark, loc, 1).inputFiles
+      .map(f => new Path(f).toUri.getPath).toSet
+    val carried = before.filter { case (f, m) => after.get(f).contains(m) }
+      .keySet.map(f => new Path(f).toUri.getPath)
+    assert(v1Files.subsetOf(carried), "SQL DELETE rewrote unaffected files")
+    // and the new version still reads through the API identically
+    assert(Snapshots.read(spark, loc).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 11L))
+  }
+
+  test("UPDATE goes through the row-level rewrite and publishes a replace") {
+    import spark.implicits._
+    val loc = freshTable("t_update")
+    Snapshots.commitAppend(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "x"), loc)
+    spark.sql("UPDATE sqldml.t_update SET x = x * 2 WHERE id <= 2")
+    assert(spark.sql("SELECT id, x FROM sqldml.t_update")
+      .as[(Long, Long)].collect().sorted.toSeq
+      == Seq((1L, 20L), (2L, 40L), (3L, 30L)))
+    assert(Snapshots.latestVersion(spark, loc) == 2L)
+    // history pinned through the SQL write
+    assert(Snapshots.read(spark, loc, 1).select("x").as[Long]
+      .collect().sorted.toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("MERGE INTO upserts through the row-level rewrite") {
+    import spark.implicits._
+    val loc = freshTable("t_merge")
+    Snapshots.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), loc)
+    Seq((2L, "B2"), (9L, "new")).toDF("id", "v")
+      .createOrReplaceTempView("merge_src")
+    spark.sql("""MERGE INTO sqldml.t_merge t USING merge_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM sqldml.t_merge")
+      .as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "B2"), (9L, "new")))
+    assert(Snapshots.read(spark, loc).as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "B2"), (9L, "new")))
+  }
+
+  test("DELETE with a subquery falls back to the row-level rewrite") {
+    import spark.implicits._
+    val loc = freshTable("t_subq")
+    Snapshots.commitAppend(
+      Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "v"), loc)
+    Seq(1L, 3L).toDF("bad_id").createOrReplaceTempView("bad_ids")
+    spark.sql(
+      "DELETE FROM sqldml.t_subq WHERE id IN (SELECT bad_id FROM bad_ids)")
+    assert(spark.sql("SELECT id FROM sqldml.t_subq").as[Long]
+      .collect().toSeq == Seq(2L))
+  }
+
+  test("writes to a pinned historical version are rejected") {
+    import spark.implicits._
+    freshTable("t_pinned")
+    Snapshots.commitAppend(Seq(1L).toDF("id"), s"$root/t_pinned")
+    Snapshots.commitAppend(Seq(2L).toDF("id"), s"$root/t_pinned")
+    val cat = new graft.sources.v2.SnapshotCatalog
+    cat.initialize("sqldml", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", root)))
+    val pinned = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "t_pinned"), "1")
+      .asInstanceOf[graft.sources.v2.SnapshotTable]
+    assert(!pinned.canDeleteWhere(
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("id", 1L))))
+    intercept[UnsupportedOperationException](pinned.newRowLevelOperationBuilder(
+      new org.apache.spark.sql.connector.write.RowLevelOperationInfo {
+        override def options() =
+          org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+        override def command() =
+          org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE
+      }))
+    assert(Snapshots.read(spark, s"$root/t_pinned", 1).count() == 1)
+  }
+
+  test("a DV-bearing version refuses SQL reads until compacted") {
+    import spark.implicits._
+    val loc = freshTable("t_dv")
+    Snapshots.commitAppend(Seq(1L, 2L, 3L).toDF("id"), loc)
+    Snapshots.commitDeleteMoR(spark, loc, col("id") === 2L)
+    val e = intercept[UnsupportedOperationException](
+      spark.sql("SELECT * FROM sqldml.t_dv").collect())
+    assert(e.getMessage.contains("delete vectors"))
+    Snapshots.commitCompaction(spark, loc)
+    assert(spark.sql("SELECT id FROM sqldml.t_dv").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("a concurrent commit between scan and publish fails the statement, not the data") {
+    import spark.implicits._
+    val loc = freshTable("t_conflict")
+    Snapshots.commitAppend(Seq((1L, 1L)).toDF("id", "x"), loc)
+    // a row-level rewrite derived from v1 must refuse to publish once a
+    // concurrent commit has moved the table to v2 — first-committer-wins,
+    // never silently dropping the interleaved rows (write skew)
+    Snapshots.commitAppend(Seq((50L, 50L)).toDF("id", "x"), loc)
+    intercept[java.util.ConcurrentModificationException](
+      Snapshots.publishReplaceExact(spark, loc, expectedPrev = 1L, Nil))
+    assert(Snapshots.read(spark, loc).filter(col("id") === 50L).count() == 1)
+    assert(Snapshots.latestVersion(spark, loc) == 2L)
+  }
+}
