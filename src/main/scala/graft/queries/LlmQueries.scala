@@ -241,7 +241,9 @@ object LlmQueries {
     * tighter per run), sitting well under measured hits (sf0.001:
     * ivf 30 / lsh 36 / pq 32 / ivfpq 26 of 40; sf0.01: 31/37/34/30).
     * The raw hit count itself is configuration- and SF-dependent,
-    * hence not part of the certified schema. */
+    * hence not part of the certified schema. Floors tightened in round
+    10 toward the measured band (r9 advice #7): a regression now has at
+    most ~6 hits of slack before the driver flags it. */
   private def knnRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val ids = (0L until 8L)
@@ -250,13 +252,13 @@ object LlmQueries {
     val exactL2 = pairs(knnAnnPqExh(s, d))
     val variants: Seq[(String, DataFrame, DataFrame, Int)] = Seq(
       ("ivf", pairs(graft.llm.Ivf.annKnn(emb, ids, "vec_id", "embedding",
-        dim, k = 5, nlist = 16, nprobe = 6, corpusKey = d)), exactCos, 12),
-      ("lsh", pairs(knnAnnLsh(s, d)), exactCos, 20),
+        dim, k = 5, nlist = 16, nprobe = 6, corpusKey = d)), exactCos, 24),
+      ("lsh", pairs(knnAnnLsh(s, d)), exactCos, 32),
       ("pq", pairs(graft.llm.Pq.annKnn(emb, ids, "vec_id", "embedding",
-        dim, k = 5, m = 16, ksub = 16, corpusKey = d)), exactL2, 20),
+        dim, k = 5, m = 16, ksub = 16, corpusKey = d)), exactL2, 28),
       ("ivfpq", pairs(graft.llm.Pq.ivfAdcKnn(emb, ids, "vec_id", "embedding",
         dim, k = 5, nlist = 16, nprobe = 6, m = 16, ksub = 16,
-        corpusKey = d)), exactL2, 8))
+        corpusKey = d)), exactL2, 20))
     variants.map { case (name, ann, exact, floor) =>
       ann.join(exact, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("hits"))
@@ -268,8 +270,8 @@ object LlmQueries {
 
   private val knnRecallSql: String =
     """SELECT * FROM (VALUES
-      |  ('ivf', 5, 8, 12, true), ('ivfpq', 5, 8, 8, true),
-      |  ('lsh', 5, 8, 20, true), ('pq', 5, 8, 20, true))
+      |  ('ivf', 5, 8, 24, true), ('ivfpq', 5, 8, 20, true),
+      |  ('lsh', 5, 8, 32, true), ('pq', 5, 8, 28, true))
       |  AS t(variant, k, n_queries, floor_hits, floor_met)
       |ORDER BY variant""".stripMargin
 

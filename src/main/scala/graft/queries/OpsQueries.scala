@@ -807,6 +807,45 @@ object OpsQueries {
       .orderBy(col("_commit_version"), col("change"), col("o_orderkey"))
   }
 
+  /** The DSv2 STREAMING source over the same commit history
+    * (`sources/v2/SnapshotStream.scala`): `readStream` tails the
+    * snapshot table with offsets = versions under a real
+    * `Trigger.AvailableNow` run — each micro-batch reads exactly the
+    * files its commits added through Spark's own parquet reader, and the
+    * engine's checkpoint replaces the hand-rolled cursor
+    * ([[snapshotTail]]'s polling sibling). Driver-certified against the
+    * same insert-only feed the batch changeFeed produces
+    * (SnapshotStreamSpec pins stream ≡ changeFeed two-sided, restart
+    * resume, and the DML fail-fast contract). */
+  private def snapshotStreamTail(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders_stream"
+    val ck = "/tmp/graft-warehouse/snapshots/orders_stream_ck"
+    val sink = "/tmp/graft-warehouse/snapshots/orders_stream_out"
+    Seq(loc, ck, sink).foreach { x =>
+      val p = new org.apache.hadoop.fs.Path(x)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 3 === 0), loc)
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 3 === 1), loc)
+    val q = s.readStream
+      .format(classOf[graft.sources.v2.SnapshotStreamProvider].getName)
+      .option("location", loc)
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000), "snapshot stream did not drain")
+    s.read.parquet(sink)
+      .select(col("change"), col("_commit_version"), col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("_commit_version"), col("o_orderkey"))
+  }
+
   /** Retention GC lifecycle (`Snapshots.expire`): three commits (two
     * appends, one logical overwrite that orphans every earlier file),
     * expire down to the latest version, then read the survivor. The
@@ -904,6 +943,16 @@ object OpsQueries {
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 = 1
              |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_stream_tail", snapshotStreamTail,
+      Some("""SELECT 'insert' AS change, CAST(1 AS BIGINT) AS _commit_version,
+             |  o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 0
+             |UNION ALL
+             |SELECT 'insert', 2, o_orderkey, o_custkey, o_orderstatus,
+             |  o_totalprice, o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 1
+             |ORDER BY _commit_version, o_orderkey""".stripMargin)),
     Q("snapshot_tail", snapshotTail,
       Some("""WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
              |v2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1)
