@@ -588,6 +588,41 @@ object OpsQueries {
             |FROM graft_snap_dml.orders_mrg ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** The snapshot table's MAINTENANCE lifecycle from pure SQL
+    * (`sources/v2/SnapshotProcedures.scala`, the DSv2 `CALL` surface):
+    * attach zone maps, merge-on-read delete (zero data-file rewrites —
+    * guarded), OPTIMIZE (folds the delete vector back into data files —
+    * guarded, which is exactly what re-legalizes the SQL catalog read),
+    * retention GC, then a plain catalog SELECT of the final state. One
+    * query certifies the whole CALL surface against the DuckDB oracle. */
+  private def snapshotSqlLifecycle(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_lc"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    graft.ops.Snapshots.commitAppend(
+      Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0), loc)
+    s.sql("CALL graft_snap_dml.system.attach_stats('orders_lc', 'o_orderkey')")
+    val dataBefore = graft.ops.Snapshots.versionFiles(s, loc, 1L).toSet
+    s.sql("CALL graft_snap_dml.system.delete_mor('orders_lc', " +
+      "\"o_orderstatus = 'F'\")")
+    require(graft.ops.Snapshots.versionFiles(s, loc, 2L).toSet == dataBefore,
+      "CALL delete_mor must not rewrite data files")
+    require(graft.ops.Snapshots.versionDvs(s, loc, 2L).nonEmpty,
+      "CALL delete_mor must have committed a delete vector")
+    s.sql("CALL graft_snap_dml.system.optimize('orders_lc')")
+    require(graft.ops.Snapshots.versionDvs(
+        s, loc, graft.ops.Snapshots.latestVersion(s, loc)).isEmpty,
+      "CALL optimize must fold delete vectors")
+    s.sql("CALL graft_snap_dml.system.expire('orders_lc', 1)")
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            |  o_orderdate, o_orderpriority
+            |FROM graft_snap_dml.orders_lc ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Version-to-version row delta (`Snapshots.diff`): v1 appends a third
     * of orders, v2 appends another third, v3 logically overwrites with
     * the open-status subset of both thirds. diff(1 → 3) must report the
@@ -898,6 +933,11 @@ object OpsQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 <= 1 AND o_orderstatus <> 'F'
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_lifecycle", snapshotSqlLifecycle,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'F'
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_sql_delete", snapshotSqlDelete,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -5,7 +5,8 @@ import java.util
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -39,7 +40,7 @@ import graft.ops.Snapshots
   * data-then-manifest ordering no blind SQL INSERT could provide; DDL
   * through this catalog is rejected rather than half-supported.
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -105,6 +106,24 @@ class SnapshotCatalog extends TableCatalog {
     new SnapshotTable(s"$catalogName.${ident.toString}@v$v", spark, loc, v,
       pinned = version >= 0, files)
   }
+
+  /** Lifecycle maintenance as SQL procedures (`CALL <cat>.system.…` —
+    * [[SnapshotProcedures]]): optimize, expire, attach_stats,
+    * delete_mor. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val ns = ident.namespace()
+    if (ns.nonEmpty && !(ns.length == 1 && ns(0).equalsIgnoreCase("system")))
+      throw new IllegalArgumentException(
+        s"procedures live in the 'system' namespace: $catalogName.system.${ident.name()}")
+    SnapshotProcedures.load(ident.name(), root).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure ${ident.name()}; available: " +
+          SnapshotProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    SnapshotProcedures.names
+      .map(n => Identifier.of(Array("system"), n)).toArray
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

@@ -1,0 +1,114 @@
+package graft.sources.v2
+
+import java.util.Collections
+
+import org.apache.spark.sql.{SparkSession, functions => F}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.Snapshots
+
+/** SQL `CALL` surface for the snapshot table LIFECYCLE — the maintenance
+  * operations every production table format exposes as stored procedures
+  * (OPTIMIZE / VACUUM / ANALYZE analogs), bound to the DSv2 procedure
+  * API so the whole lifecycle is drivable from pure SQL:
+  *
+  * {{{
+  *   CALL snap.system.optimize('orders')             -- compaction commit
+  *   CALL snap.system.expire('orders', 3)            -- retention GC
+  *   CALL snap.system.attach_stats('orders', 'o_orderkey')  -- zone maps
+  *   CALL snap.system.delete_mor('orders', "o_orderstatus = 'F'")
+  * }}}
+  *
+  * Each returns a one-row result describing what the commit did, so
+  * callers can assert on the outcome in SQL. The condition argument of
+  * `delete_mor` is parsed with `functions.expr` — the same public
+  * surface a DataFrame `filter(string)` uses.
+  */
+object SnapshotProcedures {
+
+  val names: Seq[String] = Seq("optimize", "expire", "attach_stats", "delete_mor")
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** One-row in-memory result — the procedure API returns Scans. */
+  private def resultScan(schema: StructType, values: Any*): java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(values.toArray))
+    }
+    Collections.singletonList(scan).iterator()
+  }
+
+  private def in(name: String, dt: DataType) = ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType, dflt: String) =
+    ProcedureParameter.in(name, dt).defaultValue(dflt).build()
+
+  private def str(input: InternalRow, i: Int): String = input.getUTF8String(i).toString
+
+  /** A procedure with fixed parameters and a one-row result. */
+  private def procedure(procName: String, params: Seq[ProcedureParameter],
+                        out: StructType)(
+      run: (String, InternalRow) => Seq[Any]): String => UnboundProcedure =
+    (root: String) => new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"snapshot-table $procName"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"snapshot-table $procName"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val loc = s"$root/${str(input, 0)}"
+          resultScan(out, run(loc, input): _*)
+        }
+      }
+    }
+
+  private val optimize = procedure("optimize",
+    Seq(in("table", StringType),
+      inDefault("target_mb", IntegerType, "128")),
+    StructType(Seq(StructField("version", LongType),
+      StructField("files", IntegerType)))) { (loc, input) =>
+    val v = Snapshots.commitCompaction(spark, loc,
+      targetBytes = input.getInt(1).toLong * 1024 * 1024)
+    Seq[Any](v, Snapshots.read(spark, loc, v).inputFiles.length)
+  }
+
+  private val expire = procedure("expire",
+    Seq(in("table", StringType), in("retain_last", IntegerType),
+      inDefault("grace_ms", LongType, s"${10L * 60 * 1000}")),
+    StructType(Seq(StructField("manifests_dropped", IntegerType),
+      StructField("files_deleted", IntegerType)))) { (loc, input) =>
+    val (m, f) = Snapshots.expire(spark, loc, input.getInt(1), input.getLong(2))
+    Seq[Any](m, f)
+  }
+
+  private val attachStats = procedure("attach_stats",
+    Seq(in("table", StringType), in("columns", StringType)),
+    StructType(Seq(StructField("version", LongType),
+      StructField("columns", IntegerType)))) { (loc, input) =>
+    val cols = str(input, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val v = Snapshots.latestVersion(spark, loc)
+    Snapshots.attachStats(spark, loc, v, cols)
+    Seq[Any](v, cols.length)
+  }
+
+  private val deleteMor = procedure("delete_mor",
+    Seq(in("table", StringType), in("condition", StringType)),
+    StructType(Seq(StructField("version", LongType)))) { (loc, input) =>
+    Seq[Any](Snapshots.commitDeleteMoR(spark, loc, F.expr(str(input, 1))))
+  }
+
+  private val all: Map[String, String => UnboundProcedure] = Map(
+    "optimize" -> optimize, "expire" -> expire,
+    "attach_stats" -> attachStats, "delete_mor" -> deleteMor)
+
+  def load(name: String, root: String): Option[UnboundProcedure] =
+    all.get(name.toLowerCase(java.util.Locale.ROOT)).map(_(root))
+}
