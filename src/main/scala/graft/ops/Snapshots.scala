@@ -122,11 +122,19 @@ object Snapshots {
       val prevFiles = prev.map { case (_, p) => readManifest(s, p) }.getOrElse(Nil)
       // carried files keep their delete vectors; the append's fresh files
       // have none, and a DV can never reference them (new unique paths)
-      val prevDvs = prev.map { case (_, p) =>
-        headerLines(s, p).filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
-      }.getOrElse(Nil)
+      val prevHeader = prev.map { case (_, p) => headerLines(s, p) }.getOrElse(Nil)
+      val prevDvs = prevHeader.filter(_.startsWith("#dv="))
+        .map(_.stripPrefix("#dv="))
+      // additive evolution: the append may widen the schema; legacy
+      // schema-less tables stay on footer inference
+      val schemaJson = prev match {
+        case None => Some(df.schema.json)
+        case Some(_) => schemaFromHeader(prevHeader)
+          .map(ps => mergeAdditive(ps, df.schema).json)
+      }
       val version = prev.map(_._1).getOrElse(0L) + 1
-      if (tryPublish(s, loc, version, prevFiles ++ newFiles, marker, prevDvs))
+      if (tryPublish(s, loc, version, prevFiles ++ newFiles, marker, prevDvs,
+          schemaJson))
         return version
       attempt += 1
     }
@@ -153,12 +161,13 @@ object Snapshots {
     var attempt = 0
     while (attempt < 64) {
       val prev = manifests(s, loc).lastOption
+      val prevHeader = prev.map { case (_, p) => headerLines(s, p) }.getOrElse(Nil)
       val prevFiles = prev.map { case (_, p) => readManifest(s, p) }.getOrElse(Nil)
-      val prevDvs = prev.map { case (_, p) =>
-        headerLines(s, p).filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
-      }.getOrElse(Nil)
+      val prevDvs = prevHeader.filter(_.startsWith("#dv="))
+        .map(_.stripPrefix("#dv="))
       val version = prev.map(_._1).getOrElse(0L) + 1
-      if (tryPublish(s, loc, version, prevFiles ++ newFiles, None, prevDvs))
+      if (tryPublish(s, loc, version, prevFiles ++ newFiles, None, prevDvs,
+          schemaFromHeader(prevHeader).map(_.json)))
         return version
       attempt += 1
     }
@@ -176,7 +185,11 @@ object Snapshots {
   private[graft] def publishReplaceExact(s: SparkSession, loc: String,
                                          expectedPrev: Long,
                                          newFiles: Seq[String]): Long = {
-    if (tryPublish(s, loc, expectedPrev + 1, newFiles)) expectedPrev + 1
+    // a row-level rewrite preserves the table schema (carried from the
+    // version the scan pinned)
+    val schemaJson = versionSchema(s, loc, expectedPrev).map(_.json)
+    if (tryPublish(s, loc, expectedPrev + 1, newFiles, schemaJson = schemaJson))
+      expectedPrev + 1
     else throw new java.util.ConcurrentModificationException(
       s"snapshot table at $loc moved past version $expectedPrev during a " +
         "row-level operation; re-run the statement against the new version")
@@ -199,7 +212,9 @@ object Snapshots {
     var attempt = 0
     while (attempt < 64) {
       val version = latestVersion(s, loc) + 1
-      if (tryPublish(s, loc, version, newFiles)) return version
+      // a replace REDEFINES the table: its schema is df's, dvs drop
+      if (tryPublish(s, loc, version, newFiles,
+          schemaJson = Some(df.schema.json))) return version
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
@@ -215,7 +230,8 @@ object Snapshots {
   private def tryPublish(s: SparkSession, loc: String, version: Long,
                          files: Seq[String],
                          marker: Option[String] = None,
-                         dvs: Seq[String] = Nil): Boolean = {
+                         dvs: Seq[String] = Nil,
+                         schemaJson: Option[String] = None): Boolean = {
     marker.foreach(m => require(!m.contains("\n") && !m.contains("\r"),
       "marker must be a single line"))
     val f = fs(s, loc)
@@ -224,9 +240,13 @@ object Snapshots {
     val tmp = new Path(md,
       f"_tmp_${java.util.UUID.randomUUID().toString}%s_v$version%05d.txt")
     val out = f.create(tmp, true)
-    // delete-vector references ride in the header block (leading '#'
-    // lines) like markers, so a version's DV set is an O(header) read
+    // delete-vector references and the table schema ride in the header
+    // block (leading '#' lines) like markers, so a version's DV set and
+    // schema are an O(header) read — and a schema-bearing version never
+    // needs parquet footer inference (nor any files at all: an empty
+    // CREATEd table is just a schema header over zero file lines)
     val header = marker.map(m => s"#marker=$m\n").getOrElse("") +
+      schemaJson.map(j => s"#schema=$j\n").getOrElse("") +
       dvs.map(d => s"#dv=$d\n").mkString
     try out.write((header + files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -250,9 +270,14 @@ object Snapshots {
       else ms.find(_._1 == version).getOrElse(
         throw new NoSuchElementException(s"version $version not found at $loc"))
     val files = readManifest(s, p)
-    if (files.isEmpty) s.emptyDataFrame
-    else applyDv(s, s.read.parquet(files: _*),
-      headerLines(s, p).filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv=")))
+    val header = headerLines(s, p)
+    val schema = schemaFromHeader(header)
+    if (files.isEmpty)
+      schema.map(sc => s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
+        .getOrElse(s.emptyDataFrame)
+    else applyDv(s, readData(s, files, schema),
+      header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv=")))
   }
 
   /** The live file list of a pinned version — the unit a DSv2 scan plans
@@ -267,6 +292,93 @@ object Snapshots {
       .map { case (_, p) => readManifest(s, p) }
       .getOrElse(throw new NoSuchElementException(
         s"version $version not found at $loc"))
+  }
+
+  /** The table schema a pinned version recorded (`#schema=` header,
+    * written by every commit since round 10) — readers plan against it
+    * with NO parquet footer inference, files missing later-added columns
+    * read them as null, and an empty CREATEd table has a schema before
+    * its first row. Absent on legacy manifests (readers fall back to
+    * inference). */
+  private[graft] def versionSchema(s: SparkSession, loc: String,
+                                   version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    if (version == 0L) return None
+    manifests(s, loc).find(_._1 == version)
+      .map { case (_, p) => schemaFromHeader(headerLines(s, p)) }
+      .getOrElse(throw new NoSuchElementException(
+        s"version $version not found at $loc"))
+  }
+
+  private def schemaFromHeader(header: Seq[String]): Option[org.apache.spark.sql.types.StructType] =
+    header.find(_.startsWith("#schema="))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix("#schema="))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Read data files under an explicit schema when the manifest carries
+    * one (no footer inference; missing columns → null), inferring only
+    * for legacy schema-less manifests. */
+  private def readData(s: SparkSession, files: Seq[String],
+                       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schema.map(sc => s.read.schema(sc)).getOrElse(s.read).parquet(files: _*)
+
+  /** ADDITIVE schema merge — the evolution rule this format supports:
+    * appends may introduce new (nullable) columns, never change an
+    * existing column's type. Old files read the new columns as null;
+    * a type change must go through an explicit rewrite (commitReplace). */
+  private def mergeAdditive(prev: org.apache.spark.sql.types.StructType,
+                            next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val prevByName = prev.fields.map(f => f.name.toLowerCase -> f).toMap
+    next.fields.foreach { f =>
+      prevByName.get(f.name.toLowerCase).foreach { pf =>
+        require(pf.dataType == f.dataType,
+          s"additive evolution cannot change ${f.name}: ${pf.dataType.sql} -> ${f.dataType.sql}")
+      }
+    }
+    StructType(prev.fields ++ next.fields
+      .filterNot(f => prevByName.contains(f.name.toLowerCase))
+      .map(_.copy(nullable = true)))
+  }
+
+  /** Publish an EMPTY version 1 carrying only a schema — SQL
+    * `CREATE TABLE` through the DSv2 catalog. Fails if the table already
+    * has any committed version. */
+  def createEmpty(s: SparkSession, loc: String,
+                  schema: org.apache.spark.sql.types.StructType): Long = {
+    require(latestVersion(s, loc) == 0L, s"table already exists at $loc")
+    if (!tryPublish(s, loc, 1L, Nil, schemaJson = Some(schema.json)))
+      throw new IllegalStateException(s"lost the create race at $loc")
+    1L
+  }
+
+  /** ALTER TABLE ADD COLUMNS as a commit: publish the SAME files and
+    * delete vectors under a widened schema header — a pure metadata
+    * commit (no data touched; every existing row reads the new columns
+    * as null). Only defined for schema-bearing tables; columns must be
+    * new, and arrive nullable (additive evolution's contract). */
+  def commitAddColumns(s: SparkSession, loc: String,
+                       newCols: org.apache.spark.sql.types.StructType): Long = {
+    var attempt = 0
+    while (attempt < 64) {
+      val prev = manifests(s, loc).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshots at $loc"))
+      val header = headerLines(s, prev._2)
+      val prevSchema = schemaFromHeader(header).getOrElse(
+        throw new UnsupportedOperationException(
+          s"$loc predates schema headers; rewrite it (commitReplace) first"))
+      val clash = newCols.fieldNames.map(_.toLowerCase)
+        .intersect(prevSchema.fieldNames.map(_.toLowerCase))
+      require(clash.isEmpty, s"columns already exist: ${clash.mkString(", ")}")
+      val widened = mergeAdditive(prevSchema, newCols)
+      val files = readManifest(s, prev._2)
+      val dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
+      if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs,
+          schemaJson = Some(widened.json)))
+        return prev._1 + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
   }
 
   /** The delete-vector files a pinned version applies on read (merge-on-
@@ -334,9 +446,12 @@ object Snapshots {
         .collect().map(r => normPath(r.getString(0))).toSet
     val commonChanged = fromF.filter(toF.toSet)
       .filter(f => dvChangedTargets.contains(normPath(f)))
+    // both sides read under the TO-version schema: the delta is expressed
+    // in the destination's shape (added columns null on older files)
+    val toSchema = versionSchema(s, loc, toVersion)
     def readState(files: Seq[String], dvs: Seq[String]): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(applyDv(s, s.read.parquet(files: _*), dvs))
+      else Some(applyDv(s, readData(s, files, toSchema), dvs))
     val fromSide = readState(removedF ++ commonChanged, fromDv)
     val toSide = readState(addedF ++ commonChanged, toDv)
     (toSide, fromSide) match {
@@ -375,10 +490,12 @@ object Snapshots {
     * exact (no false positives), delta-agnostic. Returns (affected,
     * kept) in manifest spelling. */
   private def affectedFiles(s: SparkSession, files: Seq[String],
-                            pred: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
+                            pred: org.apache.spark.sql.Column,
+                            schema: Option[org.apache.spark.sql.types.StructType])
+      : (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.input_file_name
     if (files.isEmpty) return (Nil, Nil)
-    val hit = s.read.parquet(files: _*).filter(pred)
+    val hit = readData(s, files, schema).filter(pred)
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => normPath(r.getString(0))).toSet
     files.partition(f => hit.contains(normPath(f)))
@@ -455,18 +572,20 @@ object Snapshots {
       val prev = manifests(s, loc).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no committed snapshots at $loc"))
       val files = readManifest(s, prev._2)
-      val dvs = headerLines(s, prev._2).filter(_.startsWith("#dv="))
-        .map(_.stripPrefix("#dv="))
+      val header = headerLines(s, prev._2)
+      val dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
+      val schema = schemaFromHeader(header)
       val candidates = pruneBy match {
         case Some((c, lo, hi)) => statFiles(s, loc, prev._1, files, c, lo, hi)
         case None => files
       }
       if (candidates.isEmpty) {
         // auditable no-op, same contract as a no-match copy-on-write delete
-        if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs))
+        if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs,
+            schemaJson = schema.map(_.json)))
           return prev._1 + 1
       } else {
-        val hits = s.read.parquet(candidates: _*)
+        val hits = readData(s, candidates, schema)
           .filter(coalesce(pred, lit(false)))
           .select(col("_metadata.file_path").as("file"),
             col("_metadata.row_index").as("pos"))
@@ -489,7 +608,8 @@ object Snapshots {
           .write.mode(SaveMode.ErrorIfExists).parquet(dvDir.toString)
         val newDvs = f.listStatus(dvDir).toSeq
           .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
-        if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs ++ newDvs))
+        if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs ++ newDvs,
+            schemaJson = schema.map(_.json)))
           return prev._1 + 1
         f.delete(dvDir, true) // lost the race: recompute against new latest
       }
@@ -508,28 +628,32 @@ object Snapshots {
       val prev = manifests(s, loc).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no committed snapshots at $loc"))
       val files = readManifest(s, prev._2)
-      val dvs = headerLines(s, prev._2).filter(_.startsWith("#dv="))
-        .map(_.stripPrefix("#dv="))
+      val header = headerLines(s, prev._2)
+      val dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
+      val schema = schemaFromHeader(header)
       val candidates = pruneBy match {
         case Some((c, lo, hi)) => statFiles(s, loc, prev._1, files, c, lo, hi)
         case None => files
       }
-      val (affected, keptCand) = affectedFiles(s, candidates, pred)
+      val (affected, keptCand) = affectedFiles(s, candidates, pred, schema)
       val kept = keptCand ++ files.filterNot(candidates.toSet)
       if (affected.isEmpty) {
-        if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs)) return prev._1 + 1
+        if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs,
+            schemaJson = schema.map(_.json))) return prev._1 + 1
       } else {
         val commitId = java.util.UUID.randomUUID().toString
         val dataDir = new Path(loc, s"data/$commitId")
-        // the rewrite reads dv-APPLIED content: a row already merge-on-read
-        // deleted must not be resurrected by the copy-on-write rewrite.
+        // the rewrite reads dv-APPLIED content under the TABLE schema: a
+        // row already merge-on-read deleted must not be resurrected, and
+        // a file predating an added column rewrites with it null-filled.
         // Carried files keep their DV entries; entries for rewritten files
         // go inert with the paths they name (never reused).
-        rewrite(applyDv(s, s.read.parquet(affected: _*), dvs))
+        rewrite(applyDv(s, readData(s, affected, schema), dvs))
           .write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
         val newFiles = f.listStatus(dataDir).toSeq
           .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
-        if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles, dvs = dvs))
+        if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles, dvs = dvs,
+            schemaJson = schema.map(_.json)))
           return prev._1 + 1
         f.delete(dataDir, true) // lost the race: recompute against new latest
       }
@@ -566,8 +690,9 @@ object Snapshots {
       val prev = manifests(s, loc).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no committed snapshots at $loc"))
       val files = readManifest(s, prev._2)
-      val dvs = headerLines(s, prev._2).filter(_.startsWith("#dv="))
-        .map(_.stripPrefix("#dv="))
+      val header = headerLines(s, prev._2)
+      val dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
+      val schema = schemaFromHeader(header)
       val candidates = envelope match {
         case Some((lo, hi)) => statFiles(s, loc, prev._1, files, keyCol, lo, hi)
         // empty or all-NULL-key source: equality can never match, so no
@@ -576,7 +701,7 @@ object Snapshots {
       }
       val hit =
         if (candidates.isEmpty) Set.empty[String]
-        else s.read.parquet(candidates: _*)
+        else readData(s, candidates, schema)
           // tag the file on the single-source scan side BEFORE the join —
           // input_file_name() is undefined over a multi-source plan
           .select(col(keyCol), input_file_name().as("f"))
@@ -588,13 +713,14 @@ object Snapshots {
       val dataDir = new Path(loc, s"data/$commitId")
       val survivors =
         if (affected.isEmpty) source
-        else applyDv(s, s.read.parquet(affected: _*), dvs)
+        else applyDv(s, readData(s, affected, schema), dvs)
           .join(keys, Seq(keyCol), "left_anti")
           .unionByName(source)
       survivors.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
       val newFiles = f.listStatus(dataDir).toSeq
         .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
-      if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles, dvs = dvs))
+      if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles, dvs = dvs,
+          schemaJson = schema.map(_.json)))
         return prev._1 + 1
       f.delete(dataDir, true)
       attempt += 1
@@ -655,7 +781,7 @@ object Snapshots {
         val dirToV: Map[String, Long] = run.flatMap { case (ver, fl) =>
           fl.map(f => new Path(f).getParent.getName -> ver)
         }.toMap
-        val df = s.read.parquet(files: _*)
+        val df = readData(s, files, versionSchema(s, loc, to))
         Some(df.select(lit("insert").as("change") +:
           element_at(typedLit(dirToV),
             regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1))
@@ -686,7 +812,7 @@ object Snapshots {
       val base = read(s, loc, to)
       base.filter(lit(false)).select(lit("insert").as("change") +:
         lit(0L).as("_commit_version") +: base.columns.map(col).toIndexedSeq: _*)
-    } else parts.reduce(_ unionByName _)
+    } else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // ---- file-level zone maps (data skipping) ----
@@ -731,16 +857,17 @@ object Snapshots {
     // "planner drops files without opening one" claim holds literally.
     // Inherited from the matching previous sidecar (immutable files keep
     // their types too); one footer open only when starting from scratch.
+    val tableSchema = versionSchema(s, loc, version)
     val typesHeader = prevLines.lift(1).filter(_.startsWith("#types="))
       .filter(_ => known.nonEmpty)
       .getOrElse {
-        val schema = s.read.parquet(files.head).schema
+        val schema = tableSchema.getOrElse(s.read.parquet(files.head).schema)
         "#types=" + cols.map(c => schema(c).dataType.catalogString).mkString(",")
       }
     val fresh = files.filterNot(x => known.contains(normPath(x)))
     val scanned: Seq[String] =
       if (fresh.isEmpty) Nil
-      else s.read.parquet(fresh: _*)
+      else readData(s, fresh, tableSchema)
         .groupBy(input_file_name().as("f"))
         .agg(min(col(cols.head)).cast("string").as("min0"),
           (max(col(cols.head)).cast("string").as("max0") +:
@@ -818,10 +945,11 @@ object Snapshots {
     // an empty version (version 0 / empty table) mirrors read(): there is
     // no schema to infer, and zero-path parquet reads fail obscurely
     if (files.isEmpty) return s.emptyDataFrame
+    val schema = versionSchema(s, loc, v)
     val keep = statFiles(s, loc, v, files, column, lo, hi)
     if (keep.isEmpty)
-      s.read.parquet(files: _*).filter(org.apache.spark.sql.functions.lit(false))
-    else applyDv(s, s.read.parquet(keep: _*), versionDvs(s, loc, v))
+      readData(s, files, schema).filter(org.apache.spark.sql.functions.lit(false))
+    else applyDv(s, readData(s, keep, schema), versionDvs(s, loc, v))
       .filter(col(column).between(lo, hi))
   }
 

@@ -623,6 +623,58 @@ object OpsQueries {
             |FROM graft_snap_dml.orders_lc ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** ADDITIVE schema evolution on the snapshot format: the second append
+    * introduces a column, the manifest's schema header widens, and rows
+    * committed before it read the column as NULL — no file rewritten, no
+    * footer-merge inference (the header IS the schema). Pinned history
+    * keeps its own narrower schema (SnapshotDdlSpec pins that plus the
+    * type-change rejection and DML-after-evolution). */
+  private def snapshotEvolution(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders_evolve"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+    val base = o.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    graft.ops.Snapshots.commitAppend(
+      base.filter(col("o_orderkey") % 3 === 0), loc)
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          Ops.cents(col("o_totalprice")).as("price_cents")),
+      loc)
+    require(graft.ops.Snapshots.read(s, loc, 1).columns.length == 3,
+      "pinned pre-evolution version must keep its schema")
+    graft.ops.Snapshots.read(s, loc)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("price_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** SQL DDL round trip through the DSv2 catalog: CREATE TABLE publishes
+    * an empty schema-bearing v1 (typed reads before the first row),
+    * INSERT INTO appends on top, and the final catalog SELECT is what
+    * the oracle certifies (SnapshotDdlSpec adds CTAS and DROP TABLE). */
+  private def snapshotSqlDdl(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val p = new org.apache.hadoop.fs.Path(s"$root/orders_ddl")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    s.sql("""CREATE TABLE graft_snap_dml.orders_ddl
+            |  (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+            |   o_totalprice DOUBLE)""".stripMargin)
+    require(s.sql("SELECT * FROM graft_snap_dml.orders_ddl").count() == 0,
+      "a CREATEd table must be readable (and empty) before its first row")
+    Tables.orders(s, d).filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .createOrReplaceTempView("graft_ddl_src")
+    s.sql("INSERT INTO graft_snap_dml.orders_ddl SELECT * FROM graft_ddl_src")
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            |FROM graft_snap_dml.orders_ddl ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Version-to-version row delta (`Snapshots.diff`): v1 appends a third
     * of orders, v2 appends another third, v3 logically overwrites with
     * the open-status subset of both thirds. diff(1 → 3) must report the
@@ -933,6 +985,19 @@ object OpsQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 <= 1 AND o_orderstatus <> 'F'
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_evolution", snapshotEvolution,
+      Some(s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+              |  CAST(NULL AS BIGINT) AS price_cents
+              |FROM orders WHERE o_orderkey % 3 = 0
+              |UNION ALL
+              |SELECT o_orderkey, o_custkey, o_orderstatus,
+              |  ${Ops.sqlCents("o_totalprice")} AS price_cents
+              |FROM orders WHERE o_orderkey % 3 = 1
+              |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_ddl", snapshotSqlDdl,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_orderkey % 5 = 0
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_sql_lifecycle", snapshotSqlLifecycle,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -104,7 +104,7 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
           "vectors; fold them with Snapshots.commitCompaction before SQL-" +
           "catalog reads, or read through the Snapshots API")
     new SnapshotTable(s"$catalogName.${ident.toString}@v$v", spark, loc, v,
-      pinned = version >= 0, files)
+      pinned = version >= 0, files, Snapshots.versionSchema(spark, loc, v))
   }
 
   /** Lifecycle maintenance as SQL procedures (`CALL <cat>.system.…` —
@@ -130,14 +130,58 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       s"$catalogName is a read-only snapshot catalog: $op must go through " +
         "the Snapshots commit API (commitAppend/commitReplace)")
 
+  /** `CREATE TABLE` / CTAS: publish an empty version 1 carrying only the
+    * schema header — the table exists, with a schema, before its first
+    * row; `INSERT INTO` (and CTAS's follow-up append write) commit data
+    * on top. Partition transforms are rejected: layout in this format is
+    * the writer's choice (range/bucket the DataFrame) + zone-map
+    * sidecars, not directory partitioning. */
   override def createTable(ident: Identifier,
                            schema: org.apache.spark.sql.types.StructType,
                            partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-                           properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+                           properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "snapshot tables do not take partition transforms; cluster the " +
+        "written DataFrame and attach zone-map stats instead")
+    val loc = location(ident)
+    if (Snapshots.latestVersion(spark, loc) > 0)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    Snapshots.createEmpty(spark, loc, schema)
+    loadTable(ident)
+  }
+
+  /** `ALTER TABLE … ADD COLUMNS` — the one evolution this format defines
+    * (additive): a pure metadata commit widening the schema header; no
+    * file touched, existing rows read the new columns as null. Every
+    * other change (rename/drop/retype/reposition) is rejected — they
+    * would require rewriting history or break pinned readers. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
+          "nested column additions are not supported")
+        if (a.position() != null) throw new UnsupportedOperationException(
+          "column positions are not supported; new columns append at the end")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => readOnly(s"ALTER TABLE change ${other.getClass.getSimpleName}")
+    }
+    Snapshots.commitAddColumns(spark, location(ident),
+      org.apache.spark.sql.types.StructType(adds.toIndexedSeq))
+    loadTable(ident)
+  }
+
+  /** `DROP TABLE`: removes the table directory — manifests, data, and
+    * sidecars — irreversibly (there is no catalog-level trash here). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val loc = location(ident)
+    if (Snapshots.latestVersion(spark, loc) == 0) false
+    else {
+      val p = new Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
 }

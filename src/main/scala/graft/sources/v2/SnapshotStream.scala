@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -89,7 +89,8 @@ private[v2] class SnapshotStreamTable(schema: StructType,
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new SnapshotMicroBatchStream(SparkSession.active, loc, schema,
             Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
-            Option(options.get("skipChangeCommits")).exists(_.toBoolean))
+            Option(options.get("skipChangeCommits")).exists(_.toBoolean),
+            Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
       }
     }
 }
@@ -98,6 +99,11 @@ private[v2] case class VersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
+/** Admission-control unit for this source: COMMITS, not rows — a version
+  * is the atomic replayable step, so rate limiting counts versions per
+  * trigger (`maxVersionsPerTrigger`). */
+private[v2] case class MaxVersions(versions: Long) extends ReadLimit
+
 /** One input partition = one data file one commit added. */
 private[v2] case class SnapshotFilePartition(file: String, length: Long,
                                              version: Long) extends InputPartition
@@ -105,8 +111,9 @@ private[v2] case class SnapshotFilePartition(file: String, length: Long,
 private[v2] class SnapshotMicroBatchStream(spark: SparkSession, loc: String,
                                            schema: StructType,
                                            startingVersion: Long,
-                                           skipChangeCommits: Boolean)
-  extends MicroBatchStream {
+                                           skipChangeCommits: Boolean,
+                                           maxVersionsPerTrigger: Option[Long] = None)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = VersionOffset(startingVersion)
   override def latestOffset(): Offset =
@@ -115,6 +122,33 @@ private[v2] class SnapshotMicroBatchStream(spark: SparkSession, loc: String,
     VersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  // ---- admission control: versions are the rate-limit unit ----
+  // Trigger.AvailableNow pins the drain target at start; a rate-limited
+  // run then takes ceil(backlog / maxVersionsPerTrigger) micro-batches to
+  // reach it and stops — bounded batches even against a huge backlog,
+  // no wrapper fallback.
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(math.max(startingVersion,
+      Snapshots.latestVersion(spark, loc)))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(MaxVersions(_): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val target = availableNowCap.getOrElse(
+      math.max(startingVersion, Snapshots.latestVersion(spark, loc)))
+    limit match {
+      case MaxVersions(n) => VersionOffset(math.min(target, from + n))
+      case _ => VersionOffset(target)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[VersionOffset].version

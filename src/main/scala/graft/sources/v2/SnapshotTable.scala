@@ -50,12 +50,17 @@ import graft.ops.Snapshots
   * API read path applies them; `commitCompaction` folds them away.
   */
 class SnapshotTable(ident: String, spark: SparkSession, loc: String,
-                    val snapshotVersion: Long, pinned: Boolean, files: Seq[String])
+                    val snapshotVersion: Long, pinned: Boolean, files: Seq[String],
+                    manifestSchema: Option[StructType] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
 
+  // the manifest's schema header (present on every commit since round
+  // 10) replaces footer inference — and is the ONLY schema source for an
+  // empty CREATEd table (zero files to infer from); files predating an
+  // added column read it as null
   private val delegate = ParquetTable(ident, spark,
-    CaseInsensitiveStringMap.empty(), files.toIndexedSeq, None,
+    CaseInsensitiveStringMap.empty(), files.toIndexedSeq, manifestSchema,
     classOf[ParquetFileFormat])
 
   override def name(): String = ident

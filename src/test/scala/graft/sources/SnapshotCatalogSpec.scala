@@ -51,14 +51,17 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
   }
 
-  test("missing table / version / DDL all fail fast") {
+  test("missing table / version / unsupported DDL all fail fast") {
     import spark.implicits._
     wipe(); register()
     Snapshots.commitAppend(Seq(1L).toDF("id"), s"$root/t")
     intercept[Exception](spark.sql("SELECT * FROM snapcat.nope").collect())
     intercept[Exception](
       spark.sql("SELECT * FROM snapcat.t VERSION AS OF 99").collect())
-    intercept[Exception](spark.sql("DROP TABLE snapcat.t"))
+    // destructive/unsupported evolution rejected (rename breaks pinned
+    // readers; DROP TABLE itself is supported — SnapshotDdlSpec)
+    intercept[Exception](
+      spark.sql("ALTER TABLE snapcat.t RENAME COLUMN id TO id2"))
     assert(Snapshots.latestVersion(spark, s"$root/t") == 1L) // untouched
   }
 

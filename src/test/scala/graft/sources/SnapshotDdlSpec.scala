@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+import graft.SparkTestBase
+import graft.ops.Snapshots
+
+/** SQL DDL + schema evolution on the snapshot catalog: CREATE TABLE
+  * publishes an empty schema-bearing version (readable and INSERTable
+  * before its first row), CTAS creates-then-appends, DROP TABLE removes
+  * the directory, and appends may ADD columns (additive evolution —
+  * manifest schema header, old files read the new column as null, type
+  * changes rejected). The schema header also means catalog reads never
+  * infer from parquet footers. */
+class SnapshotDdlSpec extends SparkTestBase {
+
+  private val root = "/tmp/graft-test/sqlddl"
+
+  private def init(): Unit = {
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.conf.set("spark.sql.catalog.sqlddl",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqlddl.root", root)
+  }
+
+  test("CREATE TABLE -> empty typed reads -> INSERT INTO -> DROP TABLE") {
+    import spark.implicits._
+    init()
+    spark.sql("CREATE TABLE sqlddl.t_ddl (id BIGINT, v STRING)")
+    // exists, empty, and TYPED before the first row — both routes
+    assert(spark.sql("SELECT * FROM sqlddl.t_ddl").count() == 0)
+    assert(Snapshots.read(spark, s"$root/t_ddl").schema.map(_.name).toSeq
+      == Seq("id", "v"))
+    intercept[Exception](spark.sql("CREATE TABLE sqlddl.t_ddl (x INT)"))
+    spark.sql("INSERT INTO sqlddl.t_ddl VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT id FROM sqlddl.t_ddl").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    spark.sql("DROP TABLE sqlddl.t_ddl")
+    assert(Snapshots.latestVersion(spark, s"$root/t_ddl") == 0L)
+    intercept[Exception](spark.sql("SELECT * FROM sqlddl.t_ddl").collect())
+  }
+
+  test("CREATE TABLE AS SELECT materializes the query as version 1+2") {
+    import spark.implicits._
+    init()
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE sqlddl.t_ctas AS SELECT * FROM ctas_src")
+    assert(spark.sql("SELECT id, v FROM sqlddl.t_ctas")
+      .as[(Long, String)].collect().sorted.toSeq == Seq((1L, "x"), (2L, "y")))
+    assert(Snapshots.read(spark, s"$root/t_ctas").count() == 2)
+  }
+
+  test("ALTER TABLE ADD COLUMNS is a metadata-only commit") {
+    import spark.implicits._
+    init()
+    val loc = s"$root/t_alter"
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "v"), loc)
+    val filesBefore = Snapshots.versionFiles(spark, loc, 1L)
+    spark.sql("ALTER TABLE sqlddl.t_alter ADD COLUMNS (score BIGINT)")
+    assert(Snapshots.versionFiles(spark, loc, 2L) == filesBefore,
+      "ADD COLUMNS must not touch data files")
+    assert(spark.sql("SELECT id, score FROM sqlddl.t_alter")
+      .as[(Long, Option[Long])].collect().toSeq == Seq((1L, None)))
+    spark.sql("INSERT INTO sqlddl.t_alter VALUES (2, 'b', 7)")
+    assert(spark.sql("SELECT id, score FROM sqlddl.t_alter")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+      == Seq((1L, None), (2L, Some(7L))))
+    // existing column and rename both rejected
+    intercept[Exception](
+      spark.sql("ALTER TABLE sqlddl.t_alter ADD COLUMNS (id INT)"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE sqlddl.t_alter RENAME COLUMN v TO w"))
+  }
+
+  test("additive evolution: appends may add columns; old rows read them as null") {
+    import spark.implicits._
+    init()
+    val loc = s"$root/t_evolve"
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "v"), loc)
+    // widen: a new nullable column arrives with an append
+    Snapshots.commitAppend(
+      Seq((2L, "b", Some(9L))).toDF("id", "v", "score"), loc)
+    val rows = Snapshots.read(spark, loc)
+      .select("id", "v", "score").as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", Some(9L))),
+      s"old rows must read the added column as null: $rows")
+    // the SQL catalog sees the evolved schema without footer inference
+    assert(spark.sql("SELECT score FROM sqlddl.t_evolve WHERE id = 2")
+      .as[Option[Long]].collect().toSeq == Seq(Some(9L)))
+    // pinned history keeps ITS schema
+    assert(Snapshots.read(spark, loc, 1).columns.toSeq == Seq("id", "v"))
+    // type changes are rejected, not coerced
+    intercept[IllegalArgumentException](Snapshots.commitAppend(
+      Seq(("3", "c")).toDF("id", "v"), loc))
+    // DML after evolution rewrites old files under the evolved schema
+    Snapshots.commitUpdate(spark, loc, col("id") === 1L,
+      Map("score" -> lit(5L)))
+    assert(Snapshots.read(spark, loc).select("id", "score")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+      == Seq((1L, Some(5L)), (2L, Some(9L))))
+    // and the change feed expresses deltas in the destination schema
+    val feed = Snapshots.changeFeed(spark, loc, 0)
+    assert(feed.columns.contains("score"))
+    assert(feed.filter(col("change") === "insert").count() >= 3)
+  }
+}

@@ -75,6 +75,31 @@ class SnapshotStreamSpec extends SparkTestBase {
       s"restart must not replay committed versions: $rows")
   }
 
+  test("maxVersionsPerTrigger rate-limits the drain into bounded micro-batches") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/stream_rate"
+    val ck = "/tmp/graft-test/stream_rate_ck"
+    val sink = "/tmp/graft-test/stream_rate_out"
+    wipe(loc, ck, sink)
+    (1 to 6).foreach(i => Snapshots.commitAppend(Seq(i.toLong).toDF("id"), loc))
+    val q = spark.readStream
+      .format(classOf[graft.sources.v2.SnapshotStreamProvider].getName)
+      .option("location", loc)
+      .option("maxVersionsPerTrigger", "2")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "rate-limited drain did not finish")
+    // a 6-version backlog at 2 versions/trigger drains in 3 batches, and
+    // AvailableNow still reaches the pinned end
+    val progressed = q.recentProgress.count(_.numInputRows > 0)
+    assert(progressed >= 3, s"expected >=3 non-empty batches, got $progressed")
+    assert(spark.read.parquet(sink).select("id").as[Long]
+      .collect().sorted.toSeq == (1L to 6L))
+  }
+
   test("a DML commit fails the stream fast; skipChangeCommits skips it") {
     import spark.implicits._
     val loc = "/tmp/graft-test/stream_dml"
