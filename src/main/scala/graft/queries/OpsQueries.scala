@@ -592,7 +592,7 @@ object OpsQueries {
     * (`sources/v2/SnapshotProcedures.scala`, the DSv2 `CALL` surface):
     * attach zone maps, merge-on-read delete (zero data-file rewrites —
     * guarded), OPTIMIZE (folds the delete vector back into data files —
-    * guarded, which is exactly what re-legalizes the SQL catalog read),
+    * guarded, restoring the native pushdown scan to catalog reads),
     * retention GC, then a plain catalog SELECT of the final state. One
     * query certifies the whole CALL surface against the DuckDB oracle. */
   private def snapshotSqlLifecycle(s: SparkSession, d: String): DataFrame = {

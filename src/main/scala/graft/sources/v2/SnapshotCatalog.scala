@@ -95,16 +95,9 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       try Snapshots.versionFiles(spark, loc, v)
       catch { case _: NoSuchElementException => throw new NoSuchTableException(
         Seq(catalogName) ++ ident.namespace() :+ s"${ident.name()}@v$v") }
-    // the protocol rule every DV-capable format imposes on readers
-    // without DV support: REFUSE, never silently resurrect deleted rows.
-    // The API path (Snapshots.read) subtracts DVs; compaction folds them.
-    if (Snapshots.versionDvs(spark, loc, v).nonEmpty)
-      throw new UnsupportedOperationException(
-        s"$catalogName.${ident.toString}@v$v carries merge-on-read delete " +
-          "vectors; fold them with Snapshots.commitCompaction before SQL-" +
-          "catalog reads, or read through the Snapshots API")
     new SnapshotTable(s"$catalogName.${ident.toString}@v$v", spark, loc, v,
-      pinned = version >= 0, files, Snapshots.versionSchema(spark, loc, v))
+      pinned = version >= 0, files, Snapshots.versionSchema(spark, loc, v),
+      Snapshots.versionDvs(spark, loc, v))
   }
 
   /** Lifecycle maintenance as SQL procedures (`CALL <cat>.system.…` —

@@ -3,7 +3,6 @@ package graft.sources.v2
 import java.util
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
@@ -11,8 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -180,16 +178,12 @@ private[v2] class SnapshotMicroBatchStream(spark: SparkSession, loc: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // Spark's own parquet reader closure, built driver-side exactly the
-    // way FileSourceScanExec builds it (broadcast hadoop conf inside),
-    // shipped to executors by the factory. Row-returning mode: the
-    // stream appends the (change, version) prefix per row via JoinedRow.
+    // Spark's own parquet reader closure ([[V2ParquetRead]]), shipped to
+    // executors by the factory. Row-returning mode: the stream appends
+    // the (change, version) prefix per row via JoinedRow.
     val dataSchema = StructType(schema.fields.drop(2))
-    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, dataSchema, StructType(Nil), dataSchema, Nil,
-      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
-      spark.sessionState.newHadoopConf())
-    new SnapshotPartitionReaderFactory(readFunc)
+    new SnapshotPartitionReaderFactory(
+      V2ParquetRead.rowReadFunc(spark, dataSchema))
   }
 }
 
@@ -199,10 +193,7 @@ private[v2] class SnapshotPartitionReaderFactory(
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[SnapshotFilePartition]
-    val pf = PartitionedFile(InternalRow.empty,
-      SparkPath.fromPathString(part.file), 0L, part.length,
-      Array.empty[String], 0L, part.length, Map.empty)
-    val it = readFunc(pf)
+    val it = readFunc(V2ParquetRead.partitionedFile(part.file, part.length))
     val meta = new GenericInternalRow(
       Array[Any](UTF8String.fromString("insert"), part.version))
     val joined = new JoinedRow

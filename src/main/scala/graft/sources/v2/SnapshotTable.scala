@@ -43,15 +43,17 @@ import graft.ops.Snapshots
   * O(affected-files) route for hot paths; predicate-only DELETE takes it
   * automatically via `SupportsDelete`.
   *
-  * Versions carrying merge-on-read delete vectors refuse to load through
-  * the SQL catalog (the delegated parquet scan cannot subtract them) —
-  * the same protocol rule every DV-bearing table format imposes on
-  * readers without DV support: refuse, never silently resurrect. The
-  * API read path applies them; `commitCompaction` folds them away.
+  * Versions carrying merge-on-read delete vectors scan through the
+  * DV-subtracting per-file reader ([[SnapshotDvScanBuilder]]): correct
+  * rows at the cost of pushdown, on exactly the versions that carry DVs
+  * — `commitCompaction` folds them away and restores the native
+  * pushdown scan. Row-level rewrites on such versions read DV-subtracted
+  * rows, so a SQL UPDATE can never resurrect a deleted row.
   */
 class SnapshotTable(ident: String, spark: SparkSession, loc: String,
                     val snapshotVersion: Long, pinned: Boolean, files: Seq[String],
-                    manifestSchema: Option[StructType] = None)
+                    manifestSchema: Option[StructType] = None,
+                    dvs: Seq[String] = Nil)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
 
@@ -67,8 +69,14 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
   override def schema(): StructType = delegate.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  /** Versions carrying merge-on-read delete vectors scan through the
+    * DV-subtracting per-file reader ([[SnapshotDvScanBuilder]] — correct
+    * rows, no pushdown); compacted versions use Spark's native parquet
+    * scan with full pushdown/pruning. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    if (dvs.isEmpty) delegate.newScanBuilder(options)
+    else new SnapshotDvScanBuilder(spark, schema(), files, dvs)
 
   private def requireMutable(op: String): Unit =
     if (pinned) throw new UnsupportedOperationException(
@@ -107,9 +115,12 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
       // pushed condition would narrow the scan to matching rows — valid
       // only for group-granularity connectors that replace just the
       // scanned files, and it would silently drop every unmatched row
-      // here). Plain ScanBuilder → Spark pushes nothing.
+      // here). Plain ScanBuilder → Spark pushes nothing. A DV-bearing
+      // version rewrites from DV-SUBTRACTED rows (no resurrection), and
+      // the replace it publishes drops the vectors with the files.
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new ScanBuilder {
+        if (dvs.nonEmpty) new SnapshotDvScanBuilder(spark, schema(), files, dvs)
+        else new ScanBuilder {
           override def build() = delegate.newScanBuilder(options).build()
         }
       override def newWriteBuilder(wi: LogicalWriteInfo): WriteBuilder =

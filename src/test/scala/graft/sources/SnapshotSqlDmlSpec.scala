@@ -145,17 +145,28 @@ class SnapshotSqlDmlSpec extends SparkTestBase {
     assert(Snapshots.read(spark, s"$root/t_pinned", 1).count() == 1)
   }
 
-  test("a DV-bearing version refuses SQL reads until compacted") {
+  test("SQL reads and row-level rewrites subtract delete vectors — no resurrection") {
     import spark.implicits._
     val loc = freshTable("t_dv")
-    Snapshots.commitAppend(Seq(1L, 2L, 3L).toDF("id"), loc)
-    Snapshots.commitDeleteMoR(spark, loc, col("id") === 2L)
-    val e = intercept[UnsupportedOperationException](
-      spark.sql("SELECT * FROM sqldml.t_dv").collect())
-    assert(e.getMessage.contains("delete vectors"))
+    Snapshots.commitAppend((1L to 1000L).toDF("id").repartition(3), loc)
+    Snapshots.commitDeleteMoR(spark, loc, col("id").between(10, 20))
+    // the DV-aware scan serves the MoR version directly (per-file
+    // partitions, deleted positions subtracted by file order)
+    assert(spark.sql("SELECT count(*) AS n FROM sqldml.t_dv").as[Long]
+      .collect().head == 989L)
+    assert(spark.sql("SELECT id FROM sqldml.t_dv WHERE id <= 25 ORDER BY id")
+      .as[Long].collect().toSeq == ((1L to 9L) ++ (21L to 25L)))
+    // a SQL UPDATE's whole-table rewrite reads THROUGH the vector: the
+    // DV'd rows stay dead in the replacement it publishes
+    spark.sql("UPDATE sqldml.t_dv SET id = id + 10000 WHERE id = 1")
+    assert(Snapshots.read(spark, loc)
+      .filter(col("id").between(10, 20)).count() == 0,
+      "row-level rewrite resurrected DV-deleted rows")
+    assert(Snapshots.read(spark, loc).count() == 989L)
+    // and compaction still folds DVs back to the native pushdown scan
     Snapshots.commitCompaction(spark, loc)
-    assert(spark.sql("SELECT id FROM sqldml.t_dv").as[Long]
-      .collect().sorted.toSeq == Seq(1L, 3L))
+    assert(spark.sql("SELECT count(*) AS n FROM sqldml.t_dv").as[Long]
+      .collect().head == 989L)
   }
 
   test("a concurrent commit between scan and publish fails the statement, not the data") {
