@@ -174,6 +174,24 @@ object Snapshots {
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
   }
 
+  /** Publish already-written files as a logical REPLACE at whatever the
+    * latest version is — `INSERT OVERWRITE` through the DSv2 write path
+    * (content is defined wholly by the written files, so a lost CAS race
+    * just retries at the next version; no staleness to detect, unlike
+    * [[publishReplaceExact]]). */
+  private[graft] def publishReplaceLoop(s: SparkSession, loc: String,
+                                        newFiles: Seq[String],
+                                        schemaJson: Option[String]): Long = {
+    var attempt = 0
+    while (attempt < 64) {
+      val version = latestVersion(s, loc) + 1
+      if (tryPublish(s, loc, version, newFiles, schemaJson = schemaJson))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
+  }
+
   /** Publish already-written files as a REPLACE of exactly the content of
     * `expectedPrev` — the commit half of a SQL row-level operation whose
     * rewrite was DERIVED from that version's rows. NO retry loop on a

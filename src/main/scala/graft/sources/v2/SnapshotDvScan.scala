@@ -45,9 +45,16 @@ private[v2] class SnapshotDvScanBuilder(spark: SparkSession, schema: StructType,
 
     override def planInputPartitions(): Array[InputPartition] = {
       def norm(p: String): String = new Path(p).toUri.getPath
+      val dvDf = spark.read.parquet(dvs: _*)
+      // DVs are bounded small by contract (compaction folds them); the
+      // guard turns a pathological vector into a clear instruction
+      // instead of a driver OOM at collect time
+      val n = dvDf.count()
+      require(n <= 50L * 1000 * 1000,
+        s"delete vectors hold $n entries — run Snapshots.commitCompaction " +
+          "(CALL <cat>.system.optimize) to fold them before scanning")
       val deleted: Map[String, Array[Long]] =
-        spark.read.parquet(dvs: _*)
-          .collect()
+        dvDf.collect()
           .groupBy(r => norm(r.getString(0)))
           .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
       val fs = new Path(files.head).getFileSystem(

@@ -68,7 +68,8 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
   override def name(): String = ident
   override def schema(): StructType = delegate.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** Versions carrying merge-on-read delete vectors scan through the
     * DV-subtracting per-file reader ([[SnapshotDvScanBuilder]] — correct
@@ -83,13 +84,18 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
       s"$op on a pinned historical version (VERSION AS OF $snapshotVersion) — " +
         "only the latest version accepts writes")
 
-  // ---- INSERT INTO: append commit ----
+  // ---- INSERT INTO: append commit; INSERT OVERWRITE: replace commit ----
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireMutable("INSERT")
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write =
         SnapshotTable.publishingWrite(spark, loc, delegate, info,
-          newFiles => Snapshots.publishAppend(spark, loc, newFiles))
+          newFiles =>
+            if (replace) Snapshots.publishReplaceLoop(spark, loc, newFiles,
+              Some(info.schema().json))
+            else Snapshots.publishAppend(spark, loc, newFiles))
     }
   }
 

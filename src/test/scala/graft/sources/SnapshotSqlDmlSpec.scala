@@ -55,6 +55,19 @@ class SnapshotSqlDmlSpec extends SparkTestBase {
     assert(Snapshots.read(spark, loc, 1).count() == 1) // v1 pinned
   }
 
+  test("INSERT OVERWRITE replaces content as a new version; history pinned") {
+    import spark.implicits._
+    val loc = freshTable("t_overwrite")
+    Snapshots.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), loc)
+    spark.sql("INSERT OVERWRITE sqldml.t_overwrite VALUES (9, 'z')")
+    assert(spark.sql("SELECT id, v FROM sqldml.t_overwrite")
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    // the logical overwrite is a VERSION, not destruction
+    assert(Snapshots.read(spark, loc, 1).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    assert(Snapshots.latestVersion(spark, loc) == 2L)
+  }
+
   test("DELETE FROM with a plain predicate takes the copy-on-write path and carries files") {
     import spark.implicits._
     val loc = freshTable("t_delete")
