@@ -76,7 +76,7 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
     * rows, no pushdown); compacted versions use Spark's native parquet
     * scan with full pushdown/pruning. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (dvs.isEmpty) delegate.newScanBuilder(options)
+    if (dvs.isEmpty || files.isEmpty) delegate.newScanBuilder(options)
     else new SnapshotDvScanBuilder(spark, schema(), files, dvs)
 
   private def requireMutable(op: String): Unit =
@@ -125,7 +125,8 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
       // version rewrites from DV-SUBTRACTED rows (no resurrection), and
       // the replace it publishes drops the vectors with the files.
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        if (dvs.nonEmpty) new SnapshotDvScanBuilder(spark, schema(), files, dvs)
+        if (dvs.nonEmpty && files.nonEmpty)
+          new SnapshotDvScanBuilder(spark, schema(), files, dvs)
         else new ScanBuilder {
           override def build() = delegate.newScanBuilder(options).build()
         }

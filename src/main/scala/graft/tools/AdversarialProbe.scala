@@ -352,10 +352,23 @@ object AdversarialProbe {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     System.gc()
 
+    // partition sizing IS the memory story here: all-distinct keys mean
+    // the verify pass's hash map holds every key of its partition, so a
+    // 128M-row corpus in 32 partitions puts ~4M keys (~200 MB) in each
+    // concurrent task — over the ~150 MB/task execution share of the 8g
+    // harness heap, observed as flaky UNABLE_TO_ACQUIRE_MEMORY on the
+    // x32 point. ~250k rows/task keeps per-task memory flat at BOTH
+    // multiples (same rule the 100 TB guidance prescribes: size
+    // partitions to the executor, let extra partitions queue), and the
+    // ratio still measures the same total work. UNLIKE the document
+    // corpora above, this fixture is NOT checkpointed: range+concat
+    // generation is ~free and runs identically inside both points,
+    // whereas pinning the 128M-row corpus (~5 GB) makes the hi point's
+    // aggregation pay storage eviction the lo point never sees — a
+    // fixture artifact, not operator scaling.
     def hhItems(mult: Int): DataFrame = spark.range(mult * 4000000L)
-      .select(concat(lit("item"), col("id")).as("w")).localCheckpoint()
-    val hhItemsLo = hhItems(lo)
-    val hhItemsHi = hhItems(hi)
+      .select(concat(lit("item"), col("id")).as("w"))
+      .repartition(mult * 16)
     // min-of-2 on both points: the lo run is sub-second, so a single
     // measurement's fixed-overhead jitter (JIT, GC, first-stage launch)
     // can swing the ratio across the bound in either direction — the
@@ -363,11 +376,21 @@ object AdversarialProbe {
     // min-of-3: the 4x-model gate carries only 2x slack and this
     // machine's load spread on the ~30s hi point exceeds min-of-2
     // (same-day clean runs measured 4.9x, 6.7x and 9.0x ratios on
-    // identical code); three samples keep the gate meaningful
+    // identical code); three samples keep the gate meaningful.
+    // The two corpora run SEQUENTIALLY, lo's checkpoint released before
+    // hi's is built: pinning both (32M + 128M rows) leaves the 128M-row
+    // verify shuffle too little evictable headroom in the 8g harness
+    // heap — observed as a flaky UNABLE_TO_ACQUIRE_MEMORY on the x32
+    // point, the same measure-one-family-at-a-time rule as the flush
+    // above.
+    val hhItemsLo = hhItems(lo)
     val hhLo = (0 until 3).map(_ => time(s"heavy_hitters all-distinct x$lo", reps = 1)(
       graft.ops.FrequentItems.exactHeavyHitters(hhItemsLo, "w", 0.01).count())).min
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val hhItemsHi = hhItems(hi)
     val hhHi = (0 until 3).map(_ => time(s"heavy_hitters all-distinct x$hi", reps = 1)(
       graft.ops.FrequentItems.exactHeavyHitters(hhItemsHi, "w", 0.01).count())).min
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     verdict("heavy_hitters_distinct", hhLo, hhHi, dataRatio)
 
     // PageRank with a HOT DST (half of all edges converge on node 0 —
@@ -664,6 +687,40 @@ object AdversarialProbe {
     // as with the delete probe, the trailing count() is table-sized on
     // both sides; the merge is the flat part under test
     verdict("merge_detect_gated_flat", smLo, smHi, 1.0)
+
+    // Merge-on-read DELETE (round 10): the same fixed narrow-key delete
+    // against an m×-bigger range-clustered table must stay FLAT — the
+    // zone-map hint gates the match-detection scan AND the commit writes
+    // only a tiny delete vector (zero data files rewritten), so neither
+    // side grows with the table. The verifying read applies the DV via a
+    // broadcast anti-join; its count is table-sized on both sides like
+    // the other DML probes. A FAIL means detection or the commit path
+    // degraded to O(table).
+    def morTable(mult: Int): String = {
+      val loc = s"/tmp/graft-probe/snap_mor_x$mult"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      (0 until mult).foreach { m =>
+        val v = graft.ops.Snapshots.commitAppend(
+          spark.range(m * 10000000L, m * 10000000L + 2000000L).toDF("id")
+            .repartitionByRange(4, col("id")), loc)
+        graft.ops.Snapshots.attachStats(spark, loc, v, Seq("id"))
+      }
+      loc
+    }
+    val morLoLoc = morTable(1)
+    val morHiLoc = morTable(4)
+    val morLo = time("mor delete, pruned (table x1)", reps = 1) {
+      graft.ops.Snapshots.commitDeleteMoR(spark, morLoLoc,
+        col("id").between(100L, 200L), pruneBy = Some(("id", "100", "200")))
+      graft.ops.Snapshots.read(spark, morLoLoc).count()
+    }
+    val morHi = time("mor delete, pruned (table x4)", reps = 1) {
+      graft.ops.Snapshots.commitDeleteMoR(spark, morHiLoc,
+        col("id").between(100L, 200L), pruneBy = Some(("id", "100", "200")))
+      graft.ops.Snapshots.read(spark, morHiLoc).count()
+    }
+    verdict("mor_delete_pruned_flat", morLo, morHi, 1.0)
 
     spark.stop()
     if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
