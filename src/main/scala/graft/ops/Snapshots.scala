@@ -583,7 +583,7 @@ object Snapshots {
   def commitDeleteMoR(s: SparkSession, loc: String,
                       pred: org.apache.spark.sql.Column,
                       pruneBy: Option[(String, String, String)] = None): Long = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val f = fs(s, loc)
     var attempt = 0
     while (attempt < 64) {
@@ -607,17 +607,7 @@ object Snapshots {
           .filter(coalesce(pred, lit(false)))
           .select(col("_metadata.file_path").as("file"),
             col("_metadata.row_index").as("pos"))
-        // rows an earlier DV already deleted must not re-enter the vector
-        // (double-counting is harmless for reads but poisons the change
-        // feed, which reports each DV delta as that commit's deletes)
-        val freshHits =
-          if (dvs.isEmpty) hits
-          else {
-            val existing = s.read.parquet(dvs: _*)
-            hits.join(broadcast(existing),
-              hits("file") === existing("file") && hits("pos") === existing("pos"),
-              "left_anti")
-          }
+        val freshHits = subtractDv(s, hits, dvs, "file", "pos")
         val commitId = java.util.UUID.randomUUID().toString
         val dvDir = new Path(loc, s"data/$commitId")
         // coalesce(1): a DV is tiny by contract — one file keeps the
@@ -631,6 +621,166 @@ object Snapshots {
           return prev._1 + 1
         f.delete(dvDir, true) // lost the race: recompute against new latest
       }
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
+  }
+
+  /** Rows an earlier delete vector already removed must never re-enter a
+    * new vector: double-counting is harmless for reads (the anti-join is
+    * idempotent) but poisons the change feed, which attributes each DV
+    * delta to its introducing commit. `hits` must carry string `file` /
+    * long `pos` columns (any extra columns ride through). */
+  private def subtractDv(s: SparkSession, hits: DataFrame, dvs: Seq[String],
+                         fileCol: String, posCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    if (dvs.isEmpty) hits
+    else {
+      val existing = s.read.parquet(dvs: _*)
+      hits.join(broadcast(existing),
+        hits(fileCol) === existing("file") && hits(posCol) === existing("pos"),
+        "left_anti")
+    }
+  }
+
+  /** Write `df` into a fresh commit-local directory and return the part
+    * files it produced (empty partitions produce none) — the data half of
+    * every commit attempt; the caller deletes the directory on a lost
+    * race. */
+  private def writeData(s: SparkSession, df: DataFrame, dir: Path): Seq[String] = {
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    fs(s, dir.toString).listStatus(dir).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
+  }
+
+  /** Row-level UPDATE, merge-on-read: under immutable files an update IS
+    * delete+insert, and this variant commits it that way — a DELETE
+    * VECTOR covering the matched rows plus one small file of their
+    * updated images — so the commit writes O(matched rows) and rewrites
+    * NOTHING (the copy-on-write [[commitUpdate]] rewrites every file
+    * holding a match). Every pre-update data file is carried by
+    * reference; the change feed reports the matched rows as this
+    * commit's deletes and the updated images as its inserts — the exact
+    * multiset delta. Each RHS in `set` is evaluated against the OLD row
+    * (SQL UPDATE semantics: `SET a = b, b = a` swaps); rows a prior DV
+    * deleted are invisible to `pred` and are never re-recorded.
+    * NULL-predicate rows survive untouched. `pruneBy` gates the
+    * match-detection scan via the zone-map sidecar exactly as in
+    * [[commitDelete]]. */
+  def commitUpdateMoR(s: SparkSession, loc: String,
+                      pred: org.apache.spark.sql.Column,
+                      set: Map[String, org.apache.spark.sql.Column],
+                      pruneBy: Option[(String, String, String)] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val f = fs(s, loc)
+    var attempt = 0
+    while (attempt < 64) {
+      val prev = manifests(s, loc).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshots at $loc"))
+      val files = readManifest(s, prev._2)
+      val header = headerLines(s, prev._2)
+      val dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
+      val schema = schemaFromHeader(header)
+      val candidates = pruneBy match {
+        case Some((c, lo, hi)) => statFiles(s, loc, prev._1, files, c, lo, hi)
+        case None => files
+      }
+      if (candidates.isEmpty) {
+        if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs,
+            schemaJson = schema.map(_.json)))
+          return prev._1 + 1
+      } else {
+        val base = readData(s, candidates, schema)
+        val matched = base
+          .withColumn("__graft_fp", col("_metadata.file_path"))
+          .withColumn("__graft_ri", col("_metadata.row_index"))
+          .filter(coalesce(pred, lit(false)))
+        val dataCols = base.columns.toIndexedSeq
+        require(set.keySet.subsetOf(dataCols.toSet),
+          s"SET names unknown columns: ${set.keySet -- dataCols.toSet}")
+        val fresh = subtractDv(s, matched, dvs, "__graft_fp", "__graft_ri")
+        val commitId = java.util.UUID.randomUUID().toString
+        // the vector and the updated images are two actions over the same
+        // deterministic frame (immutable files, fixed DV set within the
+        // attempt), so they name exactly the same rows
+        val dvDir = new Path(loc, s"data/$commitId-dv")
+        val updDir = new Path(loc, s"data/$commitId")
+        // coalesce(1): a DV is tiny by contract (compaction folds it)
+        val newDvs = writeData(s,
+          fresh.select(col("__graft_fp").as("file"),
+            col("__graft_ri").as("pos")).coalesce(1), dvDir)
+        // all RHS computed from the pre-update attributes in ONE select —
+        // matched-only rows, so no when(pred) guard is needed
+        val newFiles = writeData(s,
+          fresh.select(dataCols.map(c =>
+            set.get(c).map(_.as(c)).getOrElse(col(c))): _*), updDir)
+        if (tryPublish(s, loc, prev._1 + 1, files ++ newFiles,
+            dvs = dvs ++ newDvs, schemaJson = schema.map(_.json)))
+          return prev._1 + 1
+        f.delete(dvDir, true); f.delete(updDir, true)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
+  }
+
+  /** Row-level MERGE (upsert), merge-on-read: matched keys are removed
+    * via a DELETE VECTOR and the WHOLE source lands as new files
+    * (replacements and inserts alike) — commit cost O(source) plus one
+    * tiny sidecar, zero data-file rewrites, against [[commitMerge]]'s
+    * rewrite of every matched file. Detection is gated by the source's
+    * key envelope against the zone-map sidecar exactly as in
+    * [[commitMerge]]; a key a prior DV deleted matches nothing and its
+    * source row inserts (no resurrection, no double-record). `source`
+    * must be key-unique and carry every table column — the same contract
+    * the copy-on-write path imposes. */
+  def commitMergeMoR(s: SparkSession, loc: String, source: DataFrame,
+                     keyCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val f = fs(s, loc)
+    val keys = source.select(col(keyCol)).distinct()
+    val env = source.agg(min(col(keyCol)).cast("string").as("lo"),
+      max(col(keyCol)).cast("string").as("hi")).head()
+    val envelope: Option[(String, String)] =
+      if (env.isNullAt(0) || env.isNullAt(1)) None
+      else Some((env.getString(0), env.getString(1)))
+    var attempt = 0
+    while (attempt < 64) {
+      val prev = manifests(s, loc).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshots at $loc"))
+      val files = readManifest(s, prev._2)
+      val header = headerLines(s, prev._2)
+      val dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
+      val schema = schemaFromHeader(header)
+      val candidates = envelope match {
+        case Some((lo, hi)) => statFiles(s, loc, prev._1, files, keyCol, lo, hi)
+        case None => Nil // empty/all-NULL-key source: nothing can match
+      }
+      val commitId = java.util.UUID.randomUUID().toString
+      val dvDir = new Path(loc, s"data/$commitId-dv")
+      val newDvs =
+        if (candidates.isEmpty) Nil
+        else {
+          val hits = readData(s, candidates, schema)
+            .select(col(keyCol), col("_metadata.file_path").as("__graft_fp"),
+              col("_metadata.row_index").as("__graft_ri"))
+            .join(keys, Seq(keyCol), "left_semi")
+          writeData(s,
+            subtractDv(s, hits, dvs, "__graft_fp", "__graft_ri")
+              .select(col("__graft_fp").as("file"),
+                col("__graft_ri").as("pos")).coalesce(1), dvDir)
+        }
+      // the source lands under the table's column order so every data
+      // file shares one shape (it must carry all table columns, the same
+      // unionByName contract the copy-on-write path imposes)
+      val srcDir = new Path(loc, s"data/$commitId")
+      val newFiles = writeData(s,
+        schema.map(sc => source.select(
+          sc.fieldNames.toIndexedSeq.map(col): _*)).getOrElse(source), srcDir)
+      if (tryPublish(s, loc, prev._1 + 1, files ++ newFiles,
+          dvs = dvs ++ newDvs, schemaJson = schema.map(_.json)))
+        return prev._1 + 1
+      f.delete(dvDir, true); f.delete(srcDir, true)
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
