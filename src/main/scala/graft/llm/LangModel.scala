@@ -118,6 +118,45 @@ object LangModel {
         col("t"), col("pmi_ratio"), col("rank"))
   }
 
+  /** Exact-INTEGER certificate of the perplexity scoring join — the same
+    * docBigrams ⋈ model ⋈ context plan as [[perplexityExact]], but the
+    * per-doc outputs are integer sufficient statistics of the score
+    * instead of the score: token count, Σ numerator counts, Σ context
+    * counts, the vocabulary constant, and an order-free md5 digest of
+    * the full (w1, w2, n, n1) term multiset (each term hashed to 40
+    * bits, multiplicity-weighted, summed — overflow-free in int64 and
+    * bit-identical in any engine). Together these pin that the
+    * DISTRIBUTED part of the computation — training counts and the
+    * scoring join — produced exactly the oracle's term multiset; the
+    * remaining ln/exp is row-local arithmetic whose last-ulp engine
+    * drift keeps [[perplexityExact]] itself rows-only (PipelineSpec pins
+    * its values against hand computation). The same exact-regime-twin
+    * pattern as `knn_ann_ivf_exh` / `dedup_simhash_md5`. */
+  def perplexityTerms(docs: DataFrame, corpus: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    val bg = bigramCounts(corpus, idCol, textCol)
+    val ctx = contextCounts(corpus, idCol, textCol)
+    val vocab = bg.agg((countDistinct(col("w2")) + lit(1L)).as("v"))
+    val docBg = docBigrams(docs, idCol, textCol)
+    val nC = coalesce(col("n"), lit(0L))
+    val n1C = coalesce(col("n1"), lit(0L))
+    // 40-bit md5 prefix per term: doc-sized multiplicity × 2^40 stays
+    // far under 2^63, and both engines parse the same hex prefix
+    val h = conv(substring(md5(concat_ws("|", col("w1"), col("w2"),
+        nC.cast("string"), n1C.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % lit(1099511627776L)
+    docBg
+      .join(bg, Seq("w1", "w2"), "left_outer")
+      .join(ctx, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * nC).as("sum_n"),
+        sum(col("c") * n1C).as("sum_n1"),
+        sum(col("c") * h).as("term_digest"),
+        min(col("v")).as("v"))
+  }
+
   /** [[perplexity]] with a DETERMINISTIC accumulation order: each doc's
     * per-bigram NLL terms are sorted by (w1, w2) and summed in one
     * left-to-right fold, so the score is bit-identical across reruns,

@@ -484,4 +484,29 @@ object Multimodal {
       MediaFeature(m.media_id, feat)
     }
   }
+
+  /** Exact-INTEGER certificate of the fallback featurizer's block
+    * arithmetic: per (media item, block) the byte sum, block length, and
+    * the milli-scaled integer mean `1000·sum div len` — the same block
+    * boundaries `featurize`'s byte-mean fallback uses
+    * (`⌊i·len/dim⌋ … ⌊(i+1)·len/dim⌋`), but with the float division
+    * replaced by exact integer arithmetic, so a DuckDB oracle can
+    * hash-compare it (the float feature is `sum/len` row-locally — the
+    * distributed part, byte blocking over the binary column, is what
+    * this certifies). Same exact-regime-twin pattern as
+    * `knn_ann_ivf_exh`. */
+  def byteBlockStats(media: Dataset[MediaRow], dim: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val p = m.payload
+      (0 until dim).map { i =>
+        val lo = (i.toLong * p.length / dim).toInt
+        val hi = ((i + 1).toLong * p.length / dim).toInt
+        var s = 0L; var j = lo
+        while (j < hi) { s += (p(j) & 0xff); j += 1 }
+        val len = (hi - lo).toLong
+        (m.media_id, i.toLong, s, len, if (len == 0) 0L else 1000L * s / len)
+      }
+    }.toDF("media_id", "dim_idx", "block_sum", "block_len", "value_milli")
+  }
 }

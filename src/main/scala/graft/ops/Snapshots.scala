@@ -202,11 +202,29 @@ object Snapshots {
     * (write skew). The Delta/Iceberg conflict rule. */
   private[graft] def publishReplaceExact(s: SparkSession, loc: String,
                                          expectedPrev: Long,
-                                         newFiles: Seq[String]): Long = {
+                                         newFiles: Seq[String]): Long =
+    publishReplaceGroups(s, loc, expectedPrev, Nil, newFiles)
+
+  /** GROUP-granular variant of [[publishReplaceExact]]: `keptFiles` of
+    * the expected version are carried BY REFERENCE (with the version's
+    * delete vectors, which may cover them) and only the replaced groups'
+    * rows arrive as `newFiles` — the commit half of a runtime-group-
+    * filtered SQL UPDATE/MERGE, O(affected files) instead of O(table).
+    * Same first-committer-wins rule: a concurrent commit after the scan
+    * pinned `expectedPrev` makes the derivation stale, so the statement
+    * fails rather than silently dropping the interleaved rows. DV
+    * entries naming replaced files go inert with the paths they name
+    * (never reused) — the same rule the copy-on-write path relies on. */
+  private[graft] def publishReplaceGroups(s: SparkSession, loc: String,
+                                          expectedPrev: Long,
+                                          keptFiles: Seq[String],
+                                          newFiles: Seq[String]): Long = {
     // a row-level rewrite preserves the table schema (carried from the
     // version the scan pinned)
     val schemaJson = versionSchema(s, loc, expectedPrev).map(_.json)
-    if (tryPublish(s, loc, expectedPrev + 1, newFiles, schemaJson = schemaJson))
+    val dvs = if (keptFiles.isEmpty) Nil else versionDvs(s, loc, expectedPrev)
+    if (tryPublish(s, loc, expectedPrev + 1, keptFiles ++ newFiles, dvs = dvs,
+        schemaJson = schemaJson))
       expectedPrev + 1
     else throw new java.util.ConcurrentModificationException(
       s"snapshot table at $loc moved past version $expectedPrev during a " +
@@ -443,7 +461,15 @@ object Snapshots {
     * per-side `exceptAll` still nets out rows that merely moved files, so
     * the row-level answer is identical either way. At 100 TB a
     * diff-after-append reads megabytes, not the table (SnapshotsSpec pins
-    * `inputFiles ⊆ changed files`). */
+    * `inputFiles ⊆ changed files`).
+    *
+    * Known limitation: both sides read under the TO-version schema, so
+    * across a schema-NARROWING replace (commitReplace that dropped a
+    * column) from-side rows differing only in the dropped column read
+    * identically and cancel in exceptAll — churn confined to dropped
+    * columns under-reports. Additive evolution (the only evolution the
+    * append path permits) is unaffected: old rows read added columns as
+    * null on both sides. */
   def diff(s: SparkSession, loc: String, fromVersion: Long,
            toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -608,18 +634,29 @@ object Snapshots {
           .select(col("_metadata.file_path").as("file"),
             col("_metadata.row_index").as("pos"))
         val freshHits = subtractDv(s, hits, dvs, "file", "pos")
-        val commitId = java.util.UUID.randomUUID().toString
-        val dvDir = new Path(loc, s"data/$commitId")
-        // coalesce(1): a DV is tiny by contract — one file keeps the
-        // manifest header and the read-side broadcast build cheap
-        freshHits.coalesce(1)
-          .write.mode(SaveMode.ErrorIfExists).parquet(dvDir.toString)
-        val newDvs = f.listStatus(dvDir).toSeq
-          .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
-        if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs ++ newDvs,
-            schemaJson = schema.map(_.json)))
-          return prev._1 + 1
-        f.delete(dvDir, true) // lost the race: recompute against new latest
+        // candidates held no fresh match: publish the carry-only no-op
+        // commit (as the candidates.isEmpty branch does) — writing an
+        // EMPTY vector would still produce a part file (coalesce(1) emits
+        // one even for zero rows), flipping every later SQL read onto the
+        // DV scan and tripping a tailing stream's DV fail-fast for nothing
+        if (freshHits.isEmpty) {
+          if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs,
+              schemaJson = schema.map(_.json)))
+            return prev._1 + 1
+        } else {
+          val commitId = java.util.UUID.randomUUID().toString
+          val dvDir = new Path(loc, s"data/$commitId")
+          // coalesce(1): a DV is tiny by contract — one file keeps the
+          // manifest header and the read-side broadcast build cheap
+          freshHits.coalesce(1)
+            .write.mode(SaveMode.ErrorIfExists).parquet(dvDir.toString)
+          val newDvs = f.listStatus(dvDir).toSeq
+            .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
+          if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs ++ newDvs,
+              schemaJson = schema.map(_.json)))
+            return prev._1 + 1
+          f.delete(dvDir, true) // lost the race: recompute against new latest
+        }
       }
       attempt += 1
     }
@@ -699,25 +736,34 @@ object Snapshots {
         require(set.keySet.subsetOf(dataCols.toSet),
           s"SET names unknown columns: ${set.keySet -- dataCols.toSet}")
         val fresh = subtractDv(s, matched, dvs, "__graft_fp", "__graft_ri")
-        val commitId = java.util.UUID.randomUUID().toString
-        // the vector and the updated images are two actions over the same
-        // deterministic frame (immutable files, fixed DV set within the
-        // attempt), so they name exactly the same rows
-        val dvDir = new Path(loc, s"data/$commitId-dv")
-        val updDir = new Path(loc, s"data/$commitId")
-        // coalesce(1): a DV is tiny by contract (compaction folds it)
-        val newDvs = writeData(s,
-          fresh.select(col("__graft_fp").as("file"),
-            col("__graft_ri").as("pos")).coalesce(1), dvDir)
-        // all RHS computed from the pre-update attributes in ONE select —
-        // matched-only rows, so no when(pred) guard is needed
-        val newFiles = writeData(s,
-          fresh.select(dataCols.map(c =>
-            set.get(c).map(_.as(c)).getOrElse(col(c))): _*), updDir)
-        if (tryPublish(s, loc, prev._1 + 1, files ++ newFiles,
-            dvs = dvs ++ newDvs, schemaJson = schema.map(_.json)))
-          return prev._1 + 1
-        f.delete(dvDir, true); f.delete(updDir, true)
+        // no fresh match → carry-only no-op commit, never an empty vector
+        // (an empty DV file would degrade every later scan; see
+        // commitDeleteMoR)
+        if (fresh.isEmpty) {
+          if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs,
+              schemaJson = schema.map(_.json)))
+            return prev._1 + 1
+        } else {
+          val commitId = java.util.UUID.randomUUID().toString
+          // the vector and the updated images are two actions over the same
+          // deterministic frame (immutable files, fixed DV set within the
+          // attempt), so they name exactly the same rows
+          val dvDir = new Path(loc, s"data/$commitId-dv")
+          val updDir = new Path(loc, s"data/$commitId")
+          // coalesce(1): a DV is tiny by contract (compaction folds it)
+          val newDvs = writeData(s,
+            fresh.select(col("__graft_fp").as("file"),
+              col("__graft_ri").as("pos")).coalesce(1), dvDir)
+          // all RHS computed from the pre-update attributes in ONE select —
+          // matched-only rows, so no when(pred) guard is needed
+          val newFiles = writeData(s,
+            fresh.select(dataCols.map(c =>
+              set.get(c).map(_.as(c)).getOrElse(col(c))): _*), updDir)
+          if (tryPublish(s, loc, prev._1 + 1, files ++ newFiles,
+              dvs = dvs ++ newDvs, schemaJson = schema.map(_.json)))
+            return prev._1 + 1
+          f.delete(dvDir, true); f.delete(updDir, true)
+        }
       }
       attempt += 1
     }
@@ -765,10 +811,13 @@ object Snapshots {
             .select(col(keyCol), col("_metadata.file_path").as("__graft_fp"),
               col("_metadata.row_index").as("__graft_ri"))
             .join(keys, Seq(keyCol), "left_semi")
-          writeData(s,
-            subtractDv(s, hits, dvs, "__graft_fp", "__graft_ri")
-              .select(col("__graft_fp").as("file"),
-                col("__graft_ri").as("pos")).coalesce(1), dvDir)
+          val freshHits = subtractDv(s, hits, dvs, "__graft_fp", "__graft_ri")
+          // candidate files held no fresh key match → pure insert merge:
+          // no vector at all, never an empty DV file (see commitDeleteMoR)
+          if (freshHits.isEmpty) Nil
+          else writeData(s,
+            freshHits.select(col("__graft_fp").as("file"),
+              col("__graft_ri").as("pos")).coalesce(1), dvDir)
         }
       // the source lands under the table's column order so every data
       // file shares one shape (it must carry all table columns, the same
@@ -1070,7 +1119,18 @@ object Snapshots {
     * pruning over ghost paths no filesystem holds). */
   private[graft] def statFiles(s: SparkSession, loc: String, version: Long,
                                files: Seq[String], column: String,
-                               lo: String, hi: String): Seq[String] = {
+                               lo: String, hi: String): Seq[String] =
+    statFilesBounds(s, loc, version, files, column, Some(lo), Some(hi))
+
+  /** [[statFiles]] with OPTIONAL bounds — `None` = unbounded on that side
+    * — so a one-sided SQL predicate (`k > 100`) prunes too. This is what
+    * the DSv2 scan's filter pushdown maps onto
+    * ([[graft.sources.v2.SnapshotTable]]): the planner drops files from
+    * the scan's file list driver-side, before Spark plans a single
+    * partition. */
+  private[graft] def statFilesBounds(s: SparkSession, loc: String, version: Long,
+                                     files: Seq[String], column: String,
+                                     lo: Option[String], hi: Option[String]): Seq[String] = {
     val sp = statsPath(loc, version)
     val f = fs(s, loc)
     if (!f.exists(sp)) return files
@@ -1124,18 +1184,18 @@ object Snapshots {
   /** Typed interval intersection on the string-encoded stats: numeric
     * columns compare as BigDecimal, everything else (strings, dates,
     * timestamps — ISO-formatted by CAST AS STRING) lexicographically,
-    * which is order-preserving for those encodings. */
+    * which is order-preserving for those encodings. An absent bound is
+    * unbounded on that side. */
   private def rangesIntersect(dt: org.apache.spark.sql.types.DataType,
                               mn: String, mx: String,
-                              lo: String, hi: String): Boolean = {
+                              lo: Option[String], hi: Option[String]): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
            _: FloatType | _: DoubleType | _: DecimalType =>
-        val (a, b, l, h) = (BigDecimal(mn), BigDecimal(mx),
-          BigDecimal(lo), BigDecimal(hi))
-        a <= h && b >= l
-      case _ => mn <= hi && mx >= lo
+        hi.forall(h => BigDecimal(mn) <= BigDecimal(h)) &&
+          lo.forall(l => BigDecimal(mx) >= BigDecimal(l))
+      case _ => hi.forall(mn <= _) && lo.forall(mx >= _)
     }
   }
 

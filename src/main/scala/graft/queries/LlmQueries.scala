@@ -436,6 +436,37 @@ object LlmQueries {
       .orderBy(col("media_id"), col("dim_idx"))
   }
 
+  /** Exact-integer certificate twin of [[multimodalFeatures]]
+    * (`llm/Multimodal.byteBlockStats`): the same block boundaries over
+    * the same binary payloads, outputs integer (sum, len, milli-mean)
+    * instead of the float mean — oracle-checked, so the distributed
+    * byte-blocking is driver-certified while the float twin stays
+    * rows-only (same pattern as knn_ann_ivf_exh). */
+  private def multimodalFeaturesBlocks(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.asMedia(
+      Tables.documents(s, d).select(col("doc_id"),
+        col("text").cast("binary").as("payload")),
+      "doc_id", "payload", "image")
+    Multimodal.byteBlockStats(media, dim = 16)
+      .orderBy(col("media_id"), col("dim_idx"))
+  }
+
+  private val multimodalFeaturesBlocksSql: String =
+    """WITH d AS (SELECT doc_id AS id, text, length(text) AS n FROM documents),
+      |b AS (SELECT id, text, n, unnest(range(0, 16)) AS i FROM d),
+      |blk AS (SELECT id, CAST(i AS BIGINT) AS dim_idx,
+      |    (i * n) // 16 AS lo, ((i + 1) * n) // 16 AS hi, text FROM b),
+      |s AS (SELECT id, dim_idx,
+      |    CAST(coalesce(list_sum(list_transform(range(lo + 1, hi + 1),
+      |        j -> ord(substr(text, CAST(j AS INTEGER), 1)))), 0) AS BIGINT)
+      |      AS block_sum,
+      |    CAST(hi - lo AS BIGINT) AS block_len
+      |  FROM blk)
+      |SELECT id AS media_id, dim_idx, block_sum, block_len,
+      |  CASE WHEN block_len = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE (1000 * block_sum) // block_len END AS value_milli
+      |FROM s ORDER BY media_id, dim_idx""".stripMargin
+
   /** REAL codec roundtrip, oracle-checked: per doc, render a constant-
     * gray image (dims and gray level derived arithmetically from the
     * id), PNG-encode it, decode the pixels back, then area-average
@@ -624,6 +655,8 @@ object LlmQueries {
 
     Q("multimodal_decode", multimodalDecode, Some(multimodalDecodeSql)),
     Q("multimodal_features", multimodalFeatures, None), // shape: MultimodalSpec
+    Q("multimodal_features_blocks", multimodalFeaturesBlocks,
+      Some(multimodalFeaturesBlocksSql)),
     Q("multimodal_pixels", multimodalPixels, Some(multimodalPixelsSql)),
     Q("doc_fingerprint", docFingerprint,
       Some("""SELECT doc_id AS id,

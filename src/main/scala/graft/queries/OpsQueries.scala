@@ -822,6 +822,46 @@ object OpsQueries {
     pruned.orderBy(col("o_orderkey"))
   }
 
+  /** Zone-map file skipping on the SQL read path
+    * (`sources/v2/ZoneMapScan.scala`): the same range query as
+    * [[snapshotSkipping]] but typed as plain SQL against the DSv2
+    * catalog — the pushed BETWEEN maps through the stats sidecar
+    * driver-side and the parquet scan plans ONLY the surviving files
+    * (the in-query guard pins the skip; SnapshotCatalogSpec pins
+    * planned-files == sidecar survivors and that row-group pushdown
+    * still applies below the file skip). The oracle certifies the
+    * pruned SQL read returns exactly the plain filtered rows. */
+  private def snapshotSqlPruned(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_zm"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    graft.ops.Snapshots.commitAppend(
+      Tables.orders(s, d).repartitionByRange(8, col("o_orderkey")), loc)
+    graft.ops.Snapshots.attachStats(s, loc, 1L, Seq("o_orderkey"))
+    val df = s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM graft_snap_dml.orders_zm
+        |WHERE o_orderkey BETWEEN 100 AND 500
+        |ORDER BY o_orderkey""".stripMargin)
+    val planned = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            pq.fileIndex.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+    val total = graft.ops.Snapshots.versionFiles(s, loc, 1L).length
+    require(planned < total,
+      s"SQL zone maps skipped nothing: planned $planned of $total files")
+    df
+  }
+
   /** Stats-pruned DELETE (`Snapshots.commitDelete` with `pruneBy`): on a
     * range-clustered layout with zone-map sidecars, the affected-file
     * DETECTION scan touches only files whose [min, max] intersects the
@@ -1091,6 +1131,11 @@ object OpsQueries {
              |  WHERE o_orderstatus = 'F') f
              |ORDER BY _commit_version, change, o_orderkey""".stripMargin)),
     Q("snapshot_skipping", snapshotSkipping,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey BETWEEN 100 AND 500
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_pruned", snapshotSqlPruned,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey BETWEEN 100 AND 500

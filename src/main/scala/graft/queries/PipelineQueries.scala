@@ -314,6 +314,40 @@ object PipelineQueries {
     LangModel.perplexityExact(docs, docs, "doc_id", "text")
   }
 
+  /** Exact-integer certificate twin of [[lmPerplexity]]
+    * (`llm/LangModel.perplexityTerms`): the same docBigrams ⋈ model ⋈
+    * context plan, outputs per-doc integer sufficient statistics (token
+    * count, Σn, Σn1, vocab, an order-free 40-bit md5 digest of the term
+    * multiset) instead of the ln-based score — oracle-checked, so the
+    * distributed training + scoring join is driver-certified while the
+    * ln twin stays rows-only (the primitive drifts a last ulp between
+    * JVM and libm; same pattern as knn_ann_ivf_exh). */
+  private def lmPerplexityTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    LangModel.perplexityTerms(docs, docs, "doc_id", "text").orderBy(col("id"))
+  }
+
+  private val lmPerplexityTermsSql: String =
+    """WITH d AS (SELECT doc_id AS id,
+      |    list_prepend('<s>', string_split(text, ' ')) AS w FROM documents),
+      |u AS (SELECT id, w, unnest(range(1, len(w))) AS i FROM d),
+      |docbg AS (SELECT id, w[i] AS w1, w[i + 1] AS w2,
+      |    CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2, 3),
+      |bg AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS n FROM docbg GROUP BY 1, 2),
+      |ctx AS (SELECT w[i] AS w1, CAST(count(*) AS BIGINT) AS n1 FROM u GROUP BY 1),
+      |vv AS (SELECT CAST(count(DISTINCT w2) + 1 AS BIGINT) AS v FROM bg)
+      |SELECT id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(c * coalesce(n, 0)) AS BIGINT) AS sum_n,
+      |  CAST(sum(c * coalesce(n1, 0)) AS BIGINT) AS sum_n1,
+      |  CAST(sum(c * (CAST(concat('0x', substr(md5(
+      |      w1 || '|' || w2 || '|' || CAST(coalesce(n, 0) AS VARCHAR)
+      |      || '|' || CAST(coalesce(n1, 0) AS VARCHAR)), 1, 15)) AS BIGINT)
+      |    % 1099511627776)) AS BIGINT) AS term_digest,
+      |  min(vv.v) AS v
+      |FROM docbg LEFT JOIN bg USING (w1, w2) LEFT JOIN ctx USING (w1)
+      |CROSS JOIN vv
+      |GROUP BY id ORDER BY id""".stripMargin
+
   private def dupSpanFraction(s: SparkSession, d: String): DataFrame =
     LineOps.duplicatedSpanFraction(Tables.documents(s, d), "doc_id", "text", n = 8)
 
@@ -507,6 +541,7 @@ object PipelineQueries {
     Q("bigram_counts", bigramCounts, Some(bigramCountsSql)),
     Q("collocations", collocations, Some(collocationsSql)),
     Q("lm_perplexity", lmPerplexity, None), // ln not bit-stable cross-engine — see scaladoc
+    Q("lm_perplexity_terms", lmPerplexityTerms, Some(lmPerplexityTermsSql)),
     Q("pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
     Q("decontaminate_fuzzy", decontaminateFuzzy, Some(decontaminateFuzzySql)),

@@ -156,6 +156,12 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
           "nested column additions are not supported")
         if (a.position() != null) throw new UnsupportedOperationException(
           "column positions are not supported; new columns append at the end")
+        // never silently drop a declared constraint: existing rows WOULD
+        // read the new column as null, so a NOT NULL addition is a lie
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          s"ADD COLUMNS ${a.fieldNames()(0)} NOT NULL is not supported: " +
+            "additive evolution fills existing rows with null, so added " +
+            "columns must be nullable")
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
       case other => readOnly(s"ALTER TABLE change ${other.getClass.getSimpleName}")

@@ -1,0 +1,327 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{InternalRow, ProjectingInternalRow}
+import org.apache.spark.sql.catalyst.expressions.JoinedRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.Snapshots
+
+/** Shared executor-side parquet row reader: Spark's own
+  * `buildReaderWithPartitionValues` closure (broadcast hadoop conf
+  * inside), row-returning mode, no pushed filters — so a file's rows
+  * arrive complete and IN FILE ORDER, which is what the streaming source
+  * relies on. */
+private[v2] object V2ParquetRead {
+  def rowReadFunc(spark: SparkSession,
+                  schema: StructType): PartitionedFile => Iterator[InternalRow] =
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, schema, StructType(Nil), schema, Nil,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConf())
+
+  /** Reader for the per-file row scan: projects `required` columns, plus
+    * a trailing native ROW-INDEX column when `withRowIndex` (the parquet
+    * reader fills each row's TRUE position in its file — correct even
+    * when the pushed `filters` skip whole row groups or records), under
+    * the full table `dataSchema` so pushed filters may reference
+    * unprojected columns. */
+  def rowReadFuncPruned(spark: SparkSession, dataSchema: StructType,
+                        required: StructType, filters: Seq[Filter],
+                        withRowIndex: Boolean)
+      : PartitionedFile => Iterator[InternalRow] =
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, dataSchema, StructType(Nil),
+      if (withRowIndex) StructType(required.fields :+ StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType))
+      else required,
+      filters, Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConf())
+
+  def partitionedFile(file: String, length: Long): PartitionedFile =
+    PartitionedFile(InternalRow.empty, SparkPath.fromPathString(file), 0L,
+      length, Array.empty[String], 0L, length, Map.empty)
+}
+
+/** What a row-level operation's scan observed, shared with its write:
+  * after Spark's runtime group filtering narrows the scan to the files
+  * holding matching rows, the write REPLACES exactly those files and
+  * carries the rest by reference. `None` (filter never invoked — group
+  * filtering disabled, non-selective condition) means every file was
+  * scanned: the conservative whole-table replace. */
+private[v2] class RowLevelScanState {
+  @volatile var scannedFiles: Option[Seq[String]] = None
+}
+
+/** Per-file row scan over a snapshot version — the one scan
+  * implementation behind every read the delegated parquet `FileTable`
+  * cannot express, composing four orthogonal capabilities:
+  *
+  *  - merge-on-read DELETE VECTORS: subtraction keyed on the reader's
+  *    native row index (each row's true position in its file), so it
+  *    stays correct under pushdown; vectors ship as ONE broadcast map of
+  *    per-file sorted position arrays (grouped executor-side, one row
+  *    per file collected; `graft.snapshot.dv.maxScanEntries`, default
+  *    8M, fail-fasts a pathological vector toward compaction);
+  *  - parquet filter pushdown + column pruning + zone-map file skipping
+  *    (best-effort: every filter is also returned residual);
+  *  - the `__graft_file` metadata column (each row's normalized data-file
+  *    path), emitted as a per-partition constant;
+  *  - runtime GROUP filtering ([[SupportsRuntimeV2Filtering]] on
+  *    `__graft_file`): Spark's row-level-operation group filter feeds
+  *    back the matching files, the scan narrows to them and records the
+  *    set on [[RowLevelScanState]] so the write replaces only those
+  *    files — SQL UPDATE/MERGE cost O(affected files), not O(table).
+  *
+  * `allowPushdown = false` (the row-level-rewrite path) declines filter
+  * pushdown, column pruning, and zone-map skipping: a rewrite's scan
+  * must return every live row of the files it reads, because what it
+  * writes REPLACES those files. */
+private[v2] class SnapshotRowScanBuilder(spark: SparkSession, schema: StructType,
+                                         files: Seq[String], dvs: Seq[String],
+                                         loc: String, version: Long,
+                                         allowPushdown: Boolean = true,
+                                         rowLevel: Option[RowLevelScanState] = None)
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType =
+    if (rowLevel.isDefined)
+      StructType(schema.fields :+ SnapshotRowScan.fileField)
+    else schema
+
+  /** Best-effort pushdown: every filter is ALSO returned as residual, so
+    * Spark re-evaluates it above the scan — the parquet reader's use of
+    * the pushed set is pure skipping, never a correctness dependency. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (allowPushdown) pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (allowPushdown) required = requiredSchema
+
+  override def build(): Scan =
+    rowLevel match {
+      case Some(state) =>
+        new SnapshotRowScan(spark, schema, files, dvs, loc, version,
+          allowPushdown, required, pushed) with SupportsRuntimeV2Filtering {
+          override def filterAttributes(): Array[NamedReference] =
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .column(SnapshotRowScan.FileCol))
+          override def filter(predicates: Array[Predicate]): Unit = {
+            SnapshotRowScan.matchingFiles(predicates).foreach { keepNorm =>
+              narrowTo(f => keepNorm.contains(SnapshotRowScan.norm(f)))
+              state.scannedFiles = Some(activeFiles)
+            }
+          }
+        }
+      case None =>
+        new SnapshotRowScan(spark, schema, files, dvs, loc, version,
+          allowPushdown, required, pushed)
+    }
+}
+
+private[v2] object SnapshotRowScan {
+  val FileCol = "__graft_file"
+  val fileField: StructField = StructField(FileCol, StringType, nullable = true)
+  def norm(p: String): String = new Path(p).toUri.getPath
+
+  /** The `__graft_file` values named by a runtime-filter IN predicate, or
+    * None when no predicate has the recognized shape (→ prune nothing,
+    * the conservative fallback). */
+  def matchingFiles(predicates: Array[Predicate]): Option[Set[String]] = {
+    val sets: Seq[Set[String]] = predicates.toSeq.collect {
+      case p if p.name() == "IN" && p.children().nonEmpty &&
+          p.children().head.isInstanceOf[NamedReference] &&
+          p.children().head.asInstanceOf[NamedReference]
+            .fieldNames().sameElements(Array(FileCol)) =>
+        p.children().tail.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value != null => l.value.toString
+        }.toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  /** v1 Filter → zone-map interval, the same over-approximation rule as
+    * the catalyst side ([[ZoneMapScanBuilder]]): only numeric/string
+    * values (the sidecar's CAST-AS-STRING encoding compares correctly),
+    * strict bounds relaxed to inclusive, anything else prunes nothing. */
+  private[v2] def v1Bound(f: Filter)
+      : Option[(String, Option[String], Option[String])] = {
+    def str(v: Any): Option[String] = v match {
+      case null => None
+      case _: java.lang.Number | _: String | _: BigDecimal => Some(v.toString)
+      case _ => None
+    }
+    f match {
+      case org.apache.spark.sql.sources.EqualTo(a, v) =>
+        str(v).map(s => (a, Some(s), Some(s)))
+      case org.apache.spark.sql.sources.EqualNullSafe(a, v) =>
+        str(v).map(s => (a, Some(s), Some(s)))
+      case org.apache.spark.sql.sources.GreaterThan(a, v) =>
+        str(v).map(s => (a, Some(s), None))
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v) =>
+        str(v).map(s => (a, Some(s), None))
+      case org.apache.spark.sql.sources.LessThan(a, v) =>
+        str(v).map(s => (a, None, Some(s)))
+      case org.apache.spark.sql.sources.LessThanOrEqual(a, v) =>
+        str(v).map(s => (a, None, Some(s)))
+      case _ => None
+    }
+  }
+}
+
+private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
+                                  files: Seq[String], dvs: Seq[String],
+                                  loc: String, version: Long,
+                                  allowPushdown: Boolean,
+                                  required: StructType, pushed: Array[Filter])
+  extends Scan with Batch {
+
+  // runtime group filtering narrows this between the build-side scan
+  // (which plans ALL files to find matching groups) and the main scan
+  @volatile protected var activeFiles: Seq[String] = files
+  protected def narrowTo(keep: String => Boolean): Unit =
+    activeFiles = activeFiles.filter(keep)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot-row-scan $loc@v$version"
+
+  private val fileIdx = required.fieldNames.indexOf(SnapshotRowScan.FileCol)
+  // parquet serves every required column except the synthesized one
+  private val parquetCols = StructType(
+    required.fields.filterNot(_.name == SnapshotRowScan.FileCol))
+  require(fileIdx < 0 || fileIdx == required.length - 1,
+    s"${SnapshotRowScan.FileCol} must be the trailing (metadata) column: $required")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    // driver-side zone-map file skipping applies to DV versions too: a
+    // skipped file's DV entries are simply never consulted
+    val keep =
+      if (allowPushdown)
+        pushed.foldLeft(activeFiles) { (fs, f) =>
+          SnapshotRowScan.v1Bound(f) match {
+            case Some((c, lo, hi)) =>
+              Snapshots.statFilesBounds(spark, loc, version, fs, c, lo, hi)
+            case None => fs
+          }
+        }
+      else activeFiles
+    if (keep.isEmpty) return Array.empty
+    val deleted: Map[String, Array[Long]] =
+      if (dvs.isEmpty) Map.empty
+      else {
+        val dvDf = spark.read.parquet(dvs: _*)
+        // DVs are bounded small by contract (compaction folds them); the
+        // guard turns a pathological vector into a clear instruction
+        // instead of a driver OOM at collect time
+        val maxEntries = spark.conf.getOption("graft.snapshot.dv.maxScanEntries")
+          .map(_.toLong).getOrElse(8L * 1000 * 1000)
+        val n = dvDf.count()
+        require(n <= maxEntries,
+          s"delete vectors hold $n entries (> $maxEntries) — run " +
+            "Snapshots.commitCompaction (CALL <cat>.system.optimize) to fold " +
+            "them before scanning, or raise graft.snapshot.dv.maxScanEntries")
+        // grouped + sorted EXECUTOR-side: the driver receives one row per
+        // file holding a sorted position array, not n (path, pos) rows
+        dvDf.groupBy(col("file"))
+          .agg(sort_array(collect_list(col("pos"))).as("poss"))
+          .collect()
+          .map(r => SnapshotRowScan.norm(r.getString(0)) ->
+            r.getSeq[Long](1).toArray)
+          .toMap
+      }
+    // file lengths in one listStatus per commit directory, not one
+    // getFileStatus RPC per file
+    val fs = new Path(keep.head).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lengths: Map[String, Long] = keep.map(f => new Path(f))
+      .groupBy(_.getParent).iterator.flatMap { case (dir, _) =>
+        fs.listStatus(dir).iterator.map(st =>
+          SnapshotRowScan.norm(st.getPath.toString) -> st.getLen)
+      }.toMap
+    val bc = spark.sparkContext.broadcast(deleted)
+    keep.map { f =>
+      val n = SnapshotRowScan.norm(f)
+      RowScanFilePartition(f, lengths(n), n, bc): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RowScanReaderFactory(
+      V2ParquetRead.rowReadFuncPruned(spark, schema, parquetCols,
+        pushed.toIndexedSeq, withRowIndex = dvs.nonEmpty),
+      parquetCols, dvs.nonEmpty, fileIdx >= 0)
+}
+
+private[v2] case class RowScanFilePartition(file: String, length: Long,
+                                            normPath: String,
+                                            dvs: Broadcast[Map[String, Array[Long]]])
+  extends InputPartition
+
+/** Per-file reader: native parquet rows, optionally carrying a trailing
+  * true row index (delete-vector subtraction by a forward pointer walk —
+  * row indexes arrive strictly increasing) and optionally joined with
+  * the partition's constant `__graft_file` value; the index column is
+  * projected away before the row leaves the reader (one reused
+  * projection per reader, no per-row allocation). */
+private[v2] class RowScanReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    parquetCols: StructType, hasDv: Boolean, emitFile: Boolean)
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[RowScanFilePartition]
+    val it = readFunc(V2ParquetRead.partitionedFile(part.file, part.length))
+    val dead =
+      if (hasDv) part.dvs.value.getOrElse(part.normPath, Array.empty[Long])
+      else Array.empty[Long]
+    val width = parquetCols.length
+    new PartitionReader[InternalRow] {
+      // parquet row → (data columns)[, row index]; output → (data
+      // columns)[, __graft_file]
+      private val dataProj = ProjectingInternalRow(parquetCols, 0 until width)
+      private val fileRow = new GenericInternalRow(
+        Array[Any](UTF8String.fromString(part.normPath)))
+      private val joined = new JoinedRow
+      private var current: InternalRow = _
+      private var di = 0
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          current = it.next()
+          if (dead.length == 0) return true
+          val pos = current.getLong(width) // the trailing row index
+          while (di < dead.length && dead(di) < pos) di += 1
+          if (di >= dead.length || dead(di) != pos) return true
+        }
+        false
+      }
+      override def get(): InternalRow =
+        if (!hasDv && !emitFile) current
+        else {
+          if (hasDv) { dataProj.project(current) }
+          val data: InternalRow = if (hasDv) dataProj else current
+          if (emitFile) joined(data, fileRow) else data
+        }
+      override def close(): Unit = ()
+    }
+  }
+}

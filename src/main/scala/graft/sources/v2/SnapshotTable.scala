@@ -44,18 +44,35 @@ import graft.ops.Snapshots
   * automatically via `SupportsDelete`.
   *
   * Versions carrying merge-on-read delete vectors scan through the
-  * DV-subtracting per-file reader ([[SnapshotDvScanBuilder]]): correct
-  * rows at the cost of pushdown, on exactly the versions that carry DVs
-  * — `commitCompaction` folds them away and restores the native
-  * pushdown scan. Row-level rewrites on such versions read DV-subtracted
-  * rows, so a SQL UPDATE can never resurrect a deleted row.
+  * DV-subtracting per-file reader ([[SnapshotDvScanBuilder]]), which
+  * keeps parquet filter pushdown, column pruning, and zone-map file
+  * skipping intact by keying the subtraction on the reader's native row
+  * index; `commitCompaction` folds the vectors away entirely. Row-level
+  * rewrites on such versions read DV-subtracted rows, so a SQL UPDATE
+  * can never resurrect a deleted row.
   */
 class SnapshotTable(ident: String, spark: SparkSession, loc: String,
                     val snapshotVersion: Long, pinned: Boolean, files: Seq[String],
                     manifestSchema: Option[StructType] = None,
                     dvs: Seq[String] = Nil)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** One metadata column, `__graft_file` — each row's normalized data-
+    * file path. It is both user-queryable (served by the per-file row
+    * scan) and the GROUP identity of row-level operations: Spark's
+    * runtime group filter keys on it to narrow a SQL UPDATE/MERGE to the
+    * affected files. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = SnapshotRowScan.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "normalized path of the data file holding the row"
+    })
 
   // the manifest's schema header (present on every commit since round
   // 10) replaces footer inference — and is the ONLY schema source for an
@@ -71,13 +88,33 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
-  /** Versions carrying merge-on-read delete vectors scan through the
-    * DV-subtracting per-file reader ([[SnapshotDvScanBuilder]] — correct
-    * rows, no pushdown); compacted versions use Spark's native parquet
-    * scan with full pushdown/pruning. */
+  /** SQL reads get the SAME driver-side zone-map file skipping the API
+    * path has ([[ZoneMapScanBuilder]] maps pushed range filters through
+    * the version's stats sidecar and hands the parquet scan only the
+    * surviving files — O(matching files) planning). Versions carrying
+    * merge-on-read delete vectors scan through the DV-subtracting
+    * per-file reader ([[SnapshotDvScanBuilder]]); compacted versions use
+    * Spark's native parquet scan with full pushdown/pruning. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (dvs.isEmpty || files.isEmpty) delegate.newScanBuilder(options)
-    else new SnapshotDvScanBuilder(spark, schema(), files, dvs)
+    if (files.isEmpty) delegate.newScanBuilder(options)
+    else if (dvs.isEmpty)
+      new ZoneMapScanBuilder(spark, loc, snapshotVersion, files,
+        { keep =>
+          // a legacy schema-less table can't plan a zero-file scan (nothing
+          // to infer from) — pruning to nothing falls back to the full list
+          // there; schema-bearing tables plan the empty scan directly
+          val eff = if (keep.isEmpty && manifestSchema.isEmpty) files else keep
+          ParquetTable(ident, spark, CaseInsensitiveStringMap.empty(),
+            eff.toIndexedSeq, manifestSchema, classOf[ParquetFileFormat])
+            .newScanBuilder(options)
+        },
+        // a projection naming __graft_file leaves the delegate (parquet
+        // cannot synthesize it) for the per-file row scan, which serves
+        // it with pushdown and skipping intact
+        required => new SnapshotRowScanBuilder(spark, schema(), files, dvs,
+          loc, snapshotVersion))
+    else new SnapshotRowScanBuilder(spark, schema(), files, dvs, loc,
+      snapshotVersion)
 
   private def requireMutable(op: String): Unit =
     if (pinned) throw new UnsupportedOperationException(
@@ -109,33 +146,50 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
     Snapshots.commitDelete(spark, loc, pred)
   }
 
-  // ---- UPDATE / MERGE / subquery DELETE: group-based rewrite ----
+  // ---- UPDATE / MERGE / subquery DELETE: GROUP-granular rewrite ----
+  /** The rewrite is group-based at FILE granularity: the operation
+    * declares `__graft_file` as a required metadata attribute, its scan
+    * exposes runtime group filtering on that column, and Spark's
+    * `RowLevelOperationRuntimeGroupFiltering` narrows the scan to the
+    * files that hold matching rows — the write then publishes replaced =
+    * scanned files, carried = everything else BY REFERENCE (byte-
+    * identical, SnapshotSqlDmlSpec pins mtimes), so a selective SQL
+    * UPDATE/MERGE costs O(affected files), not O(table). If the runtime
+    * filter never fires (disabled, non-selective condition), the scan
+    * reads everything and the commit degrades to the exact whole-table
+    * replace — never the other way around. First-committer-wins: a
+    * concurrent commit between scan and publish raises
+    * ConcurrentModificationException instead of dropping its rows.
+    * Within the scanned files the scan declines pushdown and skipping
+    * (their rows are REPLACED by what the rewrite writes, so every live
+    * row must flow), and a DV-bearing version rewrites from
+    * DV-SUBTRACTED rows (no resurrection) — carried files keep the
+    * version's vectors, replaced files' entries go inert. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireMutable(info.command.toString)
     val base = snapshotVersion
     () => new RowLevelOperation {
+      private val state = new RowLevelScanState
       override def command(): RowLevelOperation.Command = info.command
-      // the rewrite publishes a WHOLE-TABLE replace, so its scan must
-      // return every row: hide the delegate's pushdown interfaces (a
-      // pushed condition would narrow the scan to matching rows — valid
-      // only for group-granularity connectors that replace just the
-      // scanned files, and it would silently drop every unmatched row
-      // here). Plain ScanBuilder → Spark pushes nothing. A DV-bearing
-      // version rewrites from DV-SUBTRACTED rows (no resurrection), and
-      // the replace it publishes drops the vectors with the files.
+      override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column(SnapshotRowScan.FileCol))
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        if (dvs.nonEmpty && files.nonEmpty)
-          new SnapshotDvScanBuilder(spark, schema(), files, dvs)
-        else new ScanBuilder {
-          override def build() = delegate.newScanBuilder(options).build()
-        }
+        new SnapshotRowScanBuilder(spark, schema(), files, dvs, loc,
+          snapshotVersion, allowPushdown = false, rowLevel = Some(state))
       override def newWriteBuilder(wi: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
           override def build(): Write =
             SnapshotTable.publishingWrite(spark, loc, delegate, wi,
-              newFiles => Snapshots.publishReplaceExact(spark, loc, base, newFiles),
-              stripOperationColumn = true)
+              { newFiles =>
+                val scanned = state.scannedFiles.map(_.toSet)
+                val kept = scanned match {
+                  case Some(sc) => files.filterNot(sc.contains)
+                  case None => Nil // every file was scanned and rewritten
+                }
+                Snapshots.publishReplaceGroups(spark, loc, base, kept, newFiles)
+              })
         }
     }
   }
@@ -152,8 +206,7 @@ object SnapshotTable {
   private[v2] def publishingWrite(spark: SparkSession, loc: String,
                                   delegate: ParquetTable,
                                   info: LogicalWriteInfo,
-                                  publish: Seq[String] => Long,
-                                  stripOperationColumn: Boolean = false): Write = {
+                                  publish: Seq[String] => Long): Write = {
     val dataDir = s"$loc/data/${UUID.randomUUID()}"
     val inner = ParquetWrite(Seq(dataDir), "parquet",
       delegate.supportsDataType _, info)
@@ -161,15 +214,12 @@ object SnapshotTable {
       override def description(): String = s"snapshot-commit $dataDir"
       override def toBatch: BatchWrite = new BatchWrite {
         private val innerBatch = inner.toBatch
-        override def createBatchWriterFactory(pi: PhysicalWriteInfo) = {
-          val f = innerBatch.createBatchWriterFactory(pi)
-          // A group-based ReplaceData query emits (__row_operation, data…),
-          // and Spark's exec strips the operation column only for
-          // connectors declaring metadata attributes — project it away
-          // ourselves so the parquet writer sees exactly info.schema rows
-          if (stripOperationColumn) new OpStrippingFactory(f, info.schema())
-          else f
-        }
+        // a group-based ReplaceData declares metadata attributes
+        // (__graft_file), so Spark's DataAndMetadataWritingSparkTask
+        // applies its own row projection: writers receive exactly
+        // info.schema data rows — no operation-column stripping needed
+        override def createBatchWriterFactory(pi: PhysicalWriteInfo) =
+          innerBatch.createBatchWriterFactory(pi)
         override def useCommitCoordinator(): Boolean =
           innerBatch.useCommitCoordinator()
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -189,31 +239,6 @@ object SnapshotTable {
           dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .delete(dir, true)
         }
-      }
-    }
-  }
-
-  /** Drops the leading `__row_operation` column a group-based row-level
-    * rewrite prepends to its write rows, presenting the delegated parquet
-    * writers with pure data rows. One reused ProjectingInternalRow per
-    * writer — the same mechanism Spark's own metadata-aware writing task
-    * uses, no per-row allocation. */
-  private class OpStrippingFactory(
-      inner: org.apache.spark.sql.connector.write.DataWriterFactory,
-      dataSchema: org.apache.spark.sql.types.StructType)
-    extends org.apache.spark.sql.connector.write.DataWriterFactory {
-    override def createWriter(partitionId: Int, taskId: Long):
-        org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
-      val w = inner.createWriter(partitionId, taskId)
-      val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
-        dataSchema, 1 to dataSchema.length)
-      new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
-        override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
-          proj.project(row); w.write(proj)
-        }
-        override def commit(): WriterCommitMessage = w.commit()
-        override def abort(): Unit = w.abort()
-        override def close(): Unit = w.close()
       }
     }
   }

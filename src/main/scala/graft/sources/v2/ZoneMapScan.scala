@@ -1,0 +1,156 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types._
+
+import graft.ops.Snapshots
+
+/** Driver-side zone-map file skipping for the SQL read path: intercepts
+  * the filters Catalyst pushes at a snapshot scan, maps their range
+  * constraints through the version's stats sidecar
+  * ([[Snapshots.statFilesBounds]]), and builds the delegated parquet scan
+  * over ONLY the surviving files — so `SELECT … WHERE k BETWEEN …`
+  * through the catalog plans O(matching files), not O(table), exactly
+  * like the API-path `readPruned`. The pushed filters are then forwarded
+  * into the narrowed parquet scan builder, so row-group pushdown, column
+  * pruning, and aggregate pushdown all still apply below the file-level
+  * skip. Conservative by construction: uncovered columns, non-range
+  * predicates, or a missing sidecar prune nothing, and the delegate
+  * re-evaluates every filter it doesn't fully push — skipping is an
+  * optimization, never a correctness dependency.
+  */
+private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
+                                     version: Long, files: Seq[String],
+                                     mkInner: Seq[String] => ScanBuilder,
+                                     mkRowScan: StructType => ScanBuilder)
+  extends ScanBuilder with SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  // created on the FIRST pushdown callback: pushFilters arrives before
+  // column/aggregate pruning in V2ScanRelationPushDown, so the file list
+  // is settled by the time the delegate builder materializes; a filterless
+  // query lazily gets the full list
+  private var inner: ScanBuilder = _
+  private def innerOrAll: ScanBuilder = {
+    if (inner == null) inner = mkInner(files)
+    inner
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    if (inner == null)
+      inner = mkInner(ZoneMapScanBuilder.prune(spark, loc, version, files, filters))
+    innerOrAll.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)
+  }
+  override def pushedFilters: Array[Predicate] =
+    innerOrAll.asInstanceOf[SupportsPushDownCatalystFilters].pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // the delegated parquet scan cannot synthesize the __graft_file
+    // metadata column — a projection naming it switches to the per-file
+    // row scan (filters stay residual above the scan, so dropping the
+    // delegate's pushed set is safe; explain keeps the delegate's report)
+    if (requiredSchema.fieldNames.contains(SnapshotRowScan.FileCol)) {
+      val rs = mkRowScan(requiredSchema)
+      rs.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(requiredSchema)
+      inner = rs
+    } else innerOrAll.asInstanceOf[SupportsPushDownRequiredColumns]
+      .pruneColumns(requiredSchema)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    innerOrAll match {
+      case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
+      case _ => false
+    }
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    innerOrAll match {
+      case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
+      case _ => false
+    }
+
+  override def build(): Scan = innerOrAll.build()
+}
+
+private[v2] object ZoneMapScanBuilder {
+
+  /** The subset of `files` any of whose sidecar-covered columns might
+    * satisfy every conjunct — the driver-side file skip. */
+  def prune(spark: SparkSession, loc: String, version: Long,
+            files: Seq[String], filters: Seq[Expression]): Seq[String] =
+    filters.flatMap(splitAnd).foldLeft(files) { (keep, conjunct) =>
+      bound(conjunct) match {
+        case Some((column, lo, hi)) =>
+          Snapshots.statFilesBounds(spark, loc, version, keep, column, lo, hi)
+        case None => keep
+      }
+    }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case x => Seq(x)
+  }
+
+  /** A literal rendered in the sidecar's encoding (CAST AS STRING,
+    * compared as BigDecimal for numerics, lexicographically for strings).
+    * Date/timestamp literals are internal ints/micros whose toString does
+    * NOT match that encoding — excluded, so they never prune (wrongly). */
+  private def litStr(l: Literal): Option[String] = l.dataType match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType | _: StringType =>
+      Option(l.value).map(_.toString)
+    case _ => None
+  }
+
+  private def numeric(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Conjunct → over-approximating interval on one column. Strict
+    * inequalities relax to inclusive bounds (file skipping only needs an
+    * over-approximation); anything unrecognized prunes nothing. */
+  private def bound(e: Expression)
+      : Option[(String, Option[String], Option[String])] = e match {
+    case EqualTo(a: AttributeReference, l: Literal) =>
+      litStr(l).map(v => (a.name, Some(v), Some(v)))
+    case EqualTo(l: Literal, a: AttributeReference) =>
+      litStr(l).map(v => (a.name, Some(v), Some(v)))
+    case EqualNullSafe(a: AttributeReference, l: Literal) =>
+      litStr(l).map(v => (a.name, Some(v), Some(v)))
+    case EqualNullSafe(l: Literal, a: AttributeReference) =>
+      litStr(l).map(v => (a.name, Some(v), Some(v)))
+    case GreaterThan(a: AttributeReference, l: Literal) =>
+      litStr(l).map(v => (a.name, Some(v), None))
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+      litStr(l).map(v => (a.name, Some(v), None))
+    case LessThan(a: AttributeReference, l: Literal) =>
+      litStr(l).map(v => (a.name, None, Some(v)))
+    case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+      litStr(l).map(v => (a.name, None, Some(v)))
+    // literal-on-the-left spellings flip the side the bound lands on
+    case GreaterThan(l: Literal, a: AttributeReference) =>
+      litStr(l).map(v => (a.name, None, Some(v)))
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+      litStr(l).map(v => (a.name, None, Some(v)))
+    case LessThan(l: Literal, a: AttributeReference) =>
+      litStr(l).map(v => (a.name, Some(v), None))
+    case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+      litStr(l).map(v => (a.name, Some(v), None))
+    case In(a: AttributeReference, values)
+        if values.nonEmpty && values.forall(_.isInstanceOf[Literal]) =>
+      val strs = values.map { case l: Literal => litStr(l) }
+      if (strs.exists(_.isEmpty)) None
+      else {
+        val vs = strs.flatten
+        val ord: Ordering[String] =
+          if (numeric(a.dataType)) Ordering.by(BigDecimal(_)) else Ordering.String
+        Some((a.name, Some(vs.min(ord)), Some(vs.max(ord))))
+      }
+    case _ => None
+  }
+}

@@ -88,6 +88,32 @@ class SnapshotDvSpec extends SparkTestBase {
       s"per-version delete attribution broken: $feed")
   }
 
+  test("a no-match MoR delete/update publishes a carry-only commit, never an empty DV") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/dv_noop"
+    wipe(loc)
+    Snapshots.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), loc)
+    // candidates are non-empty (no pruneBy → all files scanned) but no row
+    // matches: the commit must carry files with NO #dv= line — an empty
+    // vector file would flip SQL reads onto the DV scan and fail-fast a
+    // tailing stream on a pure no-op
+    val v2 = Snapshots.commitDeleteMoR(spark, loc, col("v") === "nope")
+    assert(v2 == 2L)
+    assert(!manifestText(loc, 2).exists(_.startsWith("#dv=")),
+      "no-match MoR delete must not commit a delete vector")
+    val v3 = Snapshots.commitUpdateMoR(spark, loc, col("v") === "nope",
+      Map("v" -> lit("x")))
+    assert(!manifestText(loc, 3).exists(_.startsWith("#dv=")),
+      "no-match MoR update must not commit a delete vector")
+    assert(v3 == 3L)
+    // merge with no matching key: pure insert commit, no vector
+    Snapshots.commitMergeMoR(spark, loc, Seq((9L, "z")).toDF("id", "v"), "id")
+    assert(!manifestText(loc, 4).exists(_.startsWith("#dv=")),
+      "no-match MoR merge must not commit a delete vector")
+    assert(Snapshots.read(spark, loc).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 9L))
+  }
+
   test("diff across a MoR delete reports exactly the vector's rows as deletes") {
     import spark.implicits._
     val loc = "/tmp/graft-test/dv_diff"
@@ -123,6 +149,66 @@ class SnapshotDvSpec extends SparkTestBase {
     Snapshots.commitMerge(spark, loc, Seq((2L, "B2")).toDF("id", "v"), "id")
     assert(Snapshots.read(spark, loc).as[(Long, String)].collect().sorted.toSeq
       == Seq((1L, "a"), (2L, "B2")))
+  }
+
+  test("SQL reads of a DV version keep pushdown, pruning, and file skipping") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/dv_pushdown"
+    wipe(loc)
+    spark.conf.set("spark.sql.catalog.dvsql",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvsql.root", "/tmp/graft-test")
+    // four single-file commits with disjoint id ranges, stats attached,
+    // then a MoR delete inside the second file's range
+    (0 until 4).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 100L + 1 to i * 100L + 100).map(x => (x, s"v$x"))
+          .toDF("id", "v").coalesce(1), loc)
+    }
+    Snapshots.attachStats(spark, loc, 4L, Seq("id"))
+    Snapshots.commitDeleteMoR(spark, loc, col("id").between(150, 160))
+    Snapshots.attachStats(spark, loc, 5L, Seq("id")) // pure inheritance
+    // the filtered read subtracts the vector even while the pushed
+    // predicate skips records/row groups (row-index keyed, not
+    // order-counted) and the untouched files are zone-map skipped
+    val df = spark.sql(
+      "SELECT id FROM dvsql.dv_pushdown WHERE id BETWEEN 120 AND 180")
+    assert(df.as[Long].collect().sorted.toSeq
+      == ((120L to 149L) ++ (161L to 180L)))
+    // one partition per planned file: the sidecar kept exactly one
+    assert(df.rdd.getNumPartitions == 1,
+      s"zone maps should leave 1 of 4 files, planned ${df.rdd.getNumPartitions}")
+    // column pruning reaches the reader: a one-column projection of a
+    // two-column table still subtracts correctly
+    assert(spark.sql("SELECT v FROM dvsql.dv_pushdown WHERE id = 155").count() == 0)
+    assert(spark.sql("SELECT count(*) AS n FROM dvsql.dv_pushdown").as[Long]
+      .collect().head == 389L)
+  }
+
+  test("group-granular SQL UPDATE on a DV version carries kept files WITH their vectors") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/dv_groups"
+    wipe(loc)
+    spark.conf.set("spark.sql.catalog.dvsql",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvsql.root", "/tmp/graft-test")
+    Snapshots.commitAppend((1L to 100L).toDF("id").coalesce(1), loc)
+    Snapshots.commitAppend((1000L to 1100L).toDF("id").coalesce(1), loc)
+    Snapshots.commitDeleteMoR(spark, loc, col("id") === 5L) // vector on file A
+    val before = dataFiles(loc)
+    // the UPDATE matches only file B: A must be carried BY REFERENCE and
+    // its delete vector must survive the commit — id=5 stays dead
+    spark.sql("UPDATE dvsql.dv_groups SET id = id + 1 WHERE id >= 1000")
+    val after = dataFiles(loc)
+    val carried = before.count { case (f, m) => after.get(f).contains(m) }
+    assert(carried >= 1, "group-granular update must carry the unmatched file")
+    assert(manifestText(loc, 4).exists(_.startsWith("#dv=")),
+      "carried files must keep their delete vectors")
+    val ids = Snapshots.read(spark, loc).as[Long].collect().sorted.toSeq
+    assert(ids == ((1L to 4L) ++ (6L to 100L) ++ (1001L to 1101L)),
+      s"DV lost or update wrong: ${ids.take(10)}...")
+    assert(spark.sql("SELECT count(*) AS n FROM dvsql.dv_groups")
+      .as[Long].collect().head == 200L)
   }
 
   test("compaction folds delete vectors back into data files") {

@@ -51,6 +51,42 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
   }
 
+  test("SQL range predicates skip files through the zone-map sidecar") {
+    import spark.implicits._
+    wipe(); register()
+    val loc = s"$root/zm"
+    // four single-file commits with disjoint id ranges
+    (0 until 4).foreach { i =>
+      Snapshots.commitAppend(
+        (i * 100L + 1 to i * 100L + 100).toDF("id").coalesce(1), loc)
+    }
+    Snapshots.attachStats(spark, loc, 4L, Seq("id"))
+    val df = spark.sql("SELECT id FROM snapcat.zm WHERE id BETWEEN 120 AND 180")
+    assert(df.as[Long].collect().sorted.toSeq == (120L to 180L))
+    // the planned parquet scan reads EXACTLY the sidecar survivors — the
+    // SQL twin of what SnapshotsSpec pins for readPruned
+    val scanned = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            p.fileIndex.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten.map(f => new Path(f).toUri.getPath).toSet
+    val all = Snapshots.versionFiles(spark, loc, 4L)
+    val survivors = Snapshots.statFiles(spark, loc, 4L, all, "id", "120", "180")
+      .map(f => new Path(f).toUri.getPath).toSet
+    assert(scanned == survivors, s"scan planned $scanned, sidecar says $survivors")
+    assert(scanned.size == 1 && all.size == 4,
+      s"expected 1 of 4 files to survive, got ${scanned.size} of ${all.size}")
+    // an all-excluding range plans a zero-file scan and returns no rows
+    assert(spark.sql("SELECT id FROM snapcat.zm WHERE id > 4000").count() == 0)
+    // row-group pushdown still applies BELOW the file skip (wrapper
+    // forwards the filters into the narrowed parquet builder)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(id,120)"), plan)
+  }
+
   test("missing table / version / unsupported DDL all fail fast") {
     import spark.implicits._
     wipe(); register()

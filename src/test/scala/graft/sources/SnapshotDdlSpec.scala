@@ -72,6 +72,13 @@ class SnapshotDdlSpec extends SparkTestBase {
       spark.sql("ALTER TABLE sqlddl.t_alter ADD COLUMNS (id INT)"))
     intercept[Exception](
       spark.sql("ALTER TABLE sqlddl.t_alter RENAME COLUMN v TO w"))
+    // a NOT NULL addition is rejected loudly, never silently coerced:
+    // existing rows would read it as null, violating the declared constraint
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE sqlddl.t_alter ADD COLUMNS (rank BIGINT NOT NULL)"))
+    assert(e.getMessage.contains("nullable") || Option(e.getCause)
+      .exists(_.getMessage.contains("nullable")), s"wrong error: $e")
+    assert(!spark.sql("SELECT * FROM sqlddl.t_alter").columns.contains("rank"))
   }
 
   test("additive evolution: appends may add columns; old rows read them as null") {

@@ -12,7 +12,8 @@ import graft.ops.Snapshots
   * path), UPDATE / MERGE / subquery-DELETE to the group-based rewrite
   * committed as an exact replace with first-committer-wins conflict
   * detection. Pinned historical versions reject writes; DV-bearing
-  * versions refuse SQL reads until compacted.
+  * versions are served directly by SQL reads through the DV-subtracting
+  * scan (compaction folds the vectors and restores the native scan).
   */
 class SnapshotSqlDmlSpec extends SparkTestBase {
 
@@ -103,6 +104,72 @@ class SnapshotSqlDmlSpec extends SparkTestBase {
     // history pinned through the SQL write
     assert(Snapshots.read(spark, loc, 1).select("x").as[Long]
       .collect().sorted.toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("SQL UPDATE replaces only the files holding matched rows — group granularity") {
+    import spark.implicits._
+    val loc = freshTable("t_upd_groups")
+    // two commits → disjoint files; the predicate hits only the second
+    Snapshots.commitAppend(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), loc)
+    Snapshots.commitAppend(Seq((100L, 1000L), (101L, 1010L)).toDF("id", "x"), loc)
+    val before = dataFiles(loc)
+    val v1Files = Snapshots.read(spark, loc, 1).inputFiles
+      .map(f => new Path(f).toUri.getPath).toSet
+    spark.sql("UPDATE sqldml.t_upd_groups SET x = x + 1 WHERE id >= 100")
+    assert(spark.sql("SELECT id, x FROM sqldml.t_upd_groups")
+      .as[(Long, Long)].collect().sorted.toSeq
+      == Seq((1L, 10L), (2L, 20L), (100L, 1001L), (101L, 1011L)))
+    // the carried-file contract through SQL UPDATE: v1's files are named
+    // by the new manifest byte-identical (runtime group filtering fed the
+    // matched files back; the commit carried the rest by reference)
+    val after = dataFiles(loc)
+    val carried = before.filter { case (f, m) => after.get(f).contains(m) }
+      .keySet.map(f => new Path(f).toUri.getPath)
+    assert(v1Files.subsetOf(carried),
+      s"SQL UPDATE rewrote unmatched files: carried=$carried v1=$v1Files")
+    val liveNow = Snapshots.read(spark, loc).inputFiles
+      .map(f => new Path(f).toUri.getPath).toSet
+    assert(v1Files.subsetOf(liveNow), "carried files must stay live by reference")
+  }
+
+  test("SQL MERGE replaces only the files holding matched keys — group granularity") {
+    import spark.implicits._
+    val loc = freshTable("t_mrg_groups")
+    Snapshots.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), loc)
+    Snapshots.commitAppend(Seq((100L, "x"), (101L, "y")).toDF("id", "v"), loc)
+    val before = dataFiles(loc)
+    val v1Files = Snapshots.read(spark, loc, 1).inputFiles
+      .map(f => new Path(f).toUri.getPath).toSet
+    Seq((100L, "X2"), (999L, "new")).toDF("id", "v")
+      .createOrReplaceTempView("mrg_groups_src")
+    spark.sql("""MERGE INTO sqldml.t_mrg_groups t USING mrg_groups_src s
+                |ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM sqldml.t_mrg_groups")
+      .as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b"), (100L, "X2"), (101L, "y"), (999L, "new")))
+    val after = dataFiles(loc)
+    val carried = before.filter { case (f, m) => after.get(f).contains(m) }
+      .keySet.map(f => new Path(f).toUri.getPath)
+    assert(v1Files.subsetOf(carried),
+      s"SQL MERGE rewrote unmatched files: carried=$carried v1=$v1Files")
+  }
+
+  test("__graft_file metadata column is queryable and names each row's file") {
+    import spark.implicits._
+    val loc = freshTable("t_filecol")
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "v"), loc)
+    Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "v"), loc)
+    val rows = spark.sql(
+      "SELECT id, __graft_file FROM sqldml.t_filecol ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    val v2Files = Snapshots.read(spark, loc).inputFiles
+      .map(f => new Path(f).toUri.getPath).toSet
+    assert(rows.map(_._1) == Seq(1L, 2L))
+    assert(rows.forall { case (_, f) => v2Files.contains(f) },
+      s"__graft_file must name live data files: $rows vs $v2Files")
+    assert(rows.map(_._2).distinct.size == 2, "rows of different commits sit in different files")
   }
 
   test("MERGE INTO upserts through the row-level rewrite") {
