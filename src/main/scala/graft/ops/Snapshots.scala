@@ -153,21 +153,34 @@ object Snapshots {
     }.toSet
 
   /** Publish already-written data files as an APPEND commit — the
-    * manifest half of [[commitAppend]], for callers (the DSv2 SQL write
-    * path) whose files were produced by Spark's own v2 parquet write
-    * rather than a DataFrame save. Same CAS loop, same DV carry. */
+    * manifest half of [[commitAppend]], for callers (the DSv2 SQL and
+    * streaming write paths) whose files were produced by Spark's own
+    * writers rather than a DataFrame save. Same CAS loop, same DV carry,
+    * same idempotent-marker contract as [[commitAppend]]: with `marker`
+    * set, the marker set is re-checked inside the loop and a duplicate
+    * returns -1 (the caller owns deleting its now-unreferenced files). */
   private[graft] def publishAppend(s: SparkSession, loc: String,
-                                   newFiles: Seq[String]): Long = {
+                                   newFiles: Seq[String],
+                                   marker: Option[String] = None,
+                                   schemaIfEmpty: Option[String] = None): Long = {
     var attempt = 0
     while (attempt < 64) {
+      if (marker.exists(m => markers(s, loc).contains(m))) return -1L
       val prev = manifests(s, loc).lastOption
       val prevHeader = prev.map { case (_, p) => headerLines(s, p) }.getOrElse(Nil)
       val prevFiles = prev.map { case (_, p) => readManifest(s, p) }.getOrElse(Nil)
       val prevDvs = prevHeader.filter(_.startsWith("#dv="))
         .map(_.stripPrefix("#dv="))
       val version = prev.map(_._1).getOrElse(0L) + 1
-      if (tryPublish(s, loc, version, prevFiles ++ newFiles, None, prevDvs,
-          schemaFromHeader(prevHeader).map(_.json)))
+      // a first commit onto an empty directory records the writer's
+      // schema (the streaming route creates tables this way); later
+      // appends carry the table's header
+      val schemaJson = prev match {
+        case None => schemaIfEmpty
+        case Some(_) => schemaFromHeader(prevHeader).map(_.json)
+      }
+      if (tryPublish(s, loc, version, prevFiles ++ newFiles, marker, prevDvs,
+          schemaJson))
         return version
       attempt += 1
     }
@@ -267,9 +280,10 @@ object Snapshots {
                          files: Seq[String],
                          marker: Option[String] = None,
                          dvs: Seq[String] = Nil,
-                         schemaJson: Option[String] = None): Boolean = {
-    marker.foreach(m => require(!m.contains("\n") && !m.contains("\r"),
-      "marker must be a single line"))
+                         schemaJson: Option[String] = None,
+                         lineage: Option[String] = None): Boolean = {
+    (marker ++ lineage).foreach(m => require(!m.contains("\n") && !m.contains("\r"),
+      "header values must be single lines"))
     val f = fs(s, loc)
     val md = manifestDir(loc)
     f.mkdirs(md)
@@ -282,6 +296,7 @@ object Snapshots {
     // needs parquet footer inference (nor any files at all: an empty
     // CREATEd table is just a schema header over zero file lines)
     val header = marker.map(m => s"#marker=$m\n").getOrElse("") +
+      lineage.map(l => s"#lineage=$l\n").getOrElse("") +
       schemaJson.map(j => s"#schema=$j\n").getOrElse("") +
       dvs.map(d => s"#dv=$d\n").mkString
     try out.write((header + files.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -416,6 +431,51 @@ object Snapshots {
     }
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
   }
+
+  /** The DESTRUCTIVE-evolution recipe this format ships INSTEAD of
+    * in-place rename/drop/retype (which are rejected — they would break
+    * pinned readers or demand Iceberg-style field-ID indirection):
+    * materialize `transform` of the source table's latest version as
+    * version 1 of a NEW table whose manifest header records the exact
+    * provenance (`#lineage=<loc>@v<n>`). The old table — every pinned
+    * version of it — is untouched; readers migrate by repointing, at
+    * their own pace, and [[lineage]] answers "where did this table come
+    * from" forever. Cost is one rewrite of live data, the honest price
+    * of a rename without field IDs; the new table starts with a schema
+    * header, so the full DDL/DML/streaming surface works on it
+    * immediately (SnapshotDdlSpec pins rename-via-migrate end to end).
+    *
+    * {{{
+    *   // RENAME COLUMN v TO label, DROP COLUMN tmp — as a migration:
+    *   Snapshots.migrate(spark, oldLoc, newLoc,
+    *     _.withColumnRenamed("v", "label").drop("tmp"))
+    * }}} */
+  def migrate(s: SparkSession, loc: String, newLoc: String,
+              transform: DataFrame => DataFrame): Long = {
+    require(latestVersion(s, newLoc) == 0L,
+      s"migration target already has committed versions: $newLoc")
+    val srcVersion = latestVersion(s, loc)
+    require(srcVersion > 0L, s"no committed snapshots to migrate at $loc")
+    val df = transform(read(s, loc, srcVersion))
+    val f = fs(s, newLoc)
+    val dataDir = new Path(newLoc, s"data/${java.util.UUID.randomUUID()}")
+    val newFiles = writeData(s, df, dataDir)
+    if (tryPublish(s, newLoc, 1L, newFiles, schemaJson = Some(df.schema.json),
+        lineage = Some(s"$loc@v$srcVersion")))
+      1L
+    else {
+      f.delete(dataDir, true)
+      throw new IllegalStateException(s"lost the create race at $newLoc")
+    }
+  }
+
+  /** The provenance a migrated table's v1 recorded (`#lineage=` header),
+    * or None for tables not created by [[migrate]]. */
+  def lineage(s: SparkSession, loc: String): Option[String] =
+    manifests(s, loc).headOption.flatMap { case (_, p) =>
+      headerLines(s, p).find(_.startsWith("#lineage="))
+        .map(_.stripPrefix("#lineage="))
+    }
 
   /** The delete-vector files a pinned version applies on read (merge-on-
     * read deletes, [[commitDeleteMoR]]) — `#dv=` header lines, so the

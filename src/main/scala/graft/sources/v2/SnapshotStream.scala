@@ -55,6 +55,11 @@ class SnapshotStreamProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new SnapshotStreamTable(schema, new CaseInsensitiveStringMap(properties))
+
+  /** Writes hand the QUERY's schema to getTable (a write against an
+    * empty directory has nothing to infer); reads without a user schema
+    * still infer the feed schema. */
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 object SnapshotStreamProvider {
@@ -71,14 +76,31 @@ object SnapshotStreamProvider {
 
 private[v2] class SnapshotStreamTable(schema: StructType,
                                       options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private val loc = SnapshotStreamProvider.location(options)
 
   override def name(): String = s"graft-snapshot-stream($loc)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
+
+  /** `writeStream.format(SnapshotStreamProvider).option("location", …)`
+    * — the provider route to the exactly-once streaming append
+    * ([[SnapshotStreamingWrite]]); the catalog route is
+    * `writeStream.toTable("<cat>.<table>")`. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toStreaming =
+            new SnapshotStreamingWrite(SparkSession.active, loc,
+              info.schema(), info.queryId())
+        }
+    }
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {

@@ -86,7 +86,8 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
   override def schema(): StructType = delegate.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   /** SQL reads get the SAME driver-side zone-map file skipping the API
     * path has ([[ZoneMapScanBuilder]] maps pushed range filters through
@@ -121,18 +122,27 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
       s"$op on a pinned historical version (VERSION AS OF $snapshotVersion) — " +
         "only the latest version accepts writes")
 
-  // ---- INSERT INTO: append commit; INSERT OVERWRITE: replace commit ----
+  // ---- INSERT INTO: append commit; INSERT OVERWRITE: replace commit;
+  //      writeStream.toTable: exactly-once streaming append ----
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireMutable("INSERT")
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
-      override def build(): Write =
-        SnapshotTable.publishingWrite(spark, loc, delegate, info,
+      override def build(): Write = {
+        val batch = SnapshotTable.publishingWrite(spark, loc, delegate, info,
           newFiles =>
             if (replace) Snapshots.publishReplaceLoop(spark, loc, newFiles,
               Some(info.schema().json))
             else Snapshots.publishAppend(spark, loc, newFiles))
+        if (replace) batch // streaming complete mode unsupported (default throw)
+        else new Write {
+          override def description(): String = batch.description()
+          override def toBatch = batch.toBatch
+          override def toStreaming =
+            new SnapshotStreamingWrite(spark, loc, info.schema(), info.queryId())
+        }
+      }
     }
   }
 

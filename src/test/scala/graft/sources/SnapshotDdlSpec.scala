@@ -81,6 +81,34 @@ class SnapshotDdlSpec extends SparkTestBase {
     assert(!spark.sql("SELECT * FROM sqlddl.t_alter").columns.contains("rank"))
   }
 
+  test("rename/drop via migrate: new lineage-stamped table, pinned old readers unaffected") {
+    import spark.implicits._
+    init()
+    val oldLoc = s"$root/t_old"
+    val newLoc = s"$root/t_renamed"
+    Snapshots.commitAppend(Seq((1L, "a", 9L)).toDF("id", "v", "tmp"), oldLoc)
+    Snapshots.commitAppend(Seq((2L, "b", 8L)).toDF("id", "v", "tmp"), oldLoc)
+    // the recipe: RENAME COLUMN v -> label, DROP COLUMN tmp as a
+    // migration to a new table (in-place rename is rejected by design)
+    Snapshots.migrate(spark, oldLoc, newLoc,
+      _.withColumnRenamed("v", "label").drop("tmp"))
+    assert(spark.sql("SELECT id, label FROM sqlddl.t_renamed")
+      .as[(Long, String)].collect().sorted.toSeq == Seq((1L, "a"), (2L, "b")))
+    // provenance recorded in the new table's v1 header
+    assert(Snapshots.lineage(spark, newLoc).contains(s"$oldLoc@v2"))
+    assert(Snapshots.lineage(spark, oldLoc).isEmpty)
+    // every pinned version of the OLD table still reads its own schema
+    assert(Snapshots.read(spark, oldLoc, 1).columns.toSeq == Seq("id", "v", "tmp"))
+    assert(Snapshots.read(spark, oldLoc, 2).count() == 2)
+    // the migrated table is a full-lifecycle table from birth: DML works
+    spark.sql("UPDATE sqlddl.t_renamed SET label = 'B' WHERE id = 2")
+    assert(spark.sql("SELECT label FROM sqlddl.t_renamed WHERE id = 2")
+      .as[String].collect().toSeq == Seq("B"))
+    // a second migrate into the same target refuses (no silent overwrite)
+    intercept[IllegalArgumentException](
+      Snapshots.migrate(spark, oldLoc, newLoc, identity))
+  }
+
   test("additive evolution: appends may add columns; old rows read them as null") {
     import spark.implicits._
     init()

