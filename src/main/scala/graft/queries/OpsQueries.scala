@@ -973,6 +973,52 @@ object OpsQueries {
       .orderBy(col("_commit_version"), col("o_orderkey"))
   }
 
+  /** The WRITE direction of the streaming story
+    * (`sources/v2/SnapshotStreamingWrite.scala`): a rate-limited file
+    * stream (`maxFilesPerTrigger`) drains through
+    * `writeStream.toTable(<catalog>.<table>)` under Trigger.AvailableNow
+    * — the DSv2 route CREATES the snapshot table (schema-bearing first
+    * commit) and lands every epoch as an exactly-once append commit with
+    * a batch marker riding the manifest's atomic rename. The in-query
+    * guards pin that MULTIPLE epochs committed (the rate limit actually
+    * split the work) and every commit carries a marker; the oracle
+    * certifies the assembled table content. SnapshotSinkSpec pins
+    * restart-no-replay on both DSv2 routes. */
+  private def snapshotStreamSink(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_ssink"
+    val stage = "/tmp/graft-warehouse/snapshots/orders_ssink_stage"
+    val ck = "/tmp/graft-warehouse/snapshots/orders_ssink_ck"
+    Seq(loc, stage, ck).foreach { x =>
+      val p = new org.apache.hadoop.fs.Path(x)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    o.filter(col("o_orderkey") % 3 === 0).repartition(2).write.parquet(s"$stage/b1")
+    o.filter(col("o_orderkey") % 3 === 1).repartition(2).write.parquet(s"$stage/b2")
+    val q = s.readStream.schema(o.schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(s"$stage/*")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft_snap_dml.orders_ssink")
+    require(q.awaitTermination(300000), "snapshot stream sink did not drain")
+    val versions = graft.ops.Snapshots.latestVersion(s, loc)
+    require(versions >= 3, // CREATE + at least two rate-limited epochs
+      s"rate limit did not split the drain into epochs: $versions versions")
+    require(graft.ops.Snapshots.markers(s, loc).count(_.startsWith("batch=")) >= 2,
+      "streaming commits must carry exactly-once batch markers")
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            |  o_orderdate, o_orderpriority
+            |FROM graft_snap_dml.orders_ssink ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Retention GC lifecycle (`Snapshots.expire`): three commits (two
     * appends, one logical overwrite that orphans every earlier file),
     * expire down to the latest version, then read the survivor. The
@@ -1098,6 +1144,11 @@ object OpsQueries {
              |  o_totalprice, o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 = 1
              |ORDER BY _commit_version, o_orderkey""".stripMargin)),
+    Q("snapshot_stream_sink", snapshotStreamSink,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 <= 1
+             |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_tail", snapshotTail,
       Some("""WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
              |v2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1)

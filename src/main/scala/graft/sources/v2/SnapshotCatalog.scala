@@ -35,10 +35,13 @@ import graft.ops.Snapshots
   * isolation against concurrent commits, and the full parquet scan
   * stack (pushdown, column pruning, vectorized read) on top.
   *
-  * Read-only by design: writes go through the CAS commit protocol
-  * ([[Snapshots.commitAppend]]/`commitReplace`), which needs the
-  * data-then-manifest ordering no blind SQL INSERT could provide; DDL
-  * through this catalog is rejected rather than half-supported.
+  * The full lifecycle is SQL: DDL (CREATE/CTAS/ALTER ADD COLUMNS/DROP),
+  * DML (INSERT/DELETE/UPDATE/MERGE, group-granular), maintenance
+  * (`CALL <cat>.system.*`), and streaming reads/writes all resolve
+  * through [[SnapshotTable]] into the same CAS commit protocol the API
+  * exposes. Only history-rewriting changes (RENAME TABLE, column
+  * rename/retype) are rejected — [[Snapshots.migrate]] is the shipped
+  * recipe for those.
   */
 class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
 
@@ -135,7 +138,9 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
                            properties: util.Map[String, String]): Table = {
     if (partitions.nonEmpty) throw new UnsupportedOperationException(
       "snapshot tables do not take partition transforms; cluster the " +
-        "written DataFrame and attach zone-map stats instead")
+        "written DataFrame and attach zone-map stats instead " +
+        "(CALL <catalog>.system.attach_stats — SQL range scans then plan " +
+        "only the files whose [min,max] intersects the predicate)")
     val loc = location(ident)
     if (Snapshots.latestVersion(spark, loc) > 0)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
