@@ -1274,14 +1274,68 @@ object Snapshots {
     * caller's session never observe the altered value and two concurrent
     * compactions cannot race a set/restore on shared conf. */
   def commitCompaction(s: SparkSession, loc: String,
-                       targetBytes: Long = 128L * 1024 * 1024): Long = {
+                       targetBytes: Long = 128L * 1024 * 1024): Long =
+    commitReplace(read(scopedAdvisory(s, targetBytes), loc).hint("rebalance"), loc)
+
+  private def scopedAdvisory(s: SparkSession, targetBytes: Long): SparkSession = {
     val scoped = s.newSession()
     s.conf.getAll.foreach { case (k, v) =>
       try scoped.conf.set(k, v) catch { case _: Exception => () } // static confs
     }
     scoped.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
       targetBytes.toString)
-    commitReplace(read(scoped, loc).hint("rebalance"), loc)
+    scoped
+  }
+
+  /** INCREMENTAL compaction — the only OPTIMIZE a 100 TB table can run
+    * on a cadence: rewrite ONLY the latest version's files smaller than
+    * `smallerThanBytes` into ~`targetBytes` files, carrying every
+    * already-well-sized file BY REFERENCE. Cost is O(small files), not
+    * O(table) ([[commitCompaction]]'s full rewrite stays available for
+    * the fold-everything maintenance window). The small files read
+    * DV-APPLIED, so their delete-vector entries fold away with the
+    * rewrite; carried files keep the version's vectors (entries naming
+    * rewritten paths go inert, the standard rule). Returns the published
+    * version, or the CURRENT version unchanged (no commit at all) when
+    * fewer than two files qualify — a no-gain pass costs one directory
+    * listing, which is what lets a maintenance job run it blindly on a
+    * timer. Same CAS loop as every commit: a lost race recomputes
+    * against the new latest, so concurrent appends are never dropped. */
+  def commitCompactionPartial(s: SparkSession, loc: String,
+                              smallerThanBytes: Long = 32L * 1024 * 1024,
+                              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val f = fs(s, loc)
+    var attempt = 0
+    while (attempt < 64) {
+      val prev = manifests(s, loc).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshots at $loc"))
+      val files = readManifest(s, prev._2)
+      val header = headerLines(s, prev._2)
+      val dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
+      val schema = schemaFromHeader(header)
+      // file sizes in one listStatus per commit directory
+      val lengths: Map[String, Long] = files.map(new Path(_))
+        .groupBy(_.getParent).iterator.flatMap { case (dir, _) =>
+          f.listStatus(dir).iterator.map(st =>
+            normPath(st.getPath.toString) -> st.getLen)
+        }.toMap
+      val (small, kept) = files.partition(x =>
+        lengths.get(normPath(x)).exists(_ < smallerThanBytes))
+      if (small.length < 2) return prev._1 // no bin-packing gain; no commit
+      val scoped = scopedAdvisory(s, targetBytes)
+      val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
+      val newFiles = writeData(scoped,
+        applyDv(scoped, readData(scoped, small, schema), dvs).hint("rebalance"),
+        dataDir)
+      // kept files may still be DV-covered — carry the vectors with them
+      val keepDvs = if (kept.nonEmpty) dvs else Nil
+      if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles, dvs = keepDvs,
+          schemaJson = schema.map(_.json)))
+        return prev._1 + 1
+      f.delete(dataDir, true) // lost the race: recompute against new latest
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
   }
 
   /** Retention GC: keep the newest `retainLast` versions, drop every

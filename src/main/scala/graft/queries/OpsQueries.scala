@@ -973,6 +973,49 @@ object OpsQueries {
       .orderBy(col("_commit_version"), col("o_orderkey"))
   }
 
+  /** INCREMENTAL compaction (`Snapshots.commitCompactionPartial` + the
+    * `CALL <cat>.system.optimize_small` surface): a table with one
+    * well-sized file and six tiny commits bin-packs ONLY the tiny files
+    * — the well-sized file is carried by reference (guard pins it), cost
+    * O(small files) not O(table), which is the only OPTIMIZE cadence a
+    * 100 TB table can afford. The follow-up CALL exercises the SQL
+    * route; the oracle certifies content through both passes
+    * (SnapshotDvSpec pins the DV fold/carry split and the
+    * no-gain-no-commit rule). */
+  private def snapshotOptimizeSmall(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_osm"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 3 === 0).coalesce(1), loc)
+    val bigFiles = graft.ops.Snapshots.read(s, loc).inputFiles.toSet
+    Seq(1, 4, 7, 10, 13, 16).foreach { k =>
+      graft.ops.Snapshots.commitAppend(
+        o.filter(col("o_orderkey") % 18 === k).coalesce(1), loc)
+    }
+    val before = graft.ops.Snapshots.read(s, loc).inputFiles.length
+    graft.ops.Snapshots.commitCompactionPartial(s, loc,
+      smallerThanBytes = bigFiles.map(f =>
+        new org.apache.hadoop.fs.Path(f).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+          .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).min)
+    val after = graft.ops.Snapshots.read(s, loc).inputFiles
+    require(after.length < before,
+      s"partial compaction packed nothing: $before -> ${after.length}")
+    require(bigFiles.subsetOf(after.toSet),
+      "partial compaction rewrote the well-sized file")
+    // SQL route on top: content must ride through unchanged
+    s.sql("CALL graft_snap_dml.system.optimize_small('orders_osm', 1, 128)")
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            |  o_orderdate, o_orderpriority
+            |FROM graft_snap_dml.orders_osm ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** The WRITE direction of the streaming story
     * (`sources/v2/SnapshotStreamingWrite.scala`): a rate-limited file
     * stream (`maxFilesPerTrigger`) drains through
@@ -1144,6 +1187,11 @@ object OpsQueries {
              |  o_totalprice, o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 = 1
              |ORDER BY _commit_version, o_orderkey""".stripMargin)),
+    Q("snapshot_optimize_small", snapshotOptimizeSmall,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 <= 1
+             |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_stream_sink", snapshotStreamSink,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority

@@ -31,7 +31,8 @@ import graft.ops.Snapshots
   */
 object SnapshotProcedures {
 
-  val names: Seq[String] = Seq("optimize", "expire", "attach_stats", "delete_mor")
+  val names: Seq[String] =
+    Seq("optimize", "optimize_small", "expire", "attach_stats", "delete_mor")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -80,6 +81,21 @@ object SnapshotProcedures {
     Seq[Any](v, Snapshots.read(spark, loc, v).inputFiles.length)
   }
 
+  /** Incremental OPTIMIZE (`Snapshots.commitCompactionPartial`): bin-pack
+    * only files under `smaller_than_mb`, carry the rest by reference —
+    * O(small files), safe on a timer (a no-gain pass commits nothing). */
+  private val optimizeSmall = procedure("optimize_small",
+    Seq(in("table", StringType),
+      inDefault("smaller_than_mb", IntegerType, "32"),
+      inDefault("target_mb", IntegerType, "128")),
+    StructType(Seq(StructField("version", LongType),
+      StructField("files", IntegerType)))) { (loc, input) =>
+    val v = Snapshots.commitCompactionPartial(spark, loc,
+      smallerThanBytes = input.getInt(1).toLong * 1024 * 1024,
+      targetBytes = input.getInt(2).toLong * 1024 * 1024)
+    Seq[Any](v, Snapshots.read(spark, loc, v).inputFiles.length)
+  }
+
   private val expire = procedure("expire",
     Seq(in("table", StringType), in("retain_last", IntegerType),
       inDefault("grace_ms", LongType, s"${10L * 60 * 1000}")),
@@ -106,7 +122,8 @@ object SnapshotProcedures {
   }
 
   private val all: Map[String, String => UnboundProcedure] = Map(
-    "optimize" -> optimize, "expire" -> expire,
+    "optimize" -> optimize, "optimize_small" -> optimizeSmall,
+    "expire" -> expire,
     "attach_stats" -> attachStats, "delete_mor" -> deleteMor)
 
   def load(name: String, root: String): Option[UnboundProcedure] =

@@ -225,6 +225,47 @@ class SnapshotDvSpec extends SparkTestBase {
       == (1001L to 4000L))
   }
 
+  test("partial compaction bin-packs only small files; kept files carry, DVs split correctly") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/dv_partial"
+    wipe(loc)
+    // one WELL-SIZED file (stays) + many tiny files (fold)
+    Snapshots.commitAppend((1L to 50000L).map(i => (i, s"payload-$i"))
+      .toDF("id", "v").coalesce(1), loc)
+    (0 until 6).foreach { i =>
+      Snapshots.commitAppend(
+        Seq((100000L + i, s"t$i")).toDF("id", "v").coalesce(1), loc)
+    }
+    // a vector on the BIG file (kept → carried) and on a SMALL file
+    // (rewritten → folded)
+    Snapshots.commitDeleteMoR(spark, loc, col("id").isin(5L, 100001L))
+    val before = dataFiles(loc)
+    val bigFile = Snapshots.read(spark, loc, 1).inputFiles.head
+    val v = Snapshots.commitCompactionPartial(spark, loc,
+      smallerThanBytes = 64 * 1024)
+    // the big file is named by the new manifest byte-identical
+    val after = dataFiles(loc)
+    assert(after.get(bigFile) == before.get(bigFile),
+      "partial compaction must not rewrite well-sized files")
+    assert(Snapshots.versionFiles(spark, loc, v)
+      .map(f => new Path(f).toUri.getPath)
+      .contains(new Path(bigFile).toUri.getPath))
+    // fewer files, same rows: both deletes still effective (one via the
+    // carried vector, one folded into the rewrite)
+    val files = Snapshots.versionFiles(spark, loc, v)
+    assert(files.size < before.size, s"no bin-packing happened: ${files.size}")
+    assert(manifestText(loc, v).exists(_.startsWith("#dv=")),
+      "the kept file's vector must be carried")
+    val ids = Snapshots.read(spark, loc).select("id").as[Long].collect().toSet
+    assert(!ids.contains(5L) && !ids.contains(100001L))
+    assert(ids.size == 50000 + 6 - 2)
+    // a second pass has nothing under the threshold worth packing beyond
+    // the one file it just made → NO new commit
+    val v2 = Snapshots.commitCompactionPartial(spark, loc,
+      smallerThanBytes = 64 * 1024)
+    assert(v2 == v, "a no-gain pass must not publish a version")
+  }
+
   test("expire keeps DV files of retained versions, collects dead ones") {
     import spark.implicits._
     val loc = "/tmp/graft-test/dv_expire"

@@ -87,6 +87,29 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(id,120)"), plan)
   }
 
+  test("aggregate pushdown forwards through the zone-map wrapper") {
+    import spark.implicits._
+    wipe(); register()
+    Snapshots.commitAppend((1L to 1000L).toDF("id"), s"$root/agg")
+    // count(*) resolves from parquet footers when the scan builder
+    // forwards SupportsPushDownAggregates (opt-in conf, as for any
+    // parquet table) — the wrapper must not cost the delegate's
+    // metadata-only count
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = spark.sql("SELECT count(*) AS n FROM snapcat.agg")
+      assert(df.as[Long].collect().head == 1000L)
+      // the scan's output IS the pushed aggregate (footer count), and the
+      // executed scan reports it
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan)
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    // and min/max over a filtered, zone-map-prunable read stays correct
+    Snapshots.attachStats(spark, s"$root/agg", 1L, Seq("id"))
+    assert(spark.sql("SELECT max(id) AS m FROM snapcat.agg WHERE id <= 500")
+      .as[Long].collect().head == 500L)
+  }
+
   test("missing table / version / unsupported DDL all fail fast") {
     import spark.implicits._
     wipe(); register()
