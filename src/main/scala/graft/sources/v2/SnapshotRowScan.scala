@@ -191,7 +191,8 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
                                   loc: String, version: Long,
                                   allowPushdown: Boolean,
                                   required: StructType, pushed: Array[Filter])
-  extends Scan with Batch {
+  extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   // runtime group filtering narrows this between the build-side scan
   // (which plans ALL files to find matching groups) and the main scan
@@ -203,6 +204,35 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-snapshot-row-scan $loc@v$version"
+
+  /** Size = Σ live file lengths (one listStatus per commit directory) —
+    * an upper bound under DVs, which is the conservative direction for
+    * join planning. Without this a custom scan reports UNKNOWN and the
+    * planner treats a small merge-on-read dim table as unbroadcastable. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val total =
+        try fileLengths(activeFiles).values.sum
+        catch { case _: java.io.IOException => -1L }
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (total < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(total)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+
+  /** One listStatus per commit directory, not one getFileStatus per
+    * file — keys are normalized paths. */
+  private def fileLengths(fs0: Seq[String]): Map[String, Long] = {
+    if (fs0.isEmpty) return Map.empty
+    val fs = new Path(fs0.head).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs0.map(f => new Path(f)).groupBy(_.getParent).iterator
+      .flatMap { case (dir, _) =>
+        fs.listStatus(dir).iterator.map(st =>
+          SnapshotRowScan.norm(st.getPath.toString) -> st.getLen)
+      }.toMap
+  }
 
   private val fileIdx = required.fieldNames.indexOf(SnapshotRowScan.FileCol)
   // parquet serves every required column except the synthesized one
@@ -249,15 +279,7 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
             r.getSeq[Long](1).toArray)
           .toMap
       }
-    // file lengths in one listStatus per commit directory, not one
-    // getFileStatus RPC per file
-    val fs = new Path(keep.head).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val lengths: Map[String, Long] = keep.map(f => new Path(f))
-      .groupBy(_.getParent).iterator.flatMap { case (dir, _) =>
-        fs.listStatus(dir).iterator.map(st =>
-          SnapshotRowScan.norm(st.getPath.toString) -> st.getLen)
-      }.toMap
+    val lengths = fileLengths(keep)
     val bc = spark.sparkContext.broadcast(deleted)
     keep.map { f =>
       val n = SnapshotRowScan.norm(f)

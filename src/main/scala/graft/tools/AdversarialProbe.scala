@@ -722,6 +722,42 @@ object AdversarialProbe {
     }
     verdict("mor_delete_pruned_flat", morLo, morHi, 1.0)
 
+    // DV-bearing SQL reads with zone maps (round 11): a fixed
+    // narrow-range SQL read of an m×-bigger MERGE-ON-READ table must
+    // stay FLAT — the per-file row scan maps the pushed bounds through
+    // the stats sidecar (driver-side file skipping), the parquet reader
+    // row-group-skips below it, and the vector subtraction keys on
+    // native row indexes, so none of the three costs the table. A FAIL
+    // means DV versions lost pushdown or file skipping on the SQL path.
+    spark.conf.set("spark.sql.catalog.graft_probe",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_probe.root", "/tmp/graft-probe")
+    def dvReadTable(mult: Int): String = {
+      val name = s"snap_dvread_x$mult"
+      val loc = s"/tmp/graft-probe/$name"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      (0 until mult).foreach { m =>
+        val v = graft.ops.Snapshots.commitAppend(
+          spark.range(m * 10000000L, m * 10000000L + 2000000L).toDF("id")
+            .repartitionByRange(4, col("id")), loc)
+        graft.ops.Snapshots.attachStats(spark, loc, v, Seq("id"))
+      }
+      val v = graft.ops.Snapshots.commitDeleteMoR(spark, loc,
+        col("id").between(150L, 160L), pruneBy = Some(("id", "150", "160")))
+      graft.ops.Snapshots.attachStats(spark, loc, v, Seq("id")) // inherits
+      name
+    }
+    val dvrLo = dvReadTable(1)
+    val dvrHi = dvReadTable(4)
+    val dvReadLo = time("dv sql read, narrow range (table x1)")(
+      spark.sql(s"SELECT id FROM graft_probe.$dvrLo " +
+        "WHERE id BETWEEN 100 AND 300").count())
+    val dvReadHi = time("dv sql read, narrow range (table x4)")(
+      spark.sql(s"SELECT id FROM graft_probe.$dvrHi " +
+        "WHERE id BETWEEN 100 AND 300").count())
+    verdict("dv_sql_read_pruned_flat", dvReadLo, dvReadHi, 1.0)
+
     spark.stop()
     if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
     else println("ADVERSARIAL PROBE: PASS")

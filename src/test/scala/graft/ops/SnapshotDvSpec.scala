@@ -225,6 +225,26 @@ class SnapshotDvSpec extends SparkTestBase {
       == (1001L to 4000L))
   }
 
+  test("a small DV table reports its size, so the planner can broadcast it") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/dv_stats"
+    wipe(loc)
+    spark.conf.set("spark.sql.catalog.dvsql",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvsql.root", "/tmp/graft-test")
+    Snapshots.commitAppend((1L to 100L).toDF("id"), loc)
+    Snapshots.commitDeleteMoR(spark, loc, col("id") === 50L)
+    // the DV scan reports Σ file bytes (SupportsReportStatistics); a
+    // tiny merge-on-read dim under the broadcast threshold must plan a
+    // broadcast join STATICALLY — an unknown-size custom scan would
+    // default to Long.Max and force a sort-merge join
+    val joined = spark.range(1, 200000).toDF("id")
+      .join(spark.sql("SELECT id FROM dvsql.dv_stats"), "id")
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(joined.count() == 99L)
+  }
+
   test("partial compaction bin-packs only small files; kept files carry, DVs split correctly") {
     import spark.implicits._
     val loc = "/tmp/graft-test/dv_partial"

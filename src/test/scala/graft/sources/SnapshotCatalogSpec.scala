@@ -81,6 +81,23 @@ class SnapshotCatalogSpec extends SparkTestBase {
       s"expected 1 of 4 files to survive, got ${scanned.size} of ${all.size}")
     // an all-excluding range plans a zero-file scan and returns no rows
     assert(spark.sql("SELECT id FROM snapcat.zm WHERE id > 4000").count() == 0)
+    // one-sided bound: > 310 keeps only the two upper files
+    val oneSided = spark.sql("SELECT id FROM snapcat.zm WHERE id > 310")
+    assert(oneSided.as[Long].collect().sorted.toSeq == (311L to 400L))
+    assert(oneSided.rdd.getNumPartitions == 1,
+      "one-sided bound should keep 1 of 4 single-partition files")
+    // IN list prunes by its min/max envelope (files 1 and 4 here)
+    val inq = spark.sql("SELECT id FROM snapcat.zm WHERE id IN (5, 310)")
+    assert(inq.as[Long].collect().sorted.toSeq == Seq(5L, 310L))
+    assert(inq.rdd.getNumPartitions <= 4)
+    // __graft_file combined with a pushed filter routes through the row
+    // scan with the residual filter still applied above it
+    val withFile = spark.sql(
+      "SELECT id, __graft_file FROM snapcat.zm WHERE id BETWEEN 120 AND 130")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(withFile.map(_._1).toSeq == (120L to 130L))
+    assert(withFile.map(_._2).distinct.length == 1,
+      "rows of one range-clustered file must share one __graft_file")
     // row-group pushdown still applies BELOW the file skip (wrapper
     // forwards the filters into the narrowed parquet builder)
     val plan = df.queryExecution.executedPlan.toString
