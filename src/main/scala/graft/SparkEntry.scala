@@ -17,7 +17,29 @@ object SparkEntry {
       TpchQueries.all ++ TpchQueries2.all ++ FormatQueries.all ++ Seq(
         // QuasiMonteCarlo pi (EX/QuasiMonteCarlo.java): deterministic
         // Halton sampling; accuracy asserted in ProgramsSpec (rows-only).
-        Q("pi_qmc", (s, _) => graft.jobs.Programs.piQmc(s, 1000000L), None))
+        Q("pi_qmc", (s, _) => graft.jobs.Programs.piQmc(s, 1000000L), None),
+        // Integer-exact certificate twin: quantized Halton grid, pure
+        // int64 in-circle test — the DuckDB oracle replays the identical
+        // arithmetic over the same index range (Programs.piQmcGrid).
+        Q("pi_qmc_grid", (s, _) => graft.jobs.Programs.piQmcGrid(s, 100000L),
+          Some("""WITH i AS (SELECT unnest(range(1, 100001)) AS i),
+                 |q AS (SELECT i,
+                 |  CAST(list_sum(list_transform(range(0, 15),
+                 |    k -> ((i >> k) & 1) * (1 << (14 - k)))) AS BIGINT) AS a,
+                 |  CAST(list_sum(list_transform(range(0, 9),
+                 |    k -> ((i // CAST(power(3, k) AS BIGINT)) % 3)
+                 |         * CAST(power(3, 8 - k) AS BIGINT))) AS BIGINT) AS b
+                 |  FROM i)
+                 |SELECT
+                 |  CAST(sum(CASE WHEN
+                 |    (2*a - 32768)*(2*a - 32768)*387420489
+                 |      + (2*b - 19683)*(2*b - 19683)*1073741824
+                 |    <= CAST(1073741824 AS BIGINT)*387420489 THEN 1 ELSE 0 END) AS BIGINT)
+                 |    AS n_inside,
+                 |  CAST(count(*) AS BIGINT) AS n_total,
+                 |  CAST(sum(a) AS BIGINT) AS sum_a,
+                 |  CAST(sum(b) AS BIGINT) AS sum_b
+                 |FROM q""".stripMargin)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

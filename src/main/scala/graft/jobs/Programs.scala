@@ -38,6 +38,40 @@ object Programs {
         ($"n_inside" * 4.0 / $"n_total").as("pi_est"))
   }
 
+  /** Integer-EXACT certificate twin of [[piQmc]]: the same 2-D Halton
+    * sampling QUANTIZED to a dyadic/triadic grid — x to 15 base-2 digits
+    * (a = Σ bitₖ(i)·2^(14−k), the bit-reversal = ⌊rad₂(i)·2^15⌋) and y to
+    * 9 base-3 digits (b = ⌊rad₃(i)·3^9⌋) — with the in-circle test done
+    * in PURE INT64 arithmetic: with x̂ = a/2^15, ŷ = b/3^9,
+    * (x̂−½)²+(ŷ−½)² ≤ ¼  ⇔  (2a−2^15)²·3^18 + (2b−3^9)²·2^30 ≤ 2^30·3^18
+    * (max term ~8.4e17, inside int64). No floating point anywhere, so a
+    * DuckDB oracle hash-compares the hit count and the Σa/Σb coordinate
+    * digests exactly — driver-certifying the distributed Halton indexing
+    * the double-precision [[piQmc]] (rows-only; ProgramsSpec pins its
+    * accuracy) shares. Same exact-regime-twin pattern as
+    * `knn_ann_ivf_exh`. */
+  def piQmcGrid(spark: SparkSession, nSamples: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val rhs = 1073741824L * 387420489L // 2^30 * 3^18
+    spark.range(1, nSamples + 1)
+      .mapPartitions { idx =>
+        idx.map { i =>
+          var a = 0L; var k = 0
+          while (k < 15) { a += ((i >> k) & 1L) << (14 - k); k += 1 }
+          var b = 0L; var p = 1L; var q = 6561L; var m = 0
+          while (m < 9) { b += ((i / p) % 3) * q; p *= 3; q /= 3; m += 1 }
+          val dx = 2 * a - 32768L
+          val dy = 2 * b - 19683L
+          val in =
+            if (dx * dx * 387420489L + dy * dy * 1073741824L <= rhs) 1L else 0L
+          (in, a, b)
+        }
+      }.toDF("in", "a", "b")
+      .agg(sum($"in").as("n_inside"), count(lit(1)).as("n_total"),
+        sum($"a").as("sum_a"), sum($"b").as("sum_b"))
+  }
+
   /** DistCp-lite (`hadoop-tools/hadoop-distcp/.../DistCp.java:58`):
     * build the file listing as a Dataset, distribute the copies across
     * the cluster with foreachPartition, skip up-to-date targets when

@@ -17,6 +17,17 @@ class ProgramsSpec extends SparkTestBase {
     assert(Programs.piQmc(spark, 200000L).collect().head.getDouble(2) == pi)
   }
 
+  test("quantized-Halton pi certificate matches its cross-engine integer constants") {
+    // the same values DuckDB's oracle SQL computes for N=100000 — all
+    // arithmetic is int64, so these are engine-independent constants
+    // (the twin that driver-certifies the distributed Halton indexing)
+    val r = Programs.piQmcGrid(spark, 100000L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((78530L, 100000L, 1638305968L, 984065472L)), r.toString)
+    // and the quantized estimate still approximates pi
+    assert(math.abs(4.0 * r.getLong(0) / r.getLong(1) - math.Pi) < 0.01)
+  }
+
   test("distcp-lite copies a tree and -update skips up-to-date files") {
     val src = Files.createTempDirectory("dcp_src")
     Files.createDirectories(src.resolve("sub"))
