@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact-substring span TRIMMING: find every maximal run of token
+  * positions covered by a `width`-token gram that also occurs in at
+  * least `minDocs` distinct documents, and cut those runs out of the
+  * text — the positional form of cross-document exact-substring
+  * deduplication (the published suffix-array recipe's effect, expressed
+  * relationally: every duplicated span of >= width tokens is a union of
+  * overlapping duplicated width-grams, so covering-gram positions merged
+  * into islands reproduce the maximal spans without building a suffix
+  * array). [[LineOps.duplicatedSpanFraction]] MEASURES per-doc
+  * duplication; this operator performs the edit and returns the
+  * trimmed text.
+  *
+  * Pipeline shape (all relational, no driver state):
+  *  1. tokens: one row-local `posexplode(split(text))` — no shuffle;
+  *  2. grams: row-local `slice` over the carried token array (no
+  *     per-doc window, so gram construction adds NO shuffle);
+  *  3. duplicated grams: one `groupBy(gram)` with a distinct-doc count —
+  *     the only corpus-wide shuffle, keyed on the gram;
+  *  4. covered positions: occurrences of duplicated grams exploded to
+  *     the `width` positions they cover, `distinct` per (doc, pos);
+  *  5. islands: per-doc `row_number` staircase (`pos - rank` constant
+  *     within a maximal run) — state is per-document, never global;
+  *  6. trimmed text: kept tokens re-assembled in position order.
+  *
+  * Scale notes (100 TB): the gram shuffle carries (doc, pos, gram) at
+  * ~width words per row — at corpus scale you would pre-filter with a
+  * frequency sketch so only candidate grams shuffle (the
+  * [[TextDedup]] banding trick); the relational core here is unchanged
+  * by that optimization. Everything downstream of step 3 touches only
+  * rows of DUPLICATED grams — O(duplicated text), not O(corpus).
+  */
+object SpanTrim {
+
+  /** Per-document trim report for documents with at least one duplicated
+    * span: (id, n_spans, tokens_removed, trimmed_text), ordered by id.
+    * Tokenization is single-space split, matching the corpus's other
+    * gram operators. */
+  def trimDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          width: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(width >= 2, "width must be at least 2")
+    val id = col(idCol)
+    val toks = docs
+      .select(id.as("id"), split(col(textCol), " ").as("arr"))
+      .select(col("id"), col("arr"), size(col("arr")).as("n_tokens"))
+      .select(col("id"), col("arr"), col("n_tokens"),
+        posexplode(col("arr")).as(Seq("pos", "tok")))
+    // grams are row-local slices of the carried array; rows past the last
+    // valid start produce no gram
+    val valid = toks
+      .filter(col("pos") + width <= col("n_tokens"))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", slice(col("arr"), col("pos") + 1, lit(width))).as("g"))
+    val dup = valid.groupBy(col("g"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("g"))
+    val cov = valid.join(dup, "g")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (width - 1))).as("cpos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cpos"))
+    val isl = cov.withColumn("grpk", col("cpos") - row_number().over(w))
+    val agg = isl.groupBy(col("id"))
+      .agg(countDistinct(col("grpk")).as("n_spans"),
+        count(lit(1)).as("tokens_removed"))
+    val covA = cov.toDF("cid", "cpos")
+    val kept = toks.select(col("id"), col("pos"), col("tok"))
+      .join(covA, col("id") === col("cid") && col("pos") === col("cpos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("trimmed_text"))
+    agg.join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_spans"), col("tokens_removed"),
+        coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
+      .orderBy(col(idCol))
+  }
+}

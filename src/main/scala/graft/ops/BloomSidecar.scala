@@ -1,0 +1,206 @@
+package graft.ops
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-file Bloom-filter sidecars for POINT-lookup file skipping on
+  * snapshot tables — the complement of the zone-map sidecar
+  * ([[Snapshots.attachStats]]): min/max intervals prune range predicates
+  * on CLUSTERED columns, but on a high-cardinality key whose values are
+  * scattered across files (a hash layout, an id column uncorrelated with
+  * the clustering key) every file's interval spans the whole domain and
+  * zone maps keep everything. A per-file Bloom filter answers "might this
+  * file contain value v" regardless of layout, so `WHERE k = v` / `IN`
+  * plans O(containing files + false positives), not O(table).
+  *
+  * Layout: `<loc>/_manifests/v<NNNNN>.bloom.parquet` holds one row per
+  * (file, column) with the serialized filter (`bits = null` marks a file
+  * whose distinct count overflowed the build cap — never skipped); the
+  * companion `v<NNNNN>.bloom.txt` header names the covered columns and is
+  * written LAST, so a reader that sees the header always finds the
+  * filters (crash mid-attach leaves an ignored orphan directory).
+  *
+  * Hashing contract: filters store `xxhash64(CAST(col AS STRING))`
+  * computed by Spark's codegen'd hash on the build side; the probe
+  * hashes its literals with the same `functions.xxhash64` inside the
+  * probe job, so build and probe can never disagree on a hash
+  * implementation. String encoding matches the zone-map sidecar's
+  * CAST-AS-STRING convention.
+  *
+  * Scale notes (100 TB): the build is one scan of the FRESH files only
+  * (immutable files inherit their rows from the previous version's
+  * sidecar, like [[Snapshots.attachStats]] — maintenance is O(delta));
+  * each file's filter is sized to its own observed distinct count
+  * (capped), and the per-file distinct-set buffer lives in executor
+  * memory behind `maxDistinct`, never on the driver. The probe is a
+  * distributed job over the sidecar parquet — the driver receives only
+  * the O(files) keep/skip verdict, the same class of driver state as the
+  * manifest itself. Bloom filters have NO false negatives, so skipping
+  * is an optimization, never a correctness dependency.
+  */
+object BloomSidecar {
+
+  private[graft] def headerPath(loc: String, version: Long) =
+    new Path(new Path(loc, "_manifests"), f"v$version%05d.bloom.txt")
+  private[graft] def dataPath(loc: String, version: Long) =
+    new Path(new Path(loc, "_manifests"), f"v$version%05d.bloom.parquet")
+
+  /** Per-group builder: buffers the distinct xxhash64 values (nulls —
+    * from NULL column values — are skipped; equality never matches NULL),
+    * then sizes one filter to exactly that count. Crossing `maxDistinct`
+    * marks the group SATURATED (`finish` returns null = "never skip this
+    * file"): the cap bounds executor memory per group, and degrading to
+    * no-skip is the only safe failure mode a filter has. */
+  private final class BloomAgg(fpp: Double, maxDistinct: Int)
+    extends Aggregator[java.lang.Long, java.util.HashSet[java.lang.Long], Array[Byte]] {
+    def zero: java.util.HashSet[java.lang.Long] = new java.util.HashSet
+    def reduce(b: java.util.HashSet[java.lang.Long], a: java.lang.Long)
+        : java.util.HashSet[java.lang.Long] = {
+      if (a != null && b.size <= maxDistinct) b.add(a)
+      b
+    }
+    def merge(x: java.util.HashSet[java.lang.Long], y: java.util.HashSet[java.lang.Long])
+        : java.util.HashSet[java.lang.Long] = {
+      val it = y.iterator()
+      while (it.hasNext && x.size <= maxDistinct) x.add(it.next())
+      x
+    }
+    def finish(b: java.util.HashSet[java.lang.Long]): Array[Byte] = {
+      if (b.size > maxDistinct) return null
+      val bf = BloomFilter.create(math.max(b.size.toLong, 1L), fpp)
+      val it = b.iterator()
+      while (it.hasNext) bf.putLong(it.next())
+      val bos = new ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    def bufferEncoder = Encoders.kryo[java.util.HashSet[java.lang.Long]]
+    def outputEncoder = Encoders.BINARY
+  }
+
+  /** Compute and attach per-file Bloom filters for `cols` to an existing
+    * version (typically right after a commit, next to `attachStats`).
+    * INCREMENTAL: files already covered by the previous version's sidecar
+    * with the same column set inherit their rows unscanned. */
+  def attachBlooms(s: SparkSession, loc: String, version: Long,
+                   cols: Seq[String], fpp: Double = 0.01,
+                   maxDistinct: Int = 1 << 21): Unit = {
+    require(cols.nonEmpty, "attachBlooms needs at least one column")
+    val files = Snapshots.versionFiles(s, loc, version)
+    if (files.isEmpty) return
+    val f = headerPath(loc, version).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val live = files.map(Snapshots.normPath).toSet
+    val headerBody = s"#cols=${cols.mkString(",")}\n#fpp=$fpp\n"
+
+    // inherit rows from the previous sidecar where the column set matches
+    val prevHeader = headerPath(loc, version - 1)
+    val carried: Option[DataFrame] =
+      if (version > 1 && f.exists(prevHeader) &&
+          readHeaderCols(s, prevHeader) == cols)
+        Some(s.read.parquet(dataPath(loc, version - 1).toString)
+          .filter(col("file").isin(live.toSeq: _*)))
+      else None
+    val covered: Set[String] = carried match {
+      case Some(df) => df.select("file").distinct().collect()
+        .map(_.getString(0)).toSet
+      case None => Set.empty
+    }
+    val fresh = files.filterNot(x => covered.contains(Snapshots.normPath(x)))
+
+    val schema = Snapshots.versionSchema(s, loc, version)
+    val bloomU = udaf(new BloomAgg(fpp, maxDistinct), Encoders.LONG)
+    val normU = udf((p: String) => Snapshots.normPath(p))
+    val scanned: Option[DataFrame] =
+      if (fresh.isEmpty) None
+      else Some {
+        val hashed = Snapshots.readData(s, fresh, schema).select(
+          input_file_name().as("file") +:
+            cols.map(c => when(col(c).isNotNull,
+              xxhash64(col(c).cast("string"))).as(c)): _*)
+        hashed.groupBy(col("file"))
+          .agg(bloomU(col(cols.head)).as(cols.head),
+            cols.tail.map(c => bloomU(col(c)).as(c)): _*)
+          .select(normU(col("file")).as("file"),
+            explode(array(cols.map(c =>
+              struct(lit(c).as("column"), col(c).as("bits"))): _*)).as("e"))
+          .select(col("file"), col("e.column").as("column"), col("e.bits").as("bits"))
+      }
+
+    val rows = (carried, scanned) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => return
+    }
+    // data first, header last: a header implies complete filters
+    val out = dataPath(loc, version)
+    f.delete(out, true)
+    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(out.toString)
+    val hp = headerPath(loc, version)
+    val os = f.create(hp, true)
+    try os.write(headerBody.getBytes("UTF-8")) finally os.close()
+  }
+
+  private def readHeaderCols(s: SparkSession, p: Path): Seq[String] = {
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .find(_.startsWith("#cols=")).map(_.stripPrefix("#cols=").split(',').toSeq)
+      .getOrElse(Nil)
+    finally in.close()
+  }
+
+  /** The subset of `files` that might contain ANY of `values` in
+    * `column` — the point-lookup file skip. Files without a filter row,
+    * saturated files (null bits), an uncovered column, or a missing
+    * sidecar are all kept: no false negatives by construction. The probe
+    * is a distributed job over the sidecar; only the per-file verdict
+    * reaches the driver. */
+  private[graft] def bloomFiles(s: SparkSession, loc: String, version: Long,
+                                files: Seq[String], column: String,
+                                values: Seq[String]): Seq[String] = {
+    if (files.isEmpty || values.isEmpty) return files
+    val hp = headerPath(loc, version)
+    val f = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(hp) || !readHeaderCols(s, hp).contains(column)) return files
+    val mightHit = udf { (bits: Array[Byte], h: Long) =>
+      bits == null ||
+        BloomFilter.readFrom(new ByteArrayInputStream(bits)).mightContainLong(h)
+    }
+    import s.implicits._
+    val probes = values.toDF("v").select(xxhash64(col("v")).as("h"))
+    val verdict: Map[String, Boolean] =
+      s.read.parquet(dataPath(loc, version).toString)
+        .filter(col("column") === column)
+        .crossJoin(broadcast(probes))
+        .groupBy(col("file"))
+        .agg(max(when(mightHit(col("bits"), col("h")), 1).otherwise(0)).as("keep"))
+        .collect().map(r => r.getString(0) -> (r.getInt(1) == 1)).toMap
+    files.filter(x => verdict.getOrElse(Snapshots.normPath(x), true))
+  }
+
+  /** Read a version keeping only files whose Bloom filter might contain
+    * one of `values` for `column`, then apply the exact residual filter —
+    * callers get exactly the rows a plain `read(...).filter(isin)`
+    * returns, with only O(containing files) opened. Falls back to the
+    * full list when no sidecar covers the column. */
+  def readBloomPruned(s: SparkSession, loc: String, column: String,
+                      values: Seq[String], version: Long = -1L): DataFrame = {
+    val v = if (version < 0) Snapshots.latestVersion(s, loc) else version
+    val files = Snapshots.versionFiles(s, loc, v)
+    if (files.isEmpty) return s.emptyDataFrame
+    val schema = Snapshots.versionSchema(s, loc, v)
+    val keep = bloomFiles(s, loc, v, files, column, values)
+    val residual = (df: DataFrame) =>
+      df.filter(col(column).cast("string").isin(values: _*))
+    if (keep.isEmpty)
+      residual(Snapshots.readData(s, files, schema)).filter(lit(false))
+    else residual(Snapshots.applyDv(
+      s, Snapshots.readData(s, keep, schema), Snapshots.versionDvs(s, loc, v)))
+  }
+}

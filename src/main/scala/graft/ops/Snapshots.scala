@@ -369,7 +369,7 @@ object Snapshots {
   /** Read data files under an explicit schema when the manifest carries
     * one (no footer inference; missing columns → null), inferring only
     * for legacy schema-less manifests. */
-  private def readData(s: SparkSession, files: Seq[String],
+  private[graft] def readData(s: SparkSession, files: Seq[String],
                        schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
     schema.map(sc => s.read.schema(sc)).getOrElse(s.read).parquet(files: _*)
 
@@ -498,7 +498,7 @@ object Snapshots {
     * into data files, so they never accumulate past a compaction cycle);
     * with no DVs the input is returned untouched — zero overhead on the
     * common path. */
-  private def applyDv(s: SparkSession, df: DataFrame,
+  private[graft] def applyDv(s: SparkSession, df: DataFrame,
                       dvs: Seq[String]): DataFrame = {
     if (dvs.isEmpty) return df
     import org.apache.spark.sql.functions.{broadcast, col}
@@ -587,7 +587,7 @@ object Snapshots {
   // pinned-readable. This is the Delta/Iceberg copy-on-write path; a
   // merge-on-read (delete vectors) variant changes only read-side cost.
 
-  private def normPath(p: String): String = new Path(p).toUri.getPath
+  private[graft] def normPath(p: String): String = new Path(p).toUri.getPath
 
   /** Files of the latest version whose rows intersect `pred`, found by
     * one scan of the live file list tagged with `input_file_name` —
@@ -1378,6 +1378,8 @@ object Snapshots {
     dropped.foreach { case (v, p) =>
       f.delete(p, false)
       f.delete(statsPath(loc, v), false) // zone-map sidecar goes with it
+      f.delete(BloomSidecar.headerPath(loc, v), false) // bloom sidecar too
+      f.delete(BloomSidecar.dataPath(loc, v), true)
     }
     val dataRoot = new Path(loc, "data")
     val orphanHorizon = System.currentTimeMillis() - orphanGraceMs

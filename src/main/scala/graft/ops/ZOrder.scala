@@ -76,6 +76,46 @@ object ZOrder {
       .drop("__zkey")
   }
 
+  /** Whole-table maintenance rewrite: re-cluster a SNAPSHOT table in
+    * Morton order of `cols` and refresh its zone-map sidecar — the
+    * `OPTIMIZE ... ZORDER BY` analog, committed as a versioned replace
+    * so pinned readers of every prior version are untouched. One small
+    * bounds aggregate (driver receives 2·|cols| longs), one range
+    * shuffle on the key, one sidecar pass; numFiles derives from the
+    * current version's physical size against `targetBytes` unless
+    * `numFiles` overrides it. Columns must cast to long (ints, longs,
+    * dates-as-days pre-converted by the caller). Returns the published
+    * version (or the current one on an empty table). */
+  def clusterSnapshot(s: org.apache.spark.sql.SparkSession, loc: String,
+                      cols: Seq[String], bits: Int = 8,
+                      targetBytes: Long = 128L * 1024 * 1024,
+                      numFiles: Int = 0): Long = {
+    require(cols.nonEmpty, "clusterSnapshot needs at least one column")
+    val df = Snapshots.read(s, loc)
+    val cur = Snapshots.latestVersion(s, loc)
+    val files = Snapshots.versionFiles(s, loc, cur)
+    if (files.isEmpty) return cur
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")), max(col(c).cast("long"))))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (r.isNullAt(0)) return cur // no rows (or all-null key): nothing to lay out
+    val normed = cols.zipWithIndex.map { case (c, i) =>
+      normalize(col(c).cast("long"), r.getLong(2 * i), r.getLong(2 * i + 1), bits)
+    }
+    val n =
+      if (numFiles > 0) numFiles
+      else {
+        val fsys = new org.apache.hadoop.fs.Path(loc)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val total = files.map(f =>
+          fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+        math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+      }
+    val v = Snapshots.commitReplace(cluster(df, bits, n, normed: _*), loc)
+    Snapshots.attachStats(s, loc, v, cols)
+    v
+  }
+
   /** DuckDB mirror of [[zKey]] for oracle SQL: the same `(x >> b & 1)
     * << (b*n + i)` terms OR'd together. Every term is fully
     * parenthesized — DuckDB gives `<<` and `|` equal precedence with

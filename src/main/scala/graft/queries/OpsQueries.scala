@@ -862,6 +862,109 @@ object OpsQueries {
     df
   }
 
+  /** Bloom-sidecar point-lookup skipping (`BloomSidecar.readBloomPruned`)
+    * on a HASH layout — the case zone maps cannot prune: every file's
+    * [min, max] for o_orderkey spans ~the whole domain (the table is
+    * hash-clustered by o_custkey), yet each probed o_orderkey lives in
+    * exactly one file, so the per-file Bloom filters plan O(probed keys)
+    * files. The guard asserts actual file skipping; the oracle proves the
+    * pruned read returns exactly the plain IN-filter rows. */
+  private def snapshotBloomPruned(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft-warehouse/snapshots/orders_bloom"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    graft.ops.Snapshots.commitAppend(
+      Tables.orders(s, d).repartition(8, col("o_custkey")), loc)
+    graft.ops.BloomSidecar.attachBlooms(s, loc, 1L, Seq("o_orderkey"))
+    val df = graft.ops.BloomSidecar.readBloomPruned(
+        s, loc, "o_orderkey", Seq("7", "33", "1234"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+    val total = graft.ops.Snapshots.versionFiles(s, loc, 1L).length
+    val planned = df.inputFiles.length
+    require(planned < total,
+      s"blooms skipped nothing: planned $planned of $total files")
+    df
+  }
+
+  /** `CALL system.cluster` (`ZOrder.clusterSnapshot`): the
+    * OPTIMIZE-ZORDER analog — a round-robin-laid table is re-clustered
+    * in Morton order of (o_orderkey, o_custkey) as a versioned replace
+    * with the zone-map sidecar refreshed, after which a TWO-column box
+    * predicate through the catalog prunes files (each file is tight on
+    * BOTH dimensions at once). The guard asserts the box plans fewer
+    * files than the table holds; the oracle proves row-exactness. */
+  private def snapshotSqlCluster(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_zc"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    // round-robin layout: neither column is clustered before the CALL
+    graft.ops.Snapshots.commitAppend(Tables.orders(s, d).repartition(8), loc)
+    s.sql("CALL graft_snap_dml.system.cluster('orders_zc', " +
+      "'o_orderkey,o_custkey', 8, 128, 8)")
+    val df = s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM graft_snap_dml.orders_zc
+        |WHERE o_orderkey BETWEEN 100 AND 500 AND o_custkey BETWEEN 100 AND 200
+        |ORDER BY o_orderkey""".stripMargin)
+    val planned = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            pq.fileIndex.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+    val total = graft.ops.Snapshots.versionFiles(
+      s, loc, graft.ops.Snapshots.latestVersion(s, loc)).length
+    require(planned < total,
+      s"clustered box skipped nothing: planned $planned of $total files")
+    df
+  }
+
+  /** The SQL twin: `WHERE o_orderkey = …` through the DSv2 catalog on the
+    * same hash layout, with the sidecar attached via
+    * `CALL system.attach_blooms` — ZoneMapScanBuilder maps the pushed
+    * point predicate through the Bloom sidecar and hands the parquet scan
+    * only the surviving files (the pushed filter still applies below for
+    * row-group pruning). */
+  private def snapshotSqlBloom(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_bloom_sql"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    graft.ops.Snapshots.commitAppend(
+      Tables.orders(s, d).repartition(8, col("o_custkey")), loc)
+    s.sql("CALL graft_snap_dml.system.attach_blooms('orders_bloom_sql', 'o_orderkey')")
+    val df = s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM graft_snap_dml.orders_bloom_sql
+        |WHERE o_orderkey IN (7, 33, 1234)
+        |ORDER BY o_orderkey""".stripMargin)
+    val planned = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            pq.fileIndex.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+    val total = graft.ops.Snapshots.versionFiles(s, loc, 1L).length
+    require(planned < total,
+      s"SQL blooms skipped nothing: planned $planned of $total files")
+    df
+  }
+
   /** Stats-pruned DELETE (`Snapshots.commitDelete` with `pruneBy`): on a
     * range-clustered layout with zone-map sidecars, the affected-file
     * DETECTION scan touches only files whose [min, max] intersects the
@@ -1238,6 +1341,22 @@ object OpsQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey BETWEEN 100 AND 500
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_bloom_pruned", snapshotBloomPruned,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey IN (7, 33, 1234)
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_bloom", snapshotSqlBloom,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey IN (7, 33, 1234)
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_cluster", snapshotSqlCluster,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders
+             |WHERE o_orderkey BETWEEN 100 AND 500 AND o_custkey BETWEEN 100 AND 200
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_expire", snapshotExpire,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

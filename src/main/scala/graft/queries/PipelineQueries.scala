@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.llm.{Cleaning, LangModel, LineOps, Packing, Ranking, Sampling}
+import graft.llm.{Cleaning, LangModel, LineOps, Packing, Ranking, Sampling, SpanTrim}
 
 /** Training-data pipeline queries (round 4): deterministic sampling and
   * mixture re-weighting, PII redaction, Gopher-style repetition
@@ -366,6 +366,37 @@ object PipelineQueries {
       |           CAST(0.0 AS DOUBLE)) AS dup_fraction
       |FROM d LEFT JOIN per ON d.id = per.id""".stripMargin
 
+  /** Exact-substring span TRIM ([[SpanTrim.trimDuplicatedSpans]]): cut
+    * every maximal token run covered by a cross-document duplicated
+    * 8-gram, returning the per-doc edit report plus the trimmed text —
+    * the positional edit `dup_span_fraction` only measures. */
+  private def dupSpanTrim(s: SparkSession, d: String): DataFrame =
+    SpanTrim.trimDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+      width = 8, minDocs = 2)
+
+  private val dupSpanTrimSql: String =
+    """WITH d AS (SELECT doc_id AS id, string_split(text,' ') AS w FROM documents),
+      |t AS (SELECT id, unnest(w) AS tok, generate_subscripts(w, 1) - 1 AS pos FROM d),
+      |v AS (SELECT id, i - 1 AS pos, array_to_string(list_slice(w, i, i + 7), ' ') AS g
+      |      FROM (SELECT id, w, unnest(range(1, len(w) - 6)) AS i FROM d
+      |            WHERE len(w) >= 8) x),
+      |dup AS (SELECT g FROM v GROUP BY g HAVING count(DISTINCT id) >= 2),
+      |cov AS (SELECT DISTINCT v.id, v.pos + o.o AS cpos
+      |        FROM v JOIN dup USING (g) CROSS JOIN range(8) o(o)),
+      |isl AS (SELECT id, cpos,
+      |          cpos - row_number() OVER (PARTITION BY id ORDER BY cpos) AS grpk
+      |        FROM cov),
+      |agg AS (SELECT id, CAST(count(DISTINCT grpk) AS BIGINT) AS n_spans,
+      |          CAST(count(*) AS BIGINT) AS tokens_removed
+      |        FROM isl GROUP BY id),
+      |kept AS (SELECT t.id,
+      |           coalesce(string_agg(t.tok, ' ' ORDER BY t.pos)
+      |             FILTER (WHERE c.cpos IS NULL), '') AS trimmed_text
+      |         FROM t LEFT JOIN cov c ON t.id = c.id AND t.pos = c.cpos
+      |         GROUP BY t.id)
+      |SELECT a.id AS doc_id, a.n_spans, a.tokens_removed, k.trimmed_text
+      |FROM agg a JOIN kept k USING (id) ORDER BY doc_id""".stripMargin
+
   private def epochShuffle(s: SparkSession, d: String): DataFrame =
     Sampling.epochShuffleKeys(
       Tables.documents(s, d).select(col("doc_id")), "doc_id", epochs = 3)
@@ -547,6 +578,7 @@ object PipelineQueries {
     Q("decontaminate_fuzzy", decontaminateFuzzy, Some(decontaminateFuzzySql)),
     Q("epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     Q("dup_span_fraction", dupSpanFraction, Some(dupSpanFractionSql)),
+    Q("dup_span_trim", dupSpanTrim, Some(dupSpanTrimSql)),
 
   )
 }

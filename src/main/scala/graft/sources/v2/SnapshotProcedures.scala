@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.ops.Snapshots
@@ -32,7 +32,8 @@ import graft.ops.Snapshots
 object SnapshotProcedures {
 
   val names: Seq[String] =
-    Seq("optimize", "optimize_small", "expire", "attach_stats", "delete_mor")
+    Seq("optimize", "optimize_small", "expire", "attach_stats",
+      "attach_blooms", "cluster", "delete_mor")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -115,6 +116,40 @@ object SnapshotProcedures {
     Seq[Any](v, cols.length)
   }
 
+  /** Bloom sidecar for point-lookup file skipping
+    * ([[graft.ops.BloomSidecar.attachBlooms]]) — the `attach_stats`
+    * sibling for `=` / `IN` predicates on unclustered keys. */
+  private val attachBlooms = procedure("attach_blooms",
+    Seq(in("table", StringType), in("columns", StringType),
+      inDefault("fpp", DoubleType, "0.01")),
+    StructType(Seq(StructField("version", LongType),
+      StructField("columns", IntegerType)))) { (loc, input) =>
+    val cols = str(input, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val v = Snapshots.latestVersion(spark, loc)
+    graft.ops.BloomSidecar.attachBlooms(spark, loc, v, cols, input.getDouble(2))
+    Seq[Any](v, cols.length)
+  }
+
+  /** Morton re-cluster + zone-map refresh
+    * ([[graft.ops.ZOrder.clusterSnapshot]]) — the `OPTIMIZE … ZORDER BY`
+    * analog: after it, multi-column box predicates prune files through
+    * the refreshed stats sidecar. `files=0` sizes the output from the
+    * table's bytes against `target_mb`. */
+  private val clusterTable = procedure("cluster",
+    Seq(in("table", StringType), in("columns", StringType),
+      inDefault("bits", IntegerType, "8"),
+      inDefault("target_mb", IntegerType, "128"),
+      inDefault("files", IntegerType, "0")),
+    StructType(Seq(StructField("version", LongType),
+      StructField("files", IntegerType)))) { (loc, input) =>
+    val cols = str(input, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val v = graft.ops.ZOrder.clusterSnapshot(spark, loc, cols,
+      bits = input.getInt(2),
+      targetBytes = input.getInt(3).toLong * 1024 * 1024,
+      numFiles = input.getInt(4))
+    Seq[Any](v, Snapshots.read(spark, loc, v).inputFiles.length)
+  }
+
   private val deleteMor = procedure("delete_mor",
     Seq(in("table", StringType), in("condition", StringType)),
     StructType(Seq(StructField("version", LongType)))) { (loc, input) =>
@@ -123,8 +158,9 @@ object SnapshotProcedures {
 
   private val all: Map[String, String => UnboundProcedure] = Map(
     "optimize" -> optimize, "optimize_small" -> optimizeSmall,
-    "expire" -> expire,
-    "attach_stats" -> attachStats, "delete_mor" -> deleteMor)
+    "expire" -> expire, "attach_stats" -> attachStats,
+    "attach_blooms" -> attachBlooms, "cluster" -> clusterTable,
+    "delete_mor" -> deleteMor)
 
   def load(name: String, root: String): Option[UnboundProcedure] =
     all.get(name.toLowerCase(java.util.Locale.ROOT)).map(_(root))

@@ -78,14 +78,24 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
 private[v2] object ZoneMapScanBuilder {
 
   /** The subset of `files` any of whose sidecar-covered columns might
-    * satisfy every conjunct — the driver-side file skip. */
+    * satisfy every conjunct — the driver-side file skip. Range conjuncts
+    * map through the zone-map sidecar; point conjuncts (=, IN)
+    * additionally probe the Bloom sidecar
+    * ([[graft.ops.BloomSidecar.bloomFiles]]), which prunes on
+    * high-cardinality keys whose per-file [min, max] spans everything
+    * (hash layouts, id columns uncorrelated with the clustering key). */
   def prune(spark: SparkSession, loc: String, version: Long,
             files: Seq[String], filters: Seq[Expression]): Seq[String] =
     filters.flatMap(splitAnd).foldLeft(files) { (keep, conjunct) =>
-      bound(conjunct) match {
+      val afterStats = bound(conjunct) match {
         case Some((column, lo, hi)) =>
           Snapshots.statFilesBounds(spark, loc, version, keep, column, lo, hi)
         case None => keep
+      }
+      point(conjunct) match {
+        case Some((column, vs)) =>
+          graft.ops.BloomSidecar.bloomFiles(spark, loc, version, afterStats, column, vs)
+        case None => afterStats
       }
     }
 
@@ -151,6 +161,25 @@ private[v2] object ZoneMapScanBuilder {
           if (numeric(a.dataType)) Ordering.by(BigDecimal(_)) else Ordering.String
         Some((a.name, Some(vs.min(ord)), Some(vs.max(ord))))
       }
+    case _ => None
+  }
+
+  /** Conjunct → exact point set on one column, for the Bloom-sidecar
+    * probe. Same literal encoding (and date/timestamp exclusion) as
+    * [[litStr]], so the probe hashes exactly what the build hashed. */
+  private def point(e: Expression): Option[(String, Seq[String])] = e match {
+    case EqualTo(a: AttributeReference, l: Literal) =>
+      litStr(l).map(v => (a.name, Seq(v)))
+    case EqualTo(l: Literal, a: AttributeReference) =>
+      litStr(l).map(v => (a.name, Seq(v)))
+    case EqualNullSafe(a: AttributeReference, l: Literal) =>
+      litStr(l).map(v => (a.name, Seq(v)))
+    case EqualNullSafe(l: Literal, a: AttributeReference) =>
+      litStr(l).map(v => (a.name, Seq(v)))
+    case In(a: AttributeReference, values)
+        if values.nonEmpty && values.forall(_.isInstanceOf[Literal]) =>
+      val strs = values.map { case l: Literal => litStr(l) }
+      if (strs.exists(_.isEmpty)) None else Some((a.name, strs.flatten))
     case _ => None
   }
 }

@@ -64,6 +64,43 @@ class SnapshotProceduresSpec extends SparkTestBase {
     assert(Snapshots.read(spark, loc).count() == 8000L - 11L)
   }
 
+  test("CALL attach_blooms enables point-lookup skipping on a hash layout") {
+    import spark.implicits._
+    val loc = fresh("t_bloom")
+    Snapshots.commitAppend(
+      (1L to 8000L).map(i => (i, s"u$i")).toDF("id", "u")
+        .repartition(8, col("u")), loc)
+    val st = spark.sql("CALL sqlproc.system.attach_blooms('t_bloom', 'id')")
+      .as[(Long, Int)].collect().head
+    assert(st == ((1L, 1)))
+    val pruned = graft.ops.BloomSidecar.readBloomPruned(
+      spark, loc, "id", Seq("4242"))
+    assert(pruned.count() == 1L)
+    assert(pruned.inputFiles.length < 8,
+      "bloom sidecar must skip files on a hash layout")
+  }
+
+  test("CALL cluster re-lays the table in Morton order and refreshes stats") {
+    import spark.implicits._
+    val loc = fresh("t_zc")
+    // round-robin: neither x nor y clustered
+    Snapshots.commitAppend(
+      (0L until 4096L).map(i => (i, (i * 2654435761L) % 4096L))
+        .toDF("x", "y").repartition(8), loc)
+    val res = spark.sql(
+      "CALL sqlproc.system.cluster('t_zc', 'x,y', 8, 128, 8)")
+      .as[(Long, Int)].collect().head
+    assert(res._1 == 2L && res._2 == 8)
+    // a 2-D box now prunes through the refreshed sidecar on BOTH columns
+    val px = Snapshots.readPruned(spark, loc, "x", "0", "256")
+    assert(px.inputFiles.length < 8, "x-range must prune after clustering")
+    val py = Snapshots.readPruned(spark, loc, "y", "0", "256")
+    assert(py.inputFiles.length < 8, "y-range must prune after clustering")
+    // versioned replace: v1 history intact and row-complete
+    assert(Snapshots.read(spark, loc, 1L).count() == 4096L)
+    assert(Snapshots.read(spark, loc, 2L).count() == 4096L)
+  }
+
   test("unknown procedure and wrong namespace fail fast with the available list") {
     fresh("t_err")
     val e = intercept[Exception](
