@@ -1104,22 +1104,26 @@ object Snapshots {
   private def statsPath(loc: String, version: Long) =
     new Path(manifestDir(loc), f"v$version%05d.stats.txt")
 
-  /** Compute and attach per-file (min, max) sidecar stats for `cols` to
-    * an existing version (typically called right after a commit).
-    * INCREMENTAL: files already covered by the PREVIOUS version's
-    * sidecar (same column set) inherit their rows — immutable files
-    * cannot change their stats — so the scan covers only the commit's
-    * new files: stats maintenance is O(delta), not O(table). Values are
-    * stored via `CAST AS STRING`; [[readPruned]] compares in the
-    * column's own type after casting back. */
+  /** Compute and attach per-file (min, max, row count) sidecar stats for
+    * `cols` to an existing version (typically called right after a
+    * commit). INCREMENTAL: files already covered by the PREVIOUS
+    * version's sidecar (same column set) inherit their rows — immutable
+    * files cannot change their stats — so the scan covers only the
+    * commit's new files: stats maintenance is O(delta), not O(table).
+    * Values are stored via `CAST AS STRING`; [[readPruned]] compares in
+    * the column's own type after casting back. The trailing per-file row
+    * count feeds [[statAggValues]] (metadata-only COUNT/MIN/MAX);
+    * count-less lines inherited from pre-count sidecars are rescanned so
+    * one attach upgrades the whole version. */
   def attachStats(s: SparkSession, loc: String, version: Long,
                   cols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val files = versionFiles(s, loc, version)
     if (files.isEmpty) return
     val f = fs(s, loc)
     val header = s"#cols=${cols.mkString(",")}"
     // inherit rows from the previous sidecar where the column set matches
+    // (only rows that already carry the trailing count — width 2+2·cols)
     val prevSidecar = statsPath(loc, version - 1)
     val prevLines: Seq[String] =
       if (version > 1 && f.exists(prevSidecar)) manifestLines(s, prevSidecar)
@@ -1127,7 +1131,8 @@ object Snapshots {
     val known: Map[String, String] =
       if (prevLines.headOption.contains(header))
         prevLines.filterNot(_.startsWith("#"))
-          .map(l => l.split("\t", -1)(0) -> l).toMap
+          .map(l => l.split("\t", -1)).filter(_.length == 2 + 2 * cols.length)
+          .map(a => a(0) -> a.mkString("\t")).toMap
       else Map.empty
     // the sidecar records each column's Catalyst type, so pruning-time
     // interval compares never infer schema from a parquet footer — the
@@ -1142,22 +1147,27 @@ object Snapshots {
         "#types=" + cols.map(c => schema(c).dataType.catalogString).mkString(",")
       }
     val fresh = files.filterNot(x => known.contains(normPath(x)))
+    // a value holding the sidecar's own separators would shift every
+    // later field on read — store "" (= unknown, never skip) instead
+    def clean(v: String): String =
+      if (v.exists(c => c == '\t' || c == '\n' || c == '\r')) "" else v
     val scanned: Seq[String] =
       if (fresh.isEmpty) Nil
       else readData(s, fresh, tableSchema)
         .groupBy(input_file_name().as("f"))
         .agg(min(col(cols.head)).cast("string").as("min0"),
-          (max(col(cols.head)).cast("string").as("max0") +:
+          ((max(col(cols.head)).cast("string").as("max0") +:
             cols.tail.zipWithIndex.flatMap { case (c, i) =>
               Seq(min(col(c)).cast("string").as(s"min${i + 1}"),
                 max(col(c)).cast("string").as(s"max${i + 1}"))
-            }): _*)
+            }) :+ count(lit(1)).as("cnt")): _*)
         .collect().toSeq.map { r =>
           val path = normPath(r.getString(0))
           val vals = (0 until cols.length).flatMap(i =>
-            Seq(Option(r.getString(1 + 2 * i)).getOrElse(""),
-              Option(r.getString(2 + 2 * i)).getOrElse("")))
-          (path +: vals).mkString("\t")
+            Seq(clean(Option(r.getString(1 + 2 * i)).getOrElse("")),
+              clean(Option(r.getString(2 + 2 * i)).getOrElse(""))))
+          ((path +: vals) :+ r.getLong(1 + 2 * cols.length).toString)
+            .mkString("\t")
         }
     val inherited = files.flatMap(x => known.get(normPath(x)))
     val tmp = new Path(manifestDir(loc),
@@ -1216,6 +1226,90 @@ object Snapshots {
         mn.isEmpty || mx.isEmpty || rangesIntersect(dt, mn, mx, lo, hi)
       }
     }
+  }
+
+  /** Aggregate shapes [[statAggValues]] can answer from the sidecar. */
+  private[graft] sealed trait StatAgg
+  private[graft] case object StatCount extends StatAgg
+  private[graft] case class StatMin(col: String) extends StatAgg
+  private[graft] case class StatMax(col: String) extends StatAgg
+
+  /** Answer a filterless, group-less COUNT(*) / MIN / MAX over `files`
+    * ENTIRELY from the stats sidecar — zero tasks, zero file opens: at
+    * 100 TB `SELECT count(*)` becomes one manifest-sidecar read. Returns
+    * each requested value as a Catalyst-internal (value, type) pair, or
+    * None when the sidecar cannot prove the answer: missing sidecar, any
+    * file without a counted row (pre-count legacy line, width mismatch
+    * from a separator-bearing value), an uncovered column, or a type
+    * whose string round-trip does not order correctly (strings can hold
+    * the sidecar's own separators; binary/interval never round-trip).
+    * Callers must ensure the version carries NO delete vectors — counts
+    * are physical. MIN/MAX ignore all-null files (empty bounds) exactly
+    * like the SQL semantics; an all-null column yields value null. */
+  private[graft] def statAggValues(s: SparkSession, loc: String, version: Long,
+                                   files: Seq[String], wants: Seq[StatAgg])
+      : Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = {
+    import org.apache.spark.sql.types._
+    val sp = statsPath(loc, version)
+    if (files.isEmpty || wants.isEmpty || !fs(s, loc).exists(sp)) return None
+    val lines = manifestLines(s, sp)
+    val cols = lines.headOption.filter(_.startsWith("#cols="))
+      .map(_.stripPrefix("#cols=").split(',').toSeq).getOrElse(Nil)
+    val types = lines.lift(1).filter(_.startsWith("#types="))
+      .map(_.stripPrefix("#types=").split(',').toSeq).getOrElse(Nil)
+    if (cols.isEmpty || types.length != cols.length) return None
+    val width = 2 + 2 * cols.length // path, (min, max)·cols, row count
+    val stats: Map[String, Array[String]] = lines.filterNot(_.startsWith("#"))
+      .map(_.split("\t", -1)).filter(_.length == width)
+      .map(a => a(0) -> a).toMap
+    val rows = files.map(fl => stats.get(normPath(fl)))
+    if (rows.exists(_.isEmpty)) return None // an unproven file: no answer
+    val proven = rows.flatten
+    def numeric(dt: DataType): Boolean = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: DecimalType => true
+      case _ => false
+    }
+    // same compare semantics as rangesIntersect: numerics via BigDecimal,
+    // date/timestamp/boolean lexically (their CAST-AS-STRING forms order
+    // lexically); anything else is not provably orderable as a string
+    def orderable(dt: DataType): Boolean = numeric(dt) || (dt match {
+      case _: DateType | _: TimestampType | _: TimestampNTZType |
+           _: BooleanType => true
+      case _ => false
+    })
+    def extremum(c: String, wantMin: Boolean): Option[(Any, DataType)] = {
+      val ci = cols.indexOf(c)
+      if (ci < 0) return None
+      val dt = try DataType.fromDDL(types(ci)) catch { case _: Exception => return None }
+      if (!orderable(dt)) return None
+      val vals = proven.map(a => a(if (wantMin) 1 + 2 * ci else 2 + 2 * ci))
+        .filter(_.nonEmpty) // empty bound = all-null file: contributes nothing
+      val winner: Option[String] =
+        if (vals.isEmpty) None
+        else if (numeric(dt))
+          // NaN / Infinity in a float column don't parse — decline, the
+          // real scan answers (min/max NaN semantics are theirs to honor)
+          try Some(vals.minBy(BigDecimal(_))(if (wantMin) Ordering[BigDecimal]
+            else Ordering[BigDecimal].reverse))
+          catch { case _: NumberFormatException => return None }
+        else Some(if (wantMin) vals.min else vals.max)
+      Some((winner.map { v =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(v), StringType),
+          dt, Some(s.sessionState.conf.sessionLocalTimeZone)).eval()
+      }.orNull, dt))
+    }
+    val out = wants.map {
+      case StatCount =>
+        try Some((proven.map(_.apply(width - 1).toLong).sum: Any,
+          LongType: DataType))
+        catch { case _: NumberFormatException => None }
+      case StatMin(c) => extremum(c, wantMin = true)
+      case StatMax(c) => extremum(c, wantMin = false)
+    }
+    if (out.exists(_.isEmpty)) None else Some(out.flatten)
   }
 
   /** Read a version with FILE-LEVEL skipping: keep only files whose

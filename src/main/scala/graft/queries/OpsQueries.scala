@@ -965,6 +965,41 @@ object OpsQueries {
     df
   }
 
+  /** Metadata-only aggregates (`Snapshots.statAggValues` through
+    * `ZoneMapScanBuilder`): a filterless COUNT(*)/MIN/MAX over the DSv2
+    * catalog answers from the stats sidecar's per-file row counts and
+    * bounds as a driver-LOCAL scan — zero tasks, zero file opens; at
+    * 100 TB `SELECT count(*)` is one sidecar read. The guard asserts the
+    * plan is a LocalTableScan with no file scan underneath; the oracle
+    * proves the values equal the real aggregation. */
+  private def snapshotSqlAgg(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_agg"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    graft.ops.Snapshots.commitAppend(
+      Tables.orders(s, d).repartition(8), loc)
+    s.sql("CALL graft_snap_dml.system.attach_stats('orders_agg', " +
+      "'o_orderkey,o_totalprice,o_orderdate')")
+    val df = s.sql(
+      """SELECT count(*) AS n_orders,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  min(o_orderdate) AS first_day, max(o_orderdate) AS last_day
+        |FROM graft_snap_dml.orders_agg""".stripMargin)
+    val plan = df.queryExecution.executedPlan
+    val local = plan.collectFirst {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l }
+    val scans = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    require(local.isDefined && scans.isEmpty,
+      s"aggregate did not answer from metadata:\n$plan")
+    df
+  }
+
   /** Stats-pruned DELETE (`Snapshots.commitDelete` with `pruneBy`): on a
     * range-clustered layout with zone-map sidecars, the affected-file
     * DETECTION scan touches only files whose [min, max] intersects the
@@ -1358,6 +1393,12 @@ object OpsQueries {
              |FROM orders
              |WHERE o_orderkey BETWEEN 100 AND 500 AND o_custkey BETWEEN 100 AND 200
              |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_agg", snapshotSqlAgg,
+      Some("""SELECT count(*) AS n_orders,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+             |  min(o_orderdate) AS first_day, max(o_orderdate) AS last_day
+             |FROM orders""".stripMargin)),
     Q("snapshot_expire", snapshotExpire,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority

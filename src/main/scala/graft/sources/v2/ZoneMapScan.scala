@@ -36,12 +36,14 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
   // is settled by the time the delegate builder materializes; a filterless
   // query lazily gets the full list
   private var inner: ScanBuilder = _
+  private var filtered = false
   private def innerOrAll: ScanBuilder = {
     if (inner == null) inner = mkInner(files)
     inner
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    filtered ||= filters.nonEmpty
     if (inner == null)
       inner = mkInner(ZoneMapScanBuilder.prune(spark, loc, version, files, filters))
     innerOrAll.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)
@@ -50,29 +52,64 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
     innerOrAll.asInstanceOf[SupportsPushDownCatalystFilters].pushedFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
+    if (aggRow != null) () // metadata-answered aggregate: nothing to prune
     // the delegated parquet scan cannot synthesize the __graft_file
     // metadata column — a projection naming it switches to the per-file
     // row scan (filters stay residual above the scan, so dropping the
     // delegate's pushed set is safe; explain keeps the delegate's report)
-    if (requiredSchema.fieldNames.contains(SnapshotRowScan.FileCol)) {
+    else if (requiredSchema.fieldNames.contains(SnapshotRowScan.FileCol)) {
       val rs = mkRowScan(requiredSchema)
       rs.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(requiredSchema)
       inner = rs
     } else innerOrAll.asInstanceOf[SupportsPushDownRequiredColumns]
       .pruneColumns(requiredSchema)
 
+  // ---- metadata-only aggregates ----
+  // A filterless, group-less COUNT(*) / MIN / MAX answers from the stats
+  // sidecar's per-file row counts and bounds (Snapshots.statAggValues):
+  // the scan becomes a driver-local single row — zero tasks, zero file
+  // opens, O(1) in table size. This builder only serves DV-free versions
+  // (SnapshotTable routes DV-bearing ones elsewhere), so physical counts
+  // are logical counts. Anything the sidecar can't prove delegates to the
+  // parquet builder's own (footer-level) aggregate pushdown.
+  private var aggRow: Array[Any] = _
+  private var aggSchema: StructType = _
+  private def trySidecarAgg(aggregation: Aggregation): Boolean = {
+    if (aggRow != null) return true
+    if (filtered) return false
+    val answered = ZoneMapScanBuilder.wants(aggregation)
+      .flatMap { ws =>
+        Snapshots.statAggValues(spark, loc, version, files, ws.map(_._1))
+          .map { vals =>
+            aggRow = vals.map(_._1).toArray
+            aggSchema = StructType(ws.zip(vals).map { case ((w, name), (_, dt)) =>
+              StructField(name, dt, nullable = w != Snapshots.StatCount)
+            })
+          }
+      }
+    answered.isDefined
+  }
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    innerOrAll match {
+    trySidecarAgg(aggregation) || (innerOrAll match {
       case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
       case _ => false
-    }
+    })
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    innerOrAll match {
+    trySidecarAgg(aggregation) || (innerOrAll match {
       case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
       case _ => false
-    }
+    })
 
-  override def build(): Scan = innerOrAll.build()
+  override def build(): Scan =
+    if (aggRow != null) new org.apache.spark.sql.connector.read.LocalScan {
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          aggRow.toIndexedSeq))
+      override def readSchema(): StructType = aggSchema
+      override def description(): String =
+        s"SidecarAggregate v$version ${aggSchema.fieldNames.mkString(", ")}"
+    }
+    else innerOrAll.build()
 }
 
 private[v2] object ZoneMapScanBuilder {
@@ -162,6 +199,29 @@ private[v2] object ZoneMapScanBuilder {
         Some((a.name, Some(vs.min(ord)), Some(vs.max(ord))))
       }
     case _ => None
+  }
+
+  /** The sidecar-answerable reading of a pushed aggregation: group-less,
+    * every function a COUNT(*) / MIN(col) / MAX(col) on a top-level
+    * column. Each want carries its output field name (mirroring the
+    * names Spark's own pushed-aggregate scans report). */
+  private[v2] def wants(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[(Snapshots.StatAgg, String)]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions.nonEmpty) return None
+    def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+        case _ => None
+      }
+    val out = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some((Snapshots.StatCount: Snapshots.StatAgg, "count(*)"))
+      case m: Min => col(m.column).map(c => (Snapshots.StatMin(c): Snapshots.StatAgg, s"min($c)"))
+      case m: Max => col(m.column).map(c => (Snapshots.StatMax(c): Snapshots.StatAgg, s"max($c)"))
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) None else Some(out.flatten)
   }
 
   /** Conjunct → exact point set on one column, for the Bloom-sidecar
