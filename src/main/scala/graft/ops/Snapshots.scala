@@ -1092,6 +1092,86 @@ object Snapshots {
     } else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  // ---- table metadata as data: history / files / time-resolution ----
+  // Everything here is manifest-sized driver work (O(versions · files)
+  // strings, no data file opened), surfaced as DataFrames so the SQL
+  // catalog can expose them as metadata tables (`<cat>.<t>.history`,
+  // `<cat>.<t>.files`) the way Iceberg/Delta do.
+
+  /** Manifest publish times: (version, mtime millis), ascending — one
+    * directory listing, no per-file RPCs. */
+  private def manifestTimes(s: SparkSession, loc: String): Seq[(Long, Long)] = {
+    val md = manifestDir(loc)
+    val f = fs(s, loc)
+    if (!f.exists(md)) Seq.empty
+    else f.listStatus(md).toSeq
+      .filter(_.getPath.getName.matches("v\\d+\\.txt"))
+      .map(st => (st.getPath.getName.stripPrefix("v").stripSuffix(".txt").toLong,
+        st.getModificationTime))
+      .sortBy(_._1)
+  }
+
+  /** The newest version published at or before `tsMillis` (SQL
+    * `TIMESTAMP AS OF`), or None when the table's first commit is later
+    * than the asked instant. */
+  def versionAtTime(s: SparkSession, loc: String, tsMillis: Long): Option[Long] =
+    manifestTimes(s, loc).takeWhile(_._2 <= tsMillis).lastOption.map(_._1)
+
+  /** Commit history as a DataFrame: one row per version with its publish
+    * time, file/delete-vector counts, and the file-set delta against the
+    * previous version (added/removed counts — a pure append shows
+    * (n, 0), a replace (new, old), a merge-on-read delete (0, 0) with
+    * n_dvs rising). Manifest-sized: no data file is opened. */
+  def history(s: SparkSession, loc: String): DataFrame = {
+    val times = manifestTimes(s, loc).toMap
+    val rows = manifests(s, loc).foldLeft(
+      (Seq.empty[(Long, java.sql.Timestamp, Int, Int, Int, Int)],
+        Set.empty[String])) { case ((acc, prevFiles), (v, _)) =>
+      val files = versionFiles(s, loc, v).map(normPath).toSet
+      val dvs = versionDvs(s, loc, v)
+      val row = (v, new java.sql.Timestamp(times.getOrElse(v, 0L)),
+        files.size, dvs.length,
+        (files -- prevFiles).size, (prevFiles -- files).size)
+      (acc :+ row, files)
+    }._1
+    s.createDataFrame(rows).toDF(
+      "version", "committed_at", "n_files", "n_dvs",
+      "added_files", "removed_files")
+  }
+
+  /** Per-file row counts a version's stats sidecar proved (trailing
+    * count field), keyed by normalized path; empty when no counted
+    * sidecar exists. */
+  private[graft] def sidecarCounts(s: SparkSession, loc: String,
+                                   version: Long): Map[String, Long] = {
+    val sp = statsPath(loc, version)
+    if (!fs(s, loc).exists(sp)) return Map.empty
+    val lines = manifestLines(s, sp)
+    val nCols = lines.headOption.filter(_.startsWith("#cols="))
+      .map(_.stripPrefix("#cols=").split(',').length).getOrElse(return Map.empty)
+    lines.filterNot(_.startsWith("#")).map(_.split("\t", -1))
+      .filter(_.length == 2 + 2 * nCols)
+      .flatMap(a => a.last.toLongOption.map(a(0) -> _)).toMap
+  }
+
+  /** A version's data files as a DataFrame: path, size, and the row
+    * count the stats sidecar proved (null without one). Sizes come from
+    * one directory listing per commit directory, not per-file RPCs. */
+  def filesMeta(s: SparkSession, loc: String, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion(s, loc) else version
+    val files = versionFiles(s, loc, v)
+    val counts = sidecarCounts(s, loc, v)
+    val f = fs(s, loc)
+    val sizes: Map[String, Long] = files.map(new Path(_)).groupBy(_.getParent)
+      .keysIterator.flatMap(dir => f.listStatus(dir).iterator
+        .map(st => normPath(st.getPath.toString) -> st.getLen)).toMap
+    val rows = files.map { file =>
+      val n = normPath(file)
+      (v, n, sizes.getOrElse(n, 0L), counts.get(n))
+    }
+    s.createDataFrame(rows).toDF("version", "path", "size_bytes", "row_count")
+  }
+
   // ---- file-level zone maps (data skipping) ----
   // Per-file min/max of chosen columns, written as a sidecar NEXT TO the
   // manifest before it publishes (`v<NNNNN>.stats.txt` — orphan sidecars

@@ -1000,6 +1000,91 @@ object OpsQueries {
     df
   }
 
+  /** Metadata tables (`Snapshots.history` via `SnapshotMetaTable`):
+    * `<cat>.<t>.history` serves the commit log — per-version file
+    * counts, DV counts, and file-set deltas — as a driver-LOCAL plan
+    * (manifest-sized, zero data files opened). The fixture's commit
+    * shapes (3-file append, 2-file append, MoR delete, 4-file replace)
+    * make every row deterministic; the oracle pins them as literals. */
+  private def snapshotSqlHistory(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_hist"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val orders = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(3), loc)
+    graft.ops.Snapshots.commitAppend(
+      orders.filter(col("o_orderkey") % 3 === 1).repartition(2), loc)
+    graft.ops.Snapshots.commitDeleteMoR(s, loc,
+      col("o_orderkey") === 3L) // delete vector only: file set unchanged
+    graft.ops.Snapshots.commitReplace(
+      orders.filter(col("o_orderkey") % 3 === 2).repartition(4), loc)
+    val df = s.sql(
+      """SELECT version, n_files, n_dvs, added_files, removed_files
+        |FROM graft_snap_dml.orders_hist.history ORDER BY version""".stripMargin)
+    // the ORDER BY adds an exchange, so AQE wraps the physical plan —
+    // assert locality on the optimized logical plan instead
+    require(df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        if r.scan.isInstanceOf[org.apache.spark.sql.connector.read.LocalScan] => r
+    }.isDefined, "history must plan as a local scan")
+    df
+  }
+
+  /** The files metadata table (`Snapshots.filesMeta`): per-file sizes
+    * (always) and sidecar-proven row counts — the aggregate ties the
+    * metadata back to the data: sum(row_count) over `<cat>.<t>.files`
+    * must equal the table's true row count, with the file count pinned
+    * by the fixture's layout. */
+  private def snapshotSqlFiles(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_fmeta"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    graft.ops.Snapshots.commitAppend(Tables.orders(s, d).repartition(8), loc)
+    s.sql("CALL graft_snap_dml.system.attach_stats('orders_fmeta', 'o_orderkey')")
+    val df = s.sql(
+      """SELECT count(*) AS n_files, sum(row_count) AS n_rows,
+        |  max(version) AS version
+        |FROM graft_snap_dml.orders_fmeta.files
+        |WHERE size_bytes > 0""".stripMargin)
+    df
+  }
+
+  /** `TIMESTAMP AS OF` through the catalog (`Snapshots.versionAtTime`):
+    * an instant captured between two commits resolves to the FIRST —
+    * manifest publish times, one directory listing, no data opened. The
+    * oracle is the first commit's rows. */
+  private def snapshotSqlTimeTravelTs(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_ts"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val orders = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      orders.filter(col("o_orderkey") <= 1000L), loc)
+    Thread.sleep(30) // manifest mtimes must straddle the captured instant
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    graft.ops.Snapshots.commitAppend(
+      orders.filter(col("o_orderkey") > 1000L), loc)
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  o_orderdate, o_orderpriority
+         |FROM graft_snap_dml.orders_ts TIMESTAMP AS OF timestamp_millis(${mid}L)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Stats-pruned DELETE (`Snapshots.commitDelete` with `pruneBy`): on a
     * range-clustered layout with zone-map sidecars, the affected-file
     * DETECTION scan touches only files whose [min, max] intersects the
@@ -1392,6 +1477,22 @@ object OpsQueries {
              |  o_orderdate, o_orderpriority
              |FROM orders
              |WHERE o_orderkey BETWEEN 100 AND 500 AND o_custkey BETWEEN 100 AND 200
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_history", snapshotSqlHistory,
+      Some("""SELECT CAST(v AS BIGINT) AS version, n_files, n_dvs,
+             |  added_files, removed_files
+             |FROM (VALUES (1, 3, 0, 3, 0), (2, 5, 0, 2, 0),
+             |             (3, 5, 1, 0, 0), (4, 4, 0, 4, 5))
+             |  t(v, n_files, n_dvs, added_files, removed_files)
+             |ORDER BY version""".stripMargin)),
+    Q("snapshot_sql_files", snapshotSqlFiles,
+      Some("""SELECT CAST(8 AS BIGINT) AS n_files,
+             |  count(*) AS n_rows, CAST(1 AS BIGINT) AS version
+             |FROM orders""".stripMargin)),
+    Q("snapshot_sql_time_travel_ts", snapshotSqlTimeTravelTs,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey <= 1000
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_sql_agg", snapshotSqlAgg,
       Some("""SELECT count(*) AS n_orders,

@@ -85,12 +85,52 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       catch { case _: NumberFormatException => throw new NoSuchTableException(
         Seq(catalogName) ++ ident.namespace() :+ ident.name()) })
 
+  /** `TIMESTAMP AS OF <t>` — Spark hands the instant as MICROS; resolve
+    * to the newest version whose manifest published at or before it
+    * (manifest mtimes, one directory listing — no data touched). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val loc = location(ident)
+    if (Snapshots.latestVersion(spark, loc) == 0)
+      throw new NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    // the table exists but predates nothing: a NoSuchTable here would
+    // surface as a misleading "table not found" — name the real problem
+    val v = Snapshots.versionAtTime(spark, loc, timestamp / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF resolves before the first commit of " +
+          s"$catalogName.${ident.toString} (asked ${timestamp}us)"))
+    tableAt(ident, v)
+  }
+
+  /** `<cat>.<table>.history` / `<cat>.<table>.files` — table metadata AS
+    * a table (the Iceberg idiom): commit history with file-set deltas,
+    * and the served version's files with sizes and sidecar-proven row
+    * counts. Resolved only when the base identifier IS a table, so a
+    * real table named "history" under a namespace still wins. `VERSION
+    * AS OF` pins which version `files` describes. */
+  private def metaTable(ident: Identifier, version: Long): Option[Table] = {
+    val ns = ident.namespace()
+    if (ns.isEmpty) return None
+    val baseLoc = (root +: ns.toSeq).mkString("/")
+    if (Snapshots.latestVersion(spark, baseLoc) == 0) return None
+    val full = s"$catalogName.${ident.toString}"
+    ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "history" =>
+        Some(new SnapshotMetaTable(full, () => Snapshots.history(spark, baseLoc)))
+      case "files" =>
+        Some(new SnapshotMetaTable(full,
+          () => Snapshots.filesMeta(spark, baseLoc, version)))
+      case _ => None
+    }
+  }
+
   private def tableAt(ident: Identifier, version: Long): Table = {
     val loc = location(ident)
     val latest = Snapshots.latestVersion(spark, loc)
     if (latest == 0)
-      throw new NoSuchTableException(
-        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+      return metaTable(ident, version).getOrElse(
+        throw new NoSuchTableException(
+          Seq(catalogName) ++ ident.namespace() :+ ident.name()))
     val v = if (version < 0) latest else version
     // a stale/expired version surfaces as NoSuchTable with the version
     // spelled out, not a planner-time file-not-found

@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.Snapshots
+
+/** Metadata tables and time-resolution through the DSv2 catalog:
+  * `<cat>.<t>.history` (per-version file-set deltas), `<cat>.<t>.files`
+  * (sizes + sidecar row counts), and `TIMESTAMP AS OF` resolving
+  * manifest publish times — all manifest-sized driver work planned as
+  * LocalTableScan, no data file opened. */
+class SnapshotMetaSpec extends SparkTestBase {
+
+  private val root = "/tmp/graft-test/snapmeta"
+
+  private def wipe(): Unit = {
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private def register(): Unit = {
+    spark.conf.set("spark.sql.catalog.metacat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.metacat.root", root)
+  }
+
+  test("history reports per-version file deltas and DV counts") {
+    import spark.implicits._
+    wipe(); register()
+    val loc = s"$root/h"
+    Snapshots.commitAppend((1L to 60L).toDF("id").repartition(3), loc)
+    Snapshots.commitAppend((61L to 80L).toDF("id").repartition(2), loc)
+    Snapshots.commitDeleteMoR(spark, loc, col("id") === 5L) // DV, no rewrite
+    Snapshots.commitReplace((1L to 10L).toDF("id").repartition(4), loc)
+    val h = spark.sql(
+      """SELECT version, n_files, n_dvs, added_files, removed_files
+        |FROM metacat.h.history ORDER BY version""".stripMargin)
+      .as[(Long, Int, Int, Int, Int)].collect().toSeq
+    assert(h == Seq((1L, 3, 0, 3, 0), (2L, 5, 0, 2, 0),
+      (3L, 5, 1, 0, 0), (4L, 4, 0, 4, 5)))
+    // plan shape: local, zero file scans
+    val plan = spark.sql("SELECT * FROM metacat.h.history")
+      .queryExecution.executedPlan
+    assert(plan.collectFirst {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l }.isDefined)
+    // a new commit is visible to the NEXT read without invalidation
+    Snapshots.commitAppend(Seq(99L).toDF("id"), loc)
+    assert(spark.sql("SELECT max(version) FROM metacat.h.history")
+      .collect().head.getLong(0) == 5L)
+  }
+
+  test("files reports sizes always, row counts once a sidecar proves them") {
+    import spark.implicits._
+    wipe(); register()
+    val loc = s"$root/f"
+    Snapshots.commitAppend((1L to 100L).toDF("id").repartition(4), loc)
+    val bare = spark.sql(
+      "SELECT path, size_bytes, row_count FROM metacat.f.files")
+      .collect().toSeq
+    assert(bare.length == 4)
+    assert(bare.forall(r => r.getLong(1) > 0L && r.isNullAt(2)))
+    Snapshots.attachStats(spark, loc, 1L, Seq("id"))
+    val counted = spark.sql(
+      "SELECT sum(row_count) AS n, count(*) AS f FROM metacat.f.files")
+      .collect().head
+    assert(counted.getLong(0) == 100L && counted.getLong(1) == 4L)
+    // VERSION AS OF pins which version files describes
+    Snapshots.commitReplace((1L to 10L).toDF("id").repartition(2), loc)
+    assert(spark.sql(
+      "SELECT count(*) FROM metacat.f.files").collect().head.getLong(0) == 2L)
+    assert(spark.sql(
+      "SELECT count(*) FROM metacat.f.files VERSION AS OF 1")
+      .collect().head.getLong(0) == 4L)
+  }
+
+  test("TIMESTAMP AS OF resolves manifest publish times") {
+    import spark.implicits._
+    wipe(); register()
+    val loc = s"$root/tt"
+    val before = System.currentTimeMillis() - 5
+    Snapshots.commitAppend(Seq(1L, 2L).toDF("id"), loc)
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    Snapshots.commitAppend(Seq(3L).toDF("id"), loc)
+    def idsAt(ms: Long): Seq[Long] = spark.sql(
+      s"SELECT id FROM metacat.tt TIMESTAMP AS OF timestamp_millis(${ms}L)")
+      .as[Long].collect().sorted.toSeq
+    assert(idsAt(mid) == Seq(1L, 2L))
+    assert(idsAt(System.currentTimeMillis() + 1000) == Seq(1L, 2L, 3L))
+    val e = intercept[Exception](idsAt(before))
+    assert(e.getMessage.contains("before the first commit"), e.getMessage)
+  }
+
+  test("a REAL table shadowing a metadata name still resolves as data") {
+    import spark.implicits._
+    wipe(); register()
+    // namespace ("ns") holds an actual table literally named "files"
+    Snapshots.commitAppend(Seq(7L).toDF("id"), s"$root/ns/files")
+    assert(spark.sql("SELECT id FROM metacat.ns.files")
+      .as[Long].collect().toSeq == Seq(7L))
+  }
+}
