@@ -287,4 +287,39 @@ object Embeddings {
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
         col("rank"), col("cos"))
   }
+
+  /** Cluster-balanced sampling (the SemDeDup-style diversity cap, Abbas
+    * et al. 2023 §3 shape): assign every vector to its nearest of `k`
+    * FIXED anchors — the k smallest ids, so the choice is deterministic
+    * and the anchor set is k-bounded broadcast state — by exact cosine,
+    * then keep at most `perCluster` rows per cluster by a pure integer
+    * hash priority (`(id · 2654435761) mod 1e9+7` — seedable
+    * reproducible sampling, no RNG state). Returns
+    * (cluster = anchor id, vec_id, rank ≤ perCluster).
+    *
+    * Scale shape: assignment is one broadcast pass (k dot products per
+    * row, no shuffle), the argmax is ONE partial-aggregating groupBy on
+    * id (`max(struct(cos, -cid))` — map-side combine collapses the k
+    * candidates before the exchange), and the per-cluster cap is the
+    * bounded-state top-k aggregator — a window sort over a hot cluster
+    * would serialize O(cluster) rows through one task; this holds
+    * O(perCluster) per task. Ties: higher cos, then smaller anchor id;
+    * priority ties break by id. */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, k: Int, perCluster: Int): DataFrame = {
+    val v = withNorm(emb, idCol, vecCol, dim)
+    val anchors = broadcast(v.orderBy(col("id")).limit(k)
+      .select(col("id").as("cid"), col("vec").as("cvec"),
+        col("nrm").as("cnrm")))
+    val scored = v.crossJoin(anchors)
+      .select(col("id"), col("cid"),
+        (dot("vec", "cvec", dim) / (col("nrm") * col("cnrm"))).as("cos"))
+    val best = scored.groupBy(col("id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("b"))
+      .select((-col("b.ncid")).as("cluster"), col("id"),
+        ((col("id") * lit(2654435761L)) % lit(1000000007L)).as("pri"))
+    graft.ops.TopK.topKPerGroup(best, "cluster", "pri", "id", perCluster)
+      .select(col("cluster"), col("id").as("vec_id"),
+        col("rank").cast("int").as("samp_rank"))
+  }
 }

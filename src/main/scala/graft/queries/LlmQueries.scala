@@ -179,6 +179,37 @@ object LlmQueries {
        |  FROM v a JOIN v b ON a.vec_id < b.vec_id) t
        |WHERE cos >= 0.45""".stripMargin
 
+  /** Cluster-balanced sampling ([[Embeddings.clusterBalancedSample]]):
+    * the SemDeDup-style diversity cap — nearest-of-k-anchors cosine
+    * assignment, then a deterministic hash-priority cap per cluster, so
+    * no semantic region dominates the sample. Exact-oracle-able because
+    * the anchors are fixed (k smallest ids), the cosine arithmetic is
+    * the bit-identical left-to-right double fold, and the priority is
+    * pure integer math. */
+  private def clusterSample(s: SparkSession, d: String): DataFrame =
+    Embeddings.clusterBalancedSample(Tables.embeddings(s, d), "vec_id",
+      "embedding", dim, k = 8, perCluster = 12)
+
+  private val clusterSampleSql: String =
+    s"""WITH $sqlNorms,
+       |a AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+       |      FROM v ORDER BY vec_id LIMIT 8),
+       |scored AS (
+       |  SELECT v.vec_id AS id, a.cid,
+       |    ${sqlDot("v.embedding", "a.cvec")} / (v.nrm * a.cnrm) AS cos
+       |  FROM v CROSS JOIN a),
+       |best AS (SELECT id, cid AS cluster FROM (
+       |    SELECT id, cid, row_number() OVER (
+       |      PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+       |    FROM scored) t WHERE rn = 1),
+       |pri AS (SELECT cluster, id,
+       |          (id * 2654435761) % 1000000007 AS pri FROM best)
+       |SELECT cluster, id AS vec_id, samp_rank FROM (
+       |  SELECT cluster, id, CAST(row_number() OVER (
+       |    PARTITION BY cluster ORDER BY pri DESC, id ASC) AS INT) AS samp_rank
+       |  FROM pri) t
+       |WHERE samp_rank <= 12""".stripMargin
+
   private def knnBrute(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Embeddings.bruteForceKnn(emb, emb.filter(col("vec_id") < 8),
@@ -597,6 +628,7 @@ object LlmQueries {
                                             // mirror — LlmSpec properties
     Q("dedup_simhash_md5", dedupSimhashMd5, Some(dedupSimhashMd5Sql)),
     Q("dedup_embedding_cosine", dedupEmbedding, Some(dedupEmbeddingSql)),
+    Q("cluster_sample", clusterSample, Some(clusterSampleSql)),
     Q("dedup_embedding_lsh", dedupEmbeddingLsh, None), // subset-of-exact — LlmSpec recall pin
     Q("dedup_semantic", (s, d) => graft.llm.Embeddings.semanticDedup(
       Tables.embeddings(s, d), "vec_id", "embedding", dim, threshold = 0.45,
