@@ -1150,8 +1150,8 @@ object Snapshots {
     val nCols = lines.headOption.filter(_.startsWith("#cols="))
       .map(_.stripPrefix("#cols=").split(',').length).getOrElse(return Map.empty)
     lines.filterNot(_.startsWith("#")).map(_.split("\t", -1))
-      .filter(_.length == 2 + 2 * nCols)
-      .flatMap(a => a.last.toLongOption.map(a(0) -> _)).toMap
+      .filter(a => a.length == 2 + 2 * nCols || a.length == 2 + 3 * nCols)
+      .flatMap(a => a(1 + 2 * nCols).toLongOption.map(a(0) -> _)).toMap
   }
 
   /** A version's data files as a DataFrame: path, size, and the row
@@ -1191,10 +1191,13 @@ object Snapshots {
     * files cannot change their stats — so the scan covers only the
     * commit's new files: stats maintenance is O(delta), not O(table).
     * Values are stored via `CAST AS STRING`; [[readPruned]] compares in
-    * the column's own type after casting back. The trailing per-file row
-    * count feeds [[statAggValues]] (metadata-only COUNT/MIN/MAX);
-    * count-less lines inherited from pre-count sidecars are rescanned so
-    * one attach upgrades the whole version. */
+    * the column's own type after casting back. Each line also carries
+    * the file's ROW COUNT and per-column NON-NULL counts — they feed
+    * [[statAggValues]] (metadata-only COUNT/MIN/MAX/COUNT(col)) and
+    * [[statTopFiles]] (top-n file pruning); lines inherited from
+    * earlier-format sidecars are rescanned so one attach upgrades the
+    * whole version. Line layout:
+    * `path  (min max)·cols  rowCount  nonNull·cols`. */
   def attachStats(s: SparkSession, loc: String, version: Long,
                   cols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
@@ -1211,7 +1214,7 @@ object Snapshots {
     val known: Map[String, String] =
       if (prevLines.headOption.contains(header))
         prevLines.filterNot(_.startsWith("#"))
-          .map(l => l.split("\t", -1)).filter(_.length == 2 + 2 * cols.length)
+          .map(l => l.split("\t", -1)).filter(_.length == 2 + 3 * cols.length)
           .map(a => a(0) -> a.mkString("\t")).toMap
       else Map.empty
     // the sidecar records each column's Catalyst type, so pruning-time
@@ -1236,18 +1239,21 @@ object Snapshots {
       else readData(s, fresh, tableSchema)
         .groupBy(input_file_name().as("f"))
         .agg(min(col(cols.head)).cast("string").as("min0"),
-          ((max(col(cols.head)).cast("string").as("max0") +:
+          (((max(col(cols.head)).cast("string").as("max0") +:
             cols.tail.zipWithIndex.flatMap { case (c, i) =>
               Seq(min(col(c)).cast("string").as(s"min${i + 1}"),
                 max(col(c)).cast("string").as(s"max${i + 1}"))
-            }) :+ count(lit(1)).as("cnt")): _*)
+            }) :+ count(lit(1)).as("cnt")) ++
+            cols.zipWithIndex.map { case (c, i) =>
+              count(col(c)).as(s"nn$i") }): _*)
         .collect().toSeq.map { r =>
           val path = normPath(r.getString(0))
           val vals = (0 until cols.length).flatMap(i =>
             Seq(clean(Option(r.getString(1 + 2 * i)).getOrElse("")),
               clean(Option(r.getString(2 + 2 * i)).getOrElse(""))))
-          ((path +: vals) :+ r.getLong(1 + 2 * cols.length).toString)
-            .mkString("\t")
+          val base = 1 + 2 * cols.length
+          val counts = (0 to cols.length).map(i => r.getLong(base + i).toString)
+          (path +: (vals ++ counts)).mkString("\t")
         }
     val inherited = files.flatMap(x => known.get(normPath(x)))
     val tmp = new Path(manifestDir(loc),
@@ -1311,6 +1317,7 @@ object Snapshots {
   /** Aggregate shapes [[statAggValues]] can answer from the sidecar. */
   private[graft] sealed trait StatAgg
   private[graft] case object StatCount extends StatAgg
+  private[graft] case class StatCountCol(col: String) extends StatAgg
   private[graft] case class StatMin(col: String) extends StatAgg
   private[graft] case class StatMax(col: String) extends StatAgg
 
@@ -1338,9 +1345,13 @@ object Snapshots {
     val types = lines.lift(1).filter(_.startsWith("#types="))
       .map(_.stripPrefix("#types=").split(',').toSeq).getOrElse(Nil)
     if (cols.isEmpty || types.length != cols.length) return None
-    val width = 2 + 2 * cols.length // path, (min, max)·cols, row count
+    // two provable widths: count-bearing (path, (min,max)·c, rowCount)
+    // and the full layout with trailing per-column non-null counts;
+    // rowCount sits at the same index in both
+    val countIdx = 1 + 2 * cols.length
+    val widths = Set(2 + 2 * cols.length, 2 + 3 * cols.length)
     val stats: Map[String, Array[String]] = lines.filterNot(_.startsWith("#"))
-      .map(_.split("\t", -1)).filter(_.length == width)
+      .map(_.split("\t", -1)).filter(a => widths.contains(a.length))
       .map(a => a(0) -> a).toMap
     val rows = files.map(fl => stats.get(normPath(fl)))
     if (rows.exists(_.isEmpty)) return None // an unproven file: no answer
@@ -1383,13 +1394,119 @@ object Snapshots {
     }
     val out = wants.map {
       case StatCount =>
-        try Some((proven.map(_.apply(width - 1).toLong).sum: Any,
+        try Some((proven.map(_.apply(countIdx).toLong).sum: Any,
+          LongType: DataType))
+        catch { case _: NumberFormatException => None }
+      case StatCountCol(c) =>
+        // non-null count: needs the full layout on EVERY file
+        val ci = cols.indexOf(c)
+        if (ci < 0 || proven.exists(_.length != 2 + 3 * cols.length)) None
+        else try Some((proven.map(_.apply(countIdx + 1 + ci).toLong).sum: Any,
           LongType: DataType))
         catch { case _: NumberFormatException => None }
       case StatMin(c) => extremum(c, wantMin = true)
       case StatMax(c) => extremum(c, wantMin = false)
     }
     if (out.exists(_.isEmpty)) None else Some(out.flatten)
+  }
+
+  /** Top-n file pruning: the subset of `files` that can contain a row of
+    * the global top-`n` under `ORDER BY column [ASC|DESC]` — the
+    * `ORDER BY ts DESC LIMIT n` ("latest n events") plan reads
+    * O(files holding the top-n), not O(table). Sound by a counting
+    * argument over the sidecar: walking files best-first by their
+    * best-case bound (min for DESC, max for ASC) and accumulating
+    * NON-NULL counts until ≥ n proves "at least n non-null rows are ≥ B"
+    * (≤ B for ASC), so any row strictly outside B cannot rank in the
+    * top n regardless of tie-breaking suffix keys. Files the sidecar
+    * cannot prove are always kept. Nulls: only Spark's DEFAULT null
+    * orderings are supported (DESC NULLS LAST — nulls can never crack a
+    * proven top-n; ASC NULLS FIRST — every null-bearing file is kept);
+    * anything else returns None (no pruning). None also when the column
+    * is uncovered, not order-provable as a string, or too few counted
+    * rows exist to prove a bound. */
+  private[graft] def statTopFiles(s: SparkSession, loc: String, version: Long,
+                                  files: Seq[String], column: String,
+                                  desc: Boolean, nullsFirst: Boolean,
+                                  n: Long): Option[Seq[String]] = {
+    import org.apache.spark.sql.types._
+    if (desc == nullsFirst) return None // non-default null ordering
+    val sp = statsPath(loc, version)
+    if (n <= 0 || files.isEmpty || !fs(s, loc).exists(sp)) return None
+    val lines = manifestLines(s, sp)
+    val cols = lines.headOption.filter(_.startsWith("#cols="))
+      .map(_.stripPrefix("#cols=").split(',').toSeq).getOrElse(Nil)
+    val types = lines.lift(1).filter(_.startsWith("#types="))
+      .map(_.stripPrefix("#types=").split(',').toSeq).getOrElse(Nil)
+    val ci = cols.indexOf(column)
+    if (ci < 0 || types.length != cols.length) return None
+    val dt = try DataType.fromDDL(types(ci)) catch { case _: Exception => return None }
+    val numeric = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: DecimalType => true
+      case _ => false
+    }
+    val lexical = dt match {
+      case _: DateType | _: TimestampType | _: TimestampNTZType |
+           _: BooleanType => true
+      case _ => false
+    }
+    if (!numeric && !lexical) return None
+    def cmp(a: String, b: String): Int =
+      if (numeric) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+    val width = 2 + 3 * cols.length // needs the non-null-count layout
+    // path -> (min, max, nonNull, hasNulls)
+    val info: Map[String, (String, String, Long, Boolean)] =
+      lines.filterNot(_.startsWith("#")).map(_.split("\t", -1))
+        .filter(_.length == width)
+        .flatMap { a =>
+          for {
+            rows <- a(1 + 2 * cols.length).toLongOption
+            nn <- a(2 + 2 * cols.length + ci).toLongOption
+          } yield a(0) -> ((a(1 + 2 * ci), a(2 + 2 * ci), nn, rows - nn > 0))
+        }.toMap
+    try {
+      val proven = files.flatMap(f => info.get(normPath(f)))
+      val ranked = proven
+        .filter(x => x._3 > 0 && x._1.nonEmpty && x._2.nonEmpty)
+        .sortWith((a, b) =>
+          if (desc) cmp(a._1, b._1) > 0 // best-case first: by min DESC
+          else cmp(a._2, b._2) < 0) //                      by max ASC
+      var cum = 0L
+      var bound: Option[String] = None
+      val it = ranked.iterator
+      while (bound.isEmpty && it.hasNext) {
+        val x = it.next(); cum += x._3
+        if (cum >= n) bound = Some(if (desc) x._1 else x._2)
+      }
+      val b = bound.getOrElse(return None)
+      Some(files.filter { f =>
+        info.get(normPath(f)).forall { case (mn, mx, nn, hasNulls) =>
+          (nullsFirst && hasNulls) ||
+            (nn > 0 && mn.nonEmpty && mx.nonEmpty &&
+              (if (desc) cmp(mx, b) >= 0 else cmp(mn, b) <= 0))
+        }
+      })
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** Plain-LIMIT file pruning: the shortest file-list prefix whose
+    * sidecar row counts PROVE at least `n` rows — any n rows satisfy an
+    * unordered LIMIT, Spark's final limit trims. Unproven files stay in
+    * the prefix but count zero toward the proof. None when the counts
+    * never reach n (no pruning) or nothing would be dropped. */
+  private[graft] def statLimitFiles(s: SparkSession, loc: String, version: Long,
+                                    files: Seq[String], n: Long): Option[Seq[String]] = {
+    if (n <= 0 || files.isEmpty) return None
+    val counts = sidecarCounts(s, loc, version)
+    var cum = 0L
+    val keep = scala.collection.mutable.ListBuffer.empty[String]
+    val it = files.iterator
+    while (cum < n && it.hasNext) {
+      val f = it.next(); keep += f
+      cum += counts.getOrElse(normPath(f), 0L)
+    }
+    if (cum >= n && keep.length < files.length) Some(keep.toList) else None
   }
 
   /** Read a version with FILE-LEVEL skipping: keep only files whose

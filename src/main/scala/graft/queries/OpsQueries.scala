@@ -1085,6 +1085,43 @@ object OpsQueries {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Top-n file pruning (`Snapshots.statTopFiles` through the DSv2
+    * scan's `SupportsPushDownTopN`): `ORDER BY key DESC LIMIT n` on a
+    * range-clustered, sidecar-covered column plans only the files that
+    * can hold a top-n row — the "latest n" plan reads O(files holding
+    * the answer), not O(table). The guard asserts actual file skipping;
+    * the oracle proves exact rows (the sort key is unique, so the top-n
+    * set is deterministic). */
+  private def snapshotSqlTopn(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_topn"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    graft.ops.Snapshots.commitAppend(
+      Tables.orders(s, d).repartitionByRange(8, col("o_orderkey")), loc)
+    s.sql("CALL graft_snap_dml.system.attach_stats('orders_topn', 'o_orderkey')")
+    val df = s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM graft_snap_dml.orders_topn
+        |ORDER BY o_orderkey DESC LIMIT 100""".stripMargin)
+    val planned = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            pq.fileIndex.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+    val total = graft.ops.Snapshots.versionFiles(s, loc, 1L).length
+    require(planned < total,
+      s"top-n skipped nothing: planned $planned of $total files")
+    df
+  }
+
   /** Stats-pruned DELETE (`Snapshots.commitDelete` with `pruneBy`): on a
     * range-clustered layout with zone-map sidecars, the affected-file
     * DETECTION scan touches only files whose [min, max] intersects the
@@ -1494,6 +1531,11 @@ object OpsQueries {
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey <= 1000
              |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_topn", snapshotSqlTopn,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders
+             |ORDER BY o_orderkey DESC LIMIT 100""".stripMargin)),
     Q("snapshot_sql_agg", snapshotSqlAgg,
       Some("""SELECT count(*) AS n_orders,
              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,

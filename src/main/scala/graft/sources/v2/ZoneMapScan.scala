@@ -29,7 +29,9 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
                                      mkInner: Seq[String] => ScanBuilder,
                                      mkRowScan: StructType => ScanBuilder)
   extends ScanBuilder with SupportsPushDownCatalystFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   // created on the FIRST pushdown callback: pushFilters arrives before
   // column/aggregate pruning in V2ScanRelationPushDown, so the file list
@@ -63,6 +65,39 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
       inner = rs
     } else innerOrAll.asInstanceOf[SupportsPushDownRequiredColumns]
       .pruneColumns(requiredSchema)
+
+  // ---- top-n / limit file pruning ----
+  // `ORDER BY k [DESC] LIMIT n` on a sidecar-covered column narrows the
+  // scan to the files that can hold a top-n row (Snapshots.statTopFiles:
+  // the "latest n events" plan reads O(files holding the top-n)); a bare
+  // LIMIT keeps the shortest prefix whose counted rows prove n. Both are
+  // PARTIAL pushes — Spark keeps the final sort/limit, the scan just
+  // plans fewer files — and both decline when filters were pushed (the
+  // counting proof is pre-filter) or nothing would be skipped.
+  private def renarrow(keep: Seq[String]): Boolean = {
+    if (keep.length >= files.length) return false
+    inner = mkInner(keep)
+    true
+  }
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
+    if (filtered || aggRow != null || orders.isEmpty) return false
+    val head = orders.head
+    val colName = head.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames.head
+      case _ => return false
+    }
+    val desc = head.direction() == SortDirection.DESCENDING
+    val nullsFirst = head.nullOrdering() == NullOrdering.NULLS_FIRST
+    Snapshots.statTopFiles(spark, loc, version, files, colName, desc,
+      nullsFirst, limit.toLong).exists(renarrow)
+  }
+  override def pushLimit(limit: Int): Boolean =
+    !filtered && aggRow == null &&
+      Snapshots.statLimitFiles(spark, loc, version, files, limit.toLong)
+        .exists(renarrow)
+  override def isPartiallyPushed(): Boolean = true
 
   // ---- metadata-only aggregates ----
   // A filterless, group-less COUNT(*) / MIN / MAX answers from the stats
@@ -207,7 +242,7 @@ private[v2] object ZoneMapScanBuilder {
     * names Spark's own pushed-aggregate scans report). */
   private[v2] def wants(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[Seq[(Snapshots.StatAgg, String)]] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (agg.groupByExpressions.nonEmpty) return None
     def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -217,6 +252,8 @@ private[v2] object ZoneMapScanBuilder {
       }
     val out = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some((Snapshots.StatCount: Snapshots.StatAgg, "count(*)"))
+      case c: Count if !c.isDistinct => // non-null count: sidecar nn sums
+        col(c.column).map(n => (Snapshots.StatCountCol(n): Snapshots.StatAgg, s"count($n)"))
       case m: Min => col(m.column).map(c => (Snapshots.StatMin(c): Snapshots.StatAgg, s"min($c)"))
       case m: Max => col(m.column).map(c => (Snapshots.StatMax(c): Snapshots.StatAgg, s"max($c)"))
       case _ => None

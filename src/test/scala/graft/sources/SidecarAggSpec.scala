@@ -89,10 +89,28 @@ class SidecarAggSpec extends SparkTestBase {
       "SELECT g, count(*) AS n FROM aggcat.fb GROUP BY g")
     assert(!isLocal(grouped))
     assert(grouped.collect().map(_.getLong(1)).sum == 100L)
-    // count(col) needs null-awareness the sidecar lacks
-    val countCol = spark.sql("SELECT count(id) AS n FROM aggcat.fb")
-    assert(!isLocal(countCol))
-    assert(countCol.collect().head.getLong(0) == 100L)
+    // count(col) on a COVERED column answers from the sidecar's
+    // non-null counts; on an uncovered one it falls back
+    val countCov = spark.sql("SELECT count(id) AS n FROM aggcat.fb")
+    assert(isLocal(countCov), countCov.queryExecution.executedPlan.toString)
+    assert(countCov.collect().head.getLong(0) == 100L)
+    val countUnc = spark.sql("SELECT count(s) AS n FROM aggcat.fb")
+    assert(!isLocal(countUnc))
+    assert(countUnc.collect().head.getLong(0) == 100L)
+  }
+
+  test("count(col) subtracts nulls exactly") {
+    import spark.implicits._
+    wipe(); register()
+    val loc = s"$root/nn"
+    Snapshots.commitAppend(
+      (1L to 90L).map(i => (i, if (i % 3 == 0) None else Some(i * 10)))
+        .toDF("id", "v").repartition(4), loc)
+    Snapshots.attachStats(spark, loc, 1L, Seq("id", "v"))
+    val df = spark.sql(
+      "SELECT count(*) AS n, count(v) AS nv, count(id) AS ni FROM aggcat.nn")
+    assert(isLocal(df), df.queryExecution.executedPlan.toString)
+    assert(df.collect().head.toSeq == Seq(90L, 60L, 90L))
   }
 
   test("DV-bearing versions and count-less sidecars never answer from metadata") {
@@ -106,7 +124,8 @@ class SidecarAggSpec extends SparkTestBase {
     val df = spark.sql("SELECT count(*) AS n FROM aggcat.dv")
     assert(!isLocal(df), "physical counts must not serve a DV version")
     assert(df.collect().head.getLong(0) == 90L)
-    // strip the trailing count field -> legacy width -> no metadata answer
+    // strip the count fields back to the pre-count width (path, min,
+    // max) -> no provable row count -> no metadata answer
     val loc2 = s"$root/legacy"
     Snapshots.commitAppend((1L to 50L).toDF("id"), loc2)
     Snapshots.attachStats(spark, loc2, 1L, Seq("id"))
@@ -114,7 +133,7 @@ class SidecarAggSpec extends SparkTestBase {
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lines = scala.io.Source.fromInputStream(fs.open(sp)).getLines().toSeq
     val stripped = lines.map { l =>
-      if (l.startsWith("#")) l else l.split("\t", -1).dropRight(1).mkString("\t")
+      if (l.startsWith("#")) l else l.split("\t", -1).take(3).mkString("\t")
     }
     val out = fs.create(sp, true)
     try out.write((stripped.mkString("\n") + "\n").getBytes("UTF-8"))
