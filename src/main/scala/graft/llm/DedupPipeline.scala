@@ -76,4 +76,23 @@ object DedupPipeline {
       .filter(col("rep").isNull || col("rep") === col(idCol))
       .select(docs.columns.map(docs(_)): _*)
   }
+
+  /** Quality-canonical pick: per duplicate cluster, keep the HIGHEST-
+    * quality member instead of the arbitrary min-id — min-id keeps
+    * whichever copy happened to be crawled first, which on real corpora
+    * is often the boilerplate-wrapped one. `clusters` is [[components]]
+    * output (id, rep); `quality` is any (id, score) relation (e.g.
+    * [[TextStats.qualityScore]]'s composite). One partial-aggregating
+    * groupBy on the cluster representative — `max(struct(score, -id))`
+    * combines map-side, so a hot cluster never funnels its members
+    * through one task as a window sort would. Ties: higher score, then
+    * smaller id. Returns (rep, keep_id, best_quality, cluster_size). */
+  def keepBest(clusters: DataFrame, quality: DataFrame,
+               scoreCol: String = "quality"): DataFrame =
+    clusters.join(quality, "id")
+      .groupBy(col("rep"))
+      .agg(max(struct(col(scoreCol).as("q"), (-col("id")).as("nid"))).as("b"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("rep"), (-col("b.nid")).as("keep_id"),
+        col("b.q").as("best_quality"), col("cluster_size"))
 }

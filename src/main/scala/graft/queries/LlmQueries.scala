@@ -115,6 +115,65 @@ object LlmQueries {
     DedupPipeline.components(
         TextDedup.minhashLsh(Tables.documents(s, d), "doc_id", "text", 0.9))
 
+  /** Quality-canonical dedup ([[DedupPipeline.keepBest]]): per near-dup
+    * cluster keep the highest-quality member, not the arbitrary min id —
+    * the "which copy survives" policy a production corpus pipeline
+    * actually wants. Clusters from the same MinHash-LSH components as
+    * dedup_clusters; scores from the same composite as quality_score, so
+    * the oracle composes their two proven mirrors. */
+  private def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    DedupPipeline.keepBest(
+      DedupPipeline.components(
+        TextDedup.minhashLsh(docs, "doc_id", "text", 0.9)),
+      TextStats.qualityScore(docs, "doc_id", "text"))
+      .orderBy(col("rep"))
+  }
+
+  private val dedupKeepBestSql: String = {
+    val stopArr = TextStats.lexicons.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM docs)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT p.d1 AS id1, p.d2 AS id2
+       |  FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2) p
+       |  JOIN sizes s1 ON p.d1 = s1.doc_id
+       |  JOIN sizes s2 ON p.d2 = s2.doc_id
+       |  WHERE CAST(p.inter AS DOUBLE) / (s1.n + s2.n - p.inter) >= 0.9),
+       |edges AS (SELECT id1, id2 FROM pairs
+       |          UNION ALL SELECT id2, id1 FROM pairs),
+       |nodes AS (SELECT DISTINCT id1 AS id FROM edges),
+       |r(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.id2, r.lbl FROM r JOIN edges e ON e.id1 = r.id),
+       |clusters AS (SELECT id, min(lbl) AS rep FROM r GROUP BY id),
+       |q AS (SELECT id,
+       |  CAST(stop AS DOUBLE) / n_tokens * CAST(2.0 AS DOUBLE)
+       |    - CAST(n_punct AS DOUBLE) / n_chars * CAST(4.0 AS DOUBLE)
+       |    + (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+       |       THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS quality
+       |  FROM (SELECT doc_id AS id, length(text) AS n_chars,
+       |          len(string_split(text, ' ')) AS n_tokens,
+       |          len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+       |          len(list_filter(string_split(text, ' '),
+       |              w -> list_contains($stopArr, w))) AS stop
+       |        FROM documents) t)
+       |SELECT rep, keep_id, best_quality, cluster_size FROM (
+       |  SELECT c.rep, q.id AS keep_id, q.quality AS best_quality,
+       |    count(*) OVER (PARTITION BY c.rep) AS cluster_size,
+       |    row_number() OVER (PARTITION BY c.rep
+       |                       ORDER BY q.quality DESC, q.id ASC) AS rn
+       |  FROM clusters c JOIN q ON c.id = q.id) t
+       |WHERE rn = 1 ORDER BY rep""".stripMargin
+  }
+
   private val dedupClustersSql: String =
     s"""WITH RECURSIVE
        |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -624,6 +683,7 @@ object LlmQueries {
              |  FROM cand) t
              |WHERE rn = 1 ORDER BY b_id""".stripMargin)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     Q("dedup_simhash", dedupSimhash, None), // xxhash64 has no oracle-engine
                                             // mirror — LlmSpec properties
     Q("dedup_simhash_md5", dedupSimhashMd5, Some(dedupSimhashMd5Sql)),

@@ -37,4 +37,19 @@ class DedupPipelineSpec extends SparkTestBase {
     }
     assert(survivors.size == all.size - clustered.size + byRep.size)
   }
+
+  test("keepBest picks the highest-quality member per cluster, ties by min id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "rep")
+    val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (10L, 0.5), (11L, 0.5))
+      .toDF("id", "quality")
+    val out = DedupPipeline.keepBest(clusters, quality)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // cluster 1: 2 and 3 tie at 0.9 -> min id 2 wins; size 3
+    assert(out(1L) == ((2L, 0.9, 3L)))
+    // cluster 10: tie at 0.5 -> 10 wins; size 2
+    assert(out(10L) == ((10L, 0.5, 2L)))
+  }
 }
