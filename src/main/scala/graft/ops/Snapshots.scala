@@ -1410,6 +1410,64 @@ object Snapshots {
     if (out.exists(_.isEmpty)) None else Some(out.flatten)
   }
 
+  // ---- declared stat columns: write-path auto-maintenance ----
+  // One table-level config file (`_manifests/autostats.cols`, not
+  // versioned — it names a POLICY, not a version's content) declares the
+  // sidecar columns once; every SQL write through the catalog then
+  // refreshes the sidecar for the version it publishes. attachStats is
+  // incremental (immutable files inherit their lines), so the per-commit
+  // cost is O(new files), and a missed refresh only costs pruning until
+  // the next one — never correctness.
+
+  private def autoStatsPath(loc: String) = new Path(manifestDir(loc), "autostats.cols")
+
+  /** Declare the stat columns a table maintains on every subsequent
+    * write (and attach them to the current version now). */
+  def setAutoStats(s: SparkSession, loc: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "auto-stats needs at least one column")
+    val f = fs(s, loc)
+    f.mkdirs(manifestDir(loc))
+    val tmp = new Path(manifestDir(loc),
+      s"_tmp_autostats_${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write((cols.mkString(",") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, autoStatsPath(loc))) { // overwrite-by-replace
+      f.delete(autoStatsPath(loc), false)
+      if (!f.rename(tmp, autoStatsPath(loc))) f.delete(tmp, false)
+    }
+    val v = latestVersion(s, loc)
+    if (v > 0 && versionFiles(s, loc, v).nonEmpty) attachStats(s, loc, v, cols)
+  }
+
+  /** The table's declared auto-stats columns, if any. */
+  def autoStatsCols(s: SparkSession, loc: String): Option[Seq[String]] = {
+    val p = autoStatsPath(loc)
+    val f = fs(s, loc)
+    if (!f.exists(p)) None
+    else manifestLines(s, p).headOption
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+  }
+
+  /** Best-effort post-commit refresh of the declared sidecar: the commit
+    * is already published, so a maintenance failure must not fail the
+    * statement — queries merely lose pruning until the next refresh
+    * (which re-covers everything, since attachStats rescans any file the
+    * previous sidecar didn't prove). */
+  def autoStats(s: SparkSession, loc: String): Unit =
+    autoStatsCols(s, loc).foreach { cols =>
+      try {
+        val v = latestVersion(s, loc)
+        if (v > 0 && versionFiles(s, loc, v).nonEmpty) attachStats(s, loc, v, cols)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"auto-stats refresh failed at $loc (pruning degraded until " +
+              s"the next successful refresh): $e")
+      }
+    }
+
   /** Top-n file pruning: the subset of `files` that can contain a row of
     * the global top-`n` under `ORDER BY column [ASC|DESC]` — the
     * `ORDER BY ts DESC LIMIT n` ("latest n events") plan reads

@@ -1085,6 +1085,50 @@ object OpsQueries {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Declared-stats auto-maintenance (`CALL auto_stats` →
+    * `Snapshots.autoStats` on every SQL write): stat columns are
+    * declared ONCE; the INSERT below refreshes the sidecar itself —
+    * incrementally, new files only — so the range read prunes files on
+    * the post-INSERT version with no second CALL. The guard asserts
+    * skipping on version 2; the oracle proves exact rows. */
+  private def snapshotAutoStats(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_auto"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val orders = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      orders.filter(col("o_orderkey") <= 3000L)
+        .repartitionByRange(4, col("o_orderkey")), loc)
+    s.sql("CALL graft_snap_dml.system.auto_stats('orders_auto', 'o_orderkey')")
+    // the INSERT maintains the sidecar itself — no second CALL
+    s.sql(
+      """INSERT INTO graft_snap_dml.orders_auto
+        |SELECT * FROM graft_snap_dml.orders_auto WHERE o_orderkey > 2500""".stripMargin)
+    val df = s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM graft_snap_dml.orders_auto
+        |WHERE o_orderkey BETWEEN 100 AND 400
+        |ORDER BY o_orderkey""".stripMargin)
+    val planned = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            pq.fileIndex.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+    val total = graft.ops.Snapshots.versionFiles(
+      s, loc, graft.ops.Snapshots.latestVersion(s, loc)).length
+    require(planned < total,
+      s"auto-maintained sidecar skipped nothing: planned $planned of $total")
+    df
+  }
+
   /** Top-n file pruning (`Snapshots.statTopFiles` through the DSv2
     * scan's `SupportsPushDownTopN`): `ORDER BY key DESC LIMIT n` on a
     * range-clustered, sidecar-covered column plans only the files that
@@ -1530,6 +1574,12 @@ object OpsQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey <= 1000
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_auto_stats", snapshotAutoStats,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders
+             |WHERE o_orderkey BETWEEN 100 AND 400 AND o_orderkey <= 3000
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_sql_topn", snapshotSqlTopn,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

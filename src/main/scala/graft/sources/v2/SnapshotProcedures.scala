@@ -33,7 +33,7 @@ object SnapshotProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "optimize_small", "expire", "attach_stats",
-      "attach_blooms", "cluster", "delete_mor")
+      "attach_blooms", "auto_stats", "cluster", "delete_mor")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -79,6 +79,7 @@ object SnapshotProcedures {
       StructField("files", IntegerType)))) { (loc, input) =>
     val v = Snapshots.commitCompaction(spark, loc,
       targetBytes = input.getInt(1).toLong * 1024 * 1024)
+    Snapshots.autoStats(spark, loc) // rewritten files re-cover
     Seq[Any](v, Snapshots.read(spark, loc, v).inputFiles.length)
   }
 
@@ -94,6 +95,7 @@ object SnapshotProcedures {
     val v = Snapshots.commitCompactionPartial(spark, loc,
       smallerThanBytes = input.getInt(1).toLong * 1024 * 1024,
       targetBytes = input.getInt(2).toLong * 1024 * 1024)
+    Snapshots.autoStats(spark, loc)
     Seq[Any](v, Snapshots.read(spark, loc, v).inputFiles.length)
   }
 
@@ -153,14 +155,30 @@ object SnapshotProcedures {
   private val deleteMor = procedure("delete_mor",
     Seq(in("table", StringType), in("condition", StringType)),
     StructType(Seq(StructField("version", LongType)))) { (loc, input) =>
-    Seq[Any](Snapshots.commitDeleteMoR(spark, loc, F.expr(str(input, 1))))
+    val v = Snapshots.commitDeleteMoR(spark, loc, F.expr(str(input, 1)))
+    Snapshots.autoStats(spark, loc)
+    Seq[Any](v)
+  }
+
+  /** Declare stat columns ONCE ([[Snapshots.setAutoStats]]): the sidecar
+    * attaches now and refreshes automatically — incrementally, new files
+    * only — on every subsequent SQL write or maintenance commit, so
+    * pruning, metadata aggregates, and top-n all stay live without
+    * per-commit `attach_stats` calls. */
+  private val autoStats = procedure("auto_stats",
+    Seq(in("table", StringType), in("columns", StringType)),
+    StructType(Seq(StructField("version", LongType),
+      StructField("columns", IntegerType)))) { (loc, input) =>
+    val cols = str(input, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    Snapshots.setAutoStats(spark, loc, cols)
+    Seq[Any](Snapshots.latestVersion(spark, loc), cols.length)
   }
 
   private val all: Map[String, String => UnboundProcedure] = Map(
     "optimize" -> optimize, "optimize_small" -> optimizeSmall,
     "expire" -> expire, "attach_stats" -> attachStats,
     "attach_blooms" -> attachBlooms, "cluster" -> clusterTable,
-    "delete_mor" -> deleteMor)
+    "auto_stats" -> autoStats, "delete_mor" -> deleteMor)
 
   def load(name: String, root: String): Option[UnboundProcedure] =
     all.get(name.toLowerCase(java.util.Locale.ROOT)).map(_(root))

@@ -72,6 +72,9 @@ private[v2] class SnapshotStreamingWrite(spark: SparkSession, loc: String,
       val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
       files.foreach(f => fs.delete(new Path(f), false))
     }
+    // declared sidecar columns refresh per epoch (incremental: the
+    // epoch's files only; best-effort, never fails the committed epoch)
+    if (published >= 0) Snapshots.autoStats(spark, loc)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

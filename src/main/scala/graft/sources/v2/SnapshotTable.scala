@@ -154,6 +154,7 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
     val pred = filters.flatMap(SnapshotTable.toColumn)
       .reduceOption(_ && _).getOrElse(F.lit(true))
     Snapshots.commitDelete(spark, loc, pred)
+    Snapshots.autoStats(spark, loc)
   }
 
   // ---- UPDATE / MERGE / subquery DELETE: GROUP-granular rewrite ----
@@ -242,6 +243,10 @@ object SnapshotTable {
               .filter(_.getName.startsWith("part-")).map(_.toString)
           try publish(newFiles)
           catch { case e: Throwable => fs.delete(dir, true); throw e }
+          // declared sidecar columns refresh with every SQL write —
+          // incremental (new files only), best-effort (never fails the
+          // already-published commit)
+          Snapshots.autoStats(spark, loc)
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit = {
           innerBatch.abort(messages)

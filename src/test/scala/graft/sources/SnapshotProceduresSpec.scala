@@ -101,6 +101,32 @@ class SnapshotProceduresSpec extends SparkTestBase {
     assert(Snapshots.read(spark, loc, 2L).count() == 4096L)
   }
 
+  test("CALL auto_stats maintains the sidecar across SQL writes and optimize") {
+    import spark.implicits._
+    val loc = fresh("t_auto")
+    Snapshots.commitAppend(
+      (1L to 4000L).toDF("id").repartitionByRange(4, col("id")), loc)
+    spark.sql("CALL sqlproc.system.auto_stats('t_auto', 'id')")
+    // declared at v1: pruned reads work immediately
+    assert(Snapshots.readPruned(spark, loc, "id", "1", "10").inputFiles.length < 4)
+    // an SQL INSERT refreshes the sidecar for v2 without any CALL
+    spark.sql("INSERT INTO sqlproc.t_auto SELECT id + 10000 FROM range(4001, 4101)")
+    val v2 = Snapshots.latestVersion(spark, loc)
+    assert(v2 == 2L)
+    val agg = spark.sql("SELECT count(*) AS n FROM sqlproc.t_auto")
+    assert(agg.queryExecution.executedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l }.isDefined,
+      "v2 must be fully covered -> metadata-only count")
+    assert(agg.collect().head.getLong(0) == 4100L)
+    // SQL DELETE (copy-on-write) and CALL optimize keep coverage fresh
+    spark.sql("DELETE FROM sqlproc.t_auto WHERE id <= 10")
+    spark.sql("CALL sqlproc.system.optimize('t_auto', 128)")
+    val agg2 = spark.sql("SELECT count(*) AS n, max(id) AS mx FROM sqlproc.t_auto")
+    assert(agg2.queryExecution.executedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l }.isDefined)
+    assert(agg2.collect().head.toSeq == Seq(4090L, 14100L))
+  }
+
   test("unknown procedure and wrong namespace fail fast with the available list") {
     fresh("t_err")
     val e = intercept[Exception](
