@@ -758,6 +758,58 @@ object AdversarialProbe {
         "WHERE id BETWEEN 100 AND 300").count())
     verdict("dv_sql_read_pruned_flat", dvReadLo, dvReadHi, 1.0)
 
+    // ---- top-n and Bloom point lookups stay flat as the table grows ----
+    // ORDER BY id DESC LIMIT 100 must read O(files holding the top-100) —
+    // statTopFiles proves a bound from sidecar non-null counts and plans
+    // ~1 file at both sizes; without the prune, 4x data means a 4x sort.
+    // The Bloom probe is the hash-layout point lookup: per-file filters
+    // keep the planned set O(probed keys) while the file count quadruples.
+    def topnTable(mult: Int): String = {
+      val name = s"snap_topn_x$mult"
+      val loc = s"/tmp/graft-probe/$name"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      (0 until mult).foreach { m =>
+        val v = graft.ops.Snapshots.commitAppend(
+          spark.range(m * 10000000L, m * 10000000L + 2000000L).toDF("id")
+            .repartitionByRange(4, col("id")), loc)
+        graft.ops.Snapshots.attachStats(spark, loc, v, Seq("id"))
+      }
+      name
+    }
+    val tnLo = topnTable(1)
+    val tnHi = topnTable(4)
+    val topLo = time("top-n sql read (table x1)")(
+      spark.sql(s"SELECT id FROM graft_probe.$tnLo ORDER BY id DESC LIMIT 100")
+        .collect().length.toLong)
+    val topHi = time("top-n sql read (table x4)")(
+      spark.sql(s"SELECT id FROM graft_probe.$tnHi ORDER BY id DESC LIMIT 100")
+        .collect().length.toLong)
+    verdict("topn_sql_flat", topLo, topHi, 1.0)
+
+    def bloomTable(mult: Int): String = {
+      val name = s"snap_bloom_x$mult"
+      val loc = s"/tmp/graft-probe/$name"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      (0 until mult).foreach { m =>
+        val v = graft.ops.Snapshots.commitAppend(
+          spark.range(m * 10000000L, m * 10000000L + 2000000L).toDF("id")
+            .repartition(8, col("id")), loc) // hash layout: zone maps blind
+        graft.ops.BloomSidecar.attachBlooms(spark, loc, v, Seq("id"))
+      }
+      name
+    }
+    val bpLo = bloomTable(1)
+    val bpHi = bloomTable(4)
+    val bloomLo = time("bloom point lookup (table x1)")(
+      spark.sql(s"SELECT id FROM graft_probe.$bpLo " +
+        "WHERE id IN (7, 424242, 1555555)").count())
+    val bloomHi = time("bloom point lookup (table x4)")(
+      spark.sql(s"SELECT id FROM graft_probe.$bpHi " +
+        "WHERE id IN (7, 424242, 1555555)").count())
+    verdict("bloom_sql_point_flat", bloomLo, bloomHi, 1.0)
+
     spark.stop()
     if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
     else println("ADVERSARIAL PROBE: PASS")
