@@ -186,6 +186,13 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(catalogName) ++ ident.namespace() :+ ident.name())
     Snapshots.createEmpty(spark, loc, schema)
+    // declared stat columns at birth: TBLPROPERTIES('stats.columns'=
+    // 'a,b') is CALL auto_stats folded into the CREATE — every write
+    // this table ever takes maintains its sidecar
+    Option(properties.get("stats.columns")).foreach { cs =>
+      Snapshots.setAutoStats(spark, loc,
+        cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    }
     loadTable(ident)
   }
 

@@ -33,7 +33,7 @@ object SnapshotProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "optimize_small", "expire", "attach_stats",
-      "attach_blooms", "auto_stats", "cluster", "delete_mor")
+      "attach_blooms", "auto_stats", "cluster", "migrate", "delete_mor")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -160,6 +160,53 @@ object SnapshotProcedures {
     Seq[Any](v)
   }
 
+  /** Rename/drop/retype as MIGRATION ([[Snapshots.migrate]]) from pure
+    * SQL: `CALL <cat>.system.migrate('old', 'new', 'id, v AS label,
+    * CAST(ts AS date) AS day')` materializes the projection as version 1
+    * of a NEW table whose manifest header records provenance
+    * (`#lineage=<old>@v<n>`); the old table and every pinned version of
+    * it are untouched. The projection list splits on TOP-LEVEL commas
+    * only, so struct()/named_struct() expressions pass through whole. */
+  private val migrateTable: String => UnboundProcedure = { root =>
+    val params = Seq(in("table", StringType), in("new_table", StringType),
+      in("columns", StringType))
+    val out = StructType(Seq(StructField("version", LongType),
+      StructField("lineage", StringType)))
+    new UnboundProcedure {
+      override def name(): String = "migrate"
+      override def description(): String = "snapshot-table migrate"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = "migrate"
+        override def description(): String = "snapshot-table migrate"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val loc = s"$root/${str(input, 0)}"
+          val newLoc = s"$root/${str(input, 1)}"
+          val exprs = SnapshotProcedures.splitTopLevel(str(input, 2))
+          val v = Snapshots.migrate(spark, loc, newLoc, _.selectExpr(exprs: _*))
+          resultScan(out, v,
+            UTF8String.fromString(Snapshots.lineage(spark, newLoc).getOrElse("")))
+        }
+      }
+    }
+  }
+
+  /** Comma split at paren depth 0 — `a, struct(b, c) AS s` → 2 items. */
+  private[v2] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toList.filter(_.nonEmpty)
+  }
+
   /** Declare stat columns ONCE ([[Snapshots.setAutoStats]]): the sidecar
     * attaches now and refreshes automatically — incrementally, new files
     * only — on every subsequent SQL write or maintenance commit, so
@@ -178,7 +225,8 @@ object SnapshotProcedures {
     "optimize" -> optimize, "optimize_small" -> optimizeSmall,
     "expire" -> expire, "attach_stats" -> attachStats,
     "attach_blooms" -> attachBlooms, "cluster" -> clusterTable,
-    "auto_stats" -> autoStats, "delete_mor" -> deleteMor)
+    "auto_stats" -> autoStats, "migrate" -> migrateTable,
+    "delete_mor" -> deleteMor)
 
   def load(name: String, root: String): Option[UnboundProcedure] =
     all.get(name.toLowerCase(java.util.Locale.ROOT)).map(_(root))

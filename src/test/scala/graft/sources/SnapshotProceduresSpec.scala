@@ -127,6 +127,42 @@ class SnapshotProceduresSpec extends SparkTestBase {
     assert(agg2.collect().head.toSeq == Seq(4090L, 14100L))
   }
 
+  test("CALL migrate renames columns into a NEW table with provenance") {
+    import spark.implicits._
+    val loc = fresh("t_mig_src")
+    Snapshots.commitAppend(
+      Seq((1L, "a", 9L), (2L, "b", 9L)).toDF("id", "v", "tmp"), loc)
+    val res = spark.sql(
+      "CALL sqlproc.system.migrate('t_mig_src', 't_mig_dst', 'id, v AS label')")
+      .as[(Long, String)].collect().head
+    assert(res._1 == 1L && res._2.endsWith("t_mig_src@v1"))
+    val dst = spark.sql("SELECT * FROM sqlproc.t_mig_dst ORDER BY id")
+    assert(dst.columns.toSeq == Seq("id", "label"))
+    assert(dst.as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    // the old table and its pinned v1 are untouched
+    assert(spark.sql("SELECT * FROM sqlproc.t_mig_src VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "v", "tmp"))
+    // top-level comma split keeps struct() whole
+    spark.sql("CALL sqlproc.system.migrate('t_mig_src', 't_mig_dst2', " +
+      "'id, struct(v, tmp) AS s')")
+    assert(spark.sql("SELECT s.v FROM sqlproc.t_mig_dst2 WHERE id = 1")
+      .collect().head.getString(0) == "a")
+  }
+
+  test("CREATE TABLE TBLPROPERTIES stats.columns declares auto-stats at birth") {
+    fresh("t_props")
+    spark.sql("CREATE TABLE sqlproc.t_props (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('stats.columns' = 'id')")
+    spark.sql("INSERT INTO sqlproc.t_props " +
+      "SELECT * FROM (SELECT id, CAST(id AS STRING) AS v FROM range(0, 4000)) " +
+      "DISTRIBUTE BY id DIV 1000")
+    val agg = spark.sql("SELECT count(*) AS n FROM sqlproc.t_props")
+    assert(agg.queryExecution.executedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l }.isDefined,
+      "first INSERT must land fully covered -> metadata-only count")
+    assert(agg.collect().head.getLong(0) == 4000L)
+  }
+
   test("unknown procedure and wrong namespace fail fast with the available list") {
     fresh("t_err")
     val e = intercept[Exception](
