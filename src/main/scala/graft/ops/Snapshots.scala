@@ -1421,52 +1421,71 @@ object Snapshots {
 
   private def autoStatsPath(loc: String) = new Path(manifestDir(loc), "autostats.cols")
 
-  /** Declare the stat columns a table maintains on every subsequent
-    * write (and attach them to the current version now). */
-  def setAutoStats(s: SparkSession, loc: String, cols: Seq[String]): Unit = {
-    require(cols.nonEmpty, "auto-stats needs at least one column")
+  /** Declare the stat (and optionally Bloom) columns a table maintains
+    * on every subsequent write — and attach them to the current version
+    * now. The policy file's first line holds the stats columns, the
+    * second the Bloom columns (possibly empty). */
+  def setAutoStats(s: SparkSession, loc: String, cols: Seq[String],
+                   bloomCols: Seq[String] = Nil): Unit = {
+    require(cols.nonEmpty || bloomCols.nonEmpty,
+      "auto-stats needs at least one column")
     val f = fs(s, loc)
     f.mkdirs(manifestDir(loc))
     val tmp = new Path(manifestDir(loc),
       s"_tmp_autostats_${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write((cols.mkString(",") + "\n").getBytes("UTF-8"))
+    try out.write((cols.mkString(",") + "\n" + bloomCols.mkString(",") + "\n")
+      .getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, autoStatsPath(loc))) { // overwrite-by-replace
       f.delete(autoStatsPath(loc), false)
       if (!f.rename(tmp, autoStatsPath(loc))) f.delete(tmp, false)
     }
     val v = latestVersion(s, loc)
-    if (v > 0 && versionFiles(s, loc, v).nonEmpty) attachStats(s, loc, v, cols)
+    if (v > 0 && versionFiles(s, loc, v).nonEmpty) {
+      if (cols.nonEmpty) attachStats(s, loc, v, cols)
+      if (bloomCols.nonEmpty) BloomSidecar.attachBlooms(s, loc, v, bloomCols)
+    }
   }
 
-  /** The table's declared auto-stats columns, if any. */
-  def autoStatsCols(s: SparkSession, loc: String): Option[Seq[String]] = {
+  private def policyLine(s: SparkSession, loc: String, i: Int): Option[Seq[String]] = {
     val p = autoStatsPath(loc)
-    val f = fs(s, loc)
-    if (!f.exists(p)) None
-    else manifestLines(s, p).headOption
+    if (!fs(s, loc).exists(p)) None
+    else manifestLines(s, p).lift(i)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
   }
 
-  /** Best-effort post-commit refresh of the declared sidecar: the commit
+  /** The table's declared auto-stats columns, if any. */
+  def autoStatsCols(s: SparkSession, loc: String): Option[Seq[String]] =
+    policyLine(s, loc, 0)
+
+  /** The table's declared auto-Bloom columns, if any. */
+  def autoBloomCols(s: SparkSession, loc: String): Option[Seq[String]] =
+    policyLine(s, loc, 1)
+
+  /** Best-effort post-commit refresh of the declared sidecars: the commit
     * is already published, so a maintenance failure must not fail the
     * statement — queries merely lose pruning until the next refresh
-    * (which re-covers everything, since attachStats rescans any file the
-    * previous sidecar didn't prove). */
-  def autoStats(s: SparkSession, loc: String): Unit =
-    autoStatsCols(s, loc).foreach { cols =>
-      try {
-        val v = latestVersion(s, loc)
-        if (v > 0 && versionFiles(s, loc, v).nonEmpty) attachStats(s, loc, v, cols)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"auto-stats refresh failed at $loc (pruning degraded until " +
-              s"the next successful refresh): $e")
+    * (which re-covers everything, since both attach paths rescan any
+    * file the previous sidecar didn't prove). */
+  def autoStats(s: SparkSession, loc: String): Unit = {
+    val stats = autoStatsCols(s, loc)
+    val blooms = autoBloomCols(s, loc)
+    if (stats.isEmpty && blooms.isEmpty) return
+    try {
+      val v = latestVersion(s, loc)
+      if (v > 0 && versionFiles(s, loc, v).nonEmpty) {
+        stats.foreach(cols => attachStats(s, loc, v, cols))
+        blooms.foreach(cols => BloomSidecar.attachBlooms(s, loc, v, cols))
       }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"auto-stats refresh failed at $loc (pruning degraded until " +
+            s"the next successful refresh): $e")
     }
+  }
 
   /** Top-n file pruning: the subset of `files` that can contain a row of
     * the global top-`n` under `ORDER BY column [ASC|DESC]` — the

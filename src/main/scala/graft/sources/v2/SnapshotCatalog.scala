@@ -186,13 +186,15 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(catalogName) ++ ident.namespace() :+ ident.name())
     Snapshots.createEmpty(spark, loc, schema)
-    // declared stat columns at birth: TBLPROPERTIES('stats.columns'=
-    // 'a,b') is CALL auto_stats folded into the CREATE — every write
-    // this table ever takes maintains its sidecar
-    Option(properties.get("stats.columns")).foreach { cs =>
-      Snapshots.setAutoStats(spark, loc,
-        cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-    }
+    // declared stat/Bloom columns at birth: TBLPROPERTIES
+    // ('stats.columns'='a,b' [, 'bloom.columns'='k']) is CALL auto_stats
+    // folded into the CREATE — every write this table ever takes
+    // maintains its sidecars
+    def csv(key: String): Seq[String] = Option(properties.get(key))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val (statCols, bloomCols) = (csv("stats.columns"), csv("bloom.columns"))
+    if (statCols.nonEmpty || bloomCols.nonEmpty)
+      Snapshots.setAutoStats(spark, loc, statCols, bloomCols)
     loadTable(ident)
   }
 

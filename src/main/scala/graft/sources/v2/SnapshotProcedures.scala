@@ -213,12 +213,14 @@ object SnapshotProcedures {
     * pruning, metadata aggregates, and top-n all stay live without
     * per-commit `attach_stats` calls. */
   private val autoStats = procedure("auto_stats",
-    Seq(in("table", StringType), in("columns", StringType)),
+    Seq(in("table", StringType), in("columns", StringType),
+      inDefault("bloom_columns", StringType, "''")),
     StructType(Seq(StructField("version", LongType),
       StructField("columns", IntegerType)))) { (loc, input) =>
     val cols = str(input, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    Snapshots.setAutoStats(spark, loc, cols)
-    Seq[Any](Snapshots.latestVersion(spark, loc), cols.length)
+    val blooms = str(input, 2).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    Snapshots.setAutoStats(spark, loc, cols, blooms)
+    Seq[Any](Snapshots.latestVersion(spark, loc), cols.length + blooms.length)
   }
 
   private val all: Map[String, String => UnboundProcedure] = Map(

@@ -127,8 +127,36 @@ class SnapshotProceduresSpec extends SparkTestBase {
     assert(agg2.collect().head.toSeq == Seq(4090L, 14100L))
   }
 
+  test("auto_stats bloom_columns keep point-lookup skipping fresh across INSERTs") {
+    import spark.implicits._
+    val loc = fresh("t_autobloom")
+    Snapshots.commitAppend(
+      (1L to 4000L).map(i => (i, s"u$i")).toDF("id", "u")
+        .repartition(8, col("u")), loc) // hash layout: zone maps blind
+    spark.sql("CALL sqlproc.system.auto_stats('t_autobloom', 'id', 'id')")
+    spark.sql("INSERT INTO sqlproc.t_autobloom " +
+      "SELECT * FROM (SELECT id, CAST(id AS STRING) AS u FROM range(4001, 8001)) " +
+      "DISTRIBUTE BY id")
+    // v2's blooms were attached by the INSERT itself: a point lookup
+    // for keys on BOTH sides of the append skips files
+    val df = spark.sql(
+      "SELECT id FROM sqlproc.t_autobloom WHERE id IN (42, 4242)")
+    assert(df.as[Long].collect().sorted.toSeq == Seq(42L, 4242L))
+    val planned = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            pq.fileIndex.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+    val total = Snapshots.versionFiles(spark, loc, 2L).length
+    assert(planned < total, s"blooms must skip: planned $planned of $total")
+  }
+
   test("CALL migrate renames columns into a NEW table with provenance") {
     import spark.implicits._
+    fresh("t_mig_dst"); fresh("t_mig_dst2") // migration targets must not exist
     val loc = fresh("t_mig_src")
     Snapshots.commitAppend(
       Seq((1L, "a", 9L), (2L, "b", 9L)).toDF("id", "v", "tmp"), loc)
