@@ -1154,6 +1154,46 @@ object Snapshots {
       .flatMap(a => a(1 + 2 * nCols).toLongOption.map(a(0) -> _)).toMap
   }
 
+  /** Sidecar COVERAGE of a version, one row per covered column: which
+    * files the stats sidecar proves (and how many rows), and whether a
+    * Bloom filter covers the column — the "why didn't my query prune"
+    * introspection surface, manifest-sized like everything here. A file
+    * counts as covered when its line carries a parseable row count;
+    * `proven_rows` is null when any covered file predates counts. */
+  def statsMeta(s: SparkSession, loc: String, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion(s, loc) else version
+    val total = versionFiles(s, loc, v).length
+    val sp = statsPath(loc, v)
+    val f = fs(s, loc)
+    val (cols, covered, rows): (Seq[String], Map[String, Int], Option[Long]) =
+      if (!f.exists(sp)) (Nil, Map.empty, None)
+      else {
+        val lines = manifestLines(s, sp)
+        val cs = lines.headOption.filter(_.startsWith("#cols="))
+          .map(_.stripPrefix("#cols=").split(',').toSeq).getOrElse(Nil)
+        val widths = Set(2 + 2 * cs.length, 2 + 3 * cs.length)
+        val data = lines.filterNot(_.startsWith("#")).map(_.split("\t", -1))
+          .filter(a => widths.contains(a.length))
+        val counts = data.flatMap(_.apply(1 + 2 * cs.length).toLongOption)
+        (cs, cs.map(_ -> data.length).toMap,
+          if (counts.length == data.length) Some(counts.sum) else None)
+      }
+    val bloomCols: Set[String] = {
+      val hp = BloomSidecar.headerPath(loc, v)
+      if (!f.exists(hp)) Set.empty
+      else manifestLines(s, hp).find(_.startsWith("#cols="))
+        .map(_.stripPrefix("#cols=").split(',').map(_.trim).toSet)
+        .getOrElse(Set.empty)
+    }
+    val all = (cols ++ bloomCols.toSeq.sorted).distinct
+    val out = all.map { c =>
+      (v, c, covered.getOrElse(c, 0), total,
+        if (covered.contains(c)) rows else None, bloomCols.contains(c))
+    }
+    s.createDataFrame(out).toDF("version", "column", "covered_files",
+      "total_files", "proven_rows", "has_bloom")
+  }
+
   /** A version's data files as a DataFrame: path, size, and the row
     * count the stats sidecar proved (null without one). Sizes come from
     * one directory listing per commit directory, not per-file RPCs. */

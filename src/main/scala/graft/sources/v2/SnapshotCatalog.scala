@@ -120,6 +120,9 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       case "files" =>
         Some(new SnapshotMetaTable(full,
           () => Snapshots.filesMeta(spark, baseLoc, version)))
+      case "stats" =>
+        Some(new SnapshotMetaTable(full,
+          () => Snapshots.statsMeta(spark, baseLoc, version)))
       case _ => None
     }
   }

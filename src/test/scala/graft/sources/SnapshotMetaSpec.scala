@@ -94,6 +94,26 @@ class SnapshotMetaSpec extends SparkTestBase {
     assert(e.getMessage.contains("before the first commit"), e.getMessage)
   }
 
+  test("stats reports sidecar coverage per column, blooms flagged") {
+    import spark.implicits._
+    wipe(); register()
+    val loc = s"$root/cov"
+    Snapshots.commitAppend(
+      (1L to 100L).map(i => (i, s"u$i")).toDF("id", "u").repartition(4), loc)
+    // nothing attached yet: empty coverage
+    assert(spark.sql("SELECT * FROM metacat.cov.stats").count() == 0L)
+    Snapshots.attachStats(spark, loc, 1L, Seq("id"))
+    graft.ops.BloomSidecar.attachBlooms(spark, loc, 1L, Seq("u"))
+    val rows = spark.sql(
+      """SELECT column, covered_files, total_files, proven_rows, has_bloom
+        |FROM metacat.cov.stats ORDER BY column""".stripMargin).collect()
+    assert(rows.length == 2)
+    val id = rows(0); val u = rows(1)
+    assert(id.getString(0) == "id" && id.getInt(1) == 4 && id.getInt(2) == 4 &&
+      id.getLong(3) == 100L && !id.getBoolean(4))
+    assert(u.getString(0) == "u" && u.getInt(1) == 0 && u.getBoolean(4))
+  }
+
   test("a REAL table shadowing a metadata name still resolves as data") {
     import spark.implicits._
     wipe(); register()
