@@ -308,7 +308,11 @@ object Embeddings {
   def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
                             dim: Int, k: Int, perCluster: Int): DataFrame = {
     val v = withNorm(emb, idCol, vecCol, dim)
-    val anchors = broadcast(v.orderBy(col("id")).limit(k)
+    // a zero-norm anchor would make cos NaN for EVERY row, and NaN sorts
+    // greatest — one degenerate vector among the k smallest ids would
+    // collapse the whole sample into its "cluster"; anchors must be
+    // directions, so zero vectors are not eligible
+    val anchors = broadcast(v.filter(col("nrm") > 0).orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("vec").as("cvec"),
         col("nrm").as("cnrm")))
     val scored = v.crossJoin(anchors)

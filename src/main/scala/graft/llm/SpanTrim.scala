@@ -44,17 +44,20 @@ object SpanTrim {
                           width: Int = 8, minDocs: Int = 2): DataFrame = {
     require(width >= 2, "width must be at least 2")
     val id = col(idCol)
-    val toks = docs
-      .select(id.as("id"), split(col(textCol), " ").as("arr"))
-      .select(col("id"), col("arr"), size(col("arr")).as("n_tokens"))
-      .select(col("id"), col("arr"), col("n_tokens"),
-        posexplode(col("arr")).as(Seq("pos", "tok")))
-    // grams are row-local slices of the carried array; rows past the last
-    // valid start produce no gram
-    val valid = toks
-      .filter(col("pos") + width <= col("n_tokens"))
-      .select(col("id"), col("pos"),
-        concat_ws(" ", slice(col("arr"), col("pos") + 1, lit(width))).as("g"))
+    val base = docs.select(id.as("id"), split(col(textCol), " ").as("arr"))
+    val toks = base
+      .select(col("id"), posexplode(col("arr")).as(Seq("pos", "tok")))
+    // grams materialize ONCE per document (one transform over the array,
+    // O(tokens × width) bytes) and then explode as plain strings — a
+    // per-token explode that still referenced the full array would copy
+    // it into every generated row, O(tokens²) bytes on long documents
+    val valid = base
+      .select(col("id"),
+        when(size(col("arr")) >= width, expr(
+          s"transform(sequence(0, size(arr) - $width), " +
+            s"i -> array_join(slice(arr, i + 1, $width), ' '))"))
+          .otherwise(expr("CAST(array() AS array<string>)")).as("gs"))
+      .select(col("id"), posexplode(col("gs")).as(Seq("pos", "g")))
     val dup = valid.groupBy(col("g"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)

@@ -168,19 +168,23 @@ object BloomSidecar {
     val hp = headerPath(loc, version)
     val f = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!f.exists(hp) || !readHeaderCols(s, hp).contains(column)) return files
-    val mightHit = udf { (bits: Array[Byte], h: Long) =>
-      bits == null ||
-        BloomFilter.readFrom(new ByteArrayInputStream(bits)).mightContainLong(h)
-    }
     import s.implicits._
-    val probes = values.toDF("v").select(xxhash64(col("v")).as("h"))
+    // the probe HASHES ride along as one small array: each filter row
+    // deserializes its bit array ONCE and tests every probe against it —
+    // O(files) deserializations, not O(files × values)
+    val hashes: Array[Long] = values.toDF("v")
+      .select(xxhash64(col("v")).as("h")).as[Long].collect()
+    val mightHitAny = udf { (bits: Array[Byte]) =>
+      bits == null || {
+        val bf = BloomFilter.readFrom(new ByteArrayInputStream(bits))
+        hashes.exists(bf.mightContainLong)
+      }
+    }
     val verdict: Map[String, Boolean] =
       s.read.parquet(dataPath(loc, version).toString)
         .filter(col("column") === column)
-        .crossJoin(broadcast(probes))
-        .groupBy(col("file"))
-        .agg(max(when(mightHit(col("bits"), col("h")), 1).otherwise(0)).as("keep"))
-        .collect().map(r => r.getString(0) -> (r.getInt(1) == 1)).toMap
+        .select(col("file"), mightHitAny(col("bits")).as("keep"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     files.filter(x => verdict.getOrElse(Snapshots.normPath(x), true))
   }
 

@@ -1194,6 +1194,18 @@ object Snapshots {
       "total_files", "proven_rows", "has_bloom")
   }
 
+  /** Byte sizes of `files` keyed by normalized path — ONE listStatus per
+    * commit directory, never a per-file RPC. The single implementation
+    * behind the files metadata table, incremental compaction's size
+    * partition, and the per-file row scan's partition lengths. */
+  private[graft] def fileSizes(s: SparkSession, files: Seq[String]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val f = new Path(files.head).getFileSystem(s.sparkContext.hadoopConfiguration)
+    files.map(new Path(_)).groupBy(_.getParent)
+      .keysIterator.flatMap(dir => f.listStatus(dir).iterator
+        .map(st => normPath(st.getPath.toString) -> st.getLen)).toMap
+  }
+
   /** A version's data files as a DataFrame: path, size, and the row
     * count the stats sidecar proved (null without one). Sizes come from
     * one directory listing per commit directory, not per-file RPCs. */
@@ -1201,10 +1213,7 @@ object Snapshots {
     val v = if (version < 0) latestVersion(s, loc) else version
     val files = versionFiles(s, loc, v)
     val counts = sidecarCounts(s, loc, v)
-    val f = fs(s, loc)
-    val sizes: Map[String, Long] = files.map(new Path(_)).groupBy(_.getParent)
-      .keysIterator.flatMap(dir => f.listStatus(dir).iterator
-        .map(st => normPath(st.getPath.toString) -> st.getLen)).toMap
+    val sizes = fileSizes(s, files)
     val rows = files.map { file =>
       val n = normPath(file)
       (v, n, sizes.getOrElse(n, 0L), counts.get(n))
@@ -1658,13 +1667,39 @@ object Snapshots {
                               mn: String, mx: String,
                               lo: Option[String], hi: Option[String]): Boolean = {
     import org.apache.spark.sql.types._
-    dt match {
+    try dt match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
            _: FloatType | _: DoubleType | _: DecimalType =>
         hi.forall(h => BigDecimal(mn) <= BigDecimal(h)) &&
           lo.forall(l => BigDecimal(mx) >= BigDecimal(l))
+      case _: StringType =>
+        // Spark computed these min/max in UTF-8 BINARY order; Java's
+        // UTF-16 compareTo disagrees past the BMP (supplementary chars
+        // sort below U+E000 in UTF-16 but above in UTF-8), which would
+        // wrongly SKIP a matching file — compare in the same encoding
+        hi.forall(h => utf8Leq(mn, h)) && lo.forall(l => utf8Leq(l, mx))
       case _ => hi.forall(mn <= _) && lo.forall(mx >= _)
+    } catch {
+      // NaN/Infinity (a float column's stored extreme, or a query
+      // literal) don't parse as BigDecimal: pruning must DEGRADE (keep
+      // the file), never fail the query at planning
+      case _: NumberFormatException => true
     }
+  }
+
+  /** a ≤ b under unsigned UTF-8 byte order — the order Spark's
+    * UTF8String min/max used when the sidecar was written. */
+  private def utf8Leq(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
   }
 
   /** Compaction as a COMMIT — the snapshot-native OPTIMIZE, closing the
@@ -1721,12 +1756,7 @@ object Snapshots {
       val header = headerLines(s, prev._2)
       val dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
       val schema = schemaFromHeader(header)
-      // file sizes in one listStatus per commit directory
-      val lengths: Map[String, Long] = files.map(new Path(_))
-        .groupBy(_.getParent).iterator.flatMap { case (dir, _) =>
-          f.listStatus(dir).iterator.map(st =>
-            normPath(st.getPath.toString) -> st.getLen)
-        }.toMap
+      val lengths = fileSizes(s, files)
       val (small, kept) = files.partition(x =>
         lengths.get(normPath(x)).exists(_ < smallerThanBytes))
       if (small.length < 2) return prev._1 // no bin-packing gain; no commit

@@ -98,8 +98,12 @@ object ZOrder {
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("long")), max(col(c).cast("long"))))
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    if (r.isNullAt(0)) return cur // no rows (or all-null key): nothing to lay out
-    val normed = cols.zipWithIndex.map { case (c, i) =>
+    // all-null columns carry no layout information: lay out on the ones
+    // that do (an all-null SECOND column must not NPE the whole CALL);
+    // zero usable columns = nothing to lay out
+    val usable = cols.zipWithIndex.filterNot { case (_, i) => r.isNullAt(2 * i) }
+    if (usable.isEmpty) return cur
+    val normed = usable.map { case (c, i) =>
       normalize(col(c).cast("long"), r.getLong(2 * i), r.getLong(2 * i + 1), bits)
     }
     val n =
@@ -112,7 +116,14 @@ object ZOrder {
         math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
       }
     val v = Snapshots.commitReplace(cluster(df, bits, n, normed: _*), loc)
-    Snapshots.attachStats(s, loc, v, cols)
+    // cover the cluster columns PLUS any declared auto-stats columns —
+    // attaching only the cluster key would overwrite the version's
+    // sidecar header and silently un-cover the declared ones — and keep
+    // declared Bloom filters fresh on the rewritten files
+    val declared = Snapshots.autoStatsCols(s, loc).getOrElse(Nil)
+    Snapshots.attachStats(s, loc, v, (cols ++ declared).distinct)
+    Snapshots.autoBloomCols(s, loc).foreach(bc =>
+      BloomSidecar.attachBlooms(s, loc, v, bc))
     v
   }
 

@@ -252,7 +252,7 @@ object LlmQueries {
   private val clusterSampleSql: String =
     s"""WITH $sqlNorms,
        |a AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
-       |      FROM v ORDER BY vec_id LIMIT 8),
+       |      FROM v WHERE nrm > 0 ORDER BY vec_id LIMIT 8),
        |scored AS (
        |  SELECT v.vec_id AS id, a.cid,
        |    ${sqlDot("v.embedding", "a.cvec")} / (v.nrm * a.cnrm) AS cos

@@ -848,7 +848,17 @@ object OpsQueries {
         |FROM graft_snap_dml.orders_zm
         |WHERE o_orderkey BETWEEN 100 AND 500
         |ORDER BY o_orderkey""".stripMargin)
-    val planned = df.queryExecution.executedPlan.collect {
+    val planned = plannedParquetFiles(df)
+    val total = graft.ops.Snapshots.versionFiles(s, loc, 1L).length
+    require(planned < total,
+      s"SQL zone maps skipped nothing: planned $planned of $total files")
+    df
+  }
+
+  /** Parquet files the executed plan actually scans — the skip-guard
+    * metric every file-pruning fixture asserts on. */
+  private def plannedParquetFiles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         b.scan match {
           case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
@@ -856,11 +866,6 @@ object OpsQueries {
           case _ => 0
         }
     }.sum
-    val total = graft.ops.Snapshots.versionFiles(s, loc, 1L).length
-    require(planned < total,
-      s"SQL zone maps skipped nothing: planned $planned of $total files")
-    df
-  }
 
   /** Bloom-sidecar point-lookup skipping (`BloomSidecar.readBloomPruned`)
     * on a HASH layout — the case zone maps cannot prune: every file's
@@ -913,14 +918,7 @@ object OpsQueries {
         |FROM graft_snap_dml.orders_zc
         |WHERE o_orderkey BETWEEN 100 AND 500 AND o_custkey BETWEEN 100 AND 200
         |ORDER BY o_orderkey""".stripMargin)
-    val planned = df.queryExecution.executedPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
-          case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
-            pq.fileIndex.inputFiles.length
-          case _ => 0
-        }
-    }.sum
+    val planned = plannedParquetFiles(df)
     val total = graft.ops.Snapshots.versionFiles(
       s, loc, graft.ops.Snapshots.latestVersion(s, loc)).length
     require(planned < total,
@@ -951,14 +949,7 @@ object OpsQueries {
         |FROM graft_snap_dml.orders_bloom_sql
         |WHERE o_orderkey IN (7, 33, 1234)
         |ORDER BY o_orderkey""".stripMargin)
-    val planned = df.queryExecution.executedPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
-          case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
-            pq.fileIndex.inputFiles.length
-          case _ => 0
-        }
-    }.sum
+    val planned = plannedParquetFiles(df)
     val total = graft.ops.Snapshots.versionFiles(s, loc, 1L).length
     require(planned < total,
       s"SQL blooms skipped nothing: planned $planned of $total files")
@@ -1114,14 +1105,7 @@ object OpsQueries {
         |FROM graft_snap_dml.orders_auto
         |WHERE o_orderkey BETWEEN 100 AND 400
         |ORDER BY o_orderkey""".stripMargin)
-    val planned = df.queryExecution.executedPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
-          case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
-            pq.fileIndex.inputFiles.length
-          case _ => 0
-        }
-    }.sum
+    val planned = plannedParquetFiles(df)
     val total = graft.ops.Snapshots.versionFiles(
       s, loc, graft.ops.Snapshots.latestVersion(s, loc)).length
     require(planned < total,
@@ -1152,14 +1136,7 @@ object OpsQueries {
         |  o_orderdate, o_orderpriority
         |FROM graft_snap_dml.orders_topn
         |ORDER BY o_orderkey DESC LIMIT 100""".stripMargin)
-    val planned = df.queryExecution.executedPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
-          case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
-            pq.fileIndex.inputFiles.length
-          case _ => 0
-        }
-    }.sum
+    val planned = plannedParquetFiles(df)
     val total = graft.ops.Snapshots.versionFiles(s, loc, 1L).length
     require(planned < total,
       s"top-n skipped nothing: planned $planned of $total files")

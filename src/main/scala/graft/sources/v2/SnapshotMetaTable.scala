@@ -17,7 +17,11 @@ private[v2] class SnapshotMetaTable(ident: String, compute: () => DataFrame)
   extends Table with SupportsRead {
 
   override def name(): String = ident
-  override def schema(): StructType = compute().schema
+  // the schema is static per table kind, but analysis asks for it
+  // several times — compute it once; build() still recomputes ROWS per
+  // query so new commits stay visible
+  private lazy val staticSchema: StructType = compute().schema
+  override def schema(): StructType = staticSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 

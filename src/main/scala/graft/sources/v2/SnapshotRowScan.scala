@@ -222,17 +222,9 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
     }
 
   /** One listStatus per commit directory, not one getFileStatus per
-    * file — keys are normalized paths. */
-  private def fileLengths(fs0: Seq[String]): Map[String, Long] = {
-    if (fs0.isEmpty) return Map.empty
-    val fs = new Path(fs0.head).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    fs0.map(f => new Path(f)).groupBy(_.getParent).iterator
-      .flatMap { case (dir, _) =>
-        fs.listStatus(dir).iterator.map(st =>
-          SnapshotRowScan.norm(st.getPath.toString) -> st.getLen)
-      }.toMap
-  }
+    * file — keys are normalized paths ([[Snapshots.fileSizes]]). */
+  private def fileLengths(fs0: Seq[String]): Map[String, Long] =
+    Snapshots.fileSizes(spark, fs0)
 
   private val fileIdx = required.fieldNames.indexOf(SnapshotRowScan.FileCol)
   // parquet serves every required column except the synthesized one

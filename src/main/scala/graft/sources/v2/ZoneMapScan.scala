@@ -229,9 +229,20 @@ private[v2] object ZoneMapScanBuilder {
       if (strs.exists(_.isEmpty)) None
       else {
         val vs = strs.flatten
+        // numeric ordering parses each literal: NaN/Infinity don't —
+        // decline the conjunct (no pruning) rather than fail planning.
+        // Strings order by UTF-8 bytes, matching how the sidecar's
+        // min/max were computed (Java UTF-16 disagrees past the BMP).
         val ord: Ordering[String] =
-          if (numeric(a.dataType)) Ordering.by(BigDecimal(_)) else Ordering.String
-        Some((a.name, Some(vs.min(ord)), Some(vs.max(ord))))
+          if (numeric(a.dataType)) Ordering.by(BigDecimal(_))
+          else new Ordering[String] {
+            def compare(x: String, y: String): Int =
+              java.util.Arrays.compareUnsigned(
+                x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        try Some((a.name, Some(vs.min(ord)), Some(vs.max(ord))))
+        catch { case _: NumberFormatException => None }
       }
     case _ => None
   }
