@@ -155,6 +155,14 @@ object BloomSidecar {
     finally in.close()
   }
 
+  /** Columns the version's Bloom sidecar covers (empty without one). */
+  private[graft] def coveredCols(s: SparkSession, loc: String,
+                                 version: Long): Seq[String] = {
+    val hp = headerPath(loc, version)
+    val f = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(hp)) Nil else readHeaderCols(s, hp)
+  }
+
   /** The subset of `files` that might contain ANY of `values` in
     * `column` — the point-lookup file skip. Files without a filter row,
     * saturated files (null bits), an uncovered column, or a missing

@@ -1315,6 +1315,18 @@ object Snapshots {
     if (!f.rename(tmp, statsPath(loc, version))) f.delete(tmp, false)
   }
 
+  /** Columns the version's stats sidecar covers (empty without one) —
+    * the attributes a scan can offer for runtime (join-driven) file
+    * skipping. One header-line read. */
+  private[graft] def sidecarCols(s: SparkSession, loc: String,
+                                 version: Long): Seq[String] = {
+    val sp = statsPath(loc, version)
+    if (!fs(s, loc).exists(sp)) return Nil
+    manifestLines(s, sp).headOption.filter(_.startsWith("#cols="))
+      .map(_.stripPrefix("#cols=").split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+  }
+
   /** The subset of `files` whose sidecar range for `column` intersects
     * [lo, hi]. Conservative by construction: no sidecar, an uncovered
     * column, a sidecar without a recorded type, or an unknown/empty bound

@@ -860,7 +860,10 @@ object OpsQueries {
   private def plannedParquetFiles(df: DataFrame): Int =
     df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
+        (b.scan match {
+          case rp: graft.sources.v2.RuntimePrunedScan => rp.delegate
+          case s => s
+        }) match {
           case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
             pq.fileIndex.inputFiles.length
           case _ => 0
@@ -1111,6 +1114,45 @@ object OpsQueries {
     require(planned < total,
       s"auto-maintained sidecar skipped nothing: planned $planned of $total")
     df
+  }
+
+  /** Runtime (join-driven) file skipping (`RuntimePrunedScan` via
+    * `SupportsRuntimeV2Filtering`): the dim side's join-key values reach
+    * the fact scan at EXECUTION time and prune files through the same
+    * sidecar fold static predicates use — the DPP analog for
+    * unpartitioned tables. The fixture's dim keys all fall in the low
+    * key range, so a broadcast join plans O(low-range files); the guard
+    * reads the post-runtime plan size, the oracle proves exact rows. */
+  private def snapshotSqlRuntimePrune(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_rp"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val orders = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      orders.repartitionByRange(8, col("o_orderkey")), loc)
+    s.sql("CALL graft_snap_dml.system.attach_stats('orders_rp', 'o_orderkey')")
+    orders.filter(col("o_orderkey") <= 1200L)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") <= 600L, lit("hot")).otherwise(lit("cold")).as("tag"))
+      .write.mode("overwrite").parquet(s"$root/orders_rp_dim")
+    s.read.parquet(s"$root/orders_rp_dim").createOrReplaceTempView("graft_rp_dim")
+    val df = s.sql(
+      """SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus, f.o_totalprice,
+        |  f.o_orderdate, f.o_orderpriority
+        |FROM graft_snap_dml.orders_rp f
+        |JOIN graft_rp_dim d ON f.o_orderkey = d.k
+        |WHERE d.tag = 'hot'
+        |ORDER BY f.o_orderkey""".stripMargin)
+    val rows = df.collect() // runtime filters only exist at execution
+    val kept = graft.sources.v2.RuntimePrunedScan.lastKeptFiles(loc)
+    val total = graft.ops.Snapshots.versionFiles(s, loc, 1L).length
+    require(kept.exists(_ < total),
+      s"runtime join keys skipped nothing: kept $kept of $total files")
+    s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), df.schema)
   }
 
   /** Top-n file pruning (`Snapshots.statTopFiles` through the DSv2
@@ -1557,6 +1599,11 @@ object OpsQueries {
              |  o_orderdate, o_orderpriority
              |FROM orders
              |WHERE o_orderkey BETWEEN 100 AND 400 AND o_orderkey <= 3000
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_runtime_prune", snapshotSqlRuntimePrune,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey <= 600
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_sql_topn", snapshotSqlTopn,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -39,6 +39,12 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
   // query lazily gets the full list
   private var inner: ScanBuilder = _
   private var filtered = false
+  // what the delegate was built FROM — replayed when runtime (join-
+  // driven) filtering narrows the file list and the scan must rebuild
+  private var currentFiles: Seq[String] = files
+  private var savedFilters: Seq[Expression] = Nil
+  private var savedSchema: StructType = _
+  private var rowScanMode = false
   private def innerOrAll: ScanBuilder = {
     if (inner == null) inner = mkInner(files)
     inner
@@ -46,8 +52,11 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     filtered ||= filters.nonEmpty
-    if (inner == null)
-      inner = mkInner(ZoneMapScanBuilder.prune(spark, loc, version, files, filters))
+    savedFilters = filters
+    if (inner == null) {
+      currentFiles = ZoneMapScanBuilder.prune(spark, loc, version, files, filters)
+      inner = mkInner(currentFiles)
+    }
     innerOrAll.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(filters)
   }
   override def pushedFilters: Array[Predicate] =
@@ -63,8 +72,12 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
       val rs = mkRowScan(requiredSchema)
       rs.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(requiredSchema)
       inner = rs
-    } else innerOrAll.asInstanceOf[SupportsPushDownRequiredColumns]
-      .pruneColumns(requiredSchema)
+      rowScanMode = true
+    } else {
+      savedSchema = requiredSchema
+      innerOrAll.asInstanceOf[SupportsPushDownRequiredColumns]
+        .pruneColumns(requiredSchema)
+    }
 
   // ---- top-n / limit file pruning ----
   // `ORDER BY k [DESC] LIMIT n` on a sidecar-covered column narrows the
@@ -76,6 +89,7 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
   // counting proof is pre-filter) or nothing would be skipped.
   private def renarrow(keep: Seq[String]): Boolean = {
     if (keep.length >= files.length) return false
+    currentFiles = keep
     inner = mkInner(keep)
     true
   }
@@ -135,6 +149,18 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
       case _ => false
     })
 
+  /** Rebuild the delegated parquet scan over a NARROWED file list,
+    * replaying the pushed filters and column pruning the planner already
+    * applied — the runtime-filter path's re-plan. */
+  private def rebuildScan(keep: Seq[String]): Scan = {
+    val b = mkInner(keep)
+    if (savedFilters.nonEmpty)
+      b.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(savedFilters)
+    if (savedSchema != null)
+      b.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(savedSchema)
+    b.build()
+  }
+
   override def build(): Scan =
     if (aggRow != null) new org.apache.spark.sql.connector.read.LocalScan {
       override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
@@ -144,7 +170,117 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
       override def description(): String =
         s"SidecarAggregate v$version ${aggSchema.fieldNames.mkString(", ")}"
     }
-    else innerOrAll.build()
+    else if (rowScanMode) innerOrAll.build()
+    else {
+      // offer runtime (join-driven) file skipping on every sidecar-
+      // covered column: a broadcast join's key values arrive as an IN
+      // predicate at execution time and prune files exactly like a
+      // static one would — the DPP analog for unpartitioned tables
+      val covered = (Snapshots.sidecarCols(spark, loc, version) ++
+        graft.ops.BloomSidecar.coveredCols(spark, loc, version)).distinct
+      val base = innerOrAll.build()
+      if (covered.isEmpty) base
+      else new RuntimePrunedScan(spark, loc, version, currentFiles, covered,
+        base, rebuildScan)
+    }
+}
+
+/** A delegating Scan that accepts RUNTIME filters
+  * (`SupportsRuntimeV2Filtering`): Spark's dynamic-pruning rule injects
+  * the build side's join-key values as an IN predicate when a snapshot
+  * table is broadcast-joined on a sidecar-covered column, and this scan
+  * maps them through the same zone-map + Bloom fold the static path uses
+  * — then REBUILDS the delegated parquet scan over the surviving files,
+  * so a selective dim filter prunes fact files the query text never
+  * named. Conservative like every skip here: unparseable predicates
+  * prune nothing, and the rebuilt scan re-applies all pushed filters. */
+private[graft] class RuntimePrunedScan(spark: SparkSession, loc: String,
+                                    version: Long, files0: Seq[String],
+                                    covered: Seq[String], first: Scan,
+                                    rebuild: Seq[String] => Scan)
+  extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  @volatile private var current: Scan = first
+  @volatile private var kept: Seq[String] = files0
+
+  /** The wrapped scan (post any runtime narrowing) — plan introspection
+    * unwraps through this to reach the parquet scan's file index. */
+  private[graft] def delegate: Scan = current
+
+  override def readSchema(): StructType = current.readSchema()
+  override def description(): String =
+    s"RuntimePruned(${kept.length} files) ${current.description()}"
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    current.toBatch
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    current match {
+      case r: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        r.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    covered.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val exprs = predicates.toSeq.flatMap(RuntimePrunedScan.toCatalyst)
+    if (exprs.nonEmpty) {
+      val narrowed = ZoneMapScanBuilder.prune(spark, loc, version, kept, exprs)
+      if (narrowed.length < kept.length) {
+        kept = narrowed
+        current = rebuild(narrowed)
+      }
+    }
+    RuntimePrunedScan.record(loc, kept.length)
+  }
+}
+
+private[graft] object RuntimePrunedScan {
+  // observability: the last post-runtime-filter plan size per table —
+  // read by specs/fixtures, since the narrowed file list only exists
+  // inside execution (the logical plan still shows the static list)
+  private val last = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[graft] def lastKeptFiles(loc: String): Option[Int] =
+    Option(last.get(loc)).map(_.intValue)
+  private def record(loc: String, n: Int): Unit = last.put(loc, n)
+
+  /** Runtime V2 predicate → the catalyst conjunct the static prune fold
+    * understands. Spark ships dynamic-pruning values as IN / = over a
+    * plain column reference; anything else prunes nothing. */
+  private def toCatalyst(p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Expression] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    type V2Lit = org.apache.spark.sql.connector.expressions.Literal[_]
+    def name(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+        case _ => None
+      }
+    (p.name(), p.children()) match {
+      case ("IN", ch) if ch.length >= 2 =>
+        val lits = ch.tail.toSeq.map {
+          case l: V2Lit => Some(Literal(l.value, l.dataType))
+          case _ => None
+        }
+        if (lits.exists(_.isEmpty)) None
+        else name(ch.head).map(c =>
+          In(AttributeReference(c, lits.head.get.dataType)(), lits.flatten))
+      case ("=", Array(l, r)) =>
+        (l, r) match {
+          case (c, v: V2Lit) if name(c).isDefined =>
+            Some(EqualTo(AttributeReference(name(c).get, v.dataType)(),
+              Literal(v.value, v.dataType)))
+          case (v: V2Lit, c) if name(c).isDefined =>
+            Some(EqualTo(AttributeReference(name(c).get, v.dataType)(),
+              Literal(v.value, v.dataType)))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 }
 
 private[v2] object ZoneMapScanBuilder {

@@ -128,7 +128,10 @@ class BloomSidecarSpec extends SparkTestBase {
       "SELECT k, name FROM graft_bloom_spec.t WHERE k = 1234")
     val planned = df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
+        (b.scan match {
+          case rp: graft.sources.v2.RuntimePrunedScan => rp.delegate
+          case s => s
+        }) match {
           case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
             pq.fileIndex.inputFiles.length
           case _ => 0

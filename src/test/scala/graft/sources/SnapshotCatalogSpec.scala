@@ -67,7 +67,10 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // SQL twin of what SnapshotsSpec pins for readPruned
     val scanned = df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
+        (b.scan match {
+          case rp: graft.sources.v2.RuntimePrunedScan => rp.delegate
+          case s => s
+        }) match {
           case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
             p.fileIndex.inputFiles.toSeq
           case _ => Nil

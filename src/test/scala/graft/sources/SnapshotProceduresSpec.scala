@@ -144,7 +144,10 @@ class SnapshotProceduresSpec extends SparkTestBase {
     assert(df.as[Long].collect().sorted.toSeq == Seq(42L, 4242L))
     val planned = df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
+        (b.scan match {
+          case rp: graft.sources.v2.RuntimePrunedScan => rp.delegate
+          case s => s
+        }) match {
           case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
             pq.fileIndex.inputFiles.length
           case _ => 0

@@ -32,7 +32,10 @@ class TopNPruneSpec extends SparkTestBase {
 
   private def plannedFiles(df: DataFrame): Int =
     df.queryExecution.executedPlan.collect {
-      case b: BatchScanExec => b.scan match {
+      case b: BatchScanExec => (b.scan match {
+        case rp: graft.sources.v2.RuntimePrunedScan => rp.delegate
+        case s => s
+      }) match {
         case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
           pq.fileIndex.inputFiles.length
         case _ => 0
