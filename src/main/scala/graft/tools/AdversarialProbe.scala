@@ -810,6 +810,22 @@ object AdversarialProbe {
         "WHERE id IN (7, 424242, 1555555)").count())
     verdict("bloom_sql_point_flat", bloomLo, bloomHi, 1.0)
 
+    // runtime (join-driven) file skipping: a broadcast join whose dim
+    // keys land in ONE fact file must cost the same wall while the fact
+    // table quadruples — the dim's key values reach the scan at
+    // execution time and prune through the sidecar exactly like a
+    // static predicate would.
+    import spark.implicits._
+    (0L until 2000000L by 100000L).map(k => (k, if (k < 500000L) "hot" else "cold"))
+      .toDF("k", "tag").createOrReplaceTempView("probe_rp_dim")
+    val rpLo = time("runtime-pruned join (table x1)")(
+      spark.sql(s"SELECT f.id FROM graft_probe.$tnLo f " +
+        "JOIN probe_rp_dim d ON f.id = d.k WHERE d.tag = 'hot'").count())
+    val rpHi = time("runtime-pruned join (table x4)")(
+      spark.sql(s"SELECT f.id FROM graft_probe.$tnHi f " +
+        "JOIN probe_rp_dim d ON f.id = d.k WHERE d.tag = 'hot'").count())
+    verdict("runtime_prune_join_flat", rpLo, rpHi, 1.0)
+
     spark.stop()
     if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
     else println("ADVERSARIAL PROBE: PASS")
