@@ -35,5 +35,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // storage-partitioned joins: honor scan-reported
+      // KeyGroupedPartitioning (bucket-layout snapshot tables join with
+      // zero shuffle), tolerating one side missing some buckets
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.ui.enabled", "false")
 }

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hash-bucket table layout for SHUFFLE-FREE co-clustered joins — the
+  * Spark-native form of the reference's map-side join over identically
+  * partitioned inputs (CORE/…/lib/join/CompositeInputFormat.java:56,
+  * which joins pre-partitioned sorted files partition-by-partition with
+  * no shuffle at all).
+  *
+  * `commitBucketed` rewrites a snapshot table with every row routed to
+  * `pmod(hash(key), n)` and each bucket written as its own file(s) under
+  * a `__graft_bucket=<k>/` path segment; the commit records
+  * `#layout=bucket,<n>,<key>` in the manifest header. The DSv2 scan then
+  * reports `KeyGroupedPartitioning(bucket(n, key))` with one keyed input
+  * partition per bucket, so two tables bucketed with the same (key
+  * type, n) join with ZERO Exchange on either side — Spark's
+  * storage-partitioned join. At 100 TB a fact-fact join is the most
+  * expensive plan a user runs; this removes both full-table shuffles
+  * from it.
+  *
+  * The hash contract: bucket id = `pmod(hash(key), n)` where `hash` is
+  * Spark's codegen'd Murmur3 (seed 42) — the write side computes it with
+  * `functions.hash`, and the catalog's `bucket` V2 function
+  * ([[graft.sources.v2.BucketFunction]]) reproduces it interpretively,
+  * so the two can never disagree (NULL hashes to the seed on both
+  * sides).
+  *
+  * Layout lifecycle is CONSERVATIVE: only `commitBucketed` publishes the
+  * layout header, and every other commit (append, DML, compaction,
+  * cluster) drops it — new files without a bucket path would break the
+  * co-partitioning guarantee, so the table silently degrades to ordinary
+  * shuffled joins until `CALL system.bucket` runs again. Correctness
+  * never depends on the layout; it is purely a plan improvement.
+  */
+object BucketLayout {
+
+  /** A bucket layout: `key` column hashed into `buckets` groups. */
+  final case class Spec(column: String, buckets: Int)
+
+  private val DirPrefix = "__graft_bucket="
+  private val PathRe = """__graft_bucket=(\d+)""".r
+
+  def format(spec: Spec): String = s"bucket,${spec.buckets},${spec.column}"
+
+  def parse(s: String): Option[Spec] = s.split(",", 3) match {
+    case Array("bucket", n, col) if n.forall(_.isDigit) && col.nonEmpty =>
+      Some(Spec(col, n.toInt))
+    case _ => None
+  }
+
+  /** The bucket id expression the WRITER uses — Spark's codegen'd
+    * Murmur3 (`functions.hash`, seed 42) mod n; must stay in lockstep
+    * with [[graft.sources.v2.BucketFunction]]'s interpreted twin. */
+  def bucketId(key: Column, n: Int): Column = pmod(hash(key), lit(n))
+
+  /** The bucket a data file belongs to, parsed from its
+    * `__graft_bucket=<k>` path segment — None for a non-bucketed file
+    * (which deactivates the layout for the whole version). */
+  private[graft] def bucketOfPath(file: String): Option[Int] =
+    PathRe.findFirstMatchIn(file).map(_.group(1).toInt)
+
+  /** Rewrite the table hash-bucketed by `column` into `n` buckets and
+    * publish it as a new version carrying the layout header. One shuffle
+    * on the bucket id (each bucket lands wholly in one task, so exactly
+    * one file per non-empty bucket), rows sorted by the key within each
+    * bucket for tight row-group stats. Returns the published version. */
+  def commitBucketed(s: SparkSession, loc: String, column: String,
+                     n: Int): Long = {
+    require(n >= 1, s"bucket count must be >= 1, got $n")
+    require(!column.contains(",") && column.nonEmpty,
+      s"bucket column must be a plain top-level column name: '$column'")
+    val df = Snapshots.read(s, loc)
+    require(df.columns.contains(column),
+      s"bucket column '$column' not in table schema ${df.columns.mkString(",")}")
+    val commitId = java.util.UUID.randomUUID().toString
+    val dataDir = new Path(loc, s"data/$commitId")
+    val b = "__graft_bucket"
+    // repartition ON the bucket column so the dynamic-partition write
+    // sees each bucket in exactly one task → one file per bucket, not
+    // one per (task × bucket)
+    df.withColumn(b, bucketId(col(column), n))
+      .repartition(n, col(b))
+      .sortWithinPartitions(col(column))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(b).parquet(dataDir.toString)
+    val f = dataDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val newFiles = f.globStatus(new Path(dataDir, s"$DirPrefix*/part-*"))
+      .toSeq.map(_.getPath.toString)
+    Snapshots.publishLayout(s, loc, newFiles, df.schema.json, format(Spec(column, n)))
+  }
+}

@@ -205,6 +205,35 @@ object Snapshots {
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
   }
 
+  /** Publish an already-written BUCKET-layout rewrite
+    * ([[BucketLayout.commitBucketed]]) as a logical replace carrying the
+    * `#layout=` header — the only publish path that records a layout;
+    * every other commit drops it, so a layout header always describes
+    * exactly the files it was published with. */
+  private[graft] def publishLayout(s: SparkSession, loc: String,
+                                   newFiles: Seq[String], schemaJson: String,
+                                   layout: String): Long = {
+    var attempt = 0
+    while (attempt < 64) {
+      val version = latestVersion(s, loc) + 1
+      if (tryPublish(s, loc, version, newFiles,
+          schemaJson = Some(schemaJson), layout = Some(layout)))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
+  }
+
+  /** The bucket layout a version recorded (`#layout=` header), if any —
+    * an O(header) read, same class as [[versionSchema]]. */
+  private[graft] def versionLayout(s: SparkSession, loc: String,
+                                   version: Long): Option[String] = {
+    val v = if (version < 0) latestVersion(s, loc) else version
+    manifests(s, loc).find(_._1 == v)
+      .flatMap { case (_, p) => headerLines(s, p).find(_.startsWith("#layout=")) }
+      .map(_.stripPrefix("#layout="))
+  }
+
   /** Publish already-written files as a REPLACE of exactly the content of
     * `expectedPrev` — the commit half of a SQL row-level operation whose
     * rewrite was DERIVED from that version's rows. NO retry loop on a
@@ -281,8 +310,9 @@ object Snapshots {
                          marker: Option[String] = None,
                          dvs: Seq[String] = Nil,
                          schemaJson: Option[String] = None,
-                         lineage: Option[String] = None): Boolean = {
-    (marker ++ lineage).foreach(m => require(!m.contains("\n") && !m.contains("\r"),
+                         lineage: Option[String] = None,
+                         layout: Option[String] = None): Boolean = {
+    (marker ++ lineage ++ layout).foreach(m => require(!m.contains("\n") && !m.contains("\r"),
       "header values must be single lines"))
     val f = fs(s, loc)
     val md = manifestDir(loc)
@@ -298,6 +328,7 @@ object Snapshots {
     val header = marker.map(m => s"#marker=$m\n").getOrElse("") +
       lineage.map(l => s"#lineage=$l\n").getOrElse("") +
       schemaJson.map(j => s"#schema=$j\n").getOrElse("") +
+      layout.map(l => s"#layout=$l\n").getOrElse("") +
       dvs.map(d => s"#dv=$d\n").mkString
     try out.write((header + files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -1825,11 +1856,16 @@ object Snapshots {
     }
     val live = kept.flatMap { case (_, p) => refs(p) }.toSet
     val expiredRefs = dropped.flatMap { case (_, p) => refs(p) }.toSet -- live
+    // a kept version's bloom header may carry older versions' parquets
+    // by reference (#base delta chain) — those stay alive with it
+    val keptBloomBases: Set[Long] =
+      kept.flatMap { case (v, _) => BloomSidecar.baseVersions(s, loc, v) }.toSet
     dropped.foreach { case (v, p) =>
       f.delete(p, false)
       f.delete(statsPath(loc, v), false) // zone-map sidecar goes with it
       f.delete(BloomSidecar.headerPath(loc, v), false) // bloom sidecar too
-      f.delete(BloomSidecar.dataPath(loc, v), true)
+      if (!keptBloomBases.contains(v))
+        f.delete(BloomSidecar.dataPath(loc, v), true)
     }
     val dataRoot = new Path(loc, "data")
     val orphanHorizon = System.currentTimeMillis() - orphanGraceMs

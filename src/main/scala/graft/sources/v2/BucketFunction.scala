@@ -1,0 +1,67 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+/** The catalog-registered `bucket(n, key)` V2 function backing
+  * storage-partitioned joins over [[graft.ops.BucketLayout]] tables.
+  *
+  * Spark resolves a scan-reported `KeyGroupedPartitioning(bucket(n, k))`
+  * by loading `bucket` from the table's catalog
+  * ([[SnapshotCatalog.loadFunction]]) and comparing the BOUND function's
+  * `canonicalName` + bucket count across the two join sides — equal
+  * means co-partitioned, and `EnsureRequirements` plans the join with no
+  * Exchange. The canonical name carries the key type, so an int-keyed
+  * layout never claims compatibility with a long-keyed one (their hash
+  * inputs differ).
+  *
+  * `produceResult` is the interpreted twin of the writer's
+  * `pmod(hash(key), n)` ([[graft.ops.BucketLayout.bucketId]]):
+  * Murmur3 seed 42 over catalyst values — identical bytes, identical
+  * result, with NULL hashing to the bare seed exactly as
+  * `functions.hash` does. Spark evaluates it only on the
+  * shuffle-one-side plan (`spark.sql.sources.v2.bucketing.shuffle
+  * .enabled`); the both-sides-bucketed join never calls it.
+  */
+object BucketFunction extends UnboundFunction {
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): pmod(murmur3_hash(key), n) — the graft bucket-layout function"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    if (inputType.length != 2)
+      throw new UnsupportedOperationException(
+        s"bucket takes (numBuckets INT, key), got $inputType")
+    inputType.fields(0).dataType match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType => ()
+      case other => throw new UnsupportedOperationException(
+        s"bucket count must be integral, got $other")
+    }
+    inputType.fields(1).dataType match {
+      case dt @ (_: IntegerType | _: LongType | _: ShortType | _: ByteType |
+                 _: StringType | _: DateType | _: BooleanType) =>
+        new Bound(dt)
+      case other => throw new UnsupportedOperationException(
+        s"bucket does not support key type ${other.catalogString}")
+    }
+  }
+
+  private final class Bound(keyDt: DataType) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, keyDt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = s"graft.bucket(${keyDt.catalogString})"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      // functions.hash of NULL is the bare seed (42); match it exactly
+      val h =
+        if (input.isNullAt(1)) 42
+        else Murmur3HashFunction.hash(input.get(1, keyDt), keyDt, 42L).toInt
+      java.lang.Math.floorMod(h, n)
+    }
+  }
+}

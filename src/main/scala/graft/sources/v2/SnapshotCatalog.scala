@@ -43,7 +43,8 @@ import graft.ops.Snapshots
   * rename/retype) are rejected — [[Snapshots.migrate]] is the shipped
   * recipe for those.
   */
-class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
+class SnapshotCatalog extends TableCatalog with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -143,8 +144,29 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
         Seq(catalogName) ++ ident.namespace() :+ s"${ident.name()}@v$v") }
     new SnapshotTable(s"$catalogName.${ident.toString}@v$v", spark, loc, v,
       pinned = version >= 0, files, Snapshots.versionSchema(spark, loc, v),
-      Snapshots.versionDvs(spark, loc, v))
+      Snapshots.versionDvs(spark, loc, v),
+      Snapshots.versionLayout(spark, loc, v)
+        .flatMap(graft.ops.BucketLayout.parse))
   }
+
+  /** The one V2 function this catalog defines: `bucket(n, key)`, the
+    * layout function storage-partitioned joins resolve against
+    * ([[BucketFunction]]). Spark's partitioning resolver looks it up
+    * with an EMPTY namespace; `system` is accepted for symmetry with
+    * the procedures. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val ns = ident.namespace()
+    val nsOk = ns.isEmpty || (ns.length == 1 && ns(0).equalsIgnoreCase("system"))
+    if (nsOk && ident.name().equalsIgnoreCase("bucket")) BucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty ||
+        (namespace.length == 1 && namespace(0).equalsIgnoreCase("system")))
+      Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
 
   /** Lifecycle maintenance as SQL procedures (`CALL <cat>.system.…` —
     * [[SnapshotProcedures]]): optimize, expire, attach_stats,

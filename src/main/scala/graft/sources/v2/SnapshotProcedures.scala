@@ -33,7 +33,8 @@ object SnapshotProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "optimize_small", "expire", "attach_stats",
-      "attach_blooms", "auto_stats", "cluster", "migrate", "delete_mor")
+      "attach_blooms", "auto_stats", "cluster", "bucket", "migrate",
+      "delete_mor")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -152,6 +153,22 @@ object SnapshotProcedures {
     Seq[Any](v, Snapshots.read(spark, loc, v).inputFiles.length)
   }
 
+  /** Hash-bucket layout rewrite ([[graft.ops.BucketLayout]]): after
+    * `CALL system.bucket(t, k, n)` on BOTH sides, a join on `k` plans
+    * with zero Exchange (storage-partitioned join) — the SQL verb for
+    * shuffle-free co-clustered joins. Any later append/DML drops the
+    * layout (conservatively back to shuffled plans) until re-run. */
+  private val bucketTable = procedure("bucket",
+    Seq(in("table", StringType), in("column", StringType),
+      in("buckets", IntegerType)),
+    StructType(Seq(StructField("version", LongType),
+      StructField("buckets", IntegerType)))) { (loc, input) =>
+    val v = graft.ops.BucketLayout.commitBucketed(spark, loc,
+      str(input, 1), input.getInt(2))
+    Snapshots.autoStats(spark, loc)
+    Seq[Any](v, input.getInt(2))
+  }
+
   private val deleteMor = procedure("delete_mor",
     Seq(in("table", StringType), in("condition", StringType)),
     StructType(Seq(StructField("version", LongType)))) { (loc, input) =>
@@ -227,8 +244,8 @@ object SnapshotProcedures {
     "optimize" -> optimize, "optimize_small" -> optimizeSmall,
     "expire" -> expire, "attach_stats" -> attachStats,
     "attach_blooms" -> attachBlooms, "cluster" -> clusterTable,
-    "auto_stats" -> autoStats, "migrate" -> migrateTable,
-    "delete_mor" -> deleteMor)
+    "bucket" -> bucketTable, "auto_stats" -> autoStats,
+    "migrate" -> migrateTable, "delete_mor" -> deleteMor)
 
   def load(name: String, root: String): Option[UnboundProcedure] =
     all.get(name.toLowerCase(java.util.Locale.ROOT)).map(_(root))

@@ -92,7 +92,8 @@ private[v2] class SnapshotRowScanBuilder(spark: SparkSession, schema: StructType
                                          files: Seq[String], dvs: Seq[String],
                                          loc: String, version: Long,
                                          allowPushdown: Boolean = true,
-                                         rowLevel: Option[RowLevelScanState] = None)
+                                         rowLevel: Option[RowLevelScanState] = None,
+                                         layout: Option[(graft.ops.BucketLayout.Spec, Map[String, Int])] = None)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -131,7 +132,7 @@ private[v2] class SnapshotRowScanBuilder(spark: SparkSession, schema: StructType
         }
       case None =>
         new SnapshotRowScan(spark, schema, files, dvs, loc, version,
-          allowPushdown, required, pushed)
+          allowPushdown, required, pushed, layout)
     }
 }
 
@@ -190,9 +191,29 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
                                   files: Seq[String], dvs: Seq[String],
                                   loc: String, version: Long,
                                   allowPushdown: Boolean,
-                                  required: StructType, pushed: Array[Filter])
+                                  required: StructType, pushed: Array[Filter],
+                                  layout: Option[(graft.ops.BucketLayout.Spec, Map[String, Int])] = None)
   extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** Bucket-layout versions report `KeyGroupedPartitioning(bucket(n,
+    * key))` and key every input partition with its file's bucket id —
+    * Spark's storage-partitioned join then plans a join of two
+    * co-bucketed snapshot tables with ZERO Exchange on either side (the
+    * CompositeInputFormat map-side join, Spark-native). Everything else
+    * reports unknown. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    layout match {
+      case Some((spec, byFile)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(spec.buckets, spec.column)),
+          activeFiles.map(f => byFile(SnapshotRowScan.norm(f))).distinct.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   // runtime group filtering narrows this between the build-side scan
   // (which plans ALL files to find matching groups) and the main scan
@@ -263,20 +284,32 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
             "Snapshots.commitCompaction (CALL <cat>.system.optimize) to fold " +
             "them before scanning, or raise graft.snapshot.dv.maxScanEntries")
         // grouped + sorted EXECUTOR-side: the driver receives one row per
-        // file holding a sorted position array, not n (path, pos) rows
+        // file holding a sorted position array, not n (path, pos) rows —
+        // and only files the (possibly pruned) scan will actually open
+        // ride the broadcast; skipped files' vectors are dropped here
+        val keepNorm = keep.map(SnapshotRowScan.norm).toSet
         dvDf.groupBy(col("file"))
           .agg(sort_array(collect_list(col("pos"))).as("poss"))
           .collect()
           .map(r => SnapshotRowScan.norm(r.getString(0)) ->
             r.getSeq[Long](1).toArray)
+          .filter { case (f, _) => keepNorm.contains(f) }
           .toMap
       }
     val lengths = fileLengths(keep)
     val bc = spark.sparkContext.broadcast(deleted)
-    keep.map { f =>
-      val n = SnapshotRowScan.norm(f)
-      RowScanFilePartition(f, lengths(n), n, bc): InputPartition
-    }.toArray
+    layout match {
+      case Some((_, byFile)) =>
+        keep.map { f =>
+          val n = SnapshotRowScan.norm(f)
+          BucketedRowScanPartition(f, lengths(n), n, bc, byFile(n)): InputPartition
+        }.toArray
+      case None =>
+        keep.map { f =>
+          val n = SnapshotRowScan.norm(f)
+          RowScanFilePartition(f, lengths(n), n, bc): InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -286,10 +319,29 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
       parquetCols, dvs.nonEmpty, fileIdx >= 0)
 }
 
+/** The per-file partition contract the reader factory consumes. */
+private[v2] sealed trait FileScanPartition extends InputPartition {
+  def file: String; def length: Long; def normPath: String
+  def dvs: Broadcast[Map[String, Array[Long]]]
+}
+
 private[v2] case class RowScanFilePartition(file: String, length: Long,
                                             normPath: String,
                                             dvs: Broadcast[Map[String, Array[Long]]])
-  extends InputPartition
+  extends FileScanPartition
+
+/** A bucket-layout file partition: carries its bucket id as the
+  * partition KEY, so Spark can group same-keyed files and zip two
+  * co-bucketed scans into a shuffle-free join. */
+private[v2] case class BucketedRowScanPartition(file: String, length: Long,
+                                                normPath: String,
+                                                dvs: Broadcast[Map[String, Array[Long]]],
+                                                bucket: Int)
+  extends FileScanPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 /** Per-file reader: native parquet rows, optionally carrying a trailing
   * true row index (delete-vector subtraction by a forward pointer walk —
@@ -303,7 +355,7 @@ private[v2] class RowScanReaderFactory(
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[RowScanFilePartition]
+    val part = p.asInstanceOf[FileScanPartition]
     val it = readFunc(V2ParquetRead.partitionedFile(part.file, part.length))
     val dead =
       if (hasDv) part.dvs.value.getOrElse(part.normPath, Array.empty[Long])

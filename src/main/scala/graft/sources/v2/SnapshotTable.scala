@@ -54,10 +54,33 @@ import graft.ops.Snapshots
 class SnapshotTable(ident: String, spark: SparkSession, loc: String,
                     val snapshotVersion: Long, pinned: Boolean, files: Seq[String],
                     manifestSchema: Option[StructType] = None,
-                    dvs: Seq[String] = Nil)
+                    dvs: Seq[String] = Nil,
+                    layout: Option[graft.ops.BucketLayout.Spec] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** The version's bucket layout, ACTIVE only when every live file
+    * carries its `__graft_bucket=<k>` path segment — a commit that mixed
+    * in unbucketed files deactivates co-partitioned planning for the
+    * whole version (correctness never depends on the layout). Carries
+    * the per-file bucket ids the scan keys its input partitions with. */
+  private val activeLayout: Option[(graft.ops.BucketLayout.Spec, Map[String, Int])] =
+    layout.flatMap { spec =>
+      val ids = files.map(f => f -> graft.ops.BucketLayout.bucketOfPath(f))
+      if (files.nonEmpty && ids.forall(_._2.isDefined))
+        Some((spec, ids.map { case (f, b) =>
+          Snapshots.normPath(f) -> b.get }.toMap))
+      else None
+    }
+
+  /** Declared table partitioning: the bucket transform when the layout
+    * is active, so `DESCRIBE` and the SPJ resolver both see it. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    activeLayout.map { case (spec, _) =>
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(spec.buckets, spec.column))
+    }.getOrElse(Array.empty)
 
   /** One metadata column, `__graft_file` — each row's normalized data-
     * file path. It is both user-queryable (served by the per-file row
@@ -98,6 +121,16 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
     * Spark's native parquet scan with full pushdown/pruning. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (files.isEmpty) delegate.newScanBuilder(options)
+    // an ACTIVE bucket layout reads through the per-file row scan so the
+    // scan can report KeyGroupedPartitioning with one keyed partition per
+    // bucket — co-bucketed tables then join with zero Exchange (SPJ).
+    // Gated on the SPJ session flag: without it Spark would ignore the
+    // report anyway, so the table reads through the (vectorized) parquet
+    // delegate instead
+    else if (activeLayout.isDefined &&
+        spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true")
+      new SnapshotRowScanBuilder(spark, schema(), files, dvs, loc,
+        snapshotVersion, layout = activeLayout)
     else if (dvs.isEmpty)
       new ZoneMapScanBuilder(spark, loc, snapshotVersion, files,
         { keep =>

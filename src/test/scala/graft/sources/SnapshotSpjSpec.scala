@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkTestBase
+import graft.ops.{BucketLayout, Snapshots}
+
+/** Storage-partitioned joins over bucket-layout snapshot tables: after
+  * `CALL system.bucket(t, k, n)` on both sides, a join on `k` plans with
+  * ZERO Exchange (the scans report `KeyGroupedPartitioning(bucket(n,
+  * k))` and Spark zips same-keyed buckets) — the Spark-native form of
+  * the reference's CompositeInputFormat map-side join. Any later commit
+  * drops the layout and the plan degrades to an ordinary shuffled join,
+  * never to a wrong result. */
+class SnapshotSpjSpec extends SparkTestBase {
+
+  private val root = "/tmp/graft-test/spj"
+
+  private def wipe(): Unit = {
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private def register(): Unit = {
+    spark.conf.set("spark.sql.catalog.spjcat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjcat.root", root)
+  }
+
+  private def noBroadcast[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // finalize the adaptive plan
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => n += 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
+
+  private def fixture(): Unit = {
+    import spark.implicits._
+    wipe(); register()
+    Snapshots.commitAppend(
+      (1L to 400L).map(i => (i, s"f$i")).toDF("id", "v").repartition(4),
+      s"$root/fact")
+    Snapshots.commitAppend(
+      (1L to 100L).map(i => (i, i * 10)).toDF("id", "w").repartition(4),
+      s"$root/dim")
+    spark.sql("CALL spjcat.system.bucket('fact', 'id', 4)")
+    spark.sql("CALL spjcat.system.bucket('dim', 'id', 4)")
+  }
+
+  test("co-bucketed tables join with zero Exchange, exact rows") {
+    fixture()
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, f.v, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df) == 0,
+        df.queryExecution.executedPlan.toString)
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val want = (1L to 100L).map(i => (i, s"f$i", i * 10))
+      assert(got == want)
+    }
+  }
+
+  test("layout survives pruning filters on the join (subset of buckets)") {
+    fixture()
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim d ON f.id = d.id WHERE f.id <= 50""".stripMargin)
+      assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+      assert(df.collect().length == 50)
+    }
+  }
+
+  test("an append drops the layout: plan shuffles again, rows stay right") {
+    import spark.implicits._
+    fixture()
+    Snapshots.commitAppend(Seq((401L, "x")).toDF("id", "v"), s"$root/fact")
+    assert(Snapshots.versionLayout(spark, s"$root/fact", -1L).isEmpty)
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df) > 0)
+      assert(df.collect().length == 100)
+    }
+  }
+
+  test("bucket ids in file paths match the bucket function contract") {
+    import spark.implicits._
+    fixture()
+    val files = Snapshots.versionFiles(spark, s"$root/dim",
+      Snapshots.latestVersion(spark, s"$root/dim"))
+    assert(files.nonEmpty && files.forall(f =>
+      BucketLayout.bucketOfPath(f).isDefined))
+    // every row's writer-side bucket equals its file's path bucket, and
+    // the interpreted V2 function agrees with the codegen'd writer hash
+    val dim = Snapshots.read(spark, s"$root/dim")
+    val ids = dim.select("id").as[Long].collect()
+    val byExpr = dim
+      .select(org.apache.spark.sql.functions.col("id"),
+        BucketLayout.bucketId(org.apache.spark.sql.functions.col("id"), 4).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val bound = graft.sources.v2.BucketFunction.bind(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    ids.foreach { id =>
+      val viaV2 = bound.produceResult(
+        org.apache.spark.sql.catalyst.InternalRow(4, id))
+      assert(viaV2 == byExpr(id), s"id=$id")
+    }
+  }
+}
