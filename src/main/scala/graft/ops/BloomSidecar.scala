@@ -83,10 +83,23 @@ object BloomSidecar {
     def outputEncoder = Encoders.BINARY
   }
 
+  /** Chain length at which an attach folds every referenced delta into
+    * one fresh base — bounds both probe fan-in and the growth of
+    * dead-file rows riding old deltas. */
+  private val CompactChain = 8
+
   /** Compute and attach per-file Bloom filters for `cols` to an existing
     * version (typically right after a commit, next to `attachStats`).
-    * INCREMENTAL: files already covered by the previous version's sidecar
-    * with the same column set inherit their rows unscanned. */
+    * INCREMENTAL in both directions: files already covered by a prior
+    * sidecar with the same column set inherit their rows BY REFERENCE —
+    * the new version's parquet holds ONLY the fresh files' rows, and its
+    * header lists the prior versions' parquets in `#base=` (the
+    * manifest's own carry-by-reference idiom). So the per-commit
+    * maintenance WRITE is O(new files), not O(all covered files' filter
+    * bytes) — at an ~800k-file operating point rewriting every filter
+    * through one task per commit would be a multi-GB serial write.
+    * Once the chain reaches [[CompactChain]] deltas the attach folds
+    * them into one fresh base (a distributed, multi-file write). */
   def attachBlooms(s: SparkSession, loc: String, version: Long,
                    cols: Seq[String], fpp: Double = 0.01,
                    maxDistinct: Int = 1 << 21): Unit = {
@@ -95,21 +108,20 @@ object BloomSidecar {
     if (files.isEmpty) return
     val f = headerPath(loc, version).getFileSystem(s.sparkContext.hadoopConfiguration)
     val live = files.map(Snapshots.normPath).toSet
-    val headerBody = s"#cols=${cols.mkString(",")}\n#fpp=$fpp\n"
 
-    // inherit rows from the previous sidecar where the column set matches
-    val prevHeader = headerPath(loc, version - 1)
-    val carried: Option[DataFrame] =
-      if (version > 1 && f.exists(prevHeader) &&
-          readHeaderCols(s, prevHeader) == cols)
-        Some(s.read.parquet(dataPath(loc, version - 1).toString)
-          .filter(col("file").isin(live.toSeq: _*)))
-      else None
-    val covered: Set[String] = carried match {
-      case Some(df) => df.select("file").distinct().collect()
-        .map(_.getString(0)).toSet
-      case None => Set.empty
-    }
+    // inherit by reference from this version's own sidecar (idempotent
+    // re-attach) or the previous version's, where the column set matches
+    val prior: Seq[Long] = Seq(version, version - 1)
+      .filter(v => v >= 1 && f.exists(headerPath(loc, v)))
+      .find(v => readHeader(s, headerPath(loc, v)).cols == cols)
+      .map(v => readHeader(s, headerPath(loc, v)).base.filter(b =>
+        f.exists(dataPath(loc, b))))
+      .getOrElse(Nil)
+    val covered: Set[String] =
+      if (prior.isEmpty) Set.empty
+      else s.read.parquet(prior.map(dataPath(loc, _).toString): _*)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+        .intersect(live)
     val fresh = files.filterNot(x => covered.contains(Snapshots.normPath(x)))
 
     val schema = Snapshots.versionSchema(s, loc, version)
@@ -131,28 +143,73 @@ object BloomSidecar {
           .select(col("file"), col("e.column").as("column"), col("e.bits").as("bits"))
       }
 
-    val rows = (carried, scanned) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) => return
+    // which parquets the new header will reference, and what (if
+    // anything) this attach writes to its own version's parquet
+    // fold when the chain is long — or when a re-attach must add rows to
+    // a version whose own parquet is already referenced (overwriting it
+    // with just the delta would drop the referenced rows)
+    val compact = prior.length + (if (fresh.isEmpty) 0 else 1) > CompactChain ||
+      (fresh.nonEmpty && prior.contains(version))
+    val (base, toWrite): (Seq[Long], Option[DataFrame]) =
+      if (compact) {
+        // fold the whole chain into one fresh base — distributed write,
+        // no single-task funnel (the chain's rows dwarf one delta's)
+        val folded = s.read.parquet(prior.map(dataPath(loc, _).toString): _*)
+          .filter(col("file").isin(live.toSeq: _*))
+        (Seq(version), Some(scanned.fold(folded)(folded.unionByName(_))))
+      } else if (fresh.isEmpty) (prior, None)
+      else (prior :+ version, scanned.map(_.coalesce(1)))
+    if (base.isEmpty) return
+
+    // data first (unique tmp dir, then rename over any stale parquet —
+    // a crash leaves either the old complete sidecar or an ignored
+    // orphan, never a half-written directory a reader could trip on),
+    // header LAST: a header always names complete filters
+    toWrite.foreach { rows =>
+      val out = dataPath(loc, version)
+      val tmp = new Path(out.getParent,
+        s"_tmp_${java.util.UUID.randomUUID()}_${out.getName}")
+      rows.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
+      f.delete(out, true)
+      if (!f.rename(tmp, out)) {
+        f.delete(tmp, true)
+        throw new java.io.IOException(s"could not publish bloom sidecar $out")
+      }
     }
-    // data first, header last: a header implies complete filters
-    val out = dataPath(loc, version)
-    f.delete(out, true)
-    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(out.toString)
+    val headerBody = s"#cols=${cols.mkString(",")}\n#fpp=$fpp\n" +
+      s"#base=${base.mkString(",")}\n"
     val hp = headerPath(loc, version)
     val os = f.create(hp, true)
     try os.write(headerBody.getBytes("UTF-8")) finally os.close()
   }
 
-  private def readHeaderCols(s: SparkSession, p: Path): Seq[String] = {
+  private case class Header(cols: Seq[String], base: Seq[Long])
+
+  /** Parse a sidecar header; a legacy header without `#base=` covers its
+    * files from its own version's parquet. */
+  private def readHeader(s: SparkSession, p: Path): Header = {
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val in = f.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .find(_.startsWith("#cols=")).map(_.stripPrefix("#cols=").split(',').toSeq)
-      .getOrElse(Nil)
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    def tag(t: String): Option[String] =
+      lines.find(_.startsWith(s"#$t=")).map(_.stripPrefix(s"#$t="))
+    val version = p.getName.stripPrefix("v").stripSuffix(".bloom.txt")
+    Header(
+      tag("cols").map(_.split(',').toSeq).getOrElse(Nil),
+      tag("base").map(_.split(',').toSeq.flatMap(_.toLongOption))
+        .getOrElse(version.toLongOption.toSeq))
+  }
+
+  /** The versions whose bloom parquets a version's sidecar references —
+    * [[graft.ops.Snapshots.expire]] keeps referenced parquets alive even
+    * when their own version expires. */
+  private[graft] def baseVersions(s: SparkSession, loc: String,
+                                  version: Long): Seq[Long] = {
+    val hp = headerPath(loc, version)
+    val f = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(hp)) Nil else readHeader(s, hp).base
   }
 
   /** Columns the version's Bloom sidecar covers (empty without one). */
@@ -160,7 +217,7 @@ object BloomSidecar {
                                  version: Long): Seq[String] = {
     val hp = headerPath(loc, version)
     val f = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!f.exists(hp)) Nil else readHeaderCols(s, hp)
+    if (!f.exists(hp)) Nil else readHeader(s, hp).cols
   }
 
   /** The subset of `files` that might contain ANY of `values` in
@@ -173,27 +230,40 @@ object BloomSidecar {
                                 files: Seq[String], column: String,
                                 values: Seq[String]): Seq[String] = {
     if (files.isEmpty || values.isEmpty) return files
-    val hp = headerPath(loc, version)
-    val f = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!f.exists(hp) || !readHeaderCols(s, hp).contains(column)) return files
-    import s.implicits._
-    // the probe HASHES ride along as one small array: each filter row
-    // deserializes its bit array ONCE and tests every probe against it —
-    // O(files) deserializations, not O(files × values)
-    val hashes: Array[Long] = values.toDF("v")
-      .select(xxhash64(col("v")).as("h")).as[Long].collect()
-    val mightHitAny = udf { (bits: Array[Byte]) =>
-      bits == null || {
-        val bf = BloomFilter.readFrom(new ByteArrayInputStream(bits))
-        hashes.exists(bf.mightContainLong)
+    try {
+      val hp = headerPath(loc, version)
+      val f = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!f.exists(hp)) return files
+      val header = readHeader(s, hp)
+      if (!header.cols.contains(column)) return files
+      // an expired/unpublished base breaks coverage — degrade to no-skip
+      // (a filter can only be skipped over when EVERY file had a chance
+      // to publish one)
+      val paths = header.base.map(dataPath(loc, _))
+      if (paths.isEmpty || !paths.forall(f.exists)) return files
+      import s.implicits._
+      // the probe HASHES ride along as one small array: each filter row
+      // deserializes its bit array ONCE and tests every probe against it —
+      // O(files) deserializations, not O(files × values)
+      val hashes: Array[Long] = values.toDF("v")
+        .select(xxhash64(col("v")).as("h")).as[Long].collect()
+      val mightHitAny = udf { (bits: Array[Byte]) =>
+        bits == null || {
+          val bf = BloomFilter.readFrom(new ByteArrayInputStream(bits))
+          hashes.exists(bf.mightContainLong)
+        }
       }
+      val verdict: Map[String, Boolean] =
+        s.read.parquet(paths.map(_.toString): _*)
+          .filter(col("column") === column)
+          .select(col("file"), mightHitAny(col("bits")).as("keep"))
+          .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      files.filter(x => verdict.getOrElse(Snapshots.normPath(x), true))
+    } catch {
+      // a racing re-attach/expire between exists() and read lands here:
+      // skipping is an optimization, never a correctness dependency
+      case scala.util.control.NonFatal(_) => files
     }
-    val verdict: Map[String, Boolean] =
-      s.read.parquet(dataPath(loc, version).toString)
-        .filter(col("column") === column)
-        .select(col("file"), mightHitAny(col("bits")).as("keep"))
-        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    files.filter(x => verdict.getOrElse(Snapshots.normPath(x), true))
   }
 
   /** Read a version keeping only files whose Bloom filter might contain

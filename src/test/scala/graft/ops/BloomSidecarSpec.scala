@@ -95,25 +95,86 @@ class BloomSidecarSpec extends SparkTestBase {
     assert(bits === 0, "saturated groups must publish null bits")
   }
 
-  test("incremental attach inherits carried files' filters unscanned") {
+  test("incremental attach writes ONLY the fresh files' rows (delta chain)") {
     import spark.implicits._
     val loc = "/tmp/graft-test/bloom_incr"
     fixture(loc)
     BloomSidecar.attachBlooms(spark, loc, 1L, Seq("k"))
-    val v1Rows = spark.read.parquet(BloomSidecar.dataPath(loc, 1L).toString)
-      .collect().map(r => (r.getString(0), r.getString(1),
-        Option(r.get(2)).map(_.asInstanceOf[Array[Byte]].toSeq))).toSet
+    val f = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1Path = BloomSidecar.dataPath(loc, 1L)
+    val v1Rows = spark.read.parquet(v1Path.toString).count()
+    val v1Mtime = f.listStatus(v1Path).map(_.getModificationTime).toSeq
     Snapshots.commitAppend(
       Seq((100000L, "name_x", 1)).toDF("k", "name", "grp"), loc)
     BloomSidecar.attachBlooms(spark, loc, 2L, Seq("k"))
+    // the append's refresh wrote ONE row (the fresh file) — the carried
+    // files ride by reference in #base, their v1 parquet byte-untouched
     val v2Rows = spark.read.parquet(BloomSidecar.dataPath(loc, 2L).toString)
-      .collect().map(r => (r.getString(0), r.getString(1),
-        Option(r.get(2)).map(_.asInstanceOf[Array[Byte]].toSeq))).toSet
-    assert(v1Rows.subsetOf(v2Rows), "carried files must keep their v1 rows")
-    assert(v2Rows.size === v1Rows.size + 1)
-    // the new value is found, pruned to the delta file + FPs
-    val pruned = BloomSidecar.readBloomPruned(spark, loc, "k", Seq("100000"))
-    assert(pruned.count() === 1)
+      .collect()
+    assert(v2Rows.length === 1, "delta must hold only the fresh file's row")
+    assert(f.listStatus(v1Path).map(_.getModificationTime).toSeq === v1Mtime,
+      "carried sidecar parquet must not be rewritten")
+    assert(BloomSidecar.baseVersions(spark, loc, 2L) === Seq(1L, 2L))
+    assert(spark.read.parquet(v1Path.toString).count() === v1Rows)
+    // probes fold the chain: old values AND the new one both prune
+    assert(BloomSidecar.readBloomPruned(spark, loc, "k", Seq("100000"))
+      .count() === 1)
+    val old = BloomSidecar.readBloomPruned(spark, loc, "k", Seq("1234"))
+    assert(old.count() === 1)
+    val all = Snapshots.versionFiles(spark, loc, 2L)
+    assert(BloomSidecar.bloomFiles(spark, loc, 2L, all, "k",
+      Seq("100000")).length < all.length)
+  }
+
+  test("a no-change re-attach is a pure no-op on the data parquets") {
+    val loc = "/tmp/graft-test/bloom_noop"
+    fixture(loc)
+    BloomSidecar.attachBlooms(spark, loc, 1L, Seq("k"))
+    val f = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1Path = BloomSidecar.dataPath(loc, 1L)
+    val before = f.listStatus(v1Path).map(_.getModificationTime).toSeq
+    BloomSidecar.attachBlooms(spark, loc, 1L, Seq("k"))
+    assert(f.listStatus(v1Path).map(_.getModificationTime).toSeq === before)
+    assert(BloomSidecar.baseVersions(spark, loc, 1L) === Seq(1L))
+  }
+
+  test("expire keeps a base parquet still referenced by a kept header") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/bloom_expire_ref"
+    fixture(loc)
+    BloomSidecar.attachBlooms(spark, loc, 1L, Seq("k"))
+    Snapshots.commitAppend(Seq((100001L, "y", 0)).toDF("k", "name", "grp"), loc)
+    BloomSidecar.attachBlooms(spark, loc, 2L, Seq("k"))
+    Snapshots.expire(spark, loc, retainLast = 1, orphanGraceMs = 0L)
+    val f = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(BloomSidecar.headerPath(loc, 1L)))
+    assert(f.exists(BloomSidecar.dataPath(loc, 1L)),
+      "v1 parquet is referenced by v2's #base and must survive")
+    // the kept version still prunes through the surviving chain
+    val all = Snapshots.versionFiles(spark, loc, 2L)
+    assert(BloomSidecar.bloomFiles(spark, loc, 2L, all, "k",
+      Seq("1234")).length < all.length)
+  }
+
+  test("chain compaction folds deltas into one fresh base") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/bloom_compactchain"
+    fixture(loc, n = 200, parts = 2)
+    BloomSidecar.attachBlooms(spark, loc, 1L, Seq("k"))
+    // 9 appends: the chain passes the compaction threshold along the way
+    (1 to 9).foreach { i =>
+      Snapshots.commitAppend(
+        Seq((200000L + i, s"z$i", 0)).toDF("k", "name", "grp"), loc)
+      BloomSidecar.attachBlooms(spark, loc, 1L + i, Seq("k"))
+    }
+    val v = Snapshots.latestVersion(spark, loc)
+    val base = BloomSidecar.baseVersions(spark, loc, v)
+    assert(base.length <= 8, s"chain must stay bounded, got $base")
+    // every value new and old still prunes correctly after the fold
+    assert(BloomSidecar.readBloomPruned(spark, loc, "k", Seq("200009"))
+      .count() === 1)
+    assert(BloomSidecar.readBloomPruned(spark, loc, "k", Seq("42"))
+      .count() === 1)
   }
 
   test("SQL catalog point predicate prunes through the bloom sidecar") {
