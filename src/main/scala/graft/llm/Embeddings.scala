@@ -293,8 +293,10 @@ object Embeddings {
     * FIXED anchors — the k smallest ids, so the choice is deterministic
     * and the anchor set is k-bounded broadcast state — by exact cosine,
     * then keep at most `perCluster` rows per cluster by a pure integer
-    * hash priority (`(id · 2654435761) mod 1e9+7` — seedable
-    * reproducible sampling, no RNG state). Returns
+    * hash priority (`((id mod 1e9+7) · 2654435761) mod 1e9+7` — the
+    * inner mod keeps the product under 2^63 for EVERY long id, so Spark
+    * and the SQL oracle compute the same value with no silent wraparound;
+    * seedable reproducible sampling, no RNG state). Returns
     * (cluster = anchor id, vec_id, rank ≤ perCluster).
     *
     * Scale shape: assignment is one broadcast pass (k dot products per
@@ -321,7 +323,8 @@ object Embeddings {
     val best = scored.groupBy(col("id"))
       .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("b"))
       .select((-col("b.ncid")).as("cluster"), col("id"),
-        ((col("id") * lit(2654435761L)) % lit(1000000007L)).as("pri"))
+        (((col("id") % lit(1000000007L)) * lit(2654435761L))
+          % lit(1000000007L)).as("pri"))
     graft.ops.TopK.topKPerGroup(best, "cluster", "pri", "id", perCluster)
       .select(col("cluster"), col("id").as("vec_id"),
         col("rank").cast("int").as("samp_rank"))

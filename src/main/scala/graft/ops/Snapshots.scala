@@ -1454,11 +1454,14 @@ object Snapshots {
       case _ => false
     }
     // same compare semantics as rangesIntersect: numerics via BigDecimal,
-    // date/timestamp/boolean lexically (their CAST-AS-STRING forms order
-    // lexically); anything else is not provably orderable as a string
+    // date/ntz-timestamp/boolean lexically (their CAST-AS-STRING forms
+    // order lexically); anything else is not provably orderable as a
+    // string. Session-zoned TimestampType is EXCLUDED: the sidecar's
+    // strings were rendered in the WRITER's session timezone, so casting
+    // them back in a reader with a different zone would shift the
+    // metadata answer — that column falls through to the real scan.
     def orderable(dt: DataType): Boolean = numeric(dt) || (dt match {
-      case _: DateType | _: TimestampType | _: TimestampNTZType |
-           _: BooleanType => true
+      case _: DateType | _: TimestampNTZType | _: BooleanType => true
       case _ => false
     })
     def extremum(c: String, wantMin: Boolean): Option[(Any, DataType)] = {

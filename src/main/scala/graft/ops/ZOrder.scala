@@ -109,10 +109,8 @@ object ZOrder {
     val n =
       if (numFiles > 0) numFiles
       else {
-        val fsys = new org.apache.hadoop.fs.Path(loc)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val total = files.map(f =>
-          fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+        // one listStatus per commit directory, not one RPC per file
+        val total = Snapshots.fileSizes(s, files).values.sum
         math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
       }
     val v = Snapshots.commitReplace(cluster(df, bits, n, normed: _*), loc)

@@ -262,7 +262,7 @@ object LlmQueries {
        |      PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
        |    FROM scored) t WHERE rn = 1),
        |pri AS (SELECT cluster, id,
-       |          (id * 2654435761) % 1000000007 AS pri FROM best)
+       |          ((id % 1000000007) * 2654435761) % 1000000007 AS pri FROM best)
        |SELECT cluster, id AS vec_id, samp_rank FROM (
        |  SELECT cluster, id, CAST(row_number() OVER (
        |    PARTITION BY cluster ORDER BY pri DESC, id ASC) AS INT) AS samp_rank

@@ -929,6 +929,68 @@ object OpsQueries {
     df
   }
 
+  /** Storage-partitioned join ([[graft.ops.BucketLayout]] +
+    * `KeyGroupedPartitioning` scan report): both tables re-laid by
+    * `CALL system.bucket` on the join key, after which the fact-fact
+    * join plans with ZERO Exchange on either side — the Spark-native
+    * form of the reference's CompositeInputFormat map-side join over
+    * identically partitioned inputs
+    * (`lib/join/CompositeInputFormat.java:56`). At 100 TB this removes
+    * both full-table shuffles from the most expensive plan a user runs.
+    * The in-query guard executes the join with broadcasting disabled and
+    * walks the finalized adaptive plan asserting NO shuffle anywhere;
+    * the oracle proves row-exactness. */
+  private def snapshotSqlSpj(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    Seq(s"$root/orders_spj", s"$root/lines_spj").foreach { loc =>
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    graft.ops.Snapshots.commitAppend(
+      Tables.orders(s, d).repartition(4), s"$root/orders_spj")
+    graft.ops.Snapshots.commitAppend(
+      Tables.lineitem(s, d).repartition(4), s"$root/lines_spj")
+    s.sql("CALL graft_snap_dml.system.bucket('orders_spj', 'o_orderkey', 8)")
+    s.sql("CALL graft_snap_dml.system.bucket('lines_spj', 'l_orderkey', 8)")
+    val q =
+      """SELECT o.o_orderkey, l.l_linenumber, o.o_totalprice, l.l_quantity
+        |FROM graft_snap_dml.orders_spj o
+        |JOIN graft_snap_dml.lines_spj l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey <= 2000""".stripMargin
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = s.sql(q)
+      probe.collect() // finalize the adaptive plan
+      val shuffles = countShuffles(probe.queryExecution.executedPlan)
+      require(shuffles == 0,
+        s"storage-partitioned join still shuffled ($shuffles exchanges):\n" +
+          probe.queryExecution.executedPlan)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    s.sql(q + "\nORDER BY o.o_orderkey, l.l_linenumber")
+  }
+
+  private def countShuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          n += 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(qs.plan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(plan)
+    n
+  }
+
   /** The SQL twin: `WHERE o_orderkey = …` through the DSv2 catalog on the
     * same hash layout, with the sidecar attached via
     * `CALL system.attach_blooms` — ZoneMapScanBuilder maps the pushed
@@ -1578,6 +1640,11 @@ object OpsQueries {
              |FROM orders
              |WHERE o_orderkey BETWEEN 100 AND 500 AND o_custkey BETWEEN 100 AND 200
              |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_spj", snapshotSqlSpj,
+      Some("""SELECT o_orderkey, l_linenumber, o_totalprice, l_quantity
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey <= 2000
+             |ORDER BY o_orderkey, l_linenumber""".stripMargin)),
     Q("snapshot_sql_history", snapshotSqlHistory,
       Some("""SELECT CAST(v AS BIGINT) AS version, n_files, n_dvs,
              |  added_files, removed_files

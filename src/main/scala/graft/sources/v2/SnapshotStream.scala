@@ -173,7 +173,6 @@ private[v2] class SnapshotMicroBatchStream(spark: SparkSession, loc: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[VersionOffset].version
     val to = end.asInstanceOf[VersionOffset].version
-    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     var prevFiles = Snapshots.versionFiles(spark, loc, from)
     var prevDvs = Snapshots.versionDvs(spark, loc, from)
@@ -183,8 +182,11 @@ private[v2] class SnapshotMicroBatchStream(spark: SparkSession, loc: String,
       val removed = prevFiles.filterNot(files.toSet)
       val appendOnly = removed.isEmpty && prevDvs == dvs
       if (appendOnly) {
-        files.filterNot(prevFiles.toSet).foreach { f =>
-          parts += SnapshotFilePartition(f, fs.getFileStatus(new Path(f)).getLen, v)
+        val added = files.filterNot(prevFiles.toSet)
+        // one listStatus per commit directory, not one RPC per file
+        val sizes = Snapshots.fileSizes(spark, added)
+        added.foreach { f =>
+          parts += SnapshotFilePartition(f, sizes(Snapshots.normPath(f)), v)
         }
       } else if (!skipChangeCommits) {
         throw new IllegalStateException(

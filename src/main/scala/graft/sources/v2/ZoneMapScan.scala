@@ -138,9 +138,16 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
       }
     answered.isDefined
   }
+  // set when the DELEGATE accepted an aggregate pushdown: the runtime-
+  // prune wrapper must then stay out of the way — its rebuild replays
+  // only filters+schema, so a runtime filter firing on such a scan would
+  // drop the aggregation and emit raw rows under the aggregate schema
+  private var delegateAgg = false
   override def pushAggregation(aggregation: Aggregation): Boolean =
     trySidecarAgg(aggregation) || (innerOrAll match {
-      case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
+      case a: SupportsPushDownAggregates =>
+        delegateAgg ||= a.pushAggregation(aggregation)
+        delegateAgg
       case _ => false
     })
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
@@ -179,7 +186,7 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
       val covered = (Snapshots.sidecarCols(spark, loc, version) ++
         graft.ops.BloomSidecar.coveredCols(spark, loc, version)).distinct
       val base = innerOrAll.build()
-      if (covered.isEmpty) base
+      if (covered.isEmpty || delegateAgg) base
       else new RuntimePrunedScan(spark, loc, version, currentFiles, covered,
         base, rebuildScan)
     }

@@ -826,6 +826,59 @@ object AdversarialProbe {
         "JOIN probe_rp_dim d ON f.id = d.k WHERE d.tag = 'hot'").count())
     verdict("runtime_prune_join_flat", rpLo, rpHi, 1.0)
 
+    // ---- bloom-sidecar maintenance is O(new files): the delta refresh
+    // after an append writes only the fresh rows, so attach wall stays
+    // flat while the already-covered set quadruples. reps = 1: a re-run
+    // attach on the same version is a covered no-op (min-of-2 would time
+    // that instead of the real delta write).
+    def bloomAppendAttach(name: String): Double = {
+      val loc = s"/tmp/graft-probe/$name"
+      val v = graft.ops.Snapshots.commitAppend(
+        spark.range(90000000L, 90100000L).toDF("id")
+          .repartition(2, col("id")), loc)
+      time(s"bloom delta attach after append ($name)", reps = 1) {
+        graft.ops.BloomSidecar.attachBlooms(spark, loc, v, Seq("id")); 1L
+      }
+    }
+    val baLo = bloomAppendAttach(bpLo)
+    val baHi = bloomAppendAttach(bpHi)
+    verdict("bloom_attach_delta_flat", baLo, baHi, 1.0)
+
+    // ---- storage-partitioned join: two co-bucketed snapshot tables
+    // join with ZERO Exchange (KeyGroupedPartitioning report); wall
+    // tracks the linear data growth, and at x4 the SPJ plan must not
+    // lose to the shuffled plan it replaces (conf off = same tables,
+    // layout ignored, both sides fully shuffled).
+    def spjPair(mult: Int): (String, String) = {
+      val names = (s"spj_a_x$mult", s"spj_b_x$mult")
+      Seq(names._1, names._2).foreach { n =>
+        val loc = s"/tmp/graft-probe/$n"
+        val p = new org.apache.hadoop.fs.Path(loc)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        graft.ops.Snapshots.commitAppend(
+          spark.range(0L, mult * 2000000L).toDF("id")
+            .withColumn("v", col("id") % 97), loc)
+        graft.ops.BucketLayout.commitBucketed(spark, loc, "id", 16)
+      }
+      names
+    }
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (a1, b1) = spjPair(1)
+    val (a4, b4) = spjPair(4)
+    def joinCount(a: String, b: String): Long =
+      spark.sql(s"SELECT f.id, g.v FROM graft_probe.$a f " +
+        s"JOIN graft_probe.$b g ON f.id = g.id WHERE g.v < 96").count()
+    val spjLo = time("spj co-bucketed join (x1)")(joinCount(a1, b1))
+    val spjHi = time("spj co-bucketed join (x4)")(joinCount(a4, b4))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    val shufHi = time("shuffled join, layout ignored (x4)")(joinCount(a4, b4))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    verdict("spj_join_linear", spjLo, spjHi, 4.0)
+    // ratio = spj/shuffled: expected < 1 (printed above); bound 2x noise
+    verdict("spj_vs_shuffled_x4", shufHi, spjHi, 1.0)
+
     spark.stop()
     if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
     else println("ADVERSARIAL PROBE: PASS")
