@@ -117,6 +117,23 @@ object Embeddings {
       .select(col("qid").as("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** The deterministic ±1 hyperplane matrix as sign characters — one
+    * '+'/'-' string of length `dim` per signature bit (splitmix64-style
+    * mix of (bit, component), fixed forever). ONE definition shared by
+    * the signature builder and the SQL oracle mirror
+    * (`knn_ann_lsh`'s DuckDB twin inlines these rows as literals), so
+    * the two can never diverge. */
+  def planeSigns(bits: Int, dim: Int): Seq[String] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until bits).map(b => (0 until dim).map(i =>
+      if ((mix(b.toLong * 131071 + i) & 1L) == 0L) '+' else '-').mkString)
+  }
+
   /** Sign-LSH signature: bit b = sign of <v, r_b> where hyperplane r_b has
     * deterministic +-1 components s(i,b) = parity of xxhash64(i, b).
     * Vectors with high cosine agree on most bits (P[bit differs] =
@@ -128,15 +145,9 @@ object Embeddings {
     // a splitmix64-style mix of (b, i), fixed forever, shipped to
     // executors as a constant. Each bit is then one compact fold, not a
     // 4096-node expression tree (keeps whole-stage codegen happy).
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val planes: Seq[Seq[Float]] = (0 until bits).map(b =>
-      (0 until dim).map(i => if ((mix(b.toLong * 131071 + i) & 1L) == 0L) 1.0f else -1.0f))
+    val planes: Seq[Seq[Float]] = planeSigns(bits, dim)
+      .map(_.map(c => if (c == '+') 1.0f else -1.0f).toSeq)
     // signature = array of 64-bit words, so signatures LONGER than 64
     // bits are first-class: at 100 TB the bucket space must grow with the
     // corpus (see signLshCandidates' scale note), and the way to grow it

@@ -157,6 +157,149 @@ object LangModel {
         min(col("v")).as("v"))
   }
 
+  /** Dialect-shared construction of ln(x) for a POSITIVE INTEGER column
+    * in nothing but +, -, *, / — the four IEEE-754 operations every
+    * engine computes bit-identically (transcendental library calls do
+    * NOT share that guarantee: JVM Math.log and DuckDB's libm disagree
+    * in the last ulp on ~2% of inputs, which is what kept the perplexity
+    * score rows-only). Construction:
+    *
+    *   e  = floor(log2 x)        — exactly, from the bit length of x
+    *   p  = 2^e                  — exactly, one integer shift
+    *   t  = (x - p) / (x + p)    — exact integer numerator/denominator,
+    *                               ONE double divide; t ∈ [0, 1/3)
+    *   ln x = e·LN2 + 2t·(1 + t²/3 + t⁴/5 + … + t³⁶/37)   (atanh series)
+    *
+    * The 19-term Horner truncation error is ≤ (1/9)^19 ≈ 7e-19 relative
+    * — below double resolution — and every constant (LN2, 1/3, 1/5, …)
+    * is itself produced by one IEEE divide both engines perform
+    * identically. The SAME template renders the Spark expression and the
+    * DuckDB oracle text, so the two trees cannot drift structurally.
+    * This is what lets the perplexity score be oracle-checked
+    * END-TO-END: quantize each term's series-ln to integer nanonats
+    * (both engines floor the identical double) and integer-sum —
+    * order-free, overflow-free, bit-exact. */
+  private[graft] object ExactLn {
+    // Every fractional constant is spelled as an EXPLICIT double (string
+    // cast for ln2, integer-cast division for the series coefficients):
+    // a bare `1.0/37.0` parses as DECIMAL division in Spark SQL but
+    // promotes to double in DuckDB — decimal-rounded coefficients threw
+    // the two engines ~5e-9 apart before this (measured on x=3).
+    val Ln2 = "CAST('0.6931471805599453' AS DOUBLE)" // nearest double to ln 2
+
+    /** floor(log2 x) from the bit length of a positive integer. */
+    def e(x: String, duck: Boolean): String =
+      if (duck) s"(length(format('{:b}', $x)) - 1)"
+      else s"(length(bin($x)) - 1)"
+
+    /** 2^e as an exact BIGINT. */
+    def pow2(eCol: String, duck: Boolean): String =
+      if (duck) s"(CAST(1 AS BIGINT) << $eCol)"
+      else s"shiftleft(CAST(1 AS BIGINT), $eCol)"
+
+    /** t = (x - p)/(x + p) — both operands exact integers. */
+    def t(x: String, p: String): String =
+      s"(CAST(($x - $p) AS DOUBLE) / CAST(($x + $p) AS DOUBLE))"
+
+    private def inv(d: Int): String =
+      s"(CAST(1 AS DOUBLE) / CAST($d AS DOUBLE))"
+
+    /** Horner form of 1 + s/3 + s²/5 + … + s¹⁸/37 over column `s`. */
+    def horner(s: String): String =
+      (35 to 1 by -2).foldLeft(inv(37)) { (acc, d) =>
+        s"(($acc * $s) + ${inv(d)})"
+      }
+
+    /** ln x = e·LN2 + 2·t·poly. */
+    def ln(eCol: String, tCol: String, polyCol: String): String =
+      s"(CAST($eCol AS DOUBLE) * $Ln2 + CAST(2 AS DOUBLE) * $tCol * $polyCol)"
+
+    /** ⌊v·10⁹⌋ as BIGINT — the nanonat quantizer both engines floor on
+      * the identical double. */
+    def nanoFloor(v: String): String =
+      s"CAST(floor($v * CAST(1000000000 AS DOUBLE)) AS BIGINT)"
+  }
+
+  /** ORACLE-EXACT perplexity: the same add-k(=0.5) bigram model and
+    * scoring join as [[perplexity]], with the per-term negative log
+    * likelihood computed by [[ExactLn]]'s series (p = (2n+1)/(2·n1+V) →
+    * nll = ln(2·n1+V) - ln(2n+1)), quantized to integer NANONATS with
+    * floor, and integer-summed per doc — order-free, so no sorted-fold
+    * gymnastics, and bit-identical to the DuckDB mirror end-to-end.
+    * Output per doc: (id, n_bigrams, nll_nano = Σ c·⌊nll·10⁹⌋,
+    * avg_nll_nano = nll_nano div n_bigrams, v). perplexity =
+    * exp(avg_nll_nano / 10⁹) is one row-local exp away; the exp itself
+    * stays out of the checked surface (libm drift), costing the result
+    * nothing but a unit change. */
+  def perplexityFixed(docs: DataFrame, corpus: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    val bg = bigramCounts(corpus, idCol, textCol)
+    val ctx = contextCounts(corpus, idCol, textCol)
+    val vocab = bg.agg((countDistinct(col("w2")) + lit(1L)).as("v"))
+    val docBg = docBigrams(docs, idCol, textCol)
+    val E = ExactLn
+    docBg
+      .join(bg, Seq("w1", "w2"), "left_outer")
+      .join(ctx, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .withColumn("a", expr("CAST(2 * coalesce(n, 0) + 1 AS BIGINT)"))
+      .withColumn("bd", expr("CAST(2 * coalesce(n1, 0) + v AS BIGINT)"))
+      .withColumn("ea", expr(E.e("a", duck = false)))
+      .withColumn("eb", expr(E.e("bd", duck = false)))
+      .withColumn("pa", expr(E.pow2("ea", duck = false)))
+      .withColumn("pb", expr(E.pow2("eb", duck = false)))
+      .withColumn("ta", expr(E.t("a", "pa")))
+      .withColumn("tb", expr(E.t("bd", "pb")))
+      .withColumn("sa", expr("ta * ta"))
+      .withColumn("sb", expr("tb * tb"))
+      .withColumn("qa", expr(E.horner("sa")))
+      .withColumn("qb", expr(E.horner("sb")))
+      .withColumn("lna", expr(E.ln("ea", "ta", "qa")))
+      .withColumn("lnb", expr(E.ln("eb", "tb", "qb")))
+      .withColumn("nllq", expr(E.nanoFloor("(lnb - lna)")))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("nllq")).as("nll_nano"),
+        min(col("v")).as("v"))
+      .withColumn("avg_nll_nano", expr("nll_nano div n_bigrams"))
+      .select(col("id"), col("n_bigrams"), col("nll_nano"),
+        col("avg_nll_nano"), col("v"))
+  }
+
+  /** The DuckDB mirror of [[perplexityFixed]]'s scoring tail, rendered
+    * from the SAME [[ExactLn]] template (CTE stages stand in for the
+    * withColumn chain). `prefix` must bind CTEs docbg(id,w1,w2,c),
+    * bg(w1,w2,n), ctx(w1,n1), vv(v). */
+  def perplexityFixedSqlTail: String = {
+    val E = ExactLn
+    s"""terms AS (
+       |  SELECT id, c,
+       |    CAST(2 * coalesce(n, 0) + 1 AS BIGINT) AS a,
+       |    CAST(2 * coalesce(n1, 0) + v AS BIGINT) AS bd
+       |  FROM docbg
+       |  LEFT JOIN bg USING (w1, w2)
+       |  LEFT JOIN ctx USING (w1)
+       |  CROSS JOIN vv),
+       |s1 AS (SELECT *, ${E.e("a", duck = true)} AS ea,
+       |  ${E.e("bd", duck = true)} AS eb FROM terms),
+       |s2 AS (SELECT *, ${E.pow2("ea", duck = true)} AS pa,
+       |  ${E.pow2("eb", duck = true)} AS pb FROM s1),
+       |s3 AS (SELECT *, ${E.t("a", "pa")} AS ta,
+       |  ${E.t("bd", "pb")} AS tb FROM s2),
+       |s4 AS (SELECT *, ta * ta AS sa, tb * tb AS sb FROM s3),
+       |s5 AS (SELECT *, ${E.horner("sa")} AS qa,
+       |  ${E.horner("sb")} AS qb FROM s4),
+       |s6 AS (SELECT *, ${E.ln("ea", "ta", "qa")} AS lna,
+       |  ${E.ln("eb", "tb", "qb")} AS lnb FROM s5),
+       |s7 AS (SELECT id, c,
+       |  ${E.nanoFloor("(lnb - lna)")} AS nllq FROM s6)
+       |SELECT id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(c * nllq) AS BIGINT) AS nll_nano,
+       |  CAST(sum(c * nllq) // sum(c) AS BIGINT) AS avg_nll_nano,
+       |  (SELECT v FROM vv) AS v
+       |FROM s7 GROUP BY id""".stripMargin
+  }
+
   /** [[perplexity]] with a DETERMINISTIC accumulation order: each doc's
     * per-bigram NLL terms are sorted by (w1, w2) and summed in one
     * left-to-right fold, so the score is bit-identical across reruns,

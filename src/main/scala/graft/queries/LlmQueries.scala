@@ -292,6 +292,50 @@ object LlmQueries {
     Embeddings.annLshKnn(Tables.embeddings(s, d), queryIds = (0L until 8L),
       "vec_id", "embedding", dim, k = 5)
 
+  /** Full oracle for [[knnAnnLsh]]: the approximation is DETERMINISTIC
+    * given the fixed ±1 hyperplanes, so the ORACLE REPLICATES THE
+    * CANDIDATE SET itself — signature bits from the same plane rows
+    * (inlined as literals from [[Embeddings.planeSigns]], the one shared
+    * definition), 4-bit band buckets, bucket-mate candidates for the 8
+    * query ids, exact cosine, top-5 — instead of comparing against
+    * brute force through a recall bound. Every float→double product and
+    * the left-to-right fold mirror `graft_dot` bit-for-bit (the same
+    * contract the knn_bruteforce oracle already proves). */
+  private val knnAnnLshSql: String = {
+    val rows = Embeddings.planeSigns(64, dim).zipWithIndex
+      .map { case (sgn, b) => s"($b, '$sgn')" }.mkString(",\n  ")
+    s"""WITH pl(b, sgn) AS (VALUES
+       |  $rows),
+       |sig AS (
+       |  SELECT e.vec_id AS id, pl.b,
+       |    CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) *
+       |          (CASE WHEN substr(pl.sgn, i, 1) = '+'
+       |           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+       |      (x, y) -> x + y) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN pl),
+       |bands AS (
+       |  SELECT id, b // 4 AS band,
+       |    CAST(sum(bit << (b % 4)) AS BIGINT) AS bh
+       |  FROM sig GROUP BY id, b // 4),
+       |cand AS (
+       |  SELECT DISTINCT q.id AS qid, c.id AS nid
+       |  FROM bands q JOIN bands c ON q.band = c.band AND q.bh = c.bh
+       |  WHERE q.id < 8 AND c.id <> q.id),
+       |$sqlNorms,
+       |scored AS (
+       |  SELECT cand.qid AS query_id, cand.nid AS neighbor_id,
+       |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+       |  FROM cand JOIN v a ON cand.qid = a.vec_id
+       |            JOIN v b ON cand.nid = b.vec_id)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** Exhaustive-setting IVF: nprobe == nlist probes every cell, and the
     * cells PARTITION the corpus, so the search space is the full corpus
     * and the per-pair cosine is the same expression as brute force —
@@ -698,7 +742,7 @@ object LlmQueries {
 
     Q("knn_bruteforce", knnBrute, Some(knnBruteSql)),
     Q("hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
-    Q("knn_ann_lsh", knnAnnLsh, None), // approximate — recall vs brute in LlmSpec
+    Q("knn_ann_lsh", knnAnnLsh, Some(knnAnnLshSql)),
     Q("knn_ann_ivf", (s, d) => graft.llm.Ivf.annKnn(Tables.embeddings(s, d),
       (0L until 8L), "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 6,
       corpusKey = d), // index cached per corpus — repeat calls are probe-only

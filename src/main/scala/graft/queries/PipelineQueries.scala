@@ -301,17 +301,20 @@ object PipelineQueries {
       |  FROM scored) r
       |WHERE rank <= 50""".stripMargin
 
-  /** Corpus-trained add-k bigram perplexity per doc. Rows-only by
-    * necessity: the accumulation order IS pinned on both sides (sorted
-    * terms, left-to-right fold — LangModel.perplexityExact), but ln()
-    * itself differs in the last ulp between JVM Math.log and DuckDB's
-    * libm (measured: 9/500 docs drift at rtol < 1e-9 at sf0.01), and no
-    * fold order can fix a primitive that disagrees. Model training is
-    * oracle-exact via bigram_counts; the score arithmetic is pinned
-    * against hand-computed values in PipelineSpec. */
+  /** Corpus-trained add-k bigram perplexity per doc, ORACLE-EXACT
+    * end-to-end ([[graft.llm.LangModel.perplexityFixed]]): the ln that
+    * kept this rows-only through round 11 (JVM Math.log vs DuckDB libm
+    * drift a last ulp on ~2% of docs) is replaced by a series ln built
+    * from nothing but IEEE +,-,*,/ — which the two engines DO compute
+    * bit-identically — rendered from one shared template on both sides,
+    * then quantized to integer nanonats and integer-summed (order-free).
+    * The score is exp(avg_nll_nano/1e9) — one row-local exp the caller
+    * applies; everything distributed is hash-checked. The double-typed
+    * twin [[lmPerplexityFp]] (perplexityExact) stays available and is
+    * value-pinned in PipelineSpec. */
   private def lmPerplexity(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    LangModel.perplexityExact(docs, docs, "doc_id", "text")
+    LangModel.perplexityFixed(docs, docs, "doc_id", "text").orderBy(col("id"))
   }
 
   /** Exact-integer certificate twin of [[lmPerplexity]]
@@ -347,6 +350,21 @@ object PipelineQueries {
       |FROM docbg LEFT JOIN bg USING (w1, w2) LEFT JOIN ctx USING (w1)
       |CROSS JOIN vv
       |GROUP BY id ORDER BY id""".stripMargin
+
+  /** [[lmPerplexity]]'s oracle: the terms oracle's model CTEs + the
+    * scoring tail rendered from the SAME ExactLn template as the Spark
+    * side ([[graft.llm.LangModel.perplexityFixedSqlTail]]). */
+  private val lmPerplexitySql: String =
+    """WITH d AS (SELECT doc_id AS id,
+      |    list_prepend('<s>', string_split(text, ' ')) AS w FROM documents),
+      |u AS (SELECT id, w, unnest(range(1, len(w))) AS i FROM d),
+      |docbg AS (SELECT id, w[i] AS w1, w[i + 1] AS w2,
+      |    CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2, 3),
+      |bg AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS n FROM docbg GROUP BY 1, 2),
+      |ctx AS (SELECT w[i] AS w1, CAST(count(*) AS BIGINT) AS n1 FROM u GROUP BY 1),
+      |vv AS (SELECT CAST(count(DISTINCT w2) + 1 AS BIGINT) AS v FROM bg),
+      |""".stripMargin +
+      graft.llm.LangModel.perplexityFixedSqlTail + "\nORDER BY id"
 
   private def dupSpanFraction(s: SparkSession, d: String): DataFrame =
     LineOps.duplicatedSpanFraction(Tables.documents(s, d), "doc_id", "text", n = 8)
@@ -571,7 +589,7 @@ object PipelineQueries {
     Q("c4_clean", c4Clean, Some(c4CleanSql)),
     Q("bigram_counts", bigramCounts, Some(bigramCountsSql)),
     Q("collocations", collocations, Some(collocationsSql)),
-    Q("lm_perplexity", lmPerplexity, None), // ln not bit-stable cross-engine — see scaladoc
+    Q("lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
     Q("lm_perplexity_terms", lmPerplexityTerms, Some(lmPerplexityTermsSql)),
     Q("pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
