@@ -12,7 +12,14 @@ import org.apache.spark.sql.SparkSession
   * that THROWS is recorded in `failures` and excluded from the total —
   * never as a near-zero "time" that would make a broken query look
   * fast — and times are rounded to ms so the line stays compact enough
-  * for the driver's output-tail window. */
+  * for the driver's output-tail window.
+  *
+  * Reading the line (BASELINE.md noise protocol): a >2× concentrated
+  * spike on a query whose code did not change this round is machine
+  * load until proven otherwise — cross-check against the latest
+  * `bench_detail*.json` / the pinned idle floor in BASELINE.md (r11:
+  * 148.48 s / 212 queries, judge-measured at load avg 0.06) before
+  * reading it as a regression. */
 object Bench {
   private val runsPerQuery = 3
   /** Complete per-query map (the stdout line may truncate to fit the

@@ -19,20 +19,36 @@ import org.apache.spark.sql.functions._
   *  1. tokens: one row-local `posexplode(split(text))` — no shuffle;
   *  2. grams: row-local `slice` over the carried token array (no
   *     per-doc window, so gram construction adds NO shuffle);
-  *  3. duplicated grams: one `groupBy(gram)` with a distinct-doc count —
-  *     the only corpus-wide shuffle, keyed on the gram;
-  *  4. covered positions: occurrences of duplicated grams exploded to
+  *  3. HASH GATE: the only corpus-wide pass shuffles `xxhash64(gram)`
+  *     key rows — `groupBy(h).agg(min(id), max(id))`, 24 bytes each,
+  *     map-side combined to one row per distinct hash per partition —
+  *     and keeps hashes with `min(id) != max(id)` (seen in ≥2 distinct
+  *     docs: EXACT at the gate's threshold, a superset of any
+  *     `minDocs` ≥ 2, and never a false negative);
+  *  4. duplicated grams: the exact `countDistinct(id) >= minDocs`
+  *     verify runs over gate SURVIVORS only, so the wide (doc, pos,
+  *     gram-string) rows shuffle only for candidate grams — O(candidate
+  *     text), not O(corpus) (the survivor relation is usually small
+  *     enough that AQE broadcasts it; hash collisions just add a
+  *     candidate the verify rejects);
+  *  5. covered positions: occurrences of duplicated grams exploded to
   *     the `width` positions they cover, `distinct` per (doc, pos);
-  *  5. islands: per-doc `row_number` staircase (`pos - rank` constant
+  *  6. islands: per-doc `row_number` staircase (`pos - rank` constant
   *     within a maximal run) — state is per-document, never global;
-  *  6. trimmed text: kept tokens re-assembled in position order.
+  *  7. trimmed text: kept tokens re-assembled in position order, for
+  *     AFFECTED docs only (a doc with no duplicated span never ships
+  *     its tokens through the reassembly shuffle).
   *
-  * Scale notes (100 TB): the gram shuffle carries (doc, pos, gram) at
-  * ~width words per row — at corpus scale you would pre-filter with a
-  * frequency sketch so only candidate grams shuffle (the
-  * [[TextDedup]] banding trick); the relational core here is unchanged
-  * by that optimization. Everything downstream of step 3 touches only
-  * rows of DUPLICATED grams — O(duplicated text), not O(corpus).
+  * Why the gate is an exact min/max hash pass and NOT a Count-Min
+  * sketch ([[graft.ops.FreqCounts]]): distinguishing "occurs in ≥ 2
+  * docs" from "unique" with CM needs the average counter load N/w ≪ 1,
+  * i.e. w ≳ the number of DISTINCT grams — at corpus scale that sketch
+  * does not fit, and an undersized one passes everything (the gate
+  * silently turns off). CM is the right tool for HIGH thresholds
+  * (heavy hitters, `freq_sketch`); at threshold 2 the exact 24-byte
+  * key-row pass is both smaller on the wire and precise. Everything
+  * downstream of step 4 touches only rows of DUPLICATED grams —
+  * O(duplicated text), not O(corpus).
   */
 object SpanTrim {
 
@@ -62,11 +78,20 @@ object SpanTrim {
       .filter(col("pos") + width <= col("n_tokens"))
       .select(col("id"), col("pos"),
         concat_ws(" ", slice(col("arr"), col("pos") + 1, lit(width))).as("g"))
-    val dup = valid.groupBy(col("g"))
+    // hash gate (step 3): 24-byte key rows decide which gram hashes can
+    // possibly satisfy minDocs >= 2; gram STRINGS shuffle only for the
+    // survivors. min != max over doc ids is exact "seen in >= 2 docs".
+    val hashed = valid.withColumn("h", xxhash64(col("g")))
+    val dupH = hashed.groupBy(col("h"))
+      .agg(min(col("id")).as("__lo"), max(col("id")).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
+      .select(col("h"))
+    val cand = hashed.join(dupH, "h").select(col("id"), col("pos"), col("g"))
+    val dup = cand.groupBy(col("g"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("g"))
-    val cov = valid.join(dup, "g")
+    val cov = cand.join(dup, "g")
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (width - 1))).as("cpos"))
       .distinct()
@@ -77,7 +102,11 @@ object SpanTrim {
       .agg(countDistinct(col("grpk")).as("n_spans"),
         count(lit(1)).as("tokens_removed"))
     val covA = cov.toDF("cid", "cpos")
+    // reassembly touches AFFECTED docs only — an untouched doc's tokens
+    // never enter the collect_list shuffle
+    val affected = cov.select(col("id")).distinct()
     val kept = toks.select(col("id"), col("pos"), col("tok"))
+      .join(affected.toDF("aid"), col("id") === col("aid"), "left_semi")
       .join(covA, col("id") === col("cid") && col("pos") === col("cpos"), "left_anti")
       .groupBy(col("id"))
       .agg(array_join(transform(

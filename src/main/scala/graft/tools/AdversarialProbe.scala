@@ -879,6 +879,65 @@ object AdversarialProbe {
     // ratio = spj/shuffled: expected < 1 (printed above); bound 2x noise
     verdict("spj_vs_shuffled_x4", shufHi, spjHi, 1.0)
 
+    // ---- hash-gated span trim: on a LOW-DUPLICATION corpus (every word
+    // doc-tagged, so no gram repeats across docs) the gram STRINGS never
+    // shuffle — only the 24-byte hash-gate rows do. Measured as actual
+    // stage shuffle-WRITE bytes: the gated full trim must move less than
+    // half the bytes of the ungated gram-string aggregation it replaces,
+    // and its bytes must track the corpus linearly (tiny constant), not
+    // blow up.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def lowDupDocs(mult: Int): DataFrame = {
+      val docs = graft.core.Tables.documents(spark, d)
+      (0 until mult).map { m =>
+        docs.select((col("doc_id") + lit(m * 1000000L)).as("doc_id"),
+          expr("array_join(transform(split(text, ' '), " +
+            s"w -> concat(w, '_', cast(doc_id + ${m * 1000000L} as string))), ' ')")
+            .as("text"))
+      }.reduce(_ union _).localCheckpoint()
+    }
+    def spanShuffleBytes(df: DataFrame, label: String)(run: DataFrame => Long): Long = {
+      spark.catalog.clearCache()
+      shuffleBytes.set(0)
+      val rows = run(df)
+      Thread.sleep(3000) // listener events drain async
+      val b = shuffleBytes.get()
+      println(f"PROBE span-trim shuffle bytes ($label): ${b / 1024.0 / 1024.0}%.1f MiB ($rows rows)")
+      b
+    }
+    def ungatedDup(df: DataFrame): Long = {
+      // the pre-gate shape this replaces: full (doc, pos, gram-string)
+      // rows into the distinct-doc aggregation
+      val toks = df.select(col("doc_id").as("id"),
+        split(col("text"), " ").as("arr"))
+        .select(col("id"), col("arr"), size(col("arr")).as("n"))
+        .select(col("id"), col("arr"), col("n"),
+          posexplode(col("arr")).as(Seq("pos", "tok")))
+        .filter(col("pos") + 8 <= col("n"))
+        .select(col("id"),
+          concat_ws(" ", expr("slice(arr, pos + 1, 8)")).as("g"))
+      toks.groupBy(col("g")).agg(countDistinct(col("id")).as("nd"))
+        .filter(col("nd") >= 2).count()
+    }
+    val ld1 = lowDupDocs(1)
+    val ld4 = lowDupDocs(4)
+    val gatedLo = spanShuffleBytes(ld1, "gated trim x1")(df =>
+      graft.llm.SpanTrim.trimDuplicatedSpans(df, "doc_id", "text").count())
+    val gatedHi = spanShuffleBytes(ld4, "gated trim x4")(df =>
+      graft.llm.SpanTrim.trimDuplicatedSpans(df, "doc_id", "text").count())
+    val ungatedHi = spanShuffleBytes(ld4, "ungated gram agg x4")(ungatedDup)
+    val byteRatio = gatedHi.toDouble / math.max(ungatedHi, 1L).toDouble
+    val growth = gatedHi.toDouble / math.max(gatedLo, 1L).toDouble
+    val gateOk = byteRatio <= 0.5 && growth <= 8.0
+    if (!gateOk) failed = true
+    println(f"RATIO span_trim_gate_bytes: gated/ungated ${byteRatio}%.2f (bound 0.50), " +
+      f"x1->x4 growth ${growth}%.2fx (bound 8x) -> ${if (gateOk) "PASS" else "FAIL"}")
+
     spark.stop()
     if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
     else println("ADVERSARIAL PROBE: PASS")

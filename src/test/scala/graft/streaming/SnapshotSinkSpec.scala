@@ -161,6 +161,61 @@ class SnapshotSinkSpec extends SparkTestBase {
     assert(Snapshots.markers(spark, loc) == Set("batch=0", "batch=1"))
   }
 
+  test("torture: streaming epochs race batch INSERTs and CALL optimize_small — linear history, nothing lost, nothing doubled") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "/tmp/graft-test/snap_sink_torture"
+    val loc = s"$root/t"
+    val ckpt = "/tmp/graft-test/snap_sink_torture_ckpt"
+    wipe(root, ckpt)
+    spark.conf.set("spark.sql.catalog.torturecat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.torturecat.root", root)
+    Snapshots.commitAppend(Seq(-1L).toDF("id"), loc) // seed v1
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("id").writeStream
+      .format(classOf[graft.sources.v2.SnapshotStreamProvider].getName)
+      .option("location", loc)
+      .option("checkpointLocation", ckpt)
+      .start()
+    // three commit kinds interleave on one table: streaming epochs,
+    // SQL INSERTs (CAS-retry appends), and incremental compaction
+    // (CAS loop that recomputes against the new latest on a lost race)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val inserter = new Thread(() => try {
+      (0 until 5).foreach { i =>
+        spark.sql(s"INSERT INTO torturecat.t VALUES (${1000L + i})")
+      }
+    } catch { case t: Throwable => errs.add(t) })
+    val optimizer = new Thread(() => try {
+      (0 until 3).foreach { _ =>
+        spark.sql("CALL torturecat.system.optimize_small('t', 32, 128)")
+        Thread.sleep(20L)
+      }
+    } catch { case t: Throwable => errs.add(t) })
+    inserter.start(); optimizer.start()
+    try {
+      (0 until 5).foreach { i =>
+        mem.addData(i * 10L, i * 10L + 1L)
+        q.processAllAvailable()
+      }
+    } finally { inserter.join(); optimizer.join(); q.stop() }
+    assert(errs.isEmpty, s"concurrent committers failed: ${errs.toArray.toSeq}")
+    // linear history: every version from 1 to latest published and reads
+    val vmax = Snapshots.latestVersion(spark, loc)
+    (1L to vmax).foreach(v =>
+      assert(Snapshots.versionFiles(spark, loc, v) != null))
+    // no lost epoch, no lost insert, no double-publish: the final state
+    // is exactly the seed + 10 streamed ids + 5 inserted ids, once each
+    val want = (Seq(-1L) ++ (0 until 5).flatMap(i => Seq(i * 10L, i * 10L + 1L))
+      ++ (0 until 5).map(i => 1000L + i)).sorted
+    val got = Snapshots.read(spark, loc).as[Long].collect().sorted.toSeq
+    assert(got == want, s"history v1..$vmax lost or doubled rows")
+    // every streamed epoch rides its idempotence marker
+    assert(Snapshots.markers(spark, loc).count(_.startsWith("epoch=")) > 0 ||
+      Snapshots.markers(spark, loc).count(_.startsWith("batch=")) > 0)
+  }
+
   test("markers expire with their versions (retention must cover the replay horizon)") {
     import spark.implicits._
     val loc = "/tmp/graft-test/snap_sink_retention"
