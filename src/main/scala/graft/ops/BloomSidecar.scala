@@ -49,6 +49,10 @@ object BloomSidecar {
     new Path(new Path(loc, "_manifests"), f"v$version%05d.bloom.txt")
   private[graft] def dataPath(loc: String, version: Long) =
     new Path(new Path(loc, "_manifests"), f"v$version%05d.bloom.parquet")
+  private[graft] def gramHeaderPath(loc: String, version: Long) =
+    new Path(new Path(loc, "_manifests"), f"v$version%05d.gbloom.txt")
+  private[graft] def gramDataPath(loc: String, version: Long) =
+    new Path(new Path(loc, "_manifests"), f"v$version%05d.gbloom.parquet")
 
   /** Per-group builder: buffers the distinct xxhash64 values (nulls —
     * from NULL column values — are skipped; equality never matches NULL),
@@ -104,32 +108,12 @@ object BloomSidecar {
                    cols: Seq[String], fpp: Double = 0.01,
                    maxDistinct: Int = 1 << 21): Unit = {
     require(cols.nonEmpty, "attachBlooms needs at least one column")
-    val files = Snapshots.versionFiles(s, loc, version)
-    if (files.isEmpty) return
-    val f = headerPath(loc, version).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val live = files.map(Snapshots.normPath).toSet
-
-    // inherit by reference from this version's own sidecar (idempotent
-    // re-attach) or the previous version's, where the column set matches
-    val prior: Seq[Long] = Seq(version, version - 1)
-      .filter(v => v >= 1 && f.exists(headerPath(loc, v)))
-      .find(v => readHeader(s, headerPath(loc, v)).cols == cols)
-      .map(v => readHeader(s, headerPath(loc, v)).base.filter(b =>
-        f.exists(dataPath(loc, b))))
-      .getOrElse(Nil)
-    val covered: Set[String] =
-      if (prior.isEmpty) Set.empty
-      else s.read.parquet(prior.map(dataPath(loc, _).toString): _*)
-        .select("file").distinct().collect().map(_.getString(0)).toSet
-        .intersect(live)
-    val fresh = files.filterNot(x => covered.contains(Snapshots.normPath(x)))
-
-    val schema = Snapshots.versionSchema(s, loc, version)
     val bloomU = udaf(new BloomAgg(fpp, maxDistinct), Encoders.LONG)
     val normU = udf((p: String) => Snapshots.normPath(p))
-    val scanned: Option[DataFrame] =
-      if (fresh.isEmpty) None
-      else Some {
+    attachCore(s, loc, version, cols, fpp,
+      headerPath(loc, _), dataPath(loc, _), extraHeader = "",
+      build = { fresh =>
+        val schema = Snapshots.versionSchema(s, loc, version)
         val hashed = Snapshots.readData(s, fresh, schema).select(
           input_file_name().as("file") +:
             cols.map(c => when(col(c).isNotNull,
@@ -141,7 +125,83 @@ object BloomSidecar {
             explode(array(cols.map(c =>
               struct(lit(c).as("column"), col(c).as("bits"))): _*)).as("e"))
           .select(col("file"), col("e.column").as("column"), col("e.bits").as("bits"))
-      }
+      })
+  }
+
+  /** Compute and attach per-file SUBSTRING-gram Bloom filters for text
+    * columns: each file's filter holds the xxhash64 of every distinct
+    * lowercase character `gram`-gram its values contain, so a pushed
+    * `col LIKE '%needle%'` / `contains` / prefix / suffix predicate can
+    * skip files missing ANY gram of the (lowercased) needle — the
+    * trigram-index idea (pg_trgm, Google Code Search) as a file-skipping
+    * sidecar. Lowercasing both sides makes the gram set case-insensitive,
+    * which OVER-approximates the case-sensitive predicate: a matching
+    * file always has every needle gram, a kept file is re-checked by the
+    * pushed predicate below — no false negatives by construction. Same
+    * delta/carry/compaction lifecycle as [[attachBlooms]], separate
+    * sidecar namespace (`v<N>.gbloom.*`), so a table can carry both. At
+    * 100 TB this answers "which files mention this contamination probe /
+    * error token" with O(containing files) data reads. */
+  def attachGramBlooms(s: SparkSession, loc: String, version: Long,
+                       cols: Seq[String], fpp: Double = 0.01,
+                       maxDistinct: Int = 1 << 21, gram: Int = 4): Unit = {
+    require(cols.nonEmpty, "attachGramBlooms needs at least one column")
+    require(gram >= 2 && gram <= 16, s"gram length $gram out of range")
+    val bloomU = udaf(new BloomAgg(fpp, maxDistinct), Encoders.LONG)
+    val normU = udf((p: String) => Snapshots.normPath(p))
+    val gramsU = udf { t: String =>
+      if (t == null || t.length < gram) Array.empty[String]
+      else t.toLowerCase(java.util.Locale.ROOT)
+        .sliding(gram).distinct.toArray
+    }
+    attachCore(s, loc, version, cols, fpp,
+      gramHeaderPath(loc, _), gramDataPath(loc, _),
+      extraHeader = s"#gram=$gram\n",
+      build = { fresh =>
+        val schema = Snapshots.versionSchema(s, loc, version)
+        val src = Snapshots.readData(s, fresh, schema)
+        cols.map { c =>
+          // per-row distinct bounds the explode; BloomAgg's map-side
+          // partial dedups per file before any shuffle
+          src.select(input_file_name().as("file"),
+              explode(gramsU(col(c).cast("string"))).as("g"))
+            .select(col("file"), xxhash64(col("g")).as("h"))
+            .groupBy(col("file")).agg(bloomU(col("h")).as("bits"))
+            .select(normU(col("file")).as("file"), lit(c).as("column"),
+              col("bits"))
+        }.reduce(_.unionByName(_))
+      })
+  }
+
+  /** The shared sidecar lifecycle: inherit covered files by reference
+    * from the prior chain, build filter rows for fresh files only, fold
+    * the chain when it exceeds [[CompactChain]], publish data-then-header
+    * (crash leaves the old complete sidecar or an ignored orphan). */
+  private def attachCore(s: SparkSession, loc: String, version: Long,
+                         cols: Seq[String], fpp: Double,
+                         hp: Long => Path, dp: Long => Path,
+                         extraHeader: String,
+                         build: Seq[String] => DataFrame): Unit = {
+    val files = Snapshots.versionFiles(s, loc, version)
+    if (files.isEmpty) return
+    val f = hp(version).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val live = files.map(Snapshots.normPath).toSet
+
+    // inherit by reference from this version's own sidecar (idempotent
+    // re-attach) or the previous version's, where the column set matches
+    val prior: Seq[Long] = Seq(version, version - 1)
+      .filter(v => v >= 1 && f.exists(hp(v)))
+      .find(v => readHeader(s, hp(v)).cols == cols)
+      .map(v => readHeader(s, hp(v)).base.filter(b => f.exists(dp(b))))
+      .getOrElse(Nil)
+    val covered: Set[String] =
+      if (prior.isEmpty) Set.empty
+      else s.read.parquet(prior.map(dp(_).toString): _*)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+        .intersect(live)
+    val fresh = files.filterNot(x => covered.contains(Snapshots.normPath(x)))
+    val scanned: Option[DataFrame] =
+      if (fresh.isEmpty) None else Some(build(fresh))
 
     // which parquets the new header will reference, and what (if
     // anything) this attach writes to its own version's parquet
@@ -154,7 +214,7 @@ object BloomSidecar {
       if (compact) {
         // fold the whole chain into one fresh base — distributed write,
         // no single-task funnel (the chain's rows dwarf one delta's)
-        val folded = s.read.parquet(prior.map(dataPath(loc, _).toString): _*)
+        val folded = s.read.parquet(prior.map(dp(_).toString): _*)
           .filter(col("file").isin(live.toSeq: _*))
         (Seq(version), Some(scanned.fold(folded)(folded.unionByName(_))))
       } else if (fresh.isEmpty) (prior, None)
@@ -166,7 +226,7 @@ object BloomSidecar {
     // orphan, never a half-written directory a reader could trip on),
     // header LAST: a header always names complete filters
     toWrite.foreach { rows =>
-      val out = dataPath(loc, version)
+      val out = dp(version)
       val tmp = new Path(out.getParent,
         s"_tmp_${java.util.UUID.randomUUID()}_${out.getName}")
       rows.write.mode(SaveMode.ErrorIfExists).parquet(tmp.toString)
@@ -177,13 +237,12 @@ object BloomSidecar {
       }
     }
     val headerBody = s"#cols=${cols.mkString(",")}\n#fpp=$fpp\n" +
-      s"#base=${base.mkString(",")}\n"
-    val hp = headerPath(loc, version)
-    val os = f.create(hp, true)
+      extraHeader + s"#base=${base.mkString(",")}\n"
+    val os = f.create(hp(version), true)
     try os.write(headerBody.getBytes("UTF-8")) finally os.close()
   }
 
-  private case class Header(cols: Seq[String], base: Seq[Long])
+  private case class Header(cols: Seq[String], base: Seq[Long], gram: Int)
 
   /** Parse a sidecar header; a legacy header without `#base=` covers its
     * files from its own version's parquet. */
@@ -195,11 +254,12 @@ object BloomSidecar {
       finally in.close()
     def tag(t: String): Option[String] =
       lines.find(_.startsWith(s"#$t=")).map(_.stripPrefix(s"#$t="))
-    val version = p.getName.stripPrefix("v").stripSuffix(".bloom.txt")
+    val version = p.getName.stripPrefix("v").takeWhile(_.isDigit)
     Header(
       tag("cols").map(_.split(',').toSeq).getOrElse(Nil),
       tag("base").map(_.split(',').toSeq.flatMap(_.toLongOption))
-        .getOrElse(version.toLongOption.toSeq))
+        .getOrElse(version.toLongOption.toSeq),
+      tag("gram").flatMap(_.toIntOption).getOrElse(0))
   }
 
   /** The versions whose bloom parquets a version's sidecar references —
@@ -257,6 +317,61 @@ object BloomSidecar {
         s.read.parquet(paths.map(_.toString): _*)
           .filter(col("column") === column)
           .select(col("file"), mightHitAny(col("bits")).as("keep"))
+          .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      files.filter(x => verdict.getOrElse(Snapshots.normPath(x), true))
+    } catch {
+      // a racing re-attach/expire between exists() and read lands here:
+      // skipping is an optimization, never a correctness dependency
+      case scala.util.control.NonFatal(_) => files
+    }
+  }
+
+  /** The versions whose GRAM-bloom parquets a version's sidecar
+    * references — expire's carry-liveness, like [[baseVersions]]. */
+  private[graft] def gramBaseVersions(s: SparkSession, loc: String,
+                                      version: Long): Seq[Long] = {
+    val hp = gramHeaderPath(loc, version)
+    val f = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(hp)) Nil else readHeader(s, hp).base
+  }
+
+  /** The subset of `files` that might contain `needle` as a SUBSTRING of
+    * `column` — the gram-sidecar file skip behind pushed `LIKE
+    * '%needle%'` / `contains` / prefix / suffix / `=` predicates. A file
+    * can match the predicate only if it holds EVERY lowercase gram of
+    * the lowercased needle, so missing any gram skips the file; needles
+    * shorter than the gram width, uncovered columns, saturated filters,
+    * and missing sidecars all keep everything — no false negatives. */
+  private[graft] def gramFiles(s: SparkSession, loc: String, version: Long,
+                               files: Seq[String], column: String,
+                               needle: String): Seq[String] = {
+    if (files.isEmpty || needle == null) return files
+    try {
+      val hp = gramHeaderPath(loc, version)
+      val f = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!f.exists(hp)) return files
+      val header = readHeader(s, hp)
+      if (!header.cols.contains(column) || header.gram < 2) return files
+      val lc = needle.toLowerCase(java.util.Locale.ROOT)
+      if (lc.length < header.gram) return files
+      val paths = header.base.map(gramDataPath(loc, _))
+      if (paths.isEmpty || !paths.forall(f.exists)) return files
+      import s.implicits._
+      // hash the needle's grams through the SAME Spark xxhash64 the
+      // build side used — build and probe can never disagree
+      val grams = lc.sliding(header.gram).distinct.toSeq
+      val hashes: Array[Long] = grams.toDF("v")
+        .select(xxhash64(col("v")).as("h")).as[Long].collect()
+      val mightHitAll = udf { (bits: Array[Byte]) =>
+        bits == null || {
+          val bf = BloomFilter.readFrom(new ByteArrayInputStream(bits))
+          hashes.forall(bf.mightContainLong)
+        }
+      }
+      val verdict: Map[String, Boolean] =
+        s.read.parquet(paths.map(_.toString): _*)
+          .filter(col("column") === column)
+          .select(col("file"), mightHitAll(col("bits")).as("keep"))
           .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
       files.filter(x => verdict.getOrElse(Snapshots.normPath(x), true))
     } catch {

@@ -80,10 +80,14 @@ object BucketLayout {
     val b = "__graft_bucket"
     // repartition ON the bucket column so the dynamic-partition write
     // sees each bucket in exactly one task → one file per bucket, not
-    // one per (task × bucket)
+    // one per (task × bucket). Sort by (bucket, key): the dynamic-
+    // partition writer REQUIRES its input sorted by the partition column
+    // and would otherwise insert its own sort on the bucket alone —
+    // non-stable, destroying the key order inside each file that
+    // [[graft.sources.v2.SnapshotRowScan.outputOrdering]] reports.
     df.withColumn(b, bucketId(col(column), n))
       .repartition(n, col(b))
-      .sortWithinPartitions(col(column))
+      .sortWithinPartitions(col(b), col(column))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy(b).parquet(dataDir.toString)
     val f = dataDir.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -508,6 +508,43 @@ object Snapshots {
         .map(_.stripPrefix("#lineage="))
     }
 
+  /** Roll the table back to `toVersion` by RE-PUBLISHING that version's
+    * manifest as the newest commit — the metadata-only undo every
+    * manifest-log table format offers (Hadoop's analog is re-running the
+    * job over the old input directory; here the old file set is still on
+    * disk, so undo is one manifest rename). Non-destructive: every
+    * version after `toVersion` stays readable via time travel, and the
+    * rollback itself is a new version in [[history]] whose `#lineage=`
+    * header records what it restored. Files, delete vectors, schema and
+    * bucket layout all carry by reference (the file set is unchanged, so
+    * a bucket layout — and the shuffle-free joins it enables — survives
+    * the undo). Sidecars do NOT carry: zone-map/Bloom stats attach per
+    * version, so reads of the rolled-back version degrade to no-skip
+    * until `attach_stats`/auto-stats runs again — never to wrong rows.
+    * CAS loop: concurrent commits lose nothing, the rollback lands on
+    * whatever version number the race leaves free. */
+  def rollback(s: SparkSession, loc: String, toVersion: Long): Long = {
+    val ms = manifests(s, loc)
+    val (_, p) = ms.find(_._1 == toVersion).getOrElse(
+      throw new NoSuchElementException(
+        s"version $toVersion not found at $loc (expired or never committed)"))
+    val files = readManifest(s, p)
+    val header = headerLines(s, p)
+    val dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
+    val schema = header.find(_.startsWith("#schema=")).map(_.stripPrefix("#schema="))
+    val layout = header.find(_.startsWith("#layout=")).map(_.stripPrefix("#layout="))
+    var attempt = 0
+    while (attempt < 64) {
+      val latest = latestVersion(s, loc)
+      if (latest == toVersion) return latest // already there: auditable no-op
+      if (tryPublish(s, loc, latest + 1, files, dvs = dvs, schemaJson = schema,
+          lineage = Some(s"rollback:$loc@v$toVersion"), layout = layout))
+        return latest + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
+  }
+
   /** The delete-vector files a pinned version applies on read (merge-on-
     * read deletes, [[commitDeleteMoR]]) — `#dv=` header lines, so the
     * lookup never reads the manifest body. */
@@ -710,6 +747,12 @@ object Snapshots {
       val header = headerLines(s, prev._2)
       val dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
       val schema = schemaFromHeader(header)
+      // a DV-only commit leaves the FILE SET untouched, so a bucket
+      // layout stays valid and carries — the one non-bucket commit kind
+      // that preserves co-partitioned joins (the scan subtracts vectors
+      // per file without reordering)
+      val layout = header.find(_.startsWith("#layout="))
+        .map(_.stripPrefix("#layout="))
       val candidates = pruneBy match {
         case Some((c, lo, hi)) => statFiles(s, loc, prev._1, files, c, lo, hi)
         case None => files
@@ -717,7 +760,7 @@ object Snapshots {
       if (candidates.isEmpty) {
         // auditable no-op, same contract as a no-match copy-on-write delete
         if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs,
-            schemaJson = schema.map(_.json)))
+            schemaJson = schema.map(_.json), layout = layout))
           return prev._1 + 1
       } else {
         val hits = readData(s, candidates, schema)
@@ -732,7 +775,7 @@ object Snapshots {
         // DV scan and tripping a tailing stream's DV fail-fast for nothing
         if (freshHits.isEmpty) {
           if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs,
-              schemaJson = schema.map(_.json)))
+              schemaJson = schema.map(_.json), layout = layout))
             return prev._1 + 1
         } else {
           val commitId = java.util.UUID.randomUUID().toString
@@ -744,7 +787,7 @@ object Snapshots {
           val newDvs = f.listStatus(dvDir).toSeq
             .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
           if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs ++ newDvs,
-              schemaJson = schema.map(_.json)))
+              schemaJson = schema.map(_.json), layout = layout))
             return prev._1 + 1
           f.delete(dvDir, true) // lost the race: recompute against new latest
         }
@@ -1863,12 +1906,17 @@ object Snapshots {
     // by reference (#base delta chain) — those stay alive with it
     val keptBloomBases: Set[Long] =
       kept.flatMap { case (v, _) => BloomSidecar.baseVersions(s, loc, v) }.toSet
+    val keptGramBases: Set[Long] =
+      kept.flatMap { case (v, _) => BloomSidecar.gramBaseVersions(s, loc, v) }.toSet
     dropped.foreach { case (v, p) =>
       f.delete(p, false)
       f.delete(statsPath(loc, v), false) // zone-map sidecar goes with it
       f.delete(BloomSidecar.headerPath(loc, v), false) // bloom sidecar too
+      f.delete(BloomSidecar.gramHeaderPath(loc, v), false)
       if (!keptBloomBases.contains(v))
         f.delete(BloomSidecar.dataPath(loc, v), true)
+      if (!keptGramBases.contains(v))
+        f.delete(BloomSidecar.gramDataPath(loc, v), true)
     }
     val dataRoot = new Path(loc, "data")
     val orphanHorizon = System.currentTimeMillis() - orphanGraceMs

@@ -991,6 +991,118 @@ object OpsQueries {
     n
   }
 
+  /** Shuffle-free aggregation on the bucket-layout key: the scan's
+    * `KeyGroupedPartitioning(bucket(n, k))` satisfies the aggregate's
+    * ClusteredDistribution exactly as it satisfies the join's — every
+    * key lives in ONE bucket, so the partial aggregate IS the final
+    * aggregate and the plan has ZERO Exchange. At 100 TB this removes
+    * the full-table shuffle from `GROUP BY key` on any table already
+    * laid out for its join key — the aggregation sibling of
+    * [[snapshotSqlSpj]] (the reference pays a full sort/shuffle for
+    * every reduce; a pre-bucketed layout answers repeated group-bys for
+    * one layout write). */
+  private def snapshotSqlSpjAgg(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/lines_spj_agg"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    graft.ops.Snapshots.commitAppend(
+      Tables.lineitem(s, d).repartition(4), loc)
+    s.sql("CALL graft_snap_dml.system.bucket('lines_spj_agg', 'l_orderkey', 8)")
+    val q =
+      """SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+        |FROM graft_snap_dml.lines_spj_agg
+        |GROUP BY l_orderkey""".stripMargin
+    val probe = s.sql(q)
+    probe.collect() // finalize the adaptive plan
+    val shuffles = countShuffles(probe.queryExecution.executedPlan)
+    require(shuffles == 0,
+      s"bucket-keyed aggregation still shuffled ($shuffles exchanges):\n" +
+        probe.queryExecution.executedPlan)
+    s.sql(q + "\nORDER BY l_orderkey")
+  }
+
+  /** Substring-search file skipping via the GRAM-Bloom sidecar
+    * ([[graft.ops.BloomSidecar.attachGramBlooms]], `CALL
+    * system.attach_grams`): each file's sidecar filter holds every
+    * distinct lowercase 4-gram its text contains, so a pushed `LIKE
+    * '%needle%'` keeps only files holding ALL grams of the needle — the
+    * trigram-index idea (pg_trgm, Google Code Search) as driver-side
+    * file skipping. At 100 TB this is the decontamination-probe / grep
+    * access pattern: "which documents mention this eval string" reads
+    * O(containing files), not the corpus. The needle derives from the
+    * data (a 16-char substring of doc 0), so Spark and the DuckDB oracle
+    * compute the identical predicate on any fixture; the in-query guard
+    * asserts files were actually skipped, the oracle proves exact rows. */
+  private def snapshotSqlGrep(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/docs_grep"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val docs = Tables.documents(s, d)
+    graft.ops.Snapshots.commitAppend(docs.repartition(8), loc)
+    s.sql("CALL graft_snap_dml.system.attach_grams('docs_grep', 'text')")
+    import s.implicits._
+    val needle = docs.filter(col("doc_id") === 0L)
+      .select(substring(col("text"), 10, 16)).as[String].head()
+    require(!needle.contains("%") && !needle.contains("'") && needle.length >= 8,
+      s"fixture text unsuitable as a LIKE needle: '$needle'")
+    val df = s.sql(
+      s"""SELECT doc_id, lang, n_chars
+         |FROM graft_snap_dml.docs_grep
+         |WHERE text LIKE '%$needle%'
+         |ORDER BY doc_id""".stripMargin)
+    val planned = plannedParquetFiles(df)
+    val total = graft.ops.Snapshots.versionFiles(s, loc, 1L).length
+    require(planned < total,
+      s"gram sidecar skipped nothing: planned $planned of $total files")
+    df
+  }
+
+  /** Metadata-only undo ([[graft.ops.Snapshots.rollback]], SQL `CALL
+    * system.rollback`): a bad replace is undone by re-publishing the
+    * good version's manifest as the newest commit — one manifest rename,
+    * ZERO data movement, at any table size. History stays linear and
+    * complete (the bad version remains time-travelable; `history` shows
+    * all four commits), and the restored manifest's `#lineage=` header
+    * records what it restored. The in-query guards pin both; the oracle
+    * proves the restored rows exactly. */
+  private def snapshotSqlRollback(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_rb"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val orders = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(3), loc)
+    graft.ops.Snapshots.commitAppend(
+      orders.filter(col("o_orderkey") % 3 === 1).repartition(2), loc)
+    // the "bad" commit: a replace that drops everything but F-status rows
+    graft.ops.Snapshots.commitReplace(
+      orders.filter(col("o_orderstatus") === "F").limit(10), loc)
+    val restored = s.sql(
+      "CALL graft_snap_dml.system.rollback('orders_rb', 2)").collect()
+    require(restored.head.getLong(0) == 4L && restored.head.getLong(1) == 2L,
+      s"rollback published ${restored.head}: expected version 4 restoring 2")
+    val hist = s.sql("SELECT count(*) FROM graft_snap_dml.orders_rb.history")
+      .collect().head.getLong(0)
+    require(hist == 4L, s"history must keep all $hist commits (bad one included)")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM graft_snap_dml.orders_rb
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** The SQL twin: `WHERE o_orderkey = …` through the DSv2 catalog on the
     * same hash layout, with the sidecar attached via
     * `CALL system.attach_blooms` — ZoneMapScanBuilder maps the pushed
@@ -1645,6 +1757,21 @@ object OpsQueries {
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE o_orderkey <= 2000
              |ORDER BY o_orderkey, l_linenumber""".stripMargin)),
+    Q("snapshot_sql_grep", snapshotSqlGrep,
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE text LIKE '%' ||
+             |  (SELECT substr(text, 10, 16) FROM documents WHERE doc_id = 0)
+             |  || '%'
+             |ORDER BY doc_id""".stripMargin)),
+    Q("snapshot_sql_spj_agg", snapshotSqlSpjAgg,
+      Some("""SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY l_orderkey
+             |ORDER BY l_orderkey""".stripMargin)),
+    Q("snapshot_sql_rollback", snapshotSqlRollback,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 <= 1
+             |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_sql_history", snapshotSqlHistory,
       Some("""SELECT CAST(v AS BIGINT) AS version, n_files, n_dvs,
              |  added_files, removed_files

@@ -34,7 +34,7 @@ object SnapshotProcedures {
   val names: Seq[String] =
     Seq("optimize", "optimize_small", "expire", "attach_stats",
       "attach_blooms", "auto_stats", "cluster", "bucket", "migrate",
-      "delete_mor")
+      "delete_mor", "rollback", "attach_grams")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -130,6 +130,22 @@ object SnapshotProcedures {
     val cols = str(input, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val v = Snapshots.latestVersion(spark, loc)
     graft.ops.BloomSidecar.attachBlooms(spark, loc, v, cols, input.getDouble(2))
+    Seq[Any](v, cols.length)
+  }
+
+  /** Substring-gram Bloom sidecar
+    * ([[graft.ops.BloomSidecar.attachGramBlooms]]) — file skipping for
+    * pushed `LIKE '%needle%'` / `contains` predicates on text columns
+    * (the decontamination-probe / grep access pattern). */
+  private val attachGrams = procedure("attach_grams",
+    Seq(in("table", StringType), in("columns", StringType),
+      inDefault("gram", IntegerType, "4")),
+    StructType(Seq(StructField("version", LongType),
+      StructField("columns", IntegerType)))) { (loc, input) =>
+    val cols = str(input, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val v = Snapshots.latestVersion(spark, loc)
+    graft.ops.BloomSidecar.attachGramBlooms(spark, loc, v, cols,
+      gram = input.getInt(2))
     Seq[Any](v, cols.length)
   }
 
@@ -240,12 +256,27 @@ object SnapshotProcedures {
     Seq[Any](Snapshots.latestVersion(spark, loc), cols.length + blooms.length)
   }
 
+  /** Metadata-only undo ([[Snapshots.rollback]]): `CALL
+    * <cat>.system.rollback('t', 3)` republishes version 3's manifest as
+    * the newest commit — one manifest rename, zero data movement. History
+    * stays linear and complete (the bad versions remain time-travelable);
+    * the restored version's `#lineage=` header records the provenance. */
+  private val rollbackTable = procedure("rollback",
+    Seq(in("table", StringType), in("to_version", LongType)),
+    StructType(Seq(StructField("version", LongType),
+      StructField("restored", LongType)))) { (loc, input) =>
+    val to = input.getLong(1)
+    val v = Snapshots.rollback(spark, loc, to)
+    Seq[Any](v, to)
+  }
+
   private val all: Map[String, String => UnboundProcedure] = Map(
     "optimize" -> optimize, "optimize_small" -> optimizeSmall,
     "expire" -> expire, "attach_stats" -> attachStats,
     "attach_blooms" -> attachBlooms, "cluster" -> clusterTable,
     "bucket" -> bucketTable, "auto_stats" -> autoStats,
-    "migrate" -> migrateTable, "delete_mor" -> deleteMor)
+    "migrate" -> migrateTable, "delete_mor" -> deleteMor,
+    "rollback" -> rollbackTable, "attach_grams" -> attachGrams)
 
   def load(name: String, root: String): Option[UnboundProcedure] =
     all.get(name.toLowerCase(java.util.Locale.ROOT)).map(_(root))

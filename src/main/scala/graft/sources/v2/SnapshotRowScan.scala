@@ -195,7 +195,8 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
                                   layout: Option[(graft.ops.BucketLayout.Spec, Map[String, Int])] = None)
   extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   /** Bucket-layout versions report `KeyGroupedPartitioning(bucket(n,
     * key))` and key every input partition with its file's bucket id —
@@ -213,6 +214,26 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
           activeFiles.map(f => byFile(SnapshotRowScan.norm(f))).distinct.length)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  /** Bucket files are written SORTED by the layout key and the per-file
+    * reader preserves file order (pushdown skips rows, never reorders;
+    * DV subtraction is a forward walk), so when every bucket holds at
+    * most ONE live file the scan's output ordering IS the key ascending
+    * — reported here, letting the storage-partitioned merge join skip
+    * its Sort nodes too. A bucket with several files (not produced by
+    * commitBucketed, but reachable in principle) reports nothing:
+    * grouped multi-file partitions interleave ranges. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    layout match {
+      case Some((spec, byFile))
+          if activeFiles.groupBy(f => byFile(SnapshotRowScan.norm(f)))
+            .forall(_._2.length <= 1) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(spec.column),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+          org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+      case _ => Array.empty
     }
 
   // runtime group filtering narrows this between the build-side scan

@@ -307,10 +307,15 @@ private[v2] object ZoneMapScanBuilder {
           Snapshots.statFilesBounds(spark, loc, version, keep, column, lo, hi)
         case None => keep
       }
-      point(conjunct) match {
+      val afterBloom = point(conjunct) match {
         case Some((column, vs)) =>
           graft.ops.BloomSidecar.bloomFiles(spark, loc, version, afterStats, column, vs)
         case None => afterStats
+      }
+      needle(conjunct) match {
+        case Some((column, n)) =>
+          graft.ops.BloomSidecar.gramFiles(spark, loc, version, afterBloom, column, n)
+        case None => afterBloom
       }
     }
 
@@ -432,5 +437,24 @@ private[v2] object ZoneMapScanBuilder {
       val strs = values.map { case l: Literal => litStr(l) }
       if (strs.exists(_.isEmpty)) None else Some((a.name, strs.flatten))
     case _ => None
+  }
+
+  /** Conjunct → substring the column must CONTAIN for the row to match —
+    * feeds the gram-bloom file skip ([[graft.ops.BloomSidecar.gramFiles]]).
+    * `LIKE '%x%'` arrives as Contains after LikeSimplification; prefix /
+    * suffix / equality all imply containment, so the same over-
+    * approximation applies. Anything else prunes nothing. */
+  private def needle(e: Expression): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Contains, EndsWith, StartsWith}
+    def s(l: Literal): Option[String] =
+      if (l.dataType == StringType) Option(l.value).map(_.toString) else None
+    e match {
+      case Contains(a: AttributeReference, l: Literal) => s(l).map((a.name, _))
+      case StartsWith(a: AttributeReference, l: Literal) => s(l).map((a.name, _))
+      case EndsWith(a: AttributeReference, l: Literal) => s(l).map((a.name, _))
+      case EqualTo(a: AttributeReference, l: Literal) => s(l).map((a.name, _))
+      case EqualTo(l: Literal, a: AttributeReference) => s(l).map((a.name, _))
+      case _ => None
+    }
   }
 }

@@ -194,6 +194,40 @@ class SnapshotProceduresSpec extends SparkTestBase {
     assert(agg.collect().head.getLong(0) == 4000L)
   }
 
+  test("CALL rollback restores an old version metadata-only, keeping history") {
+    import spark.implicits._
+    val loc = fresh("t_rb")
+    Snapshots.commitAppend((1L to 100L).toDF("id"), loc)
+    Snapshots.commitAppend((101L to 200L).toDF("id"), loc)
+    val filesV2 = Snapshots.versionFiles(spark, loc, 2L).toSet
+    Snapshots.commitReplace((900L to 905L).toDF("id"), loc) // the bad commit
+    val res = spark.sql("CALL sqlproc.system.rollback('t_rb', 2)")
+      .as[(Long, Long)].collect().head
+    assert(res == ((4L, 2L)))
+    // metadata-only: version 4 references EXACTLY version 2's files
+    assert(Snapshots.versionFiles(spark, loc, 4L).toSet == filesV2)
+    assert(Snapshots.read(spark, loc).as[Long].collect().sorted.toSeq
+      == (1L to 200L))
+    // non-destructive: the bad version stays time-travelable
+    assert(Snapshots.read(spark, loc, 3L).as[Long].collect().sorted.toSeq
+      == (900L to 905L))
+    // rolling back to the version already live is a no-op (no new commit)
+    assert(Snapshots.rollback(spark, loc, 4L) == 4L)
+    assert(Snapshots.latestVersion(spark, loc) == 4L)
+    // DVs carry by reference: MoR-delete, bad replace, rollback to the
+    // DV version → the delete is still applied on read
+    Snapshots.commitDeleteMoR(spark, loc, col("id") <= 10L)
+    val dvV = Snapshots.latestVersion(spark, loc)
+    Snapshots.commitReplace((1L to 3L).toDF("id"), loc)
+    spark.sql(s"CALL sqlproc.system.rollback('t_rb', $dvV)").collect()
+    assert(Snapshots.read(spark, loc).as[Long].collect().sorted.toSeq
+      == (11L to 200L))
+    // expired target fails fast, table untouched
+    val e = intercept[NoSuchElementException](
+      Snapshots.rollback(spark, loc, 99L))
+    assert(e.getMessage.contains("99"))
+  }
+
   test("unknown procedure and wrong namespace fail fast with the available list") {
     fresh("t_err")
     val e = intercept[Exception](

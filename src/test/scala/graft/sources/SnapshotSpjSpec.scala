@@ -104,6 +104,64 @@ class SnapshotSpjSpec extends SparkTestBase {
     }
   }
 
+  test("reported ordering eliminates the merge join's Sort nodes") {
+    fixture()
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim d ON f.id = d.id""".stripMargin)
+      df.collect()
+      var sorts = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case _: org.apache.spark.sql.execution.SortExec => sorts += 1
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case _ => ()
+        }
+        p.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      assert(sorts == 0,
+        s"bucket files are key-sorted; the SPJ merge join must not re-sort:\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
+  test("SPJ composes with merge-on-read delete vectors") {
+    fixture()
+    // MoR-delete some fact rows: the layout header survives (a DV commit
+    // carries files by reference), the scan subtracts vectors per file,
+    // and the join still plans shuffle-free with exact rows
+    graft.ops.Snapshots.commitDeleteMoR(spark, s"$root/fact",
+      org.apache.spark.sql.functions.col("id") <= 10)
+    assert(Snapshots.versionLayout(spark, s"$root/fact", -1L).isDefined)
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+      val got = df.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (11L to 100L).toSeq)
+    }
+  }
+
+  test("groupBy on the layout key aggregates with zero Exchange") {
+    fixture()
+    // KeyGroupedPartitioning satisfies the aggregate's ClusteredDistribution
+    // too: every key lives in exactly one bucket, so the partial aggregate
+    // IS the final aggregate — no shuffle between them
+    val df = spark.sql(
+      """SELECT id, count(*) AS c, sum(w) AS s
+        |FROM spjcat.dim GROUP BY id""".stripMargin)
+    assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == (1L to 100L).map(i => (i, 1L, i * 10)))
+  }
+
   test("bucket ids in file paths match the bucket function contract") {
     import spark.implicits._
     fixture()
