@@ -40,5 +40,10 @@ object Sessions {
       // zero shuffle), tolerating one side missing some buckets
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // ... and when only ONE side is bucket-laid, shuffle just the
+      // other side INTO the reported partitioning (evaluating the
+      // catalog's bucket function) instead of shuffling both sides —
+      // at 100 TB the laid-out fact is read in place
+      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
       .config("spark.ui.enabled", "false")
 }

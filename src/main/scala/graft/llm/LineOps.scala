@@ -85,11 +85,28 @@ object LineOps {
   def duplicatedSpanFraction(docs: DataFrame, idCol: String, textCol: String,
                              n: Int = 8): DataFrame = {
     val grams = TextDedup.shingles(docs, idCol, textCol, n)
-    val df = grams.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val per = grams.join(df, "shingle")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+    // hash gate (same as SpanTrim): shingles are per-doc DISTINCT, so a
+    // gram is duplicated iff its (id, gram) rows span >= 2 docs — decided
+    // first over 24-byte hash rows (min != max of doc ids), with gram
+    // STRINGS shuffling only for the surviving candidates, then verified
+    // exactly on the strings (a hash collision can only ADD a candidate
+    // the verify rejects). On a low-duplication corpus the string
+    // shuffle is O(duplicated grams), not O(corpus).
+    val hashed = grams.withColumn("h", xxhash64(col("shingle")))
+    val dupH = hashed.groupBy(col("h"))
+      .agg(min(col("id")).as("__lo"), max(col("id")).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
+      .select(col("h"))
+    val cand = hashed.join(dupH, "h")
+    val dupGrams = cand.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+      .select(col("shingle"))
+    val nG = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val nDup = cand.join(dupGrams, "shingle")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_grams"))
+    val per = nG.join(nDup, Seq("id"), "left_outer")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
       .withColumn("dup_fraction",
         col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
     // docs too short for any n-gram surface with zero counts

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{expr, not}
+
+/** Declarative CHECK constraints enforced at COMMIT time — the Delta
+  * `ALTER TABLE ADD CONSTRAINT` analog for snapshot tables: a named SQL
+  * predicate every row of every commit must satisfy, validated against
+  * the NEWLY WRITTEN files only (O(new data), never O(table)) in the
+  * single publish choke point ([[Snapshots.tryPublish]]), so every
+  * write path — API commits, SQL INSERT/UPDATE/MERGE through DSv2,
+  * streaming epochs, branch fast-forward — hits the same gate with
+  * zero per-path code. A violating commit aborts BEFORE its manifest
+  * publishes: readers never see a bad version, and the orphaned data
+  * directory is swept by expire's grace-window rule like any crashed
+  * commit.
+  *
+  * [[add]] validates the EXISTING table first (one scan, the price of
+  * making "constraint holds" an invariant rather than a hope), so a
+  * reader can trust that every version committed after the constraint's
+  * add satisfies it. Carried-by-reference publishes (rollback, branch
+  * fork, compaction, cluster/bucket layout rewrites) skip re-validation
+  * — their rows were validated when first committed; a rollback to a
+  * version PREDATING the constraint can therefore resurface old rows,
+  * which is the documented semantics (constraints gate writes, not
+  * history). Fast-forward does NOT skip: publish is exactly where the
+  * parent's gate belongs in write-audit-publish, so the branch's new
+  * files validate once, at landing.
+  *
+  * Reference analog: job-input validation mappers that counted bad
+  * records and failed the job past a threshold
+  * (`CORE/mapred/lib/RegexMapper` idiom + skip-bad-records machinery,
+  * `CORE/mapred/SkipBadRecords.java`); here the gate is declarative,
+  * per-table, and atomic with the commit.
+  */
+object Constraints {
+
+  private def path(loc: String) = new Path(loc, "_manifests/_constraints")
+
+  private def requireName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"constraint name must be [A-Za-z0-9_-]+, got '$name'")
+
+  /** Cheap existence probe — the publish choke point asks this BEFORE
+    * computing its fresh-file diff, so an unconstrained table (the
+    * common case) pays one FS exists() per commit and nothing else. */
+  private[graft] def has(s: SparkSession, loc: String): Boolean =
+    Snapshots.fs(s, loc).exists(path(loc))
+
+  /** The table's constraints, name → SQL predicate (insertion order). */
+  def list(s: SparkSession, loc: String): Seq[(String, String)] = {
+    val f = Snapshots.fs(s, loc)
+    val p = path(loc)
+    if (!f.exists(p)) Nil
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+        }.toList
+      finally in.close()
+    }
+  }
+
+  private def write(s: SparkSession, loc: String, cs: Seq[(String, String)]): Unit = {
+    val f = Snapshots.fs(s, loc)
+    val p = path(loc)
+    if (cs.isEmpty) { f.delete(p, false); return }
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s"_tmp_constraints_${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(cs.map { case (n, e) => s"$n\t$e\n" }.mkString.getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, p)) { // overwrite-by-replace, same as setAutoStats
+      f.delete(p, false)
+      require(f.rename(tmp, p), s"could not publish constraints at $loc")
+    }
+  }
+
+  /** Add a named CHECK, validating the CURRENT table contents first —
+    * rejected (nothing recorded) if any existing row violates it. */
+  def add(s: SparkSession, loc: String, name: String, predicate: String): Unit = {
+    requireName(name)
+    require(!predicate.contains("\n") && !predicate.contains("\r") &&
+      !predicate.contains("\t"), "constraint predicate must be a single line")
+    val existing = list(s, loc)
+    require(!existing.exists(_._1 == name),
+      s"constraint '$name' already exists at $loc (drop it first)")
+    if (Snapshots.latestVersion(s, loc) > 0) {
+      val bad = Snapshots.read(s, loc).filter(not(expr(predicate))).take(1)
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"cannot add constraint '$name' ($predicate): existing row violates it: ${bad.head}")
+    }
+    write(s, loc, existing :+ (name, predicate))
+  }
+
+  def drop(s: SparkSession, loc: String, name: String): Boolean = {
+    val existing = list(s, loc)
+    if (!existing.exists(_._1 == name)) false
+    else { write(s, loc, existing.filterNot(_._1 == name)); true }
+  }
+
+  /** The commit gate: validate `freshFiles` (the commit's newly written
+    * data) against every declared constraint, throwing before the
+    * manifest can publish. No constraints (the common case) costs one
+    * policy-file existence probe; with constraints the cost is ONE read
+    * of the fresh files — all predicates checked in a single pass with
+    * an early-exit `take(1)`. */
+  private[graft] def enforce(s: SparkSession, loc: String,
+                             freshFiles: Seq[String],
+                             schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    if (freshFiles.isEmpty) return
+    val cs = list(s, loc)
+    if (cs.isEmpty) return
+    val all = cs.map { case (_, e) => expr(e) }.reduce(_ && _)
+    val df = Snapshots.readData(s, freshFiles, schema)
+    val bad = df.filter(not(all)).take(1)
+    if (bad.nonEmpty) {
+      // one extra micro-read to NAME the violated constraint in the error
+      val row = bad.head
+      val which = cs.find { case (_, e) =>
+        df.filter(not(expr(e))).take(1).nonEmpty
+      }.map(_._1).getOrElse(cs.head._1)
+      throw new IllegalStateException(
+        s"commit to $loc violates constraint '$which': $row")
+    }
+  }
+
+  /** The constraint surface AS a table (`<cat>.<t>.constraints`). */
+  def meta(s: SparkSession, loc: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    list(s, loc).toDF("name", "predicate")
+  }
+}

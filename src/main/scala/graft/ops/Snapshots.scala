@@ -44,12 +44,12 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, P
   */
 object Snapshots {
 
-  private def fs(s: SparkSession, loc: String) =
+  private[graft] def fs(s: SparkSession, loc: String) =
     new Path(loc).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private def manifestDir(loc: String) = new Path(loc, "_manifests")
+  private[graft] def manifestDir(loc: String) = new Path(loc, "_manifests")
 
-  private def manifests(s: SparkSession, loc: String): Seq[(Long, Path)] = {
+  private[graft] def manifests(s: SparkSession, loc: String): Seq[(Long, Path)] = {
     val md = manifestDir(loc)
     val f = fs(s, loc)
     if (!f.exists(md)) Seq.empty
@@ -77,7 +77,7 @@ object Snapshots {
   // per-version cost of a marker scan is O(header), not O(live files) —
   // an append manifest lists the whole table, and reading it in full per
   // micro-batch would make the replay check O(versions x files)
-  private def headerLines(s: SparkSession, p: Path): Seq[String] = {
+  private[graft] def headerLines(s: SparkSession, p: Path): Seq[String] = {
     val rd = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs(s, p.toString).open(p), "UTF-8"))
     try {
@@ -88,7 +88,7 @@ object Snapshots {
     } finally rd.close()
   }
 
-  private def readManifest(s: SparkSession, p: Path): Seq[String] =
+  private[graft] def readManifest(s: SparkSession, p: Path): Seq[String] =
     manifestLines(s, p).filterNot(l => l.startsWith("#") || l.isEmpty)
 
   /** Append `df` as a new snapshot; returns the published version.
@@ -217,7 +217,8 @@ object Snapshots {
     while (attempt < 64) {
       val version = latestVersion(s, loc) + 1
       if (tryPublish(s, loc, version, newFiles,
-          schemaJson = Some(schemaJson), layout = Some(layout)))
+          schemaJson = Some(schemaJson), layout = Some(layout),
+          carriedValid = true)) // row-preserving layout rewrite
         return version
       attempt += 1
     }
@@ -279,7 +280,14 @@ object Snapshots {
     * replace either publishes first (the append lands after it, on top)
     * or retries at the next version — either serialization is a valid
     * history and no version is lost. */
-  def commitReplace(df: DataFrame, loc: String): Long = {
+  def commitReplace(df: DataFrame, loc: String): Long =
+    commitReplaceImpl(df, loc, carriedValid = false)
+
+  /** `carriedValid` exempts row-preserving rewrites (compaction) from
+    * the CHECK-constraint gate — their rows were validated when first
+    * committed, and re-validating a full OPTIMIZE would double its read. */
+  private[graft] def commitReplaceImpl(df: DataFrame, loc: String,
+                                       carriedValid: Boolean): Long = {
     val s = df.sparkSession
     val f = fs(s, loc)
     val commitId = java.util.UUID.randomUUID().toString
@@ -292,7 +300,8 @@ object Snapshots {
       val version = latestVersion(s, loc) + 1
       // a replace REDEFINES the table: its schema is df's, dvs drop
       if (tryPublish(s, loc, version, newFiles,
-          schemaJson = Some(df.schema.json))) return version
+          schemaJson = Some(df.schema.json), carriedValid = carriedValid))
+        return version
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
@@ -305,15 +314,29 @@ object Snapshots {
     * here — on the local FS it silently overwrites an existing target —
     * which is exactly what `FileContext` + `Options.Rename.NONE` exists
     * to fix. */
-  private def tryPublish(s: SparkSession, loc: String, version: Long,
+  private[graft] def tryPublish(s: SparkSession, loc: String, version: Long,
                          files: Seq[String],
                          marker: Option[String] = None,
                          dvs: Seq[String] = Nil,
                          schemaJson: Option[String] = None,
                          lineage: Option[String] = None,
-                         layout: Option[String] = None): Boolean = {
+                         layout: Option[String] = None,
+                         carriedValid: Boolean = false): Boolean = {
     (marker ++ lineage ++ layout).foreach(m => require(!m.contains("\n") && !m.contains("\r"),
       "header values must be single lines"))
+    // CHECK-constraint gate (ops/Constraints): every publish path funnels
+    // here, so validating the commit's NEW files at this one choke point
+    // covers API commits, SQL DML, streaming epochs, and fast-forward
+    // alike — O(new data), before the manifest can become visible.
+    // `carriedValid` marks publishes whose rows were validated when first
+    // committed (rollback, branch fork, compaction, layout rewrites).
+    if (!carriedValid && files.nonEmpty && Constraints.has(s, loc)) {
+      val prev = if (version <= 1L) Set.empty[String]
+                 else versionFiles(s, loc, version - 1).toSet
+      Constraints.enforce(s, loc, files.filterNot(prev),
+        schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+    }
     val f = fs(s, loc)
     val md = manifestDir(loc)
     f.mkdirs(md)
@@ -538,8 +561,9 @@ object Snapshots {
       val latest = latestVersion(s, loc)
       if (latest == toVersion) return latest // already there: auditable no-op
       if (tryPublish(s, loc, latest + 1, files, dvs = dvs, schemaJson = schema,
-          lineage = Some(s"rollback:$loc@v$toVersion"), layout = layout))
-        return latest + 1
+          lineage = Some(s"rollback:$loc@v$toVersion"), layout = layout,
+          carriedValid = true)) // carried by reference; constraints gate
+        return latest + 1      // writes, not history (ops/Constraints)
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
@@ -1564,16 +1588,17 @@ object Snapshots {
     * now. The policy file's first line holds the stats columns, the
     * second the Bloom columns (possibly empty). */
   def setAutoStats(s: SparkSession, loc: String, cols: Seq[String],
-                   bloomCols: Seq[String] = Nil): Unit = {
-    require(cols.nonEmpty || bloomCols.nonEmpty,
+                   bloomCols: Seq[String] = Nil,
+                   gramCols: Seq[String] = Nil): Unit = {
+    require(cols.nonEmpty || bloomCols.nonEmpty || gramCols.nonEmpty,
       "auto-stats needs at least one column")
     val f = fs(s, loc)
     f.mkdirs(manifestDir(loc))
     val tmp = new Path(manifestDir(loc),
       s"_tmp_autostats_${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write((cols.mkString(",") + "\n" + bloomCols.mkString(",") + "\n")
-      .getBytes("UTF-8"))
+    try out.write((cols.mkString(",") + "\n" + bloomCols.mkString(",") + "\n" +
+      gramCols.mkString(",") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, autoStatsPath(loc))) { // overwrite-by-replace
       f.delete(autoStatsPath(loc), false)
@@ -1583,6 +1608,7 @@ object Snapshots {
     if (v > 0 && versionFiles(s, loc, v).nonEmpty) {
       if (cols.nonEmpty) attachStats(s, loc, v, cols)
       if (bloomCols.nonEmpty) BloomSidecar.attachBlooms(s, loc, v, bloomCols)
+      if (gramCols.nonEmpty) BloomSidecar.attachGramBlooms(s, loc, v, gramCols)
     }
   }
 
@@ -1602,6 +1628,11 @@ object Snapshots {
   def autoBloomCols(s: SparkSession, loc: String): Option[Seq[String]] =
     policyLine(s, loc, 1)
 
+  /** The table's declared auto-GRAM columns (substring-search sidecar),
+    * if any. */
+  def autoGramCols(s: SparkSession, loc: String): Option[Seq[String]] =
+    policyLine(s, loc, 2)
+
   /** Best-effort post-commit refresh of the declared sidecars: the commit
     * is already published, so a maintenance failure must not fail the
     * statement — queries merely lose pruning until the next refresh
@@ -1610,12 +1641,14 @@ object Snapshots {
   def autoStats(s: SparkSession, loc: String): Unit = {
     val stats = autoStatsCols(s, loc)
     val blooms = autoBloomCols(s, loc)
-    if (stats.isEmpty && blooms.isEmpty) return
+    val grams = autoGramCols(s, loc)
+    if (stats.isEmpty && blooms.isEmpty && grams.isEmpty) return
     try {
       val v = latestVersion(s, loc)
       if (v > 0 && versionFiles(s, loc, v).nonEmpty) {
         stats.foreach(cols => attachStats(s, loc, v, cols))
         blooms.foreach(cols => BloomSidecar.attachBlooms(s, loc, v, cols))
+        grams.foreach(cols => BloomSidecar.attachGramBlooms(s, loc, v, cols))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -1807,7 +1840,8 @@ object Snapshots {
     * compactions cannot race a set/restore on shared conf. */
   def commitCompaction(s: SparkSession, loc: String,
                        targetBytes: Long = 128L * 1024 * 1024): Long =
-    commitReplace(read(scopedAdvisory(s, targetBytes), loc).hint("rebalance"), loc)
+    commitReplaceImpl(read(scopedAdvisory(s, targetBytes), loc).hint("rebalance"),
+      loc, carriedValid = true)
 
   private def scopedAdvisory(s: SparkSession, targetBytes: Long): SparkSession = {
     val scoped = s.newSession()
@@ -1857,7 +1891,7 @@ object Snapshots {
       // kept files may still be DV-covered — carry the vectors with them
       val keepDvs = if (kept.nonEmpty) dvs else Nil
       if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles, dvs = keepDvs,
-          schemaJson = schema.map(_.json)))
+          schemaJson = schema.map(_.json), carriedValid = true))
         return prev._1 + 1
       f.delete(dataDir, true) // lost the race: recompute against new latest
       attempt += 1
@@ -1890,8 +1924,13 @@ object Snapshots {
     require(retainLast >= 1, "must retain at least the latest version")
     val f = fs(s, loc)
     val ms = manifests(s, loc)
-    val dropped = ms.dropRight(retainLast)
-    val kept = ms.takeRight(retainLast)
+    // a tag is a retention pin: tagged versions survive regardless of age
+    val pinned = Refs.tags(s, loc).values.toSet
+    val (dropped, kept) = {
+      val tail = ms.takeRight(retainLast)
+      val (pin, drop) = ms.dropRight(retainLast).partition(m => pinned(m._1))
+      (drop, pin ++ tail)
+    }
     // delete-vector sidecars are referenced files like any other: live
     // while a surviving manifest's header names them, dead with their
     // version otherwise
@@ -1900,7 +1939,13 @@ object Snapshots {
       lines.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv=")) ++
         lines.filterNot(l => l.startsWith("#") || l.isEmpty)
     }
-    val live = kept.flatMap { case (_, p) => refs(p) }.toSet
+    // branch manifests carry parent files by reference (the fork), and a
+    // fast-forwarded parent carries branch files — both directions pin
+    // liveness across the ref boundary, so the sweep consults them
+    val live = kept.flatMap { case (_, p) => refs(p) }.toSet ++
+      Refs.branchRefs(s, loc) ++
+      Refs.parentOf(loc).toSeq.flatMap(pl =>
+        manifests(s, pl).flatMap { case (_, p) => refs(p) })
     val expiredRefs = dropped.flatMap { case (_, p) => refs(p) }.toSet -- live
     // a kept version's bloom header may carry older versions' parquets
     // by reference (#base delta chain) — those stay alive with it

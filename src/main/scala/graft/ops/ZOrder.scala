@@ -113,7 +113,8 @@ object ZOrder {
         val total = Snapshots.fileSizes(s, files).values.sum
         math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
       }
-    val v = Snapshots.commitReplace(cluster(df, bits, n, normed: _*), loc)
+    val v = Snapshots.commitReplaceImpl(cluster(df, bits, n, normed: _*), loc,
+      carriedValid = true) // row-preserving cluster rewrite
     // cover the cluster columns PLUS any declared auto-stats columns —
     // attaching only the cluster key would overwrite the version's
     // sidecar header and silently un-cover the declared ones — and keep

@@ -1103,6 +1103,120 @@ object OpsQueries {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Write-audit-publish through pure SQL (`graft.ops.Refs`): tag the
+    * blessed state, fork a branch (one manifest, zero data movement),
+    * stage an INSERT and an audit-time DELETE on `\`t#audit\``, verify
+    * the parent never saw the staged writes, then `CALL fast_forward` —
+    * the audited state lands as ONE parent commit naming the branch's
+    * files by reference, and the tag still reads the pre-publish state
+    * by name. The oracle replays the net effect relationally. */
+  private def snapshotSqlWap(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_refs"
+    val loc = s"$root/orders_wap"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_refs",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_refs.root", root)
+    val orders = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(3), loc)
+    val base = s.sql("SELECT count(*) FROM graft_snap_refs.orders_wap")
+      .head().getLong(0)
+    s.sql("CALL graft_snap_refs.system.tag('orders_wap', 'blessed')")
+    s.sql("CALL graft_snap_refs.system.branch('orders_wap', 'audit')")
+    // WRITE: stage new rows + an audit-time cleanup on the branch only
+    orders.filter(col("o_orderkey") % 3 === 1)
+      .createOrReplaceTempView("orders_wap_stage")
+    s.sql("""INSERT INTO graft_snap_refs.`orders_wap#audit`
+            |SELECT * FROM orders_wap_stage""".stripMargin)
+    s.sql("DELETE FROM graft_snap_refs.`orders_wap#audit` " +
+      "WHERE o_orderstatus = 'P'")
+    // AUDIT: the parent is untouched while the branch holds the candidate
+    require(s.sql("SELECT count(*) FROM graft_snap_refs.orders_wap")
+      .head().getLong(0) == base, "branch writes leaked into the parent")
+    // PUBLISH: one commit, files by reference; the tag still reads v1
+    s.sql("CALL graft_snap_refs.system.fast_forward('orders_wap', 'audit')")
+    require(s.sql(
+      "SELECT count(*) FROM graft_snap_refs.orders_wap VERSION AS OF 'blessed'")
+      .head().getLong(0) == base, "tag no longer reads the blessed state")
+    require(s.sql(
+      "SELECT count(*) FROM graft_snap_refs.orders_wap.refs WHERE kind='branch'")
+      .head().getLong(0) == 1L, "refs metadata lost the branch")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM graft_snap_refs.orders_wap
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** The change feed through pure SQL: `<cat>.<t>.changes` serves ONE
+    * commit's exact row-level delta (`Snapshots.diff(v-1, v)` — cost
+    * O(changed files), the manifest-diff rule), with `VERSION AS OF`
+    * pinning WHICH commit: `...changes VERSION AS OF 2` is "what did
+    * commit 2 do". Here commit 2 is an append + commit 3 a CoW delete;
+    * the query reads commit 2's delta and proves exactly the appended
+    * rows come back tagged insert, untouched by the later delete. */
+  private def snapshotSqlChanges(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_refs"
+    val loc = s"$root/orders_chg"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_refs",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_refs.root", root)
+    val orders = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(2), loc)
+    graft.ops.Snapshots.commitAppend(
+      orders.filter(col("o_orderkey") % 3 === 1).repartition(2), loc)
+    graft.ops.Snapshots.commitDelete(s, loc, col("o_orderstatus") === "P")
+    s.sql(
+      """SELECT change, o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM graft_snap_refs.orders_chg.changes VERSION AS OF 2
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** CHECK constraints through pure SQL (`ops/Constraints`): declare the
+    * gate with `CALL add_constraint`, prove a violating INSERT aborts
+    * with NO published version (the table still reads the pre-INSERT
+    * state), prove a valid INSERT lands, and return the final content —
+    * the oracle replays the net effect (base + the valid rows only). The
+    * gate reads O(new files) at the single publish choke point, so at
+    * 100 TB a constrained INSERT costs one extra read of ITS OWN data,
+    * never a table scan. */
+  private def snapshotSqlConstraint(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_refs"
+    val loc = s"$root/orders_ck"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_refs",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_refs.root", root)
+    val orders = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      orders.filter(col("o_orderkey") % 4 === 0).repartition(3), loc)
+    s.sql("""CALL graft_snap_refs.system.add_constraint(
+            |  'orders_ck', 'price_pos', 'o_totalprice > 0')""".stripMargin)
+    orders.filter(col("o_orderkey") % 4 === 1)
+      .createOrReplaceTempView("orders_ck_ok")
+    s.sql("INSERT INTO graft_snap_refs.orders_ck SELECT * FROM orders_ck_ok")
+    val bad = scala.util.Try(s.sql(
+      """INSERT INTO graft_snap_refs.orders_ck
+        |SELECT o_orderkey, o_custkey, o_orderstatus, -o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders_ck_ok LIMIT 5""".stripMargin))
+    require(bad.isFailure, "violating INSERT was accepted")
+    require(s.sql("SELECT max(version) FROM graft_snap_refs.orders_ck.history")
+      .head().getLong(0) == 2L, "violating INSERT published a version")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM graft_snap_refs.orders_ck
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** The SQL twin: `WHERE o_orderkey = …` through the DSv2 catalog on the
     * same hash layout, with the sidecar attached via
     * `CALL system.attach_blooms` — ZoneMapScanBuilder maps the pushed
@@ -1771,6 +1885,22 @@ object OpsQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 <= 1
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_wap", snapshotSqlWap,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders
+             |WHERE o_orderkey % 3 <= 1 AND o_orderstatus <> 'P'
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_constraint", snapshotSqlConstraint,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 4 <= 1
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_changes", snapshotSqlChanges,
+      Some("""SELECT 'insert' AS change, o_orderkey, o_custkey,
+             |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 1
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_sql_history", snapshotSqlHistory,
       Some("""SELECT CAST(v AS BIGINT) AS version, n_files, n_dvs,

@@ -57,8 +57,13 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
 
   override def name(): String = catalogName
 
+  // `t#branch` in the (backquoted) identifier name addresses a branch:
+  // the resolved location is the branch's own manifest log, so every
+  // verb — SELECT, INSERT, UPDATE, MERGE, DELETE, time travel — works
+  // on a branch with zero new grammar (graft.ops.Refs)
   private def location(ident: Identifier): String =
-    (root +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+    graft.ops.Refs.resolve(
+      (root +: (ident.namespace() :+ ident.name()).toSeq).mkString("/"))
 
   private def spark: SparkSession = SparkSession.active
 
@@ -79,12 +84,17 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, -1L)
 
-  /** `VERSION AS OF <v>` — Spark routes the literal here as a string. */
+  /** `VERSION AS OF <v>` — Spark routes the literal here as a string. A
+    * non-numeric literal is a TAG name ([[graft.ops.Refs.tag]]): the
+    * pinned version resolves through one tiny ref file, so `VERSION AS
+    * OF 'prod-2026-08'` reads the blessed state by name. */
   override def loadTable(ident: Identifier, version: String): Table =
     tableAt(ident,
       try version.toLong
-      catch { case _: NumberFormatException => throw new NoSuchTableException(
-        Seq(catalogName) ++ ident.namespace() :+ ident.name()) })
+      catch { case _: NumberFormatException =>
+        graft.ops.Refs.tagVersion(spark, location(ident), version)
+          .getOrElse(throw new NoSuchTableException(
+            Seq(catalogName) ++ ident.namespace() :+ ident.name())) })
 
   /** `TIMESTAMP AS OF <t>` — Spark hands the instant as MICROS; resolve
     * to the newest version whose manifest published at or before it
@@ -112,7 +122,7 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
   private def metaTable(ident: Identifier, version: Long): Option[Table] = {
     val ns = ident.namespace()
     if (ns.isEmpty) return None
-    val baseLoc = (root +: ns.toSeq).mkString("/")
+    val baseLoc = graft.ops.Refs.resolve((root +: ns.toSeq).mkString("/"))
     if (Snapshots.latestVersion(spark, baseLoc) == 0) return None
     val full = s"$catalogName.${ident.toString}"
     ident.name().toLowerCase(java.util.Locale.ROOT) match {
@@ -124,6 +134,22 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       case "stats" =>
         Some(new SnapshotMetaTable(full,
           () => Snapshots.statsMeta(spark, baseLoc, version)))
+      case "refs" =>
+        Some(new SnapshotMetaTable(full,
+          () => graft.ops.Refs.refsMeta(spark, baseLoc)))
+      case "constraints" =>
+        Some(new SnapshotMetaTable(full,
+          () => graft.ops.Constraints.meta(spark, baseLoc)))
+      case "changes" =>
+        // the CDC delta INTO the served version (one commit's change
+        // feed): `VERSION AS OF n` pins which commit — `t.changes`
+        // alone reads the latest commit's delta. Cost is O(changed
+        // files), the manifest-diff rule (Snapshots.diff scaladoc).
+        Some(new SnapshotMetaTable(full, () => {
+          val v = if (version < 0) Snapshots.latestVersion(spark, baseLoc)
+                  else version
+          Snapshots.diff(spark, baseLoc, v - 1, v)
+        }))
       case _ => None
     }
   }
@@ -217,9 +243,17 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
     // maintains its sidecars
     def csv(key: String): Seq[String] = Option(properties.get(key))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val (statCols, bloomCols) = (csv("stats.columns"), csv("bloom.columns"))
-    if (statCols.nonEmpty || bloomCols.nonEmpty)
-      Snapshots.setAutoStats(spark, loc, statCols, bloomCols)
+    val (statCols, bloomCols, gramCols) =
+      (csv("stats.columns"), csv("bloom.columns"), csv("gram.columns"))
+    if (statCols.nonEmpty || bloomCols.nonEmpty || gramCols.nonEmpty)
+      Snapshots.setAutoStats(spark, loc, statCols, bloomCols, gramCols)
+    // CHECK constraints at birth: TBLPROPERTIES ('check.<name>'='<pred>')
+    // is CALL add_constraint folded into the CREATE (the table is empty,
+    // so add-time validation is trivially satisfied)
+    properties.forEach { (k, v) =>
+      if (k.startsWith("check."))
+        graft.ops.Constraints.add(spark, loc, k.stripPrefix("check."), v)
+    }
     loadTable(ident)
   }
 

@@ -34,7 +34,9 @@ object SnapshotProcedures {
   val names: Seq[String] =
     Seq("optimize", "optimize_small", "expire", "attach_stats",
       "attach_blooms", "auto_stats", "cluster", "bucket", "migrate",
-      "delete_mor", "rollback", "attach_grams")
+      "delete_mor", "rollback", "attach_grams",
+      "branch", "fast_forward", "drop_branch", "tag", "drop_tag",
+      "add_constraint", "drop_constraint")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -67,7 +69,9 @@ object SnapshotProcedures {
         override def parameters(): Array[ProcedureParameter] = params.toArray
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
-          val loc = s"$root/${str(input, 0)}"
+          // `t#branch` addresses a branch's own manifest log, so the
+          // whole maintenance surface works on branches too
+          val loc = graft.ops.Refs.resolve(s"$root/${str(input, 0)}")
           resultScan(out, run(loc, input): _*)
         }
       }
@@ -247,13 +251,16 @@ object SnapshotProcedures {
     * per-commit `attach_stats` calls. */
   private val autoStats = procedure("auto_stats",
     Seq(in("table", StringType), in("columns", StringType),
-      inDefault("bloom_columns", StringType, "''")),
+      inDefault("bloom_columns", StringType, "''"),
+      inDefault("gram_columns", StringType, "''")),
     StructType(Seq(StructField("version", LongType),
       StructField("columns", IntegerType)))) { (loc, input) =>
     val cols = str(input, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val blooms = str(input, 2).split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    Snapshots.setAutoStats(spark, loc, cols, blooms)
-    Seq[Any](Snapshots.latestVersion(spark, loc), cols.length + blooms.length)
+    val grams = str(input, 3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    Snapshots.setAutoStats(spark, loc, cols, blooms, grams)
+    Seq[Any](Snapshots.latestVersion(spark, loc),
+      cols.length + blooms.length + grams.length)
   }
 
   /** Metadata-only undo ([[Snapshots.rollback]]): `CALL
@@ -270,13 +277,73 @@ object SnapshotProcedures {
     Seq[Any](v, to)
   }
 
+  /** Write-audit-publish ([[graft.ops.Refs]]): `CALL branch('t','audit')`
+    * forks a writable branch at the current version (one manifest, zero
+    * data movement); DML lands on `\`t#audit\``; `CALL
+    * fast_forward('t','audit')` publishes the audited state back as one
+    * parent commit, refused if the parent advanced past the fork. */
+  private val branchTable = procedure("branch",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(StructField("fork_version", LongType)))) { (loc, input) =>
+    Seq[Any](graft.ops.Refs.createBranch(spark, loc, str(input, 1)))
+  }
+
+  private val fastForward = procedure("fast_forward",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(StructField("version", LongType)))) { (loc, input) =>
+    Seq[Any](graft.ops.Refs.fastForward(spark, loc, str(input, 1)))
+  }
+
+  private val dropBranch = procedure("drop_branch",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(StructField("files_kept", IntegerType)))) { (loc, input) =>
+    Seq[Any](graft.ops.Refs.dropBranch(spark, loc, str(input, 1)))
+  }
+
+  /** Immutable named version pin; `VERSION AS OF '<name>'` reads it and
+    * [[Snapshots.expire]] retains it regardless of `retain_last`. */
+  private val tagTable = procedure("tag",
+    Seq(in("table", StringType), in("name", StringType),
+      inDefault("version", LongType, "-1")),
+    StructType(Seq(StructField("version", LongType)))) { (loc, input) =>
+    Seq[Any](graft.ops.Refs.tag(spark, loc, str(input, 1), input.getLong(2)))
+  }
+
+  private val dropTag = procedure("drop_tag",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(StructField("dropped", IntegerType)))) { (loc, input) =>
+    Seq[Any](if (graft.ops.Refs.dropTag(spark, loc, str(input, 1))) 1 else 0)
+  }
+
+  /** CHECK constraints ([[graft.ops.Constraints]]): `CALL
+    * add_constraint('t', 'qty_pos', 'quantity > 0')` validates the
+    * existing table then gates EVERY subsequent commit path on the
+    * predicate — a violating INSERT/UPDATE/MERGE/stream epoch aborts
+    * before its manifest publishes. */
+  private val addConstraint = procedure("add_constraint",
+    Seq(in("table", StringType), in("name", StringType),
+      in("predicate", StringType)),
+    StructType(Seq(StructField("constraints", IntegerType)))) { (loc, input) =>
+    graft.ops.Constraints.add(spark, loc, str(input, 1), str(input, 2))
+    Seq[Any](graft.ops.Constraints.list(spark, loc).length)
+  }
+
+  private val dropConstraint = procedure("drop_constraint",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(StructField("dropped", IntegerType)))) { (loc, input) =>
+    Seq[Any](if (graft.ops.Constraints.drop(spark, loc, str(input, 1))) 1 else 0)
+  }
+
   private val all: Map[String, String => UnboundProcedure] = Map(
     "optimize" -> optimize, "optimize_small" -> optimizeSmall,
     "expire" -> expire, "attach_stats" -> attachStats,
     "attach_blooms" -> attachBlooms, "cluster" -> clusterTable,
     "bucket" -> bucketTable, "auto_stats" -> autoStats,
     "migrate" -> migrateTable, "delete_mor" -> deleteMor,
-    "rollback" -> rollbackTable, "attach_grams" -> attachGrams)
+    "rollback" -> rollbackTable, "attach_grams" -> attachGrams,
+    "branch" -> branchTable, "fast_forward" -> fastForward,
+    "drop_branch" -> dropBranch, "tag" -> tagTable, "drop_tag" -> dropTag,
+    "add_constraint" -> addConstraint, "drop_constraint" -> dropConstraint)
 
   def load(name: String, root: String): Option[UnboundProcedure] =
     all.get(name.toLowerCase(java.util.Locale.ROOT)).map(_(root))

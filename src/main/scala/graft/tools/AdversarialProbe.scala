@@ -938,6 +938,76 @@ object AdversarialProbe {
     println(f"RATIO span_trim_gate_bytes: gated/ungated ${byteRatio}%.2f (bound 0.50), " +
       f"x1->x4 growth ${growth}%.2fx (bound 8x) -> ${if (gateOk) "PASS" else "FAIL"}")
 
+    // ---- gram-Bloom sidecar (substring file skipping): attach wall
+    // must track the corpus linearly (the build is one scan + one
+    // 8-byte-hash shuffle per distinct gram), and a marker-needle probe
+    // must keep every true file at both scales (no false negatives).
+    // Probe wall is informational — it is a tiny job over O(files)
+    // sidecar rows and sits at the scheduler floor at both points.
+    def gramTable(mult: Int): String = {
+      val loc = s"/tmp/graft-probe/gbloom_x$mult"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = graft.core.Tables.documents(spark, d)
+      val df = (0 until mult).map { m =>
+        docs.select((col("doc_id") + lit(m * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" marker${m}tail probe")).as("text"))
+      }.reduce(_ union _)
+      // range-partition on doc_id so each replica's id band (and its
+      // marker) lands in its own files — the layout a real corpus's
+      // ingest-time locality gives, and what the skip has to exploit
+      graft.ops.Snapshots.commitAppend(
+        df.repartitionByRange(mult * 4, col("doc_id")), loc)
+      loc
+    }
+    val gt1 = gramTable(1)
+    val gt4 = gramTable(4)
+    val ga1 = time("gram-bloom attach x1", reps = 1)(
+      { graft.ops.BloomSidecar.attachGramBlooms(spark, gt1, 1L, Seq("text")); 1L })
+    val ga4 = time("gram-bloom attach x4", reps = 1)(
+      { graft.ops.BloomSidecar.attachGramBlooms(spark, gt4, 1L, Seq("text")); 1L })
+    verdict("gram_bloom_attach_linear", ga1, ga4, 4.0)
+    val gFiles4 = graft.ops.Snapshots.versionFiles(spark, gt4, 1L)
+    val gKeep = graft.ops.BloomSidecar.gramFiles(
+      spark, gt4, 1L, gFiles4, "text", "marker2tail")
+    // marker2tail lives only in copy m=2's quarter of the files; the
+    // probe must keep all of those (truth) and skip most of the rest
+    val gTrue = graft.ops.Snapshots.read(spark, gt4, 1L)
+      .withColumn("f", input_file_name())
+      .filter(col("text").contains("marker2tail"))
+      .select(col("f")).distinct().collect()
+      .map(r => graft.ops.Snapshots.normPath(r.getString(0))).toSet
+    val gramNoFn = gTrue.subsetOf(gKeep.map(graft.ops.Snapshots.normPath).toSet)
+    val gramSkips = gKeep.length < gFiles4.length
+    if (!gramNoFn || !gramSkips) failed = true
+    println(s"GRAM-BLOOM no false negatives: ${if (gramNoFn) "PASS" else "FAIL"}; " +
+      s"skips files: ${if (gramSkips) "PASS" else "FAIL"} " +
+      s"(kept ${gKeep.length} of ${gFiles4.length})")
+
+    // ---- refs (branch/tag/WAP): the whole lifecycle is manifest
+    // renames, so its wall must be FLAT in table size — fork + tag +
+    // fast-forward + drop on the 4x table costs what it costs on 1x
+    // (each step is O(manifest lines), dominated by constant FS/job
+    // overhead). Also pin the stronger claim directly: the fork and the
+    // publish move ZERO data bytes (no files under the branch data dir,
+    // publish carries the same file set by reference).
+    def refCycle(loc: String): Long = {
+      graft.ops.Refs.createBranch(spark, loc, "probe")
+      graft.ops.Refs.tag(spark, loc, "pin")
+      val before = graft.ops.Snapshots.versionFiles(
+        spark, loc, graft.ops.Snapshots.latestVersion(spark, loc)).toSet
+      val v = graft.ops.Refs.fastForward(spark, loc, "probe")
+      val after = graft.ops.Snapshots.versionFiles(spark, loc, v).toSet
+      if (after != before) { failed = true
+        println("REFS zero-copy publish: FAIL (file set changed)") }
+      graft.ops.Refs.dropBranch(spark, loc, "probe")
+      graft.ops.Refs.dropTag(spark, loc, "pin")
+      1L
+    }
+    val rc1 = time("ref wap cycle x1", reps = 3)(refCycle(gt1))
+    val rc4 = time("ref wap cycle x4", reps = 3)(refCycle(gt4))
+    verdict("refs_wap_metadata_flat", rc1, rc4, 1.0)
+
     spark.stop()
     if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
     else println("ADVERSARIAL PROBE: PASS")

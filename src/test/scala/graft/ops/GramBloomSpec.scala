@@ -117,6 +117,26 @@ class GramBloomSpec extends SparkTestBase {
     assert(none.count() == 0L)
   }
 
+  test("auto_stats gram_columns keep the sidecar fresh across SQL INSERTs") {
+    val loc = s"$root/autog"
+    fixture(loc)
+    spark.conf.set("spark.sql.catalog.gbloomcat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbloomcat.root", root)
+    spark.sql("CALL gbloomcat.system.auto_stats('autog', '', '', 'text')")
+    // the INSERT maintains the gram sidecar itself — no second CALL
+    spark.sql(
+      "INSERT INTO gbloomcat.autog VALUES (9000, 'freshly inserted zebra7x doc', 9)")
+    val v = Snapshots.latestVersion(spark, loc)
+    assert(v == 2L)
+    val files = Snapshots.versionFiles(spark, loc, v)
+    val keep = BloomSidecar.gramFiles(spark, loc, v, files, "text", "zebra7x")
+    assert(keep.length < files.length,
+      s"post-INSERT version not covered: kept ${keep.length} of ${files.length}")
+    assert(trueFiles(loc, "zebra7x")
+      .subsetOf(keep.map(Snapshots.normPath).toSet))
+  }
+
   test("incremental attach covers only fresh files; expire keeps live bases") {
     import spark.implicits._
     val loc = s"$root/incr"

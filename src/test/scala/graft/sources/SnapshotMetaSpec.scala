@@ -114,6 +114,28 @@ class SnapshotMetaSpec extends SparkTestBase {
     assert(u.getString(0) == "u" && u.getInt(1) == 0 && u.getBoolean(4))
   }
 
+  test("changes serves one commit's row delta; VERSION AS OF pins which") {
+    import spark.implicits._
+    wipe(); register()
+    val loc = s"$root/c"
+    Snapshots.commitAppend((1L to 30L).toDF("id").repartition(2), loc)
+    Snapshots.commitAppend((31L to 40L).toDF("id").repartition(2), loc)
+    Snapshots.commitDelete(spark, loc, col("id") <= 5L)
+    // no pin: the LATEST commit's delta (the delete)
+    val latest = spark.sql("SELECT change, id FROM metacat.c.changes")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(latest == (1L to 5L).map(("delete", _)))
+    // pinned: what commit 2 did, untouched by the later delete
+    val c2 = spark.sql(
+      "SELECT change, id FROM metacat.c.changes VERSION AS OF 2")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(c2 == (31L to 40L).map(("insert", _)))
+    // commit 1's delta is "everything appeared" (diff from pre-history)
+    assert(spark.sql(
+      "SELECT count(*) FROM metacat.c.changes VERSION AS OF 1")
+      .head().getLong(0) == 30L)
+  }
+
   test("a REAL table shadowing a metadata name still resolves as data") {
     import spark.implicits._
     wipe(); register()

@@ -1,0 +1,192 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkTestBase
+import graft.ops.{Refs, Snapshots}
+
+/** Branches, tags, and write-audit-publish over the snapshot manifest
+  * log (graft.ops.Refs): fork is metadata-only, branch DML never touches
+  * the parent, fast-forward publishes by reference under the parent's
+  * CAS rules, a diverged parent refuses the publish, expire honors tag
+  * pins and cross-ref liveness in both directions, and the SQL surface
+  * (`\`t#branch\`` identifiers, VERSION AS OF '<tag>', CALL verbs,
+  * `t.refs` metadata) drives the whole cycle. */
+class SnapshotRefsSpec extends SparkTestBase {
+
+  private val root = "/tmp/graft-test/refs"
+
+  private def wipe(): Unit = {
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private def register(): Unit = {
+    spark.conf.set("spark.sql.catalog.refcat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.refcat.root", root)
+  }
+
+  private def table(name: String, n: Long = 100L): String = {
+    import spark.implicits._
+    val loc = s"$root/$name"
+    Snapshots.commitAppend(
+      (1L to n).map(i => (i, s"v$i")).toDF("id", "v").repartition(4), loc)
+    loc
+  }
+
+  private def ids(loc: String): Set[Long] =
+    Snapshots.read(spark, loc).select("id").collect().map(_.getLong(0)).toSet
+
+  test("branch forks metadata-only; branch DML leaves the parent untouched") {
+    wipe()
+    val loc = table("t1")
+    val fork = Refs.createBranch(spark, loc, "audit")
+    assert(fork == 1L)
+    // fork wrote ONE manifest and zero data files
+    val bl = Refs.branchLoc(loc, "audit")
+    assert(Snapshots.read(spark, bl).inputFiles.toSet ==
+      Snapshots.read(spark, loc).inputFiles.toSet)
+    import spark.implicits._
+    Snapshots.commitDelete(spark, bl,
+      org.apache.spark.sql.functions.col("id") <= 50L)
+    Snapshots.commitAppend(
+      Seq((1000L, "new")).toDF("id", "v"), bl)
+    assert(ids(bl) == ((51L to 100L).toSet + 1000L))
+    assert(ids(loc) == (1L to 100L).toSet, "parent saw branch writes")
+  }
+
+  test("fast-forward publishes the audited state as one parent commit") {
+    wipe()
+    val loc = table("t2")
+    Refs.createBranch(spark, loc, "audit")
+    val bl = Refs.branchLoc(loc, "audit")
+    import spark.implicits._
+    Snapshots.commitAppend(Seq((500L, "staged")).toDF("id", "v"), bl)
+    val v = Refs.fastForward(spark, loc, "audit")
+    assert(v == 2L)
+    assert(ids(loc) == (1L to 100L).toSet + 500L)
+    // idempotent retry returns the same landed version
+    assert(Refs.fastForward(spark, loc, "audit") == 2L)
+    assert(Snapshots.lineage(spark, loc).isEmpty) // lineage reads v1, not v2
+  }
+
+  test("a parent that advanced past the fork refuses the publish") {
+    wipe()
+    val loc = table("t3")
+    Refs.createBranch(spark, loc, "audit")
+    import spark.implicits._
+    Snapshots.commitAppend(Seq((600L, "branchside")).toDF("id", "v"),
+      Refs.branchLoc(loc, "audit"))
+    Snapshots.commitAppend(Seq((700L, "mainside")).toDF("id", "v"), loc)
+    val e = intercept[IllegalStateException](Refs.fastForward(spark, loc, "audit"))
+    assert(e.getMessage.contains("advanced"))
+    assert(ids(loc) == (1L to 100L).toSet + 700L, "refused publish mutated parent")
+  }
+
+  test("parent expire keeps files a branch still references (fork carry)") {
+    wipe()
+    val loc = table("t4")
+    Refs.createBranch(spark, loc, "audit")
+    import spark.implicits._
+    // parent REPLACES everything: without branch liveness the v1 files die
+    Snapshots.commitReplace(
+      (200L to 210L).map(i => (i, s"r$i")).toDF("id", "v"), loc)
+    Snapshots.expire(spark, loc, retainLast = 1, orphanGraceMs = 0L)
+    // the branch (forked at v1) still reads the original rows
+    assert(ids(Refs.branchLoc(loc, "audit")) == (1L to 100L).toSet)
+  }
+
+  test("drop_branch keeps fast-forwarded files, deletes the rest") {
+    wipe()
+    val loc = table("t5")
+    Refs.createBranch(spark, loc, "audit")
+    val bl = Refs.branchLoc(loc, "audit")
+    import spark.implicits._
+    Snapshots.commitAppend(Seq((500L, "blessed")).toDF("id", "v"), bl)
+    Refs.fastForward(spark, loc, "audit")
+    // a second branch whose files are never published
+    Refs.createBranch(spark, loc, "scratch")
+    Snapshots.commitAppend(Seq((900L, "doomed")).toDF("id", "v"),
+      Refs.branchLoc(loc, "scratch"))
+    val keptPublished = Refs.dropBranch(spark, loc, "audit")
+    assert(keptPublished > 0, "published files must survive their branch")
+    assert(ids(loc) == (1L to 100L).toSet + 500L, "drop_branch broke the parent")
+    val keptScratch = Refs.dropBranch(spark, loc, "scratch")
+    assert(keptScratch == 0)
+    val f = new Path(s"$loc/_branches/scratch")
+    assert(!f.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(f))
+    assert(Refs.listBranches(spark, loc).isEmpty)
+  }
+
+  test("tags pin versions through expire; immutable until dropped") {
+    wipe()
+    val loc = table("t6")
+    assert(Refs.tag(spark, loc, "stable") == 1L)
+    intercept[IllegalStateException](Refs.tag(spark, loc, "stable"))
+    import spark.implicits._
+    (1 to 3).foreach { i =>
+      Snapshots.commitReplace(Seq((i.toLong, "x")).toDF("id", "v"), loc)
+    }
+    Snapshots.expire(spark, loc, retainLast = 1, orphanGraceMs = 0L)
+    // v1 survived only because the tag pinned it
+    assert(ids(loc) == Set(3L))
+    assert(Snapshots.read(spark, loc, 1L).count() == 100L)
+    assert(Refs.tagVersion(spark, loc, "stable").contains(1L))
+    Refs.dropTag(spark, loc, "stable")
+    Snapshots.expire(spark, loc, retainLast = 1, orphanGraceMs = 0L)
+    intercept[NoSuchElementException](Snapshots.read(spark, loc, 1L))
+  }
+
+  test("SQL surface: CALL branch / DML on `t#branch` / fast_forward / refs / AS OF tag") {
+    wipe(); register()
+    import spark.implicits._
+    table("t7")
+    spark.sql("CALL refcat.system.tag('t7', 'fork_point')")
+    spark.sql("CALL refcat.system.branch('t7', 'audit')")
+    spark.sql("INSERT INTO refcat.`t7#audit` VALUES (500, 'staged')")
+    spark.sql("DELETE FROM refcat.`t7#audit` WHERE id <= 99")
+    // audit: the branch holds the candidate state, main is untouched
+    assert(spark.sql("SELECT count(*) c FROM refcat.`t7#audit`")
+      .head().getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) c FROM refcat.t7").head().getLong(0) == 100L)
+    val refs = spark.sql("SELECT kind, name, version FROM refcat.t7.refs ORDER BY kind, name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(refs.map(r => (r._1, r._2)) ==
+      Seq(("branch", "audit"), ("tag", "fork_point")))
+    spark.sql("CALL refcat.system.fast_forward('t7', 'audit')")
+    assert(spark.sql("SELECT count(*) c FROM refcat.t7").head().getLong(0) == 2L)
+    // the tag still reads the pre-publish state by name
+    assert(spark.sql("SELECT count(*) c FROM refcat.t7 VERSION AS OF 'fork_point'")
+      .head().getLong(0) == 100L)
+    spark.sql("CALL refcat.system.drop_branch('t7', 'audit')")
+    assert(spark.sql("SELECT * FROM refcat.t7.refs WHERE kind='branch'").count() == 0L)
+  }
+
+  test("branch expire keeps files the parent re-referenced via fast-forward") {
+    wipe()
+    val loc = table("t8")
+    Refs.createBranch(spark, loc, "audit")
+    val bl = Refs.branchLoc(loc, "audit")
+    import spark.implicits._
+    Snapshots.commitAppend(Seq((500L, "blessed")).toDF("id", "v"), bl)
+    Refs.fastForward(spark, loc, "audit")
+    // branch replaces its own state, then expires aggressively: the
+    // blessed file is no longer referenced by any RETAINED branch
+    // manifest, but the parent's publish still names it
+    Snapshots.commitReplace(Seq((1L, "z")).toDF("id", "v"), bl)
+    Snapshots.expire(spark, bl, retainLast = 1, orphanGraceMs = 0L)
+    assert(ids(loc) == (1L to 100L).toSet + 500L,
+      "branch expire deleted a parent-published file")
+  }
+
+  test("branching a branch is refused; bad ref names are refused") {
+    wipe()
+    val loc = table("t9", n = 5L)
+    Refs.createBranch(spark, loc, "audit")
+    intercept[IllegalArgumentException](
+      Refs.createBranch(spark, Refs.branchLoc(loc, "audit"), "nested"))
+    intercept[IllegalArgumentException](Refs.createBranch(spark, loc, "a/b"))
+    intercept[IllegalArgumentException](Refs.tag(spark, loc, "x y"))
+  }
+}

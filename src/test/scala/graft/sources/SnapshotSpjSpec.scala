@@ -148,6 +148,27 @@ class SnapshotSpjSpec extends SparkTestBase {
     }
   }
 
+  test("one bucketed side: only the other side shuffles (shuffle-one-side SPJ)") {
+    import spark.implicits._
+    fixture()
+    // dim2 is a PLAIN snapshot table (no layout): the join should keep
+    // the bucketed fact in place and shuffle dim2 alone into the fact's
+    // bucket partitioning via the catalog's bucket() function
+    Snapshots.commitAppend(
+      (1L to 50L).map(i => (i, i * 100)).toDF("id", "w2").repartition(3),
+      s"$root/dim2")
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, d.w2 FROM spjcat.fact f
+          |JOIN spjcat.dim2 d ON f.id = d.id""".stripMargin)
+      val n = shuffles(df)
+      assert(n == 1, s"expected exactly the unbucketed side to shuffle, got $n:\n" +
+        df.queryExecution.executedPlan)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == (1L to 50L).map(i => (i, i * 100)))
+    }
+  }
+
   test("groupBy on the layout key aggregates with zero Exchange") {
     fixture()
     // KeyGroupedPartitioning satisfies the aggregate's ClusteredDistribution
