@@ -98,6 +98,28 @@ class ConstraintsSpec extends SparkTestBase {
     assert(Snapshots.latestVersion(spark, loc) == 1L)
   }
 
+  test("a violating streaming epoch fails before publishing; the table is intact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    wipe()
+    val loc = table("t7")
+    Constraints.add(spark, loc, "qty_pos", "qty > 0")
+    spark.conf.set("spark.sql.catalog.ckcat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ckcat.root", root)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = mem.toDF().select(col("value").as("id"), (-col("value")).as("qty"))
+      .writeStream.option("checkpointLocation", s"$root/t7_ckpt")
+      .toTable("ckcat.t7")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { mem.addData(5L); q.processAllAvailable() } finally q.stop()
+    }
+    assert(e.getMessage.contains("qty_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("qty_pos")))
+    assert(Snapshots.latestVersion(spark, loc) == 1L, "violating epoch published")
+    assert(Snapshots.read(spark, loc).count() == 50L)
+  }
+
   test("CREATE TABLE TBLPROPERTIES check.<name> declares the gate at birth") {
     wipe()
     spark.conf.set("spark.sql.catalog.ckcat",

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 import graft.SparkTestBase
 import graft.ops.{Refs, Snapshots}
@@ -178,6 +179,60 @@ class SnapshotRefsSpec extends SparkTestBase {
     Snapshots.expire(spark, bl, retainLast = 1, orphanGraceMs = 0L)
     assert(ids(loc) == (1L to 100L).toSet + 500L,
       "branch expire deleted a parent-published file")
+  }
+
+  test("streaming ingest lands on a branch; fast-forward publishes the epochs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    wipe(); register()
+    val loc = table("t10", n = 10L)
+    Refs.createBranch(spark, loc, "ingest")
+    val ckpt = s"$root/t10_ckpt"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    // the branch identifier resolves through the SAME catalog path as a
+    // table, so exactly-once streaming epochs append to the branch only
+    val q = mem.toDF().select(col("value").as("id"),
+        concat(lit("s"), col("value")).as("v"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("refcat.`t10#ingest`")
+    try { mem.addData(100L, 101L); q.processAllAvailable() } finally q.stop()
+    assert(ids(Refs.branchLoc(loc, "ingest")) == (1L to 10L).toSet ++ Set(100L, 101L))
+    assert(ids(loc) == (1L to 10L).toSet, "epochs leaked into the parent")
+    Refs.fastForward(spark, loc, "ingest")
+    assert(ids(loc) == (1L to 10L).toSet ++ Set(100L, 101L))
+  }
+
+  test("a fork carries the bucket layout: parent joins its branch shuffle-free") {
+    import spark.implicits._
+    wipe(); register()
+    val loc = s"$root/t11"
+    Snapshots.commitAppend(
+      (1L to 200L).map(i => (i, i * 2)).toDF("id", "v").repartition(4), loc)
+    spark.sql("CALL refcat.system.bucket('t11', 'id', 4)")
+    Refs.createBranch(spark, loc, "b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(
+        """SELECT a.id, a.v, b.v AS bv FROM refcat.t11 a
+          |JOIN refcat.`t11#b` b ON a.id = b.id""".stripMargin)
+      df.collect()
+      var n = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => n += 1
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case qe: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(qe.plan)
+          case _ => ()
+        }
+        p.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      assert(n == 0, "fork dropped the layout:\n" + df.queryExecution.executedPlan)
+      assert(df.count() == 200L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("branching a branch is refused; bad ref names are refused") {
