@@ -62,6 +62,46 @@ object BucketLayout {
   private[graft] def bucketOfPath(file: String): Option[Int] =
     PathRe.findFirstMatchIn(file).map(_.group(1).toInt)
 
+  /** APPEND under the table's existing bucket layout — continuous
+    * co-clustered ingest. The batch is routed with the SAME hash recipe
+    * the layout was built with (one batch-sized shuffle, one file per
+    * non-empty bucket, key-sorted within), so [[Snapshots.publishAppend]]
+    * carries the `#layout=` header and co-partitioned joins stay
+    * shuffle-free across ingestion: at 100 TB the fact table keeps its
+    * zero-Exchange join plan WITHOUT re-bucketing the table per batch
+    * (cost is O(batch), never O(table)). Buckets accumulate one file per
+    * append until `CALL system.bucket` folds them back to one (the scan
+    * groups same-bucket files for SPJ meanwhile, and stops reporting
+    * per-bucket sortedness while any bucket holds several files —
+    * merge joins re-insert their Sort, the join stays Exchange-free). */
+  def appendBucketed(s: SparkSession, loc: String,
+                     df: org.apache.spark.sql.DataFrame): Long = {
+    val spec = Snapshots.versionLayout(s, loc,
+        Snapshots.latestVersion(s, loc)).flatMap(parse)
+      .getOrElse(throw new IllegalStateException(
+        s"$loc has no active bucket layout — run commitBucketed " +
+          "(CALL <cat>.system.bucket) first, or use a plain append"))
+    val table = Snapshots.read(s, loc)
+    require(df.columns.sorted.sameElements(table.columns.sorted),
+      s"appendBucketed batch columns ${df.columns.mkString(",")} must match " +
+        s"the table's ${table.columns.mkString(",")} exactly (additive " +
+        "evolution goes through commitAppend, which drops the layout)")
+    val commitId = java.util.UUID.randomUUID().toString
+    val dataDir = new Path(loc, s"data/$commitId")
+    val b = "__graft_bucket"
+    df.withColumn(b, bucketId(col(spec.column), spec.buckets))
+      .repartition(spec.buckets, col(b))
+      .sortWithinPartitions(col(b), col(spec.column))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(b).parquet(dataDir.toString)
+    val f = dataDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val newFiles = f.globStatus(new Path(dataDir, s"$DirPrefix*/part-*"))
+      .toSeq.map(_.getPath.toString)
+    val v = Snapshots.publishAppend(s, loc, newFiles)
+    if (v < 0) f.delete(dataDir, true)
+    v
+  }
+
   /** Rewrite the table hash-bucketed by `column` into `n` buckets and
     * publish it as a new version carrying the layout header. One shuffle
     * on the bucket id (each bucket lands wholly in one task, so exactly

@@ -179,8 +179,19 @@ object Snapshots {
         case None => schemaIfEmpty
         case Some(_) => schemaFromHeader(prevHeader).map(_.json)
       }
+      // a bucket layout SURVIVES an append iff every appended file is
+      // itself bucket-routed (carries the __graft_bucket path segment) —
+      // BucketLayout.appendBucketed writes exactly that, so continuous
+      // ingest keeps co-clustered joins shuffle-free; any other append
+      // drops the layout (the documented honest degrade, never wrong
+      // rows). Buckets holding several files stay SPJ-able (the scan
+      // groups same-keyed files) and merely stop reporting sortedness.
+      val layout = prevHeader.find(_.startsWith("#layout="))
+        .map(_.stripPrefix("#layout="))
+        .filter(_ => newFiles.forall(f =>
+          BucketLayout.bucketOfPath(f).isDefined))
       if (tryPublish(s, loc, version, prevFiles ++ newFiles, marker, prevDvs,
-          schemaJson))
+          schemaJson, layout = layout))
         return version
       attempt += 1
     }

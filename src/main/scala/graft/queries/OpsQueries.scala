@@ -973,6 +973,54 @@ object OpsQueries {
     s.sql(q + "\nORDER BY o.o_orderkey, l.l_linenumber")
   }
 
+  /** Layout-preserving ingest (`BucketLayout.appendBucketed`): bucket the
+    * fact once, then APPEND two co-clustered batches — the layout header
+    * carries, so the join still plans ZERO Exchange with multi-file
+    * buckets (the scan groups same-bucket files into one keyed
+    * partition). This is the 100 TB continuous-ingest story: per-batch
+    * cost O(batch), the fact never re-buckets, and the co-partitioned
+    * plan survives. In-query guard requires the post-ingest join plan
+    * shuffle-free; the oracle proves exact rows over base + both batches. */
+  private def snapshotSqlSpjAppend(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    Seq(s"$root/orders_spja", s"$root/lines_spja").foreach { loc =>
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val orders = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(4),
+      s"$root/orders_spja")
+    graft.ops.Snapshots.commitAppend(
+      Tables.lineitem(s, d).repartition(4), s"$root/lines_spja")
+    s.sql("CALL graft_snap_dml.system.bucket('orders_spja', 'o_orderkey', 8)")
+    s.sql("CALL graft_snap_dml.system.bucket('lines_spja', 'l_orderkey', 8)")
+    // two ingest batches land WITHOUT re-bucketing the table
+    graft.ops.BucketLayout.appendBucketed(s, s"$root/orders_spja",
+      orders.filter(col("o_orderkey") % 3 === 1))
+    graft.ops.BucketLayout.appendBucketed(s, s"$root/orders_spja",
+      orders.filter(col("o_orderkey") % 3 === 2))
+    val q =
+      """SELECT o.o_orderkey, l.l_linenumber, o.o_totalprice, l.l_quantity
+        |FROM graft_snap_dml.orders_spja o
+        |JOIN graft_snap_dml.lines_spja l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey <= 2000""".stripMargin
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = s.sql(q)
+      probe.collect()
+      val shuffles = countShuffles(probe.queryExecution.executedPlan)
+      require(shuffles == 0,
+        s"ingest broke the storage-partitioned join ($shuffles exchanges):\n" +
+          probe.queryExecution.executedPlan)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    s.sql(q + "\nORDER BY o.o_orderkey, l.l_linenumber")
+  }
+
   private def countShuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
     var n = 0
     def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
@@ -1867,6 +1915,11 @@ object OpsQueries {
              |WHERE o_orderkey BETWEEN 100 AND 500 AND o_custkey BETWEEN 100 AND 200
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_sql_spj", snapshotSqlSpj,
+      Some("""SELECT o_orderkey, l_linenumber, o_totalprice, l_quantity
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey <= 2000
+             |ORDER BY o_orderkey, l_linenumber""".stripMargin)),
+    Q("snapshot_sql_spj_append", snapshotSqlSpjAppend,
       Some("""SELECT o_orderkey, l_linenumber, o_totalprice, l_quantity
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE o_orderkey <= 2000

@@ -169,6 +169,39 @@ class SnapshotSpjSpec extends SparkTestBase {
     }
   }
 
+  test("appendBucketed keeps the layout: SPJ stays shuffle-free across ingest") {
+    import spark.implicits._
+    fixture()
+    // two co-clustered ingest batches: buckets now hold several files
+    BucketLayout.appendBucketed(spark, s"$root/fact",
+      (401L to 450L).map(i => (i, s"f$i")).toDF("id", "v"))
+    BucketLayout.appendBucketed(spark, s"$root/fact",
+      (451L to 500L).map(i => (i, s"f$i")).toDF("id", "v"))
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, f.v, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df) == 0,
+        "ingest broke the co-partitioning:\n" + df.queryExecution.executedPlan)
+      assert(df.count() == 100L)
+    }
+    // multi-file buckets must stop reporting per-bucket sortedness (the
+    // grouped read interleaves files) — the merge join plans its Sorts
+    // back, the join itself stays Exchange-free
+    val fact = Snapshots.read(spark, s"$root/fact")
+    assert(fact.count() == 500L)
+    // a PLAIN append (no bucket routing) still drops the layout: the
+    // honest degrade — one shuffled join, never wrong rows
+    Snapshots.commitAppend(Seq((501L, "f501")).toDF("id", "v"), s"$root/fact")
+    noBroadcast {
+      val df2 = spark.sql(
+        """SELECT f.id, f.v, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df2) >= 1, "dropped layout must plan a shuffled join")
+      assert(df2.count() == 100L)
+    }
+  }
+
   test("groupBy on the layout key aggregates with zero Exchange") {
     fixture()
     // KeyGroupedPartitioning satisfies the aggregate's ClusteredDistribution
