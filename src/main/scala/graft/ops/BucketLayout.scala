@@ -102,6 +102,55 @@ object BucketLayout {
     v
   }
 
+  /** Fold multi-file buckets back to one key-sorted file each, carrying
+    * single-file buckets BY REFERENCE — the incremental maintenance verb
+    * that completes the ingest lifecycle: [[appendBucketed]] costs
+    * O(batch) per append, this costs O(accumulated ingest), and the full
+    * [[commitBucketed]] rewrite is never needed on a cadence. After the
+    * fold every bucket is one sorted file again, so the scan resumes
+    * reporting per-bucket sortedness and co-partitioned merge joins drop
+    * their Sort nodes. Rewritten buckets read DV-APPLIED (their
+    * delete-vector entries fold away, same rule as optimize_small);
+    * carried files keep the version's vectors. A no-gain pass (every
+    * bucket single-file) commits nothing and returns the current
+    * version — safe on a timer. Row-preserving, so the CHECK-constraint
+    * gate is skipped like every compaction. */
+  def compactBuckets(s: SparkSession, loc: String): Long = {
+    val b = "__graft_bucket"
+    var attempt = 0
+    while (attempt < 64) {
+      val latest = Snapshots.latestVersion(s, loc)
+      val spec = Snapshots.versionLayout(s, loc, latest).flatMap(parse)
+        .getOrElse(throw new IllegalStateException(
+          s"$loc has no active bucket layout to compact"))
+      val files = Snapshots.versionFiles(s, loc, latest)
+      val dvs = Snapshots.versionDvs(s, loc, latest)
+      val schema = Snapshots.versionSchema(s, loc, latest)
+      val byBucket = files.groupBy(f => bucketOfPath(f).getOrElse(-1))
+      val multi = byBucket.filter(_._2.length > 1).values.flatten.toSeq
+      if (multi.isEmpty) return latest // every bucket single-file: no gain
+      val kept = files.filterNot(multi.toSet)
+      val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
+      Snapshots.applyDv(s, Snapshots.readData(s, multi, schema), dvs)
+        .withColumn(b, bucketId(col(spec.column), spec.buckets))
+        .repartition(spec.buckets, col(b))
+        .sortWithinPartitions(col(b), col(spec.column))
+        .write.mode(SaveMode.ErrorIfExists)
+        .partitionBy(b).parquet(dataDir.toString)
+      val f = dataDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val newFiles = f.globStatus(new Path(dataDir, s"$DirPrefix*/part-*"))
+        .toSeq.map(_.getPath.toString)
+      val keepDvs = if (kept.nonEmpty) dvs else Nil
+      if (Snapshots.tryPublish(s, loc, latest + 1, kept ++ newFiles,
+          dvs = keepDvs, schemaJson = schema.map(_.json),
+          layout = Some(format(spec)), carriedValid = true))
+        return latest + 1
+      f.delete(dataDir, true) // lost the race: recompute against new latest
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
+  }
+
   /** Rewrite the table hash-bucketed by `column` into `n` buckets and
     * publish it as a new version carrying the layout header. One shuffle
     * on the bucket id (each bucket lands wholly in one task, so exactly

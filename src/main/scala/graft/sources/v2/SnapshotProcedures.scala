@@ -36,7 +36,7 @@ object SnapshotProcedures {
       "attach_blooms", "auto_stats", "cluster", "bucket", "migrate",
       "delete_mor", "rollback", "attach_grams",
       "branch", "fast_forward", "drop_branch", "tag", "drop_tag",
-      "add_constraint", "drop_constraint")
+      "add_constraint", "drop_constraint", "optimize_buckets")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -187,6 +187,19 @@ object SnapshotProcedures {
       str(input, 1), input.getInt(2))
     Snapshots.autoStats(spark, loc)
     Seq[Any](v, input.getInt(2))
+  }
+
+  /** Incremental per-bucket fold ([[graft.ops.BucketLayout
+    * .compactBuckets]]): buckets that accumulated several ingest files
+    * rewrite to one sorted file each, single-file buckets carry by
+    * reference; a no-gain pass commits nothing — safe on a timer. */
+  private val optimizeBuckets = procedure("optimize_buckets",
+    Seq(in("table", StringType)),
+    StructType(Seq(StructField("version", LongType),
+      StructField("files", IntegerType)))) { (loc, input) =>
+    val v = graft.ops.BucketLayout.compactBuckets(spark, loc)
+    Snapshots.autoStats(spark, loc)
+    Seq[Any](v, Snapshots.versionFiles(spark, loc, v).length)
   }
 
   private val deleteMor = procedure("delete_mor",
@@ -343,7 +356,8 @@ object SnapshotProcedures {
     "rollback" -> rollbackTable, "attach_grams" -> attachGrams,
     "branch" -> branchTable, "fast_forward" -> fastForward,
     "drop_branch" -> dropBranch, "tag" -> tagTable, "drop_tag" -> dropTag,
-    "add_constraint" -> addConstraint, "drop_constraint" -> dropConstraint)
+    "add_constraint" -> addConstraint, "drop_constraint" -> dropConstraint,
+    "optimize_buckets" -> optimizeBuckets)
 
   def load(name: String, root: String): Option[UnboundProcedure] =
     all.get(name.toLowerCase(java.util.Locale.ROOT)).map(_(root))

@@ -190,6 +190,24 @@ class SnapshotSpjSpec extends SparkTestBase {
     // back, the join itself stays Exchange-free
     val fact = Snapshots.read(spark, s"$root/fact")
     assert(fact.count() == 500L)
+    // the incremental fold: multi-file buckets rewrite to one sorted
+    // file each, rows intact, layout intact, and a no-gain second pass
+    // commits nothing
+    val folded = spark.sql(
+      "CALL spjcat.system.optimize_buckets('fact')").head()
+    val perBucket = Snapshots.read(spark, s"$root/fact").inputFiles
+      .groupBy(f => BucketLayout.bucketOfPath(f).getOrElse(-1))
+    assert(perBucket.forall(_._2.length == 1),
+      s"fold left multi-file buckets: ${perBucket.view.mapValues(_.length).toMap}")
+    assert(Snapshots.read(spark, s"$root/fact").count() == 500L)
+    noBroadcast {
+      val df3 = spark.sql(
+        """SELECT f.id, f.v, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df3) == 0, "fold dropped the layout")
+    }
+    assert(spark.sql("CALL spjcat.system.optimize_buckets('fact')")
+      .head().getLong(0) == folded.getLong(0), "no-gain pass must not commit")
     // a PLAIN append (no bucket routing) still drops the layout: the
     // honest degrade — one shuffled join, never wrong rows
     Snapshots.commitAppend(Seq((501L, "f501")).toDF("id", "v"), s"$root/fact")
