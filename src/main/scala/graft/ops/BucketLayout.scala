@@ -75,7 +75,8 @@ object BucketLayout {
     * per-bucket sortedness while any bucket holds several files —
     * merge joins re-insert their Sort, the join stays Exchange-free). */
   def appendBucketed(s: SparkSession, loc: String,
-                     df: org.apache.spark.sql.DataFrame): Long = {
+                     df: org.apache.spark.sql.DataFrame,
+                     marker: Option[String] = None): Long = {
     val spec = Snapshots.versionLayout(s, loc,
         Snapshots.latestVersion(s, loc)).flatMap(parse)
       .getOrElse(throw new IllegalStateException(
@@ -97,7 +98,9 @@ object BucketLayout {
     val f = dataDir.getFileSystem(s.sparkContext.hadoopConfiguration)
     val newFiles = f.globStatus(new Path(dataDir, s"$DirPrefix*/part-*"))
       .toSeq.map(_.getPath.toString)
-    val v = Snapshots.publishAppend(s, loc, newFiles)
+    // marker (if any) rides in the publishing manifest — the same
+    // exactly-once contract commitAppend gives streaming epochs
+    val v = Snapshots.publishAppend(s, loc, newFiles, marker)
     if (v < 0) f.delete(dataDir, true)
     v
   }

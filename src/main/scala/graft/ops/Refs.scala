@@ -75,19 +75,28 @@ object Refs {
 
   // ---------------------------------------------------------------- branches
 
-  /** Fork a writable branch at the parent's current version. Metadata-
-    * only: the branch's v1 names the parent's live files by reference
-    * (plus DVs/schema/layout), so creating a branch on a 100 TB table
-    * writes one manifest. Branching a branch is refused — one level
-    * keeps fast-forward's fork-base rule decidable from v1's lineage. */
-  def createBranch(s: SparkSession, loc: String, name: String): Long = {
+  /** Fork a writable branch at the parent's current version (or a
+    * pinned historical one — fork-from-tag/time-travel: pass the
+    * version a tag names). Metadata-only: the branch's v1 names the
+    * fork version's live files by reference (plus DVs/schema/layout),
+    * so creating a branch on a 100 TB table writes one manifest.
+    * Branching a branch is refused — one level keeps fast-forward's
+    * fork-base rule decidable from v1's lineage (and a branch forked
+    * from history can only fast-forward after the parent rolls back to
+    * that version, the correct publish semantics by construction). */
+  def createBranch(s: SparkSession, loc: String, name: String,
+                   version: Long = -1L): Long = {
     require(parentOf(loc).isEmpty, s"cannot branch a branch: $loc")
     val ms = Snapshots.manifests(s, loc)
     require(ms.nonEmpty, s"no committed snapshots at $loc")
     val bl = branchLoc(loc, name)
     require(Snapshots.latestVersion(s, bl) == 0,
       s"branch '$name' already exists at $loc")
-    val (v, p) = ms.last
+    val (v, p) =
+      if (version < 0) ms.last
+      else ms.find(_._1 == version).getOrElse(
+        throw new NoSuchElementException(
+          s"version $version not found at $loc (expired or never committed)"))
     val header = Snapshots.headerLines(s, p)
     val ok = Snapshots.tryPublish(s, bl, 1L, Snapshots.readManifest(s, p),
       dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv=")),
@@ -110,13 +119,15 @@ object Refs {
   }
 
   /** PUBLISH: land the branch's latest state on the parent as one new
-    * commit. Requires the parent still at the fork point (or already
-    * fast-forwarded to this exact state — idempotent retry); a parent
-    * that advanced means concurrent history the caller must inspect,
-    * so this throws rather than silently dropping it. The published
-    * manifest names the branch's data files by reference — no copy;
-    * [[dropBranch]] and the branch's expire both honor parent
-    * references when sweeping. */
+    * commit. Requires the parent still AT THE FORK STATE — decided by
+    * content (file set + DVs vs the branch's v1 carry), not version
+    * number, so a parent ROLLED BACK to the fork point accepts the
+    * publish (undo-then-land) while any real divergence refuses with a
+    * clear error rather than silently dropping concurrent commits.
+    * Idempotent on retry (an already-landed publish recognizes its own
+    * lineage). The published manifest names the branch's data files by
+    * reference — no copy; [[dropBranch]] and the branch's expire both
+    * honor parent references when sweeping. */
   def fastForward(s: SparkSession, loc: String, name: String): Long = {
     val bl = branchLoc(loc, name)
     val bms = Snapshots.manifests(s, bl)
@@ -126,16 +137,23 @@ object Refs {
     val files = Snapshots.readManifest(s, bp)
     val header = Snapshots.headerLines(s, bp)
     val lineage = s"publish:$name@v$bv"
+    // the fork state rides in the branch's own v1 (carried by
+    // reference), so the check never needs the parent's possibly-expired
+    // base manifest
+    val (_, forkP) = bms.head
+    val forkState = (Snapshots.readManifest(s, forkP).toSet,
+      Snapshots.headerLines(s, forkP).filter(_.startsWith("#dv=")).toSet)
     var attempt = 0
     while (attempt < 64) {
-      val latest = Snapshots.latestVersion(s, loc)
-      if (latest > base) {
+      val (latest, lp) = Snapshots.manifests(s, loc).last
+      val parentState = (Snapshots.readManifest(s, lp).toSet,
+        Snapshots.headerLines(s, lp).filter(_.startsWith("#dv=")).toSet)
+      if (parentState != forkState) {
         // idempotent retry: the parent's newest commit IS this publish
-        val (_, lp) = Snapshots.manifests(s, loc).last
         if (Snapshots.headerLines(s, lp).contains(s"#lineage=$lineage"))
           return latest
         throw new IllegalStateException(
-          s"$loc advanced to v$latest past fork base v$base of '$name'; " +
+          s"$loc (v$latest) advanced past fork state v$base of '$name'; " +
             "re-branch and re-apply, or roll the parent back first")
       }
       if (Snapshots.tryPublish(s, loc, latest + 1, files,

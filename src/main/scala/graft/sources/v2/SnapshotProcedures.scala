@@ -296,9 +296,11 @@ object SnapshotProcedures {
     * fast_forward('t','audit')` publishes the audited state back as one
     * parent commit, refused if the parent advanced past the fork. */
   private val branchTable = procedure("branch",
-    Seq(in("table", StringType), in("name", StringType)),
+    Seq(in("table", StringType), in("name", StringType),
+      inDefault("version", LongType, "-1")),
     StructType(Seq(StructField("fork_version", LongType)))) { (loc, input) =>
-    Seq[Any](graft.ops.Refs.createBranch(spark, loc, str(input, 1)))
+    Seq[Any](graft.ops.Refs.createBranch(spark, loc, str(input, 1),
+      input.getLong(2)))
   }
 
   private val fastForward = procedure("fast_forward",

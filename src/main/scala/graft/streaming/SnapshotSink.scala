@@ -58,4 +58,25 @@ object SnapshotSink {
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: DataFrame, id: Long) => { commitBatch(b, loc, id); () })
       .start()
+
+  /** Exactly-once CO-CLUSTERED streaming ingest: each epoch appends
+    * under the table's bucket layout ([[graft.ops.BucketLayout
+    * .appendBucketed]] — the epoch marker rides in the same publishing
+    * manifest), so a continuously streamed fact table keeps its
+    * shuffle-free storage-partitioned join plan; fold the accumulated
+    * per-epoch files with `CALL optimize_buckets` on a maintenance
+    * timer. Requires the table bucket-laid before the stream starts. */
+  def commitBatchBucketed(batch: DataFrame, loc: String, batchId: Long): Long = {
+    val marker = s"batch=$batchId"
+    if (Snapshots.markers(batch.sparkSession, loc).contains(marker)) -1L
+    else graft.ops.BucketLayout.appendBucketed(
+      batch.sparkSession, loc, batch, Some(marker))
+  }
+
+  def snapshotTableBucketed(stream: DataFrame, loc: String,
+                            checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => { commitBatchBucketed(b, loc, id); () })
+      .start()
 }

@@ -181,6 +181,24 @@ class SnapshotRefsSpec extends SparkTestBase {
       "branch expire deleted a parent-published file")
   }
 
+  test("fork from a historical version; publish only lands after rollback to it") {
+    import spark.implicits._
+    wipe()
+    val loc = table("t12", n = 20L)                                   // v1
+    Snapshots.commitReplace(Seq((999L, "x")).toDF("id", "v"), loc)    // v2
+    val fork = Refs.createBranch(spark, loc, "fixup", version = 1L)
+    assert(fork == 1L)
+    val bl = Refs.branchLoc(loc, "fixup")
+    assert(ids(bl) == (1L to 20L).toSet, "fork did not read the pinned version")
+    Snapshots.commitAppend(Seq((21L, "v21")).toDF("id", "v"), bl)
+    // the parent sits at v2, past the fork base: publish refuses
+    intercept[IllegalStateException](Refs.fastForward(spark, loc, "fixup"))
+    // roll the parent back to the fork base: now the publish lands
+    Snapshots.rollback(spark, loc, 1L)
+    Refs.fastForward(spark, loc, "fixup")
+    assert(ids(loc) == (1L to 21L).toSet)
+  }
+
   test("streaming ingest lands on a branch; fast-forward publishes the epochs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

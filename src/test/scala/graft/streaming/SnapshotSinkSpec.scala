@@ -33,6 +33,32 @@ class SnapshotSinkSpec extends SparkTestBase {
     assert(Snapshots.markers(spark, loc) == Set("batch=0", "batch=1"))
   }
 
+  test("bucketed streaming ingest keeps the layout; replayed epochs skip") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val loc = "/tmp/graft-test/snap_sink_bucketed"
+    val ckpt = "/tmp/graft-test/snap_sink_bucketed_ckpt"
+    wipe(loc, ckpt)
+    Snapshots.commitAppend((1L to 50L).map(i => (i, i)).toDF("id", "v"), loc)
+    graft.ops.BucketLayout.commitBucketed(spark, loc, "id", 4)
+    val mem = MemoryStream[Long]
+    val q = SnapshotSink.snapshotTableBucketed(
+      mem.toDF().select(org.apache.spark.sql.functions.col("value").as("id"),
+        org.apache.spark.sql.functions.col("value").as("v")), loc, ckpt)
+    try {
+      mem.addData(51L, 52L); q.processAllAvailable()
+      mem.addData(53L); q.processAllAvailable()
+    } finally q.stop()
+    // every epoch's files are bucket-routed, so the layout survived
+    assert(Snapshots.versionLayout(spark, loc,
+      Snapshots.latestVersion(spark, loc)).contains("bucket,4,id"))
+    assert(Snapshots.read(spark, loc).count() == 53L)
+    // at-least-once replay of a committed epoch commits nothing
+    assert(SnapshotSink.commitBatchBucketed(
+      Seq((53L, 53L)).toDF("id", "v"), loc, 1L) == -1L)
+    assert(Snapshots.read(spark, loc).count() == 53L)
+  }
+
   test("end-to-end: MemoryStream into a snapshot table, replay after 'crash', lifecycle intact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
