@@ -105,20 +105,24 @@ object BucketLayout {
     v
   }
 
-  /** Fold multi-file buckets back to one key-sorted file each, carrying
-    * single-file buckets BY REFERENCE — the incremental maintenance verb
-    * that completes the ingest lifecycle: [[appendBucketed]] costs
-    * O(batch) per append, this costs O(accumulated ingest), and the full
-    * [[commitBucketed]] rewrite is never needed on a cadence. After the
-    * fold every bucket is one sorted file again, so the scan resumes
-    * reporting per-bucket sortedness and co-partitioned merge joins drop
-    * their Sort nodes. Rewritten buckets read DV-APPLIED (their
-    * delete-vector entries fold away, same rule as optimize_small);
-    * carried files keep the version's vectors. A no-gain pass (every
-    * bucket single-file) commits nothing and returns the current
-    * version — safe on a timer. Row-preserving, so the CHECK-constraint
-    * gate is skipped like every compaction. */
-  def compactBuckets(s: SparkSession, loc: String): Long = {
+  /** Fold each bucket's accumulated SMALL ingest files into one
+    * key-sorted file per bucket, carrying every file at or above
+    * `smallerThanBytes` — and every bucket with fewer than two
+    * candidates — BY REFERENCE. This is what makes the ingest lifecycle
+    * genuinely incremental under UNIFORM hash routing, where every
+    * batch touches every bucket: a whole-bucket rewrite would re-read
+    * the big base files and cost O(table) per fold, while this reads
+    * only the per-epoch small files — O(accumulated ingest). Steady
+    * state per bucket: one big base file + one consolidated ingest file
+    * (SPJ groups them; per-bucket sortedness stays off until a full
+    * [[commitBucketed]] restores single sorted files in a maintenance
+    * window). Folded files read DV-APPLIED (their delete-vector entries
+    * fold away, same rule as optimize_small); carried files keep the
+    * version's vectors. A no-gain pass commits nothing and returns the
+    * current version — safe on a timer. Row-preserving, so the
+    * CHECK-constraint gate is skipped like every compaction. */
+  def compactBuckets(s: SparkSession, loc: String,
+                     smallerThanBytes: Long = 32L * 1024 * 1024): Long = {
     val b = "__graft_bucket"
     var attempt = 0
     while (attempt < 64) {
@@ -129,9 +133,14 @@ object BucketLayout {
       val files = Snapshots.versionFiles(s, loc, latest)
       val dvs = Snapshots.versionDvs(s, loc, latest)
       val schema = Snapshots.versionSchema(s, loc, latest)
+      val lengths = Snapshots.fileSizes(s, files)
       val byBucket = files.groupBy(f => bucketOfPath(f).getOrElse(-1))
-      val multi = byBucket.filter(_._2.length > 1).values.flatten.toSeq
-      if (multi.isEmpty) return latest // every bucket single-file: no gain
+      val multi = byBucket.values.flatMap { fs =>
+        val small = fs.filter(f =>
+          lengths.get(Snapshots.normPath(f)).exists(_ < smallerThanBytes))
+        if (small.length >= 2) small else Nil
+      }.toSeq
+      if (multi.isEmpty) return latest // nothing to bin-pack: no gain
       val kept = files.filterNot(multi.toSet)
       val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
       Snapshots.applyDv(s, Snapshots.readData(s, multi, schema), dvs)

@@ -1234,18 +1234,23 @@ object Snapshots {
   def history(s: SparkSession, loc: String): DataFrame = {
     val times = manifestTimes(s, loc).toMap
     val rows = manifests(s, loc).foldLeft(
-      (Seq.empty[(Long, java.sql.Timestamp, Int, Int, Int, Int)],
-        Set.empty[String])) { case ((acc, prevFiles), (v, _)) =>
+      (Seq.empty[(Long, java.sql.Timestamp, Int, Int, Int, Int, Option[String])],
+        Set.empty[String])) { case ((acc, prevFiles), (v, p)) =>
       val files = versionFiles(s, loc, v).map(normPath).toSet
       val dvs = versionDvs(s, loc, v)
+      // provenance: rollback/publish/branch/migrate commits record their
+      // origin in the #lineage= header — surfaced so "what did commit N
+      // do" is answerable from the history table alone
+      val lineage = headerLines(s, p).find(_.startsWith("#lineage="))
+        .map(_.stripPrefix("#lineage="))
       val row = (v, new java.sql.Timestamp(times.getOrElse(v, 0L)),
         files.size, dvs.length,
-        (files -- prevFiles).size, (prevFiles -- files).size)
+        (files -- prevFiles).size, (prevFiles -- files).size, lineage)
       (acc :+ row, files)
     }._1
     s.createDataFrame(rows).toDF(
       "version", "committed_at", "n_files", "n_dvs",
-      "added_files", "removed_files")
+      "added_files", "removed_files", "lineage")
   }
 
   /** Per-file row counts a version's stats sidecar proved (trailing

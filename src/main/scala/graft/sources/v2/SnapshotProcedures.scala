@@ -190,14 +190,17 @@ object SnapshotProcedures {
   }
 
   /** Incremental per-bucket fold ([[graft.ops.BucketLayout
-    * .compactBuckets]]): buckets that accumulated several ingest files
-    * rewrite to one sorted file each, single-file buckets carry by
-    * reference; a no-gain pass commits nothing — safe on a timer. */
+    * .compactBuckets]]): each bucket's accumulated SMALL ingest files
+    * fold into one sorted file, big base files carry by reference —
+    * O(accumulated ingest), never O(table); a no-gain pass commits
+    * nothing — safe on a timer. */
   private val optimizeBuckets = procedure("optimize_buckets",
-    Seq(in("table", StringType)),
+    Seq(in("table", StringType),
+      inDefault("smaller_than_mb", IntegerType, "32")),
     StructType(Seq(StructField("version", LongType),
       StructField("files", IntegerType)))) { (loc, input) =>
-    val v = graft.ops.BucketLayout.compactBuckets(spark, loc)
+    val v = graft.ops.BucketLayout.compactBuckets(spark, loc,
+      input.getInt(1).toLong * 1024 * 1024)
     Snapshots.autoStats(spark, loc)
     Seq[Any](v, Snapshots.versionFiles(spark, loc, v).length)
   }

@@ -1008,6 +1008,49 @@ object AdversarialProbe {
     val rc4 = time("ref wap cycle x4", reps = 3)(refCycle(gt4))
     verdict("refs_wap_metadata_flat", rc1, rc4, 1.0)
 
+    // ---- layout-preserving ingest: appendBucketed shuffles ONLY the
+    // batch (flat wall across table size), and the per-bucket fold
+    // (optimize_buckets) reads only the accumulated SMALL ingest files —
+    // the big base bucket files carry by reference, so fold wall is
+    // O(ingest), flat across a 4x table. Mutating ops: reps = 1.
+    def bucketedTable(mult: Int): String = {
+      val loc = s"/tmp/graft-probe/spjb_x$mult"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val li = graft.core.Tables.lineitem(spark, d)
+      val df = (0 until mult).map { m =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(m * 100000000L))
+      }.reduce(_ union _)
+      graft.ops.Snapshots.commitAppend(df.repartition(mult * 4), loc)
+      graft.ops.BucketLayout.commitBucketed(spark, loc, "l_orderkey", 4)
+      loc
+    }
+    val bt1 = bucketedTable(1)
+    val bt4 = bucketedTable(4)
+    val ingestBatch = graft.core.Tables.lineitem(spark, d).limit(5000)
+    val ba1 = time("bucketed append x1", reps = 1)(
+      { graft.ops.BucketLayout.appendBucketed(spark, bt1, ingestBatch); 1L })
+    val ba4 = time("bucketed append x4", reps = 1)(
+      { graft.ops.BucketLayout.appendBucketed(spark, bt4, ingestBatch); 1L })
+    verdict("bucketed_append_flat", ba1, ba4, 1.0)
+    // second batch so every bucket holds >= 2 small candidates, then fold
+    graft.ops.BucketLayout.appendBucketed(spark, bt1, ingestBatch)
+    graft.ops.BucketLayout.appendBucketed(spark, bt4, ingestBatch)
+    val thresh = 1024L * 1024
+    val bf1 = time("bucket fold x1", reps = 1)(
+      { graft.ops.BucketLayout.compactBuckets(spark, bt1, thresh); 1L })
+    val bf4 = time("bucket fold x4", reps = 1)(
+      { graft.ops.BucketLayout.compactBuckets(spark, bt4, thresh); 1L })
+    verdict("bucket_fold_ingest_only", bf1, bf4, 1.0)
+    // the fold must have CARRIED the big base files (v2 = the bucketed
+    // rewrite; v1 is the pre-layout append)
+    val base4 = graft.ops.Snapshots.versionFiles(spark, bt4, 2L).toSet
+    val after4 = graft.ops.Snapshots.versionFiles(spark, bt4,
+      graft.ops.Snapshots.latestVersion(spark, bt4)).toSet
+    if (!base4.subsetOf(after4)) { failed = true
+      println("BUCKET-FOLD carry: FAIL (base files rewritten)") }
+    else println("BUCKET-FOLD carry: PASS (base files carried by reference)")
+
     spark.stop()
     if (failed) { println("ADVERSARIAL PROBE: FAIL"); sys.exit(1) }
     else println("ADVERSARIAL PROBE: PASS")

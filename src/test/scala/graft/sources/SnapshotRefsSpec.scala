@@ -162,6 +162,10 @@ class SnapshotRefsSpec extends SparkTestBase {
       .head().getLong(0) == 100L)
     spark.sql("CALL refcat.system.drop_branch('t7', 'audit')")
     assert(spark.sql("SELECT * FROM refcat.t7.refs WHERE kind='branch'").count() == 0L)
+    // the publish's provenance is answerable from the history table
+    assert(spark.sql(
+      "SELECT lineage FROM refcat.t7.history WHERE version = 2")
+      .head().getString(0).startsWith("publish:audit@v"))
   }
 
   test("branch expire keeps files the parent re-referenced via fast-forward") {
