@@ -62,6 +62,32 @@ object BucketLayout {
   private[graft] def bucketOfPath(file: String): Option[Int] =
     PathRe.findFirstMatchIn(file).map(_.group(1).toInt)
 
+  /** THE bucket-routed write: rows hashed to `spec` buckets, one file
+    * per non-empty bucket under `__graft_bucket=<k>/`, key-sorted
+    * within. One recipe shared by build/append/fold so the routing
+    * contract (hash, sort, dir prefix) can never diverge between them.
+    * Repartition ON the bucket column so the dynamic-partition write
+    * sees each bucket in exactly one task → one file per bucket, not
+    * one per (task × bucket). Sort by (bucket, key): the dynamic-
+    * partition writer REQUIRES its input sorted by the partition column
+    * and would otherwise insert its own sort on the bucket alone —
+    * non-stable, destroying the key order inside each file that
+    * [[graft.sources.v2.SnapshotRowScan.outputOrdering]] reports.
+    * Returns the written files. */
+  private def writeBucketed(df: org.apache.spark.sql.DataFrame, spec: Spec,
+                            dataDir: Path): Seq[String] = {
+    val b = "__graft_bucket"
+    df.withColumn(b, bucketId(col(spec.column), spec.buckets))
+      .repartition(spec.buckets, col(b))
+      .sortWithinPartitions(col(b), col(spec.column))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(b).parquet(dataDir.toString)
+    val f = dataDir.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    f.globStatus(new Path(dataDir, s"$DirPrefix*/part-*"))
+      .toSeq.map(_.getPath.toString)
+  }
+
   /** APPEND under the table's existing bucket layout — continuous
     * co-clustered ingest. The batch is routed with the SAME hash recipe
     * the layout was built with (one batch-sized shuffle, one file per
@@ -87,20 +113,17 @@ object BucketLayout {
       s"appendBucketed batch columns ${df.columns.mkString(",")} must match " +
         s"the table's ${table.columns.mkString(",")} exactly (additive " +
         "evolution goes through commitAppend, which drops the layout)")
-    val commitId = java.util.UUID.randomUUID().toString
-    val dataDir = new Path(loc, s"data/$commitId")
-    val b = "__graft_bucket"
-    df.withColumn(b, bucketId(col(spec.column), spec.buckets))
-      .repartition(spec.buckets, col(b))
-      .sortWithinPartitions(col(b), col(spec.column))
-      .write.mode(SaveMode.ErrorIfExists)
-      .partitionBy(b).parquet(dataDir.toString)
+    val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
     val f = dataDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val newFiles = f.globStatus(new Path(dataDir, s"$DirPrefix*/part-*"))
-      .toSeq.map(_.getPath.toString)
+    val newFiles = writeBucketed(df, spec, dataDir)
     // marker (if any) rides in the publishing manifest — the same
-    // exactly-once contract commitAppend gives streaming epochs
-    val v = Snapshots.publishAppend(s, loc, newFiles, marker)
+    // exactly-once contract commitAppend gives streaming epochs.
+    // routedLayout = the spec this batch was hashed with: the publish
+    // carries the layout only if the table STILL has exactly it (a
+    // concurrent re-bucket with a different count drops the carry
+    // rather than corrupting co-partitioned plans)
+    val v = Snapshots.publishAppend(s, loc, newFiles, marker,
+      routedLayout = Some(format(spec)))
     if (v < 0) f.delete(dataDir, true)
     v
   }
@@ -123,7 +146,6 @@ object BucketLayout {
     * CHECK-constraint gate is skipped like every compaction. */
   def compactBuckets(s: SparkSession, loc: String,
                      smallerThanBytes: Long = 32L * 1024 * 1024): Long = {
-    val b = "__graft_bucket"
     var attempt = 0
     while (attempt < 64) {
       val latest = Snapshots.latestVersion(s, loc)
@@ -143,15 +165,10 @@ object BucketLayout {
       if (multi.isEmpty) return latest // nothing to bin-pack: no gain
       val kept = files.filterNot(multi.toSet)
       val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
-      Snapshots.applyDv(s, Snapshots.readData(s, multi, schema), dvs)
-        .withColumn(b, bucketId(col(spec.column), spec.buckets))
-        .repartition(spec.buckets, col(b))
-        .sortWithinPartitions(col(b), col(spec.column))
-        .write.mode(SaveMode.ErrorIfExists)
-        .partitionBy(b).parquet(dataDir.toString)
       val f = dataDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val newFiles = f.globStatus(new Path(dataDir, s"$DirPrefix*/part-*"))
-        .toSeq.map(_.getPath.toString)
+      val newFiles = writeBucketed(
+        Snapshots.applyDv(s, Snapshots.readData(s, multi, schema), dvs),
+        spec, dataDir)
       val keepDvs = if (kept.nonEmpty) dvs else Nil
       if (Snapshots.tryPublish(s, loc, latest + 1, kept ++ newFiles,
           dvs = keepDvs, schemaJson = schema.map(_.json),
@@ -176,24 +193,8 @@ object BucketLayout {
     val df = Snapshots.read(s, loc)
     require(df.columns.contains(column),
       s"bucket column '$column' not in table schema ${df.columns.mkString(",")}")
-    val commitId = java.util.UUID.randomUUID().toString
-    val dataDir = new Path(loc, s"data/$commitId")
-    val b = "__graft_bucket"
-    // repartition ON the bucket column so the dynamic-partition write
-    // sees each bucket in exactly one task → one file per bucket, not
-    // one per (task × bucket). Sort by (bucket, key): the dynamic-
-    // partition writer REQUIRES its input sorted by the partition column
-    // and would otherwise insert its own sort on the bucket alone —
-    // non-stable, destroying the key order inside each file that
-    // [[graft.sources.v2.SnapshotRowScan.outputOrdering]] reports.
-    df.withColumn(b, bucketId(col(column), n))
-      .repartition(n, col(b))
-      .sortWithinPartitions(col(b), col(column))
-      .write.mode(SaveMode.ErrorIfExists)
-      .partitionBy(b).parquet(dataDir.toString)
-    val f = dataDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val newFiles = f.globStatus(new Path(dataDir, s"$DirPrefix*/part-*"))
-      .toSeq.map(_.getPath.toString)
+    val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
+    val newFiles = writeBucketed(df, Spec(column, n), dataDir)
     Snapshots.publishLayout(s, loc, newFiles, df.schema.json, format(Spec(column, n)))
   }
 }

@@ -78,8 +78,19 @@ object Constraints {
     }
   }
 
-  /** Add a named CHECK, validating the CURRENT table contents first —
-    * rejected (nothing recorded) if any existing row violates it. */
+  /** Add a named CHECK, validating the table's contents — rejected (and
+    * rolled back to the prior constraint set) if any existing row
+    * violates it. Ordering matters for the invariant "every version
+    * committed after a successful add satisfies the constraint": the
+    * gate file is written FIRST, so any commit that starts after this
+    * point validates against it, and THEN the existing data is checked,
+    * re-checking until the latest version is stable across the scan (a
+    * commit that landed mid-scan gets re-validated). The residual
+    * window is a writer that probed [[has]] just before the gate file
+    * landed and renamed its manifest just after the final stability
+    * check — micro-seconds of pure FS metadata work, the coordination
+    * floor a filesystem manifest log has (a violating row slipping
+    * through it is caught by the next CoW rewrite of its file). */
   def add(s: SparkSession, loc: String, name: String, predicate: String): Unit = {
     requireName(name)
     require(!predicate.contains("\n") && !predicate.contains("\r") &&
@@ -87,12 +98,23 @@ object Constraints {
     val existing = list(s, loc)
     require(!existing.exists(_._1 == name),
       s"constraint '$name' already exists at $loc (drop it first)")
-    if (Snapshots.latestVersion(s, loc) > 0) {
-      val bad = Snapshots.read(s, loc).filter(not(expr(predicate))).take(1)
-      if (bad.nonEmpty) throw new IllegalStateException(
-        s"cannot add constraint '$name' ($predicate): existing row violates it: ${bad.head}")
+    write(s, loc, existing :+ (name, predicate)) // gate live from here
+    try {
+      var v = Snapshots.latestVersion(s, loc)
+      var stable = false
+      while (!stable) {
+        if (v > 0) {
+          val bad = Snapshots.read(s, loc, v).filter(not(expr(predicate))).take(1)
+          if (bad.nonEmpty) throw new IllegalStateException(
+            s"cannot add constraint '$name' ($predicate): " +
+              s"existing row violates it: ${bad.head}")
+        }
+        val v2 = Snapshots.latestVersion(s, loc)
+        if (v2 == v) stable = true else v = v2
+      }
+    } catch {
+      case e: Throwable => write(s, loc, existing); throw e // roll back
     }
-    write(s, loc, existing :+ (name, predicate))
   }
 
   def drop(s: SparkSession, loc: String, name: String): Boolean = {

@@ -64,6 +64,12 @@ object Refs {
   private def refsDir(loc: String) = new Path(loc, "_refs")
   private def tagPath(loc: String, name: String): Path = {
     requireRefName(name)
+    // `VERSION AS OF '<literal>'` tries the literal as a version NUMBER
+    // first, so an all-digit tag could be written but never read — it
+    // would silently resolve to the version of that number instead
+    require(!name.forall(_.isDigit),
+      s"tag name must not be all digits ('$name' would be unreadable: " +
+        "VERSION AS OF resolves numeric literals as version numbers)")
     new Path(refsDir(loc), s"$name.tag")
   }
 
@@ -139,15 +145,14 @@ object Refs {
     val lineage = s"publish:$name@v$bv"
     // the fork state rides in the branch's own v1 (carried by
     // reference), so the check never needs the parent's possibly-expired
-    // base manifest
+    // base manifest; normPath'd comparison (manifestRefs) so spelling
+    // differences between committing paths never fake a divergence
     val (_, forkP) = bms.head
-    val forkState = (Snapshots.readManifest(s, forkP).toSet,
-      Snapshots.headerLines(s, forkP).filter(_.startsWith("#dv=")).toSet)
+    val forkState = Snapshots.manifestRefs(s, forkP)
     var attempt = 0
     while (attempt < 64) {
       val (latest, lp) = Snapshots.manifests(s, loc).last
-      val parentState = (Snapshots.readManifest(s, lp).toSet,
-        Snapshots.headerLines(s, lp).filter(_.startsWith("#dv=")).toSet)
+      val parentState = Snapshots.manifestRefs(s, lp)
       if (parentState != forkState) {
         // idempotent retry: the parent's newest commit IS this publish
         if (Snapshots.headerLines(s, lp).contains(s"#lineage=$lineage"))
@@ -178,12 +183,12 @@ object Refs {
     val f = Snapshots.fs(s, bl)
     val blPath = new Path(bl)
     if (!f.exists(blPath)) return 0
+    // normPath'd on both sides (manifestRefs vs listing): manifest
+    // spellings vary by committing path; a raw-string compare here would
+    // delete parent-published files — permanent parent data loss
     val parentLive: Set[String] =
-      Snapshots.manifests(s, loc).flatMap { case (_, p) =>
-        Snapshots.readManifest(s, p) ++
-          Snapshots.headerLines(s, p).filter(_.startsWith("#dv="))
-            .map(_.stripPrefix("#dv="))
-      }.toSet
+      Snapshots.manifests(s, loc)
+        .flatMap { case (_, p) => Snapshots.manifestRefs(s, p) }.toSet
     // manifests go first so no reader plans from a half-swept branch
     f.delete(Snapshots.manifestDir(bl), true)
     var kept = 0
@@ -194,7 +199,8 @@ object Refs {
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile) {
-          if (parentLive.contains(st.getPath.toString)) kept += 1
+          if (parentLive.contains(Snapshots.normPath(st.getPath.toString)))
+            kept += 1
           else dead += st.getPath
         }
       }
@@ -225,11 +231,8 @@ object Refs {
     * parent's expire must therefore treat as live. */
   private[graft] def branchRefs(s: SparkSession, loc: String): Set[String] =
     listBranches(s, loc).flatMap { n =>
-      Snapshots.manifests(s, branchLoc(loc, n)).flatMap { case (_, p) =>
-        Snapshots.readManifest(s, p) ++
-          Snapshots.headerLines(s, p).filter(_.startsWith("#dv="))
-            .map(_.stripPrefix("#dv="))
-      }
+      Snapshots.manifests(s, branchLoc(loc, n))
+        .flatMap { case (_, p) => Snapshots.manifestRefs(s, p) }
     }.toSet
 
   // -------------------------------------------------------------------- tags

@@ -91,6 +91,20 @@ object Snapshots {
   private[graft] def readManifest(s: SparkSession, p: Path): Seq[String] =
     manifestLines(s, p).filterNot(l => l.startsWith("#") || l.isEmpty)
 
+  /** Every file a manifest references — data lines plus `#dv=` headers —
+    * NORMALIZED ([[normPath]]). The one helper every liveness/identity
+    * comparison must go through: manifest lines are spelled however the
+    * committing path spelled them (the DSv2 streaming write records
+    * scheme-less strings, listStatus returns scheme-qualified ones), so
+    * comparing raw spellings against filesystem listings silently
+    * misses files — a sweep that "misses" a live file DELETES it. */
+  private[graft] def manifestRefs(s: SparkSession, p: Path): Set[String] = {
+    val lines = manifestLines(s, p)
+    (lines.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv=")) ++
+      lines.filterNot(l => l.startsWith("#") || l.isEmpty))
+      .map(normPath).toSet
+  }
+
   /** Append `df` as a new snapshot; returns the published version.
     *
     * `marker`, if given, makes the commit IDEMPOTENT: it is recorded in
@@ -162,7 +176,8 @@ object Snapshots {
   private[graft] def publishAppend(s: SparkSession, loc: String,
                                    newFiles: Seq[String],
                                    marker: Option[String] = None,
-                                   schemaIfEmpty: Option[String] = None): Long = {
+                                   schemaIfEmpty: Option[String] = None,
+                                   routedLayout: Option[String] = None): Long = {
     var attempt = 0
     while (attempt < 64) {
       if (marker.exists(m => markers(s, loc).contains(m))) return -1L
@@ -179,17 +194,24 @@ object Snapshots {
         case None => schemaIfEmpty
         case Some(_) => schemaFromHeader(prevHeader).map(_.json)
       }
-      // a bucket layout SURVIVES an append iff every appended file is
-      // itself bucket-routed (carries the __graft_bucket path segment) —
-      // BucketLayout.appendBucketed writes exactly that, so continuous
-      // ingest keeps co-clustered joins shuffle-free; any other append
-      // drops the layout (the documented honest degrade, never wrong
-      // rows). Buckets holding several files stay SPJ-able (the scan
-      // groups same-keyed files) and merely stop reporting sortedness.
-      val layout = prevHeader.find(_.startsWith("#layout="))
+      // a bucket layout SURVIVES an append iff the batch was ROUTED FOR
+      // THIS EXACT LAYOUT — `routedLayout` is the spec the writer hashed
+      // with (BucketLayout.appendBucketed), re-checked against the
+      // CURRENT header inside the CAS loop: a concurrent re-bucket with
+      // a different count would otherwise accept mod-N files under a
+      // mod-M header and make SPJ silently drop matches. A file-less
+      // append (empty streaming epoch) carries unconditionally — the
+      // file set is untouched. Any other append drops the layout (the
+      // documented honest degrade, never wrong rows). Buckets holding
+      // several files stay SPJ-able (the scan groups same-keyed files)
+      // and merely stop reporting sortedness.
+      val prevLayout = prevHeader.find(_.startsWith("#layout="))
         .map(_.stripPrefix("#layout="))
-        .filter(_ => newFiles.forall(f =>
-          BucketLayout.bucketOfPath(f).isDefined))
+      val layout = prevLayout.filter { pl =>
+        newFiles.isEmpty ||
+          (routedLayout.contains(pl) && newFiles.forall(f =>
+            BucketLayout.bucketOfPath(f).isDefined))
+      }
       if (tryPublish(s, loc, version, prevFiles ++ newFiles, marker, prevDvs,
           schemaJson, layout = layout))
         return version
@@ -1940,29 +1962,29 @@ object Snapshots {
     require(retainLast >= 1, "must retain at least the latest version")
     val f = fs(s, loc)
     val ms = manifests(s, loc)
-    // a tag is a retention pin: tagged versions survive regardless of age
-    val pinned = Refs.tags(s, loc).values.toSet
+    // a tag is a retention pin: tagged versions survive regardless of
+    // age — and a BRANCH's v1 is pinned structurally: it records the
+    // fork lineage and the fork state that fastForward and the refs
+    // metadata read forever, so expiring it would brick the branch
+    val pinned = Refs.tags(s, loc).values.toSet ++
+      (if (Refs.parentOf(loc).isDefined) Set(1L) else Set.empty[Long])
     val (dropped, kept) = {
       val tail = ms.takeRight(retainLast)
       val (pin, drop) = ms.dropRight(retainLast).partition(m => pinned(m._1))
       (drop, pin ++ tail)
     }
-    // delete-vector sidecars are referenced files like any other: live
-    // while a surviving manifest's header names them, dead with their
-    // version otherwise
-    def refs(p: Path): Seq[String] = {
-      val lines = manifestLines(s, p)
-      lines.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv=")) ++
-        lines.filterNot(l => l.startsWith("#") || l.isEmpty)
-    }
     // branch manifests carry parent files by reference (the fork), and a
     // fast-forwarded parent carries branch files — both directions pin
-    // liveness across the ref boundary, so the sweep consults them
-    val live = kept.flatMap { case (_, p) => refs(p) }.toSet ++
+    // liveness across the ref boundary, so the sweep consults them. All
+    // sets are normPath'd (manifestRefs): manifest spellings vary by
+    // committing path, listings are scheme-qualified, and a raw-string
+    // compare here deletes live files.
+    val live = kept.flatMap { case (_, p) => manifestRefs(s, p) }.toSet ++
       Refs.branchRefs(s, loc) ++
       Refs.parentOf(loc).toSeq.flatMap(pl =>
-        manifests(s, pl).flatMap { case (_, p) => refs(p) })
-    val expiredRefs = dropped.flatMap { case (_, p) => refs(p) }.toSet -- live
+        manifests(s, pl).flatMap { case (_, p) => manifestRefs(s, p) })
+    val expiredRefs =
+      dropped.flatMap { case (_, p) => manifestRefs(s, p) }.toSet -- live
     // a kept version's bloom header may carry older versions' parquets
     // by reference (#base delta chain) — those stay alive with it
     val keptBloomBases: Set[Long] =
@@ -1988,7 +2010,7 @@ object Snapshots {
       while (it.hasNext) {
         val st = it.next()
         val name = st.getPath.getName
-        val pStr = st.getPath.toString
+        val pStr = normPath(st.getPath.toString)
         if (name.startsWith("part-") && !live.contains(pStr) &&
             (expiredRefs.contains(pStr) ||
              st.getModificationTime < orphanHorizon))

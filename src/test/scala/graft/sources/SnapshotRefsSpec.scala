@@ -222,6 +222,33 @@ class SnapshotRefsSpec extends SparkTestBase {
     assert(ids(loc) == (1L to 10L).toSet, "epochs leaked into the parent")
     Refs.fastForward(spark, loc, "ingest")
     assert(ids(loc) == (1L to 10L).toSet ++ Set(100L, 101L))
+    // regression: the streaming write records scheme-less manifest
+    // spellings while listings are scheme-qualified — dropBranch must
+    // normalize both sides or the parent-published epoch files are
+    // deleted (permanent parent data loss)
+    assert(Refs.dropBranch(spark, loc, "ingest") > 0,
+      "published streamed files were not recognized as parent-live")
+    assert(ids(loc) == (1L to 10L).toSet ++ Set(100L, 101L),
+      "drop_branch deleted parent-published streamed files")
+  }
+
+  test("a branch's v1 is pinned through its own expire (fork state survives)") {
+    import spark.implicits._
+    wipe()
+    val loc = table("t13", n = 5L)
+    Refs.createBranch(spark, loc, "work")
+    val bl = Refs.branchLoc(loc, "work")
+    Snapshots.commitAppend(Seq((100L, "a")).toDF("id", "v"), bl)
+    Snapshots.commitAppend(Seq((101L, "b")).toDF("id", "v"), bl)
+    Snapshots.expire(spark, bl, retainLast = 1, orphanGraceMs = 0L)
+    // v1 (the fork manifest) must survive: it holds the lineage and the
+    // fork state fastForward and the refs metadata read
+    assert(Refs.forkBase(spark, bl) == 1L)
+    assert(Refs.refsMeta(spark, loc).count() == 1L)
+    // the parent is still at the fork state, so the publish lands even
+    // though the branch expired everything but its head and its v1
+    Refs.fastForward(spark, loc, "work")
+    assert(ids(loc) == (1L to 5L).toSet ++ Set(100L, 101L))
   }
 
   test("a fork carries the bucket layout: parent joins its branch shuffle-free") {
@@ -265,5 +292,8 @@ class SnapshotRefsSpec extends SparkTestBase {
       Refs.createBranch(spark, Refs.branchLoc(loc, "audit"), "nested"))
     intercept[IllegalArgumentException](Refs.createBranch(spark, loc, "a/b"))
     intercept[IllegalArgumentException](Refs.tag(spark, loc, "x y"))
+    // all-digit tags would be unreadable (VERSION AS OF '7' resolves as
+    // version 7, never the tag) — refused at creation
+    intercept[IllegalArgumentException](Refs.tag(spark, loc, "7"))
   }
 }

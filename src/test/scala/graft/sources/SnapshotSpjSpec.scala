@@ -208,6 +208,33 @@ class SnapshotSpjSpec extends SparkTestBase {
     }
     assert(spark.sql("CALL spjcat.system.optimize_buckets('fact')")
       .head().getLong(0) == folded.getLong(0), "no-gain pass must not commit")
+  }
+
+  test("layout carry requires the ROUTED spec to match the current header") {
+    import spark.implicits._
+    fixture()
+    val loc = s"$root/fact"
+    val before = Snapshots.latestVersion(spark, loc)
+    // files with bucket path segments but routed for a DIFFERENT spec
+    // (the concurrent-re-bucket race): the publish must DROP the layout
+    // rather than key mod-8 files under the mod-4 header — which would
+    // make the storage-partitioned join silently lose matching rows
+    val dataDir = s"$loc/data/${java.util.UUID.randomUUID()}"
+    (601L to 620L).map(i => (i, s"f$i")).toDF("id", "v")
+      .withColumn("__graft_bucket",
+        BucketLayout.bucketId(org.apache.spark.sql.functions.col("id"), 8))
+      .repartition(1)
+      .write.partitionBy("__graft_bucket").parquet(dataDir)
+    val p = new Path(dataDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newFiles = fs.globStatus(new Path(dataDir, "__graft_bucket=*/part-*"))
+      .toSeq.map(_.getPath.toString)
+    val v = Snapshots.publishAppend(spark, loc, newFiles,
+      routedLayout = Some("bucket,8,id")) // table header says bucket,4,id
+    assert(Snapshots.versionLayout(spark, loc, v).isEmpty,
+      "a mismatched routing spec must drop the layout, not corrupt it")
+    assert(Snapshots.read(spark, loc).count() ==
+      Snapshots.read(spark, loc, before).count() + 20)
     // a PLAIN append (no bucket routing) still drops the layout: the
     // honest degrade — one shuffled join, never wrong rows
     Snapshots.commitAppend(Seq((501L, "f501")).toDF("id", "v"), s"$root/fact")
