@@ -59,6 +59,12 @@ object SpanTrim {
   def trimDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                           width: Int = 8, minDocs: Int = 2): DataFrame = {
     require(width >= 2, "width must be at least 2")
+    // the min/max hash gate (step 3) keeps only grams seen in >= 2
+    // DISTINCT docs, so a single-doc gram never reaches the exact
+    // countDistinct verify — the pass is exact only for minDocs >= 2
+    // (minDocs = 1 would mean "trim every span", a different operator)
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs): the " +
+      "hash gate is exact only above the seen-twice threshold")
     val id = col(idCol)
     val base = docs.select(id.as("id"), split(col(textCol), " ").as("arr"))
     val toks = base

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hash-bucket table layout for SHUFFLE-FREE co-clustered joins — the
@@ -10,51 +10,100 @@ import org.apache.spark.sql.functions._
   * which joins pre-partitioned sorted files partition-by-partition with
   * no shuffle at all).
   *
-  * `commitBucketed` rewrites a snapshot table with every row routed to
-  * `pmod(hash(key), n)` and each bucket written as its own file(s) under
-  * a `__graft_bucket=<k>/` path segment; the commit records
-  * `#layout=bucket,<n>,<key>` in the manifest header. The DSv2 scan then
-  * reports `KeyGroupedPartitioning(bucket(n, key))` with one keyed input
-  * partition per bucket, so two tables bucketed with the same (key
-  * type, n) join with ZERO Exchange on either side — Spark's
-  * storage-partitioned join. At 100 TB a fact-fact join is the most
-  * expensive plan a user runs; this removes both full-table shuffles
-  * from it.
+  * `commitBucketed` rewrites a snapshot table with every row routed by
+  * its bucket VECTOR — one `pmod(hash(cᵢ), nᵢ)` per layout column,
+  * hashed independently (Spark's SPJ machinery supports only
+  * single-reference transforms: a chained multi-column hash could never
+  * engage `KeyGroupedPartitioning`) — and each combination written as
+  * its own file(s) under a `__graft_bucket=<linear id>/` path segment;
+  * the commit records `#layout=bucket,<n1>[*<n2>…],<c1>[,<c2>…]` in the
+  * manifest header. The DSv2 scan then reports
+  * `KeyGroupedPartitioning(bucket(n1, c1), bucket(n2, c2), …)` with one
+  * keyed input partition per live bucket vector, so two tables bucketed
+  * with the same (key types, counts) join with ZERO Exchange on either
+  * side — Spark's storage-partitioned join. At 100 TB a fact-fact join
+  * is the most expensive plan a user runs; this removes both full-table
+  * shuffles from it. COMPOSITE keys are first-class (the reference's
+  * join DSL composes arbitrary composite keys — `lib/join/Parser.java`,
+  * `TupleWritable.java:298`): a multi-tenant `(tenant_id, entity_id)`
+  * join key lays out as `bucket,4*8,tenant_id,entity_id`.
   *
-  * The hash contract: bucket id = `pmod(hash(key), n)` where `hash` is
-  * Spark's codegen'd Murmur3 (seed 42) — the write side computes it with
-  * `functions.hash`, and the catalog's `bucket` V2 function
+  * The hash contract per column: bucket id = `pmod(hash(c), n)` where
+  * `hash` is Spark's codegen'd Murmur3 (seed 42; NULL hashes to the
+  * bare seed) — the write side computes it with `functions.hash`, and
+  * the catalog's `bucket` V2 function
   * ([[graft.sources.v2.BucketFunction]]) reproduces it interpretively,
-  * so the two can never disagree (NULL hashes to the seed on both
-  * sides).
+  * so the two can never disagree. The linear id in the path is the
+  * mixed-radix composition `((b1·n2)+b2)·n3+…`, decodable back to the
+  * vector from the counts alone.
   *
   * Layout lifecycle is CONSERVATIVE: only `commitBucketed` publishes the
-  * layout header, and every other commit (append, DML, compaction,
-  * cluster) drops it — new files without a bucket path would break the
-  * co-partitioning guarantee, so the table silently degrades to ordinary
-  * shuffled joins until `CALL system.bucket` runs again. Correctness
-  * never depends on the layout; it is purely a plan improvement.
+  * layout header, and every other commit carries it ONLY when its new
+  * files were routed for exactly this layout ([[appendBucketed]], the
+  * DSv2 bucket-routed SQL INSERT, the bucketed streaming sink) — new
+  * files without a bucket path would break the co-partitioning
+  * guarantee, so such a commit drops the header and the table silently
+  * degrades to ordinary shuffled joins until `CALL system.bucket` runs
+  * again. Correctness never depends on the layout; it is purely a plan
+  * improvement.
   */
 object BucketLayout {
 
-  /** A bucket layout: `key` column hashed into `buckets` groups. */
-  final case class Spec(column: String, buckets: Int)
+  /** A bucket layout: each column hashed independently into its own
+    * count; a file belongs to one bucket VECTOR. */
+  final case class Spec(columns: Seq[String], counts: Seq[Int]) {
+    require(columns.nonEmpty, "bucket layout needs at least one key column")
+    require(columns.length == counts.length,
+      s"one count per column: $columns vs $counts")
+    require(counts.forall(_ >= 1), s"bucket counts must be >= 1: $counts")
+    /** Total distinct bucket vectors (files at steady state). */
+    def buckets: Int = counts.product
+    /** Linear id → per-column vector (mixed-radix decode). */
+    def vectorOf(linear: Int): Array[Int] = {
+      val out = new Array[Int](counts.length)
+      var rest = linear
+      var i = counts.length - 1
+      while (i >= 0) {
+        out(i) = rest % counts(i)
+        rest /= counts(i)
+        i -= 1
+      }
+      out
+    }
+  }
+  object Spec {
+    def apply(column: String, buckets: Int): Spec =
+      Spec(Seq(column), Seq(buckets))
+  }
 
   private val DirPrefix = "__graft_bucket="
   private val PathRe = """__graft_bucket=(\d+)""".r
 
-  def format(spec: Spec): String = s"bucket,${spec.buckets},${spec.column}"
+  def format(spec: Spec): String =
+    s"bucket,${spec.counts.mkString("*")},${spec.columns.mkString(",")}"
 
-  def parse(s: String): Option[Spec] = s.split(",", 3) match {
-    case Array("bucket", n, col) if n.forall(_.isDigit) && col.nonEmpty =>
-      Some(Spec(col, n.toInt))
+  def parse(s: String): Option[Spec] = s.split(",").toSeq match {
+    case "bucket" +: ns +: cols
+        if cols.nonEmpty && cols.forall(_.nonEmpty) &&
+          ns.split('*').forall(p => p.nonEmpty && p.forall(_.isDigit)) =>
+      val counts = ns.split('*').map(_.toInt).toSeq
+      if (counts.length == cols.length) Some(Spec(cols, counts))
+      else if (counts.length == 1) // one count, many columns: same count each
+        Some(Spec(cols, Seq.fill(cols.length)(counts.head)))
+      else None
     case _ => None
   }
 
-  /** The bucket id expression the WRITER uses — Spark's codegen'd
-    * Murmur3 (`functions.hash`, seed 42) mod n; must stay in lockstep
-    * with [[graft.sources.v2.BucketFunction]]'s interpreted twin. */
+  /** Per-column bucket id the WRITER uses — Spark's codegen'd Murmur3
+    * (`functions.hash`, seed 42) mod n; must stay in lockstep with
+    * [[graft.sources.v2.BucketFunction]]'s interpreted twin. */
   def bucketId(key: Column, n: Int): Column = pmod(hash(key), lit(n))
+
+  /** The linear (path) bucket id: mixed-radix over the per-column ids. */
+  private[graft] def linearId(spec: Spec): Column =
+    spec.columns.zip(spec.counts).map { case (c, n) => bucketId(col(c), n) }
+      .zip(spec.counts)
+      .foldLeft(lit(0)) { case (acc, (b, n)) => acc * lit(n) + b }
 
   /** The bucket a data file belongs to, parsed from its
     * `__graft_bucket=<k>` path segment — None for a non-bucketed file
@@ -62,24 +111,52 @@ object BucketLayout {
   private[graft] def bucketOfPath(file: String): Option[Int] =
     PathRe.findFirstMatchIn(file).map(_.group(1).toInt)
 
-  /** THE bucket-routed write: rows hashed to `spec` buckets, one file
-    * per non-empty bucket under `__graft_bucket=<k>/`, key-sorted
-    * within. One recipe shared by build/append/fold so the routing
-    * contract (hash, sort, dir prefix) can never diverge between them.
-    * Repartition ON the bucket column so the dynamic-partition write
-    * sees each bucket in exactly one task → one file per bucket, not
-    * one per (task × bucket). Sort by (bucket, key): the dynamic-
-    * partition writer REQUIRES its input sorted by the partition column
-    * and would otherwise insert its own sort on the bucket alone —
-    * non-stable, destroying the key order inside each file that
+  /** EXACT task routing for the bucket rewrite: partition k of the
+    * shuffle receives exactly linear bucket k. A plain `repartition(n,
+    * bucket)` hashes the bucket id again, colliding ids into tasks
+    * (~1/e of the n slots idle, some tasks writing 2–3 buckets
+    * serially); instead we route through a driver-computed array of
+    * PROBE INTS whose Murmur3 hash lands each bucket id on its own
+    * partition — the shuffle expression `element_at(probes, bucket+1)`
+    * then maps bucket k to partition k bijectively, so the maintenance
+    * rewrite uses all n slots. Cost: an O(n·ln n) driver-side search,
+    * microseconds at any plausible bucket count. */
+  private[graft] def routeProbes(n: Int): Array[Int] = {
+    val probes = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var x = 0
+    while (remaining > 0) {
+      val k = java.lang.Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(x, org.apache.spark.sql.types.IntegerType, 42L).toInt, n)
+      if (!found(k)) { found(k) = true; probes(k) = x; remaining -= 1 }
+      x += 1
+    }
+    probes
+  }
+
+  /** THE bucket-routed write: rows routed to `spec` bucket vectors, one
+    * file per non-empty vector under `__graft_bucket=<linear>/`,
+    * key-sorted within. One recipe shared by build/append/fold so the
+    * routing contract (hash, sort, dir prefix) can never diverge
+    * between them. Routed with [[routeProbes]] so linear bucket k lands
+    * on shuffle partition k exactly (all slots busy — the
+    * dynamic-partition write then sees each bucket in exactly one task
+    * → one file per bucket, not one per (task × bucket)). Sort by
+    * (bucket, keys…): the dynamic-partition writer REQUIRES its input
+    * sorted by the partition column and would otherwise insert its own
+    * sort on the bucket alone — non-stable, destroying the key order
+    * inside each file that
     * [[graft.sources.v2.SnapshotRowScan.outputOrdering]] reports.
     * Returns the written files. */
-  private def writeBucketed(df: org.apache.spark.sql.DataFrame, spec: Spec,
+  private def writeBucketed(df: DataFrame, spec: Spec,
                             dataDir: Path): Seq[String] = {
     val b = "__graft_bucket"
-    df.withColumn(b, bucketId(col(spec.column), spec.buckets))
-      .repartition(spec.buckets, col(b))
-      .sortWithinPartitions(col(b), col(spec.column))
+    val probes = routeProbes(spec.buckets)
+    df.withColumn(b, linearId(spec))
+      .repartition(spec.buckets, element_at(lit(probes), col(b) + 1))
+      .sortWithinPartitions((col(b) +: spec.columns.map(col)): _*)
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy(b).parquet(dataDir.toString)
     val f = dataDir.getFileSystem(
@@ -101,7 +178,7 @@ object BucketLayout {
     * per-bucket sortedness while any bucket holds several files —
     * merge joins re-insert their Sort, the join stays Exchange-free). */
   def appendBucketed(s: SparkSession, loc: String,
-                     df: org.apache.spark.sql.DataFrame,
+                     df: DataFrame,
                      marker: Option[String] = None): Long = {
     val spec = Snapshots.versionLayout(s, loc,
         Snapshots.latestVersion(s, loc)).flatMap(parse)
@@ -125,6 +202,10 @@ object BucketLayout {
     val v = Snapshots.publishAppend(s, loc, newFiles, marker,
       routedLayout = Some(format(spec)))
     if (v < 0) f.delete(dataDir, true)
+    // declared sidecar columns refresh with the committed epoch/batch —
+    // incremental (new files only), best-effort, so a bucketed ingest
+    // keeps zone-map/Bloom pruning live exactly like the plain paths
+    else Snapshots.autoStats(s, loc)
     v
   }
 
@@ -180,21 +261,35 @@ object BucketLayout {
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
   }
 
-  /** Rewrite the table hash-bucketed by `column` into `n` buckets and
-    * publish it as a new version carrying the layout header. One shuffle
-    * on the bucket id (each bucket lands wholly in one task, so exactly
-    * one file per non-empty bucket), rows sorted by the key within each
+  /** Rewrite the table hash-bucketed by `columns` (composite keys
+    * allowed — `counts(i)` buckets for `columns(i)`, one file per live
+    * count-vector combination) and publish it as a new version carrying
+    * the layout header. One shuffle exact-routed on the linear bucket id
+    * (each bucket lands wholly in its OWN task — all slots busy, exactly
+    * one file per non-empty bucket), rows sorted by the keys within each
     * bucket for tight row-group stats. Returns the published version. */
+  def commitBucketed(s: SparkSession, loc: String, columns: Seq[String],
+                     counts: Seq[Int]): Long = {
+    require(columns.nonEmpty && columns.forall(c =>
+        c.nonEmpty && !c.contains(",")),
+      s"bucket columns must be plain top-level column names: " +
+        s"'${columns.mkString(",")}'")
+    val spec = Spec(columns, counts)
+    val df = Snapshots.read(s, loc)
+    columns.foreach(c => require(df.columns.contains(c),
+      s"bucket column '$c' not in table schema ${df.columns.mkString(",")}"))
+    val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
+    val newFiles = writeBucketed(df, spec, dataDir)
+    Snapshots.publishLayout(s, loc, newFiles, df.schema.json, format(spec))
+  }
+
+  /** `column` may be comma-separated for a composite key; `n` buckets
+    * per column (`CALL system.bucket('t', 'tenant,ent', 4)` → 4×4
+    * vectors). */
   def commitBucketed(s: SparkSession, loc: String, column: String,
                      n: Int): Long = {
     require(n >= 1, s"bucket count must be >= 1, got $n")
-    require(!column.contains(",") && column.nonEmpty,
-      s"bucket column must be a plain top-level column name: '$column'")
-    val df = Snapshots.read(s, loc)
-    require(df.columns.contains(column),
-      s"bucket column '$column' not in table schema ${df.columns.mkString(",")}")
-    val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
-    val newFiles = writeBucketed(df, Spec(column, n), dataDir)
-    Snapshots.publishLayout(s, loc, newFiles, df.schema.json, format(Spec(column, n)))
+    val cols = column.split(',').map(_.trim).toSeq.filter(_.nonEmpty)
+    commitBucketed(s, loc, cols, Seq.fill(cols.length)(n))
   }
 }

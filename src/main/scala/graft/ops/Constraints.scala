@@ -36,69 +36,116 @@ import org.apache.spark.sql.functions.{expr, not}
   */
 object Constraints {
 
-  private def path(loc: String) = new Path(loc, "_manifests/_constraints")
+  // the constraint set is a VERSIONED CHAIN of immutable files under
+  // this directory (cs00001, cs00002, …; highest wins) published with
+  // the same no-overwrite rename CAS the manifest log uses — two
+  // concurrent add()s can never silently lose one (the old single-file
+  // overwrite-by-replace could), and a failed add's rollback is a
+  // re-read-then-remove of ITS OWN entry, never a clobber of a
+  // concurrently added gate
+  private def dir(loc: String) = new Path(loc, "_manifests/_constraints")
 
   private def requireName(name: String): Unit =
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
       s"constraint name must be [A-Za-z0-9_-]+, got '$name'")
 
   /** Cheap existence probe — the publish choke point asks this BEFORE
-    * computing its fresh-file diff, so an unconstrained table (the
+    * computing its fresh-file diff, so a never-constrained table (the
     * common case) pays one FS exists() per commit and nothing else. */
   private[graft] def has(s: SparkSession, loc: String): Boolean =
-    Snapshots.fs(s, loc).exists(path(loc))
+    Snapshots.fs(s, loc).exists(dir(loc))
 
-  /** The table's constraints, name → SQL predicate (insertion order). */
-  def list(s: SparkSession, loc: String): Seq[(String, String)] = {
+  private val FileRe = """cs(\d{5})""".r
+
+  /** (chain version, constraints) — version 0 = never constrained. */
+  private def listVersioned(s: SparkSession,
+                            loc: String): (Long, Seq[(String, String)]) = {
     val f = Snapshots.fs(s, loc)
-    val p = path(loc)
-    if (!f.exists(p)) Nil
-    else {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).map { l =>
-          val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
-        }.toList
-      finally in.close()
+    val d = dir(loc)
+    if (!f.exists(d)) return (0L, Nil)
+    val latest = f.listStatus(d).toSeq.flatMap(st =>
+      st.getPath.getName match {
+        case FileRe(n) => Some(n.toLong -> st.getPath)
+        case _ => None
+      }).sortBy(_._1).lastOption
+    latest match {
+      case None => (0L, Nil)
+      case Some((v, p)) =>
+        val in = f.open(p)
+        val cs =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).map { l =>
+              val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+            }.toList
+          finally in.close()
+        (v, cs)
     }
   }
 
-  private def write(s: SparkSession, loc: String, cs: Seq[(String, String)]): Unit = {
+  /** The table's constraints, name → SQL predicate (insertion order). */
+  def list(s: SparkSession, loc: String): Seq[(String, String)] =
+    listVersioned(s, loc)._2
+
+  /** CAS-publish `cs` as chain version `prev + 1`; false = lost the race
+    * (someone else published prev + 1 first) — re-read and retry. */
+  private def tryWrite(s: SparkSession, loc: String, prev: Long,
+                       cs: Seq[(String, String)]): Boolean = {
     val f = Snapshots.fs(s, loc)
-    val p = path(loc)
-    if (cs.isEmpty) { f.delete(p, false); return }
-    f.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, s"_tmp_constraints_${java.util.UUID.randomUUID()}")
+    val d = dir(loc)
+    f.mkdirs(d)
+    val tmp = new Path(d, s"_tmp_${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(cs.map { case (n, e) => s"$n\t$e\n" }.mkString.getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, p)) { // overwrite-by-replace, same as setAutoStats
-      f.delete(p, false)
-      require(f.rename(tmp, p), s"could not publish constraints at $loc")
+    val target = new Path(d, f"cs${prev + 1}%05d")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri,
+      s.sparkContext.hadoopConfiguration)
+    try { fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.PathExistsException =>
+        f.delete(tmp, false); false
     }
   }
 
+  /** Read-modify-write under the CAS loop: apply `change` to the current
+    * set and publish; a lost race re-reads and re-applies, so concurrent
+    * editors compose instead of clobbering. */
+  private def update(s: SparkSession, loc: String,
+                     change: Seq[(String, String)] => Seq[(String, String)]): Unit = {
+    var attempt = 0
+    while (attempt < 64) {
+      val (v, existing) = listVersioned(s, loc)
+      if (tryWrite(s, loc, v, change(existing))) return
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"lost the constraints CAS race 64 times at $loc")
+  }
+
   /** Add a named CHECK, validating the table's contents — rejected (and
-    * rolled back to the prior constraint set) if any existing row
-    * violates it. Ordering matters for the invariant "every version
-    * committed after a successful add satisfies the constraint": the
-    * gate file is written FIRST, so any commit that starts after this
-    * point validates against it, and THEN the existing data is checked,
-    * re-checking until the latest version is stable across the scan (a
-    * commit that landed mid-scan gets re-validated). The residual
-    * window is a writer that probed [[has]] just before the gate file
-    * landed and renamed its manifest just after the final stability
-    * check — micro-seconds of pure FS metadata work, the coordination
-    * floor a filesystem manifest log has (a violating row slipping
-    * through it is caught by the next CoW rewrite of its file). */
+    * rolled back by removing exactly this entry from the then-current
+    * set) if any existing row violates it. Ordering matters for the
+    * invariant "every version committed after a successful add satisfies
+    * the constraint": the gate entry is published FIRST, so any commit
+    * that starts after this point validates against it, and THEN the
+    * existing data is checked, re-checking until the latest version is
+    * stable across the scan (a commit that landed mid-scan gets
+    * re-validated). The residual window is a writer that probed [[has]]
+    * just before the gate landed and renamed its manifest just after the
+    * final stability check — micro-seconds of pure FS metadata work, the
+    * coordination floor a filesystem manifest log has (a violating row
+    * slipping through it is caught by the next CoW rewrite of its
+    * file). */
   def add(s: SparkSession, loc: String, name: String, predicate: String): Unit = {
     requireName(name)
     require(!predicate.contains("\n") && !predicate.contains("\r") &&
       !predicate.contains("\t"), "constraint predicate must be a single line")
-    val existing = list(s, loc)
-    require(!existing.exists(_._1 == name),
-      s"constraint '$name' already exists at $loc (drop it first)")
-    write(s, loc, existing :+ (name, predicate)) // gate live from here
+    update(s, loc, { existing =>
+      require(!existing.exists(_._1 == name),
+        s"constraint '$name' already exists at $loc (drop it first)")
+      existing :+ (name, predicate)
+    }) // gate live from here
     try {
       var v = Snapshots.latestVersion(s, loc)
       var stable = false
@@ -113,14 +160,16 @@ object Constraints {
         if (v2 == v) stable = true else v = v2
       }
     } catch {
-      case e: Throwable => write(s, loc, existing); throw e // roll back
+      // roll back OUR entry only — a re-read-then-remove under the same
+      // CAS loop, so a constraint added concurrently survives
+      case e: Throwable =>
+        update(s, loc, _.filterNot(_._1 == name)); throw e
     }
   }
 
   def drop(s: SparkSession, loc: String, name: String): Boolean = {
-    val existing = list(s, loc)
-    if (!existing.exists(_._1 == name)) false
-    else { write(s, loc, existing.filterNot(_._1 == name)); true }
+    if (!list(s, loc).exists(_._1 == name)) false
+    else { update(s, loc, _.filterNot(_._1 == name)); true }
   }
 
   /** The commit gate: validate `freshFiles` (the commit's newly written

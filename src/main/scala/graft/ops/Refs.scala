@@ -167,17 +167,43 @@ object Refs {
             .map(_.stripPrefix("#schema=")),
           lineage = Some(lineage),
           layout = header.find(_.startsWith("#layout="))
-            .map(_.stripPrefix("#layout="))))
+            .map(_.stripPrefix("#layout=")))) {
+        // the parent's sidecars attach per version — without a refresh
+        // the first query after a WAP publish loses zone-map/Bloom/gram
+        // pruning and the metadata-only aggregates (incremental by file,
+        // best-effort, same rule as every other write path)
+        Snapshots.autoStats(s, loc)
         return latest + 1
+      }
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
   }
 
+  /** Fold `manifestRefs` of many manifests into one liveness set ONE
+    * MANIFEST AT A TIME — peak driver memory is the result set plus a
+    * single manifest's refs, never the concatenation of every
+    * manifest's ref list that a `flatMap(…).toSet` would materialize
+    * first (multi-GB of transient strings on a deep un-expired history
+    * at the 1M-file operating point). */
+  private def foldRefs(s: SparkSession,
+                       manifestPaths: Iterable[Path]): Set[String] = {
+    val live = scala.collection.mutable.HashSet.empty[String]
+    manifestPaths.foreach(p => live ++= Snapshots.manifestRefs(s, p))
+    live.toSet
+  }
+
   /** Drop a branch: remove its manifests and sweep its data directory,
     * KEEPING any file a parent manifest still references (fast-forward
     * publishes by reference, so the blessed files may live under the
-    * branch's data dir). Files the parent never saw go with the branch. */
+    * branch's data dir) — or that a SIBLING branch's manifests do: a
+    * fast-forwarded branch's files can be carried into a sibling's v1
+    * fork, and once [[Snapshots.expire]] drops the parent manifests
+    * naming them (keeping the files alive via `branchRefs`), the parent
+    * log alone no longer proves them live — sweeping on parent refs
+    * only would permanently delete files the sibling still reads.
+    * Files no surviving manifest anywhere references go with the
+    * branch. */
   def dropBranch(s: SparkSession, loc: String, name: String): Int = {
     val bl = branchLoc(loc, name)
     val f = Snapshots.fs(s, bl)
@@ -185,10 +211,14 @@ object Refs {
     if (!f.exists(blPath)) return 0
     // normPath'd on both sides (manifestRefs vs listing): manifest
     // spellings vary by committing path; a raw-string compare here would
-    // delete parent-published files — permanent parent data loss
-    val parentLive: Set[String] =
-      Snapshots.manifests(s, loc)
-        .flatMap { case (_, p) => Snapshots.manifestRefs(s, p) }.toSet
+    // delete parent-published files — permanent parent data loss.
+    // Liveness = parent manifests ∪ every OTHER branch's manifests,
+    // mirroring the set expire builds (cross-ref liveness must hold in
+    // both directions).
+    val parentLive: Set[String] = foldRefs(s,
+      Snapshots.manifests(s, loc).map(_._2) ++
+        listBranches(s, loc).filterNot(_ == name).flatMap(n =>
+          Snapshots.manifests(s, branchLoc(loc, n)).map(_._2)))
     // manifests go first so no reader plans from a half-swept branch
     f.delete(Snapshots.manifestDir(bl), true)
     var kept = 0
@@ -230,10 +260,8 @@ object Refs {
     * the fork carry means these include PARENT data files, which the
     * parent's expire must therefore treat as live. */
   private[graft] def branchRefs(s: SparkSession, loc: String): Set[String] =
-    listBranches(s, loc).flatMap { n =>
-      Snapshots.manifests(s, branchLoc(loc, n))
-        .flatMap { case (_, p) => Snapshots.manifestRefs(s, p) }
-    }.toSet
+    foldRefs(s, listBranches(s, loc).flatMap(n =>
+      Snapshots.manifests(s, branchLoc(loc, n)).map(_._2)))
 
   // -------------------------------------------------------------------- tags
 

@@ -227,11 +227,13 @@ object Snapshots {
     * [[publishReplaceExact]]). */
   private[graft] def publishReplaceLoop(s: SparkSession, loc: String,
                                         newFiles: Seq[String],
-                                        schemaJson: Option[String]): Long = {
+                                        schemaJson: Option[String],
+                                        layout: Option[String] = None): Long = {
     var attempt = 0
     while (attempt < 64) {
       val version = latestVersion(s, loc) + 1
-      if (tryPublish(s, loc, version, newFiles, schemaJson = schemaJson))
+      if (tryPublish(s, loc, version, newFiles, schemaJson = schemaJson,
+          layout = layout))
         return version
       attempt += 1
     }
@@ -364,9 +366,14 @@ object Snapshots {
     // `carriedValid` marks publishes whose rows were validated when first
     // committed (rollback, branch fork, compaction, layout rewrites).
     if (!carriedValid && files.nonEmpty && Constraints.has(s, loc)) {
+      // normPath'd on both sides: manifest spellings vary by committing
+      // path (DSv2 streaming records scheme-less strings, listings are
+      // scheme-qualified), and a raw-string diff would silently
+      // re-validate every CARRIED file — an O(table) read inside the
+      // CAS loop, not wrong rows, but the wrong cost class
       val prev = if (version <= 1L) Set.empty[String]
-                 else versionFiles(s, loc, version - 1).toSet
-      Constraints.enforce(s, loc, files.filterNot(prev),
+                 else versionFiles(s, loc, version - 1).map(normPath).toSet
+      Constraints.enforce(s, loc, files.filterNot(f => prev(normPath(f))),
         schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType]))
     }
@@ -595,8 +602,16 @@ object Snapshots {
       if (latest == toVersion) return latest // already there: auditable no-op
       if (tryPublish(s, loc, latest + 1, files, dvs = dvs, schemaJson = schema,
           lineage = Some(s"rollback:$loc@v$toVersion"), layout = layout,
-          carriedValid = true)) // carried by reference; constraints gate
+          carriedValid = true)) { // carried by reference; constraints gate
+        // sidecars attach per (location, version): without a refresh the
+        // very next query after a metadata-only undo loses zone-map /
+        // Bloom / gram pruning AND the metadata-only count(*) — at
+        // 100 TB, "undo in one rename" followed by a full scan. The
+        // attach is incremental by file, so an all-carried restore costs
+        // O(manifest); best-effort like every auto-stats site.
+        autoStats(s, loc)
         return latest + 1      // writes, not history (ops/Constraints)
+      }
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
@@ -1979,12 +1994,24 @@ object Snapshots {
     // sets are normPath'd (manifestRefs): manifest spellings vary by
     // committing path, listings are scheme-qualified, and a raw-string
     // compare here deletes live files.
-    val live = kept.flatMap { case (_, p) => manifestRefs(s, p) }.toSet ++
-      Refs.branchRefs(s, loc) ++
-      Refs.parentOf(loc).toSeq.flatMap(pl =>
-        manifests(s, pl).flatMap { case (_, p) => manifestRefs(s, p) })
-    val expiredRefs =
-      dropped.flatMap { case (_, p) => manifestRefs(s, p) }.toSet -- live
+    // folded one manifest at a time (mutable set), so peak driver memory
+    // is the liveness set + ONE manifest's refs — never the multi-GB
+    // concatenation a flatMap(…).toSet would stage on a deep history
+    val live = {
+      val acc = scala.collection.mutable.HashSet.empty[String]
+      kept.foreach { case (_, p) => acc ++= manifestRefs(s, p) }
+      acc ++= Refs.branchRefs(s, loc)
+      Refs.parentOf(loc).foreach(pl =>
+        manifests(s, pl).foreach { case (_, p) => acc ++= manifestRefs(s, p) })
+      acc
+    }
+    val expiredRefs = {
+      val acc = scala.collection.mutable.HashSet.empty[String]
+      dropped.foreach { case (_, p) =>
+        manifestRefs(s, p).foreach(r => if (!live.contains(r)) acc += r)
+      }
+      acc
+    }
     // a kept version's bloom header may carry older versions' parquets
     // by reference (#base delta chain) — those stay alive with it
     val keptBloomBases: Set[Long] =

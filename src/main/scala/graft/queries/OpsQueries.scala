@@ -1021,6 +1021,118 @@ object OpsQueries {
     s.sql(q + "\nORDER BY o.o_orderkey, l.l_linenumber")
   }
 
+  /** PURE-SQL layout-preserving ingest ([[graft.sources.v2
+    * .SnapshotBucketedWrite]]): bucket the fact once, then `INSERT INTO`
+    * it twice through plain SQL — the DSv2 write declares the layout's
+    * own `clustered(bucket(n, key))` distribution
+    * (`RequiresDistributionAndOrdering`), files land routed, the header
+    * carries, and the join STILL plans ZERO Exchange. This closes the
+    * last gap between "SPJ exists" and "a SQL-only pipeline keeps it":
+    * before, the first plain INSERT honestly dropped the layout and the
+    * 100 TB fact lost its shuffle-free join plan to its own ingest.
+    * Reference analog: `CompositeInputFormat` kept inputs co-partitioned
+    * ACROSS jobs (`lib/join/CompositeInputFormat.java:56`) — no API
+    * detour. In-query guard: routed files + carried header + finalized
+    * adaptive join plan with no shuffle anywhere; oracle proves exact
+    * rows over base + both SQL batches. */
+  private def snapshotSqlSpjInsert(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    Seq(s"$root/orders_spji", s"$root/lines_spji").foreach { loc =>
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val orders = Tables.orders(s, d)
+    orders.createOrReplaceTempView("orders_src_spji")
+    graft.ops.Snapshots.commitAppend(
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(4),
+      s"$root/orders_spji")
+    graft.ops.Snapshots.commitAppend(
+      Tables.lineitem(s, d).repartition(4), s"$root/lines_spji")
+    s.sql("CALL graft_snap_dml.system.bucket('orders_spji', 'o_orderkey', 8)")
+    s.sql("CALL graft_snap_dml.system.bucket('lines_spji', 'l_orderkey', 8)")
+    // two ingest batches through PURE SQL — no Scala API anywhere
+    s.sql("""INSERT INTO graft_snap_dml.orders_spji
+            |SELECT * FROM orders_src_spji WHERE o_orderkey % 3 = 1""".stripMargin)
+    s.sql("""INSERT INTO graft_snap_dml.orders_spji
+            |SELECT * FROM orders_src_spji WHERE o_orderkey % 3 = 2""".stripMargin)
+    val loc = s"$root/orders_spji"
+    val v = graft.ops.Snapshots.latestVersion(s, loc)
+    require(graft.ops.Snapshots.versionLayout(s, loc, v)
+        .contains("bucket,8,o_orderkey"),
+      "SQL INSERT must carry the bucket layout header")
+    val unrouted = graft.ops.Snapshots.versionFiles(s, loc, v)
+      .filterNot(f => graft.ops.BucketLayout.bucketOfPath(f).isDefined)
+    require(unrouted.isEmpty, s"SQL INSERT landed unrouted files: $unrouted")
+    val q =
+      """SELECT o.o_orderkey, l.l_linenumber, o.o_totalprice, l.l_quantity
+        |FROM graft_snap_dml.orders_spji o
+        |JOIN graft_snap_dml.lines_spji l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey <= 2000""".stripMargin
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = s.sql(q)
+      probe.collect() // finalize the adaptive plan
+      val shuffles = countShuffles(probe.queryExecution.executedPlan)
+      require(shuffles == 0,
+        s"SQL ingest broke the storage-partitioned join ($shuffles exchanges):\n" +
+          probe.queryExecution.executedPlan)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    s.sql(q + "\nORDER BY o.o_orderkey, l.l_linenumber")
+  }
+
+  /** COMPOSITE-key storage-partitioned join: both tables laid out on the
+    * two-column key `(l_orderkey, l_linenumber)` — one single-column
+    * `bucket(n, c)` transform PER KEY (the only shape Spark's SPJ
+    * machinery accepts; files carry the mixed-radix vector id) — and the
+    * two-predicate join plans with ZERO Exchange. The reference's join
+    * DSL composed arbitrary composite keys (`lib/join/Parser.java`,
+    * `TupleWritable.java:298`, the SecondarySort.IntPair idiom); the
+    * multi-tenant `(tenant_id, entity_id)` fact is this shape at 100 TB. */
+  private def snapshotSqlSpjMulti(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    Seq(s"$root/lines_spjm", s"$root/rets_spjm").foreach { loc =>
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val lines = Tables.lineitem(s, d)
+    graft.ops.Snapshots.commitAppend(
+      lines.select("l_orderkey", "l_linenumber", "l_quantity").repartition(4),
+      s"$root/lines_spjm")
+    graft.ops.Snapshots.commitAppend(
+      lines.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice").repartition(4),
+      s"$root/rets_spjm")
+    s.sql("CALL graft_snap_dml.system.bucket('lines_spjm', 'l_orderkey,l_linenumber', 4)")
+    s.sql("CALL graft_snap_dml.system.bucket('rets_spjm', 'l_orderkey,l_linenumber', 4)")
+    require(graft.ops.Snapshots.versionLayout(s, s"$root/lines_spjm", -1L)
+        .contains("bucket,4*4,l_orderkey,l_linenumber"),
+      "composite layout header missing")
+    val q =
+      """SELECT f.l_orderkey, f.l_linenumber, f.l_quantity, r.l_extendedprice
+        |FROM graft_snap_dml.lines_spjm f
+        |JOIN graft_snap_dml.rets_spjm r
+        |  ON f.l_orderkey = r.l_orderkey AND f.l_linenumber = r.l_linenumber
+        |WHERE f.l_orderkey <= 4000""".stripMargin
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = s.sql(q)
+      probe.collect() // finalize the adaptive plan
+      val shuffles = countShuffles(probe.queryExecution.executedPlan)
+      require(shuffles == 0,
+        s"composite-key SPJ still shuffled ($shuffles exchanges):\n" +
+          probe.queryExecution.executedPlan)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    s.sql(q + "\nORDER BY f.l_orderkey, f.l_linenumber")
+  }
+
   private def countShuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
     var n = 0
     def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
@@ -1924,6 +2036,19 @@ object OpsQueries {
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE o_orderkey <= 2000
              |ORDER BY o_orderkey, l_linenumber""".stripMargin)),
+    Q("snapshot_sql_spj_insert", snapshotSqlSpjInsert,
+      Some("""SELECT o_orderkey, l_linenumber, o_totalprice, l_quantity
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey <= 2000
+             |ORDER BY o_orderkey, l_linenumber""".stripMargin)),
+    Q("snapshot_sql_spj_multi", snapshotSqlSpjMulti,
+      Some("""SELECT f.l_orderkey, f.l_linenumber, f.l_quantity, r.l_extendedprice
+             |FROM lineitem f
+             |JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice
+             |      FROM lineitem WHERE l_returnflag = 'R') r
+             |  ON f.l_orderkey = r.l_orderkey AND f.l_linenumber = r.l_linenumber
+             |WHERE f.l_orderkey <= 4000
+             |ORDER BY f.l_orderkey, f.l_linenumber""".stripMargin)),
     Q("snapshot_sql_grep", snapshotSqlGrep,
       Some("""SELECT doc_id, lang, n_chars FROM documents
              |WHERE text LIKE '%' ||

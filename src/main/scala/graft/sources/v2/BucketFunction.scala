@@ -2,28 +2,40 @@ package graft.sources.v2
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.types._
 
 /** The catalog-registered `bucket(n, key)` V2 function backing
   * storage-partitioned joins over [[graft.ops.BucketLayout]] tables.
   *
-  * Spark resolves a scan-reported `KeyGroupedPartitioning(bucket(n, k))`
-  * by loading `bucket` from the table's catalog
-  * ([[SnapshotCatalog.loadFunction]]) and comparing the BOUND function's
-  * `canonicalName` + bucket count across the two join sides — equal
-  * means co-partitioned, and `EnsureRequirements` plans the join with no
+  * Spark resolves a scan-reported `KeyGroupedPartitioning(bucket(n1,
+  * k1), bucket(n2, k2), …)` — one single-column transform per layout
+  * key, the only shape Spark's SPJ machinery accepts — by loading
+  * `bucket` from the table's catalog ([[SnapshotCatalog.loadFunction]])
+  * and comparing the BOUND function's `canonicalName` + bucket count
+  * per transform across the two join sides — equal means
+  * co-partitioned, and `EnsureRequirements` plans the join with no
   * Exchange. The canonical name carries the key type, so an int-keyed
   * layout never claims compatibility with a long-keyed one (their hash
   * inputs differ).
   *
-  * `produceResult` is the interpreted twin of the writer's
+  * `produceResult` is the interpreted twin of the writer's per-column
   * `pmod(hash(key), n)` ([[graft.ops.BucketLayout.bucketId]]):
   * Murmur3 seed 42 over catalyst values — identical bytes, identical
   * result, with NULL hashing to the bare seed exactly as
   * `functions.hash` does. Spark evaluates it only on the
   * shuffle-one-side plan (`spark.sql.sources.v2.bucketing.shuffle
-  * .enabled`); the both-sides-bucketed join never calls it.
+  * .enabled`) and the DSv2 INSERT write's required distribution; the
+  * both-sides-bucketed join never calls it.
+  *
+  * MISMATCHED BUCKET COUNTS: the bound function is a
+  * [[ReducibleFunction]] — two layouts over the same key type whose
+  * counts share a divisor reduce to `gcd(n1, n2)` buckets via
+  * `id % gcd` (sound because `floorMod(h, n) ≡ h (mod g)` whenever
+  * `g | n`), so with `spark.sql.sources.v2.bucketing
+  * .allowCompatibleTransforms.enabled` an n=8 table joins an n=16 table
+  * with ZERO Exchange: Spark coalesces the 16 buckets pairwise onto the
+  * 8. Coprime counts return no reducer and plan the honest shuffle.
   */
 object BucketFunction extends UnboundFunction {
 
@@ -49,7 +61,8 @@ object BucketFunction extends UnboundFunction {
     }
   }
 
-  private final class Bound(keyDt: DataType) extends ScalarFunction[Integer] {
+  private final class Bound(keyDt: DataType)
+    extends ScalarFunction[Integer] with ReducibleFunction[Integer, Integer] {
     override def inputTypes(): Array[DataType] = Array(IntegerType, keyDt)
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
@@ -63,5 +76,29 @@ object BucketFunction extends UnboundFunction {
         else Murmur3HashFunction.hash(input.get(1, keyDt), keyDt, 42L).toInt
       java.lang.Math.floorMod(h, n)
     }
+
+    /** gcd-coalescing reducer: both sides of an n1-vs-n2 SPJ reduce
+      * their bucket ids mod gcd(n1, n2); null when THIS side is already
+      * at the gcd (no reduction needed) or the functions/key types
+      * differ (no compatibility claim — Spark plans the shuffle). */
+    override def reducer(thisNumBuckets: Int,
+                         other: ReducibleFunction[_, _],
+                         otherNumBuckets: Int): Reducer[Integer, Integer] =
+      other match {
+        case b: Bound if b.canonicalName() == canonicalName() =>
+          val g = java.math.BigInteger.valueOf(thisNumBuckets.toLong)
+            .gcd(java.math.BigInteger.valueOf(otherNumBuckets.toLong)).intValue()
+          if (g <= 1 || g == thisNumBuckets) null
+          else new BucketReducer(g)
+        case _ => null
+      }
+  }
+
+  // serializable: Spark ships the reducer to executors inside
+  // StoragePartitionJoinParams when the grouped read coalesces buckets
+  private final class BucketReducer(g: Int)
+    extends Reducer[Integer, Integer] with Serializable {
+    override def reduce(id: Integer): Integer =
+      java.lang.Math.floorMod(id.intValue(), g)
   }
 }

@@ -141,6 +141,47 @@ private[v2] object SnapshotRowScan {
   val fileField: StructField = StructField(FileCol, StringType, nullable = true)
   def norm(p: String): String = new Path(p).toUri.getPath
 
+  /** The (file → sorted deleted-position array) map a DV-bearing scan
+    * broadcasts, restricted to `keepNorm` (the files the — possibly
+    * zone-map-pruned — scan will actually open) BEFORE any aggregation:
+    * pruned files' vectors are dropped by an executor-side semi-join
+    * against the broadcast kept set, so neither the groupBy shuffle nor
+    * the driver collect ever pays for a skipped file's positions (a
+    * pruned point read of a DV-heavy version previously aggregated and
+    * shipped ~100% dead weight). Paths normalize through the SAME
+    * [[graft.ops.Snapshots.normPath]] the planner keys on — a UDF, but
+    * one that runs once per DV entry in planning metadata, never in the
+    * row hot path. Grouping + sorting stay executor-side: the driver
+    * receives one row per kept file holding a sorted position array. */
+  def loadDvMap(spark: org.apache.spark.sql.SparkSession, dvs: Seq[String],
+                keepNorm: Set[String]): Map[String, Array[Long]] = {
+    import org.apache.spark.sql.functions.{broadcast, col, collect_list, sort_array, udf}
+    val normU = udf((p: String) => graft.ops.Snapshots.normPath(p))
+    val keepDf = {
+      import spark.implicits._
+      broadcast(keepNorm.toSeq.toDF("__keep"))
+    }
+    val dvKept = spark.read.parquet(dvs: _*)
+      .withColumn("__fnorm", normU(col("file")))
+      .join(keepDf, col("__fnorm") === col("__keep"), "left_semi")
+    // DVs are bounded small by contract (compaction folds them); the
+    // guard turns a pathological vector into a clear instruction
+    // instead of a driver OOM at collect time
+    val maxEntries = spark.conf.getOption("graft.snapshot.dv.maxScanEntries")
+      .map(_.toLong).getOrElse(8L * 1000 * 1000)
+    val n = dvKept.count()
+    require(n <= maxEntries,
+      s"delete vectors hold $n entries (> $maxEntries) for the scanned " +
+        "files — run Snapshots.commitCompaction (CALL <cat>.system" +
+        ".optimize) to fold them before scanning, or raise " +
+        "graft.snapshot.dv.maxScanEntries")
+    dvKept.groupBy(col("__fnorm"))
+      .agg(sort_array(collect_list(col("pos"))).as("poss"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+  }
+
   /** The `__graft_file` values named by a runtime-filter IN predicate, or
     * None when no predicate has the recognized shape (→ prune nothing,
     * the conservative fallback). */
@@ -198,10 +239,12 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
-  /** Bucket-layout versions report `KeyGroupedPartitioning(bucket(n,
-    * key))` and key every input partition with its file's bucket id —
-    * Spark's storage-partitioned join then plans a join of two
-    * co-bucketed snapshot tables with ZERO Exchange on either side (the
+  /** Bucket-layout versions report `KeyGroupedPartitioning(bucket(n1,
+    * k1), bucket(n2, k2), …)` — ONE single-column transform per layout
+    * key (the only shape Spark's SPJ machinery accepts) — and key every
+    * input partition with its file's bucket VECTOR: Spark's
+    * storage-partitioned join then plans a join of two co-bucketed
+    * snapshot tables with ZERO Exchange on either side (the
     * CompositeInputFormat map-side join, Spark-native). Everything else
     * reports unknown. */
   override def outputPartitioning()
@@ -209,8 +252,10 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
     layout match {
       case Some((spec, byFile)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .bucket(spec.buckets, spec.column)),
+          spec.columns.zip(spec.counts).map { case (c, n) =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, c): org.apache.spark.sql.connector.expressions.Expression
+          }.toArray,
           activeFiles.map(f => byFile(SnapshotRowScan.norm(f))).distinct.length)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -223,16 +268,28 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
     * — reported here, letting the storage-partitioned merge join skip
     * its Sort nodes too. A bucket with several files (not produced by
     * commitBucketed, but reachable in principle) reports nothing:
-    * grouped multi-file partitions interleave ranges. */
+    * grouped multi-file partitions interleave ranges. Nothing is
+    * reported either while `allowCompatibleTransforms` is on: the
+    * gcd-reducer SPJ (mismatched bucket counts) CONCATENATES two
+    * sorted single-file buckets into one runtime partition, and Spark
+    * consumes the scan's ordering claim BEFORE that reduction is
+    * decided — a merge join trusting it would silently drop
+    * back-jumping keys, so the conservative report costs one
+    * per-partition Sort instead of wrong rows. */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     layout match {
       case Some((spec, byFile))
-          if activeFiles.groupBy(f => byFile(SnapshotRowScan.norm(f)))
-            .forall(_._2.length <= 1) =>
-        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
-          org.apache.spark.sql.connector.expressions.Expressions.column(spec.column),
-          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
-          org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+          if spark.conf.get(
+            "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+            "false") != "true" &&
+            activeFiles.groupBy(f => byFile(SnapshotRowScan.norm(f)))
+              .forall(_._2.length <= 1) =>
+        spec.columns.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+            org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+          .toArray
       case _ => Array.empty
     }
 
@@ -292,38 +349,16 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
     if (keep.isEmpty) return Array.empty
     val deleted: Map[String, Array[Long]] =
       if (dvs.isEmpty) Map.empty
-      else {
-        val dvDf = spark.read.parquet(dvs: _*)
-        // DVs are bounded small by contract (compaction folds them); the
-        // guard turns a pathological vector into a clear instruction
-        // instead of a driver OOM at collect time
-        val maxEntries = spark.conf.getOption("graft.snapshot.dv.maxScanEntries")
-          .map(_.toLong).getOrElse(8L * 1000 * 1000)
-        val n = dvDf.count()
-        require(n <= maxEntries,
-          s"delete vectors hold $n entries (> $maxEntries) — run " +
-            "Snapshots.commitCompaction (CALL <cat>.system.optimize) to fold " +
-            "them before scanning, or raise graft.snapshot.dv.maxScanEntries")
-        // grouped + sorted EXECUTOR-side: the driver receives one row per
-        // file holding a sorted position array, not n (path, pos) rows —
-        // and only files the (possibly pruned) scan will actually open
-        // ride the broadcast; skipped files' vectors are dropped here
-        val keepNorm = keep.map(SnapshotRowScan.norm).toSet
-        dvDf.groupBy(col("file"))
-          .agg(sort_array(collect_list(col("pos"))).as("poss"))
-          .collect()
-          .map(r => SnapshotRowScan.norm(r.getString(0)) ->
-            r.getSeq[Long](1).toArray)
-          .filter { case (f, _) => keepNorm.contains(f) }
-          .toMap
-      }
+      else SnapshotRowScan.loadDvMap(spark, dvs,
+        keep.map(SnapshotRowScan.norm).toSet)
     val lengths = fileLengths(keep)
     val bc = spark.sparkContext.broadcast(deleted)
     layout match {
-      case Some((_, byFile)) =>
+      case Some((spec, byFile)) =>
         keep.map { f =>
           val n = SnapshotRowScan.norm(f)
-          BucketedRowScanPartition(f, lengths(n), n, bc, byFile(n)): InputPartition
+          BucketedRowScanPartition(f, lengths(n), n, bc,
+            spec.vectorOf(byFile(n)).toSeq): InputPartition
         }.toArray
       case None =>
         keep.map { f =>
@@ -351,17 +386,18 @@ private[v2] case class RowScanFilePartition(file: String, length: Long,
                                             dvs: Broadcast[Map[String, Array[Long]]])
   extends FileScanPartition
 
-/** A bucket-layout file partition: carries its bucket id as the
-  * partition KEY, so Spark can group same-keyed files and zip two
-  * co-bucketed scans into a shuffle-free join. */
+/** A bucket-layout file partition: carries its bucket VECTOR (one id
+  * per layout column) as the partition KEY, so Spark can group
+  * same-keyed files and zip two co-bucketed scans into a shuffle-free
+  * join. */
 private[v2] case class BucketedRowScanPartition(file: String, length: Long,
                                                 normPath: String,
                                                 dvs: Broadcast[Map[String, Array[Long]]],
-                                                bucket: Int)
+                                                bucket: Seq[Int])
   extends FileScanPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](bucket))
+    new GenericInternalRow(bucket.map(b => b: Any).toArray)
 }
 
 /** Per-file reader: native parquet rows, optionally carrying a trailing

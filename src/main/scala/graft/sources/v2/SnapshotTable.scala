@@ -78,8 +78,9 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
     * is active, so `DESCRIBE` and the SPJ resolver both see it. */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
     activeLayout.map { case (spec, _) =>
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .bucket(spec.buckets, spec.column))
+      spec.columns.zip(spec.counts).map { case (c, n) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+      }.toArray
     }.getOrElse(Array.empty)
 
   /** One metadata column, `__graft_file` — each row's normalized data-
@@ -157,24 +158,34 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
 
   // ---- INSERT INTO: append commit; INSERT OVERWRITE: replace commit;
   //      writeStream.toTable: exactly-once streaming append ----
+  /** A table with a bucket layout routes every SQL INSERT through
+    * [[SnapshotBucketedWrite]] — the write declares the layout's own
+    * `clustered(bucket(n, keys…))` distribution, files land routed, and
+    * the layout header (and with it the zero-Exchange SPJ plan) SURVIVES
+    * pure-SQL ingest — batch INSERTs and `writeStream.toTable` epochs
+    * alike (the streaming twin adds the exactly-once marker). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireMutable("INSERT")
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
-      override def build(): Write = {
-        val batch = SnapshotTable.publishingWrite(spark, loc, delegate, info,
-          newFiles =>
-            if (replace) Snapshots.publishReplaceLoop(spark, loc, newFiles,
-              Some(info.schema().json))
-            else Snapshots.publishAppend(spark, loc, newFiles))
-        if (replace) batch // streaming complete mode unsupported (default throw)
-        else new Write {
-          override def description(): String = batch.description()
-          override def toBatch = batch.toBatch
-          override def toStreaming =
-            new SnapshotStreamingWrite(spark, loc, info.schema(), info.queryId())
-        }
+      override def build(): Write = layout match {
+        case Some(spec) =>
+          new SnapshotBucketedWrite(spark, loc, info.schema(), spec, replace,
+            info.queryId())
+        case None =>
+          val batch = SnapshotTable.publishingWrite(spark, loc, delegate, info,
+            newFiles =>
+              if (replace) Snapshots.publishReplaceLoop(spark, loc, newFiles,
+                Some(info.schema().json))
+              else Snapshots.publishAppend(spark, loc, newFiles))
+          if (replace) batch // streaming complete mode unsupported (default throw)
+          else new Write {
+            override def description(): String = batch.description()
+            override def toBatch = batch.toBatch
+            override def toStreaming =
+              new SnapshotStreamingWrite(spark, loc, info.schema(), info.queryId())
+          }
       }
     }
   }

@@ -261,6 +261,158 @@ class SnapshotSpjSpec extends SparkTestBase {
     assert(got == (1L to 100L).map(i => (i, 1L, i * 10)))
   }
 
+  test("SQL INSERT INTO keeps the layout: routed files, SPJ stays shuffle-free") {
+    fixture()
+    // two pure-SQL ingests: the DSv2 write declares the layout's own
+    // clustered(bucket(4, id)) distribution, files land routed, the
+    // header carries — a SQL-only pipeline never loses the SPJ plan.
+    // (A concurrent re-bucket between the table load and the commit
+    // hits the publishAppend routedLayout re-check pinned above.)
+    spark.sql("INSERT INTO spjcat.fact VALUES (401, 'f401'), (402, 'f402')")
+    spark.sql("INSERT INTO spjcat.fact SELECT id + 500, concat('f', id + 500) " +
+      "FROM spjcat.dim WHERE id <= 10")
+    val loc = s"$root/fact"
+    assert(Snapshots.versionLayout(spark, loc, -1L).contains("bucket,4,id"),
+      "SQL INSERT must carry the layout header")
+    val files = Snapshots.versionFiles(spark, loc,
+      Snapshots.latestVersion(spark, loc))
+    assert(files.forall(f => BucketLayout.bucketOfPath(f).isDefined),
+      s"INSERT landed unrouted files: ${files.filterNot(f =>
+        BucketLayout.bucketOfPath(f).isDefined)}")
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, f.v, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df) == 0,
+        "SQL ingest broke the co-partitioning:\n" + df.queryExecution.executedPlan)
+      // ids 1..10 now match twice (501..510 shifted out of range; the
+      // inserted 401/402 have no dim match): still exactly 100 rows
+      assert(df.count() == 100L)
+    }
+    assert(Snapshots.read(spark, loc).count() == 412L)
+    // routed rows went to the RIGHT buckets: reading any single bucket's
+    // files yields only rows whose hash maps there
+    import spark.implicits._
+    val byBucket = files.groupBy(f => BucketLayout.bucketOfPath(f).get)
+    byBucket.foreach { case (b, fs) =>
+      val ids = spark.read.parquet(fs: _*).select("id").as[Long].collect()
+      val expect = Snapshots.read(spark, loc)
+        .select(org.apache.spark.sql.functions.col("id"),
+          BucketLayout.bucketId(org.apache.spark.sql.functions.col("id"), 4).as("b"))
+        .as[(Long, Int)].collect().filter(_._2 == b).map(_._1).sorted
+      assert(ids.sorted.toSeq == expect.toSeq, s"bucket $b misrouted")
+    }
+  }
+
+  test("SQL INSERT OVERWRITE keeps the layout") {
+    fixture()
+    spark.sql("INSERT OVERWRITE spjcat.dim SELECT id, w * 2 FROM spjcat.dim")
+    val loc = s"$root/dim"
+    assert(Snapshots.versionLayout(spark, loc, -1L).contains("bucket,4,id"))
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(got.toSeq == (1L to 100L).map(i => (i, i * 20)))
+    }
+  }
+
+  test("composite (multi-column) bucket keys join with zero Exchange") {
+    import spark.implicits._
+    wipe(); register()
+    // a multi-tenant (tenant_id, entity_id) key — the reference's join
+    // DSL composes arbitrary composite keys (lib/join/Parser.java,
+    // TupleWritable.java:298)
+    Snapshots.commitAppend(
+      (1L to 300L).map(i => (i % 7, i, s"f$i")).toDF("tenant", "ent", "v")
+        .repartition(4),
+      s"$root/mfact")
+    Snapshots.commitAppend(
+      (1L to 60L).map(i => (i % 7, i, i * 10)).toDF("tenant", "ent", "w")
+        .repartition(4),
+      s"$root/mdim")
+    spark.sql("CALL spjcat.system.bucket('mfact', 'tenant,ent', 4)")
+    spark.sql("CALL spjcat.system.bucket('mdim', 'tenant,ent', 4)")
+    assert(Snapshots.versionLayout(spark, s"$root/mfact", -1L)
+      .contains("bucket,4*4,tenant,ent"))
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.tenant, f.ent, f.v, d.w FROM spjcat.mfact f
+          |JOIN spjcat.mdim d ON f.tenant = d.tenant AND f.ent = d.ent""".stripMargin)
+      assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+      val got = df.collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1)
+      assert(got.toSeq == (1L to 60L).map(i => (i, i * 10)))
+    }
+    // SQL INSERT routes through the composite layout too
+    spark.sql("INSERT INTO spjcat.mfact VALUES (3, 301, 'f301')")
+    assert(Snapshots.versionLayout(spark, s"$root/mfact", -1L)
+      .contains("bucket,4*4,tenant,ent"), "composite-key INSERT dropped the layout")
+    noBroadcast {
+      val df2 = spark.sql(
+        """SELECT f.ent FROM spjcat.mfact f
+          |JOIN spjcat.mdim d ON f.tenant = d.tenant AND f.ent = d.ent""".stripMargin)
+      assert(shuffles(df2) == 0)
+      assert(df2.count() == 60L)
+    }
+  }
+
+  test("mismatched key ORDER refuses SPJ compatibility (shuffles, exact rows)") {
+    import spark.implicits._
+    wipe(); register()
+    Snapshots.commitAppend(
+      (1L to 100L).map(i => (i % 5, i, s"f$i")).toDF("a", "b", "v"),
+      s"$root/oa")
+    Snapshots.commitAppend(
+      (1L to 100L).map(i => (i % 5, i, i * 2)).toDF("a", "b", "w"),
+      s"$root/ob")
+    // same column TYPES, opposite hash-chain order: the layouts are NOT
+    // co-partitioned (hash(a,b) != hash(b,a)) and the join must plan its
+    // honest shuffle instead of zipping mismatched buckets
+    spark.sql("CALL spjcat.system.bucket('oa', 'a,b', 4)")
+    spark.sql("CALL spjcat.system.bucket('ob', 'b,a', 4)")
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.b FROM spjcat.oa f
+          |JOIN spjcat.ob d ON f.a = d.a AND f.b = d.b""".stripMargin)
+      assert(df.count() == 100L, "rows must stay exact whatever the plan")
+      assert(shuffles(df) > 0,
+        "opposite-order layouts must not claim co-partitioning:\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
+  test("mismatched bucket counts (4 vs 8) join zero-Exchange via the gcd reducer") {
+    import spark.implicits._
+    fixture() // fact at n=4
+    Snapshots.commitAppend(
+      (1L to 80L).map(i => (i, i * 3)).toDF("id", "w8").repartition(3),
+      s"$root/dim8")
+    spark.sql("CALL spjcat.system.bucket('dim8', 'id', 8)")
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+    try noBroadcast {
+      // ReducibleFunction: both sides reduce to gcd(4,8)=4 buckets —
+      // the n=8 side's ids coalesce pairwise (id % 4) onto the n=4 side,
+      // zero Exchange on either side
+      val df = spark.sql(
+        """SELECT f.id, d.w8 FROM spjcat.fact f
+          |JOIN spjcat.dim8 d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df) == 0,
+        "gcd-compatible counts must plan SPJ:\n" + df.queryExecution.executedPlan)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(got.toSeq == (1L to 80L).map(i => (i, i * 3)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", v)
+      case None => spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
+    }
+  }
+
   test("bucket ids in file paths match the bucket function contract") {
     import spark.implicits._
     fixture()
