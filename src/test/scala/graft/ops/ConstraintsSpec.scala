@@ -57,6 +57,47 @@ class ConstraintsSpec extends SparkTestBase {
     assert(Constraints.list(spark, loc).isEmpty, "refused add left state behind")
   }
 
+  test("concurrent adds compose (CAS chain); a failed add rolls back ONLY its entry") {
+    import spark.implicits._
+    wipe()
+    val loc = table("t2c")
+    // racing editors: two threads add different constraints N times over —
+    // the versioned CAS chain means a lost race re-reads and re-applies,
+    // so BOTH entries always land (the old single-file overwrite-by-
+    // replace could silently lose one)
+    (0 until 6).foreach { round =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fa = pool.submit(new Runnable {
+          def run(): Unit =
+            Constraints.add(spark, loc, s"a$round", s"qty > ${-round - 1}")
+        })
+        val fb = pool.submit(new Runnable {
+          def run(): Unit =
+            Constraints.add(spark, loc, s"b$round", s"id > ${-round - 1}")
+        })
+        fa.get(); fb.get()
+      } finally pool.shutdown()
+      val names = Constraints.list(spark, loc).map(_._1).toSet
+      assert(names.contains(s"a$round") && names.contains(s"b$round"),
+        s"a racing add was silently lost in round $round: $names")
+      Constraints.drop(spark, loc, s"a$round")
+      Constraints.drop(spark, loc, s"b$round")
+    }
+    // failed-add rollback is a re-read-then-remove of exactly its own
+    // entry — a gate added while the doomed validation scan was running
+    // must survive the rollback
+    Constraints.add(spark, loc, "keeper", "id > 0")
+    intercept[IllegalStateException](
+      Constraints.add(spark, loc, "doomed", "qty > 100000"))
+    assert(Constraints.list(spark, loc).map(_._1) == Seq("keeper"),
+      "failed add clobbered the surviving constraint set")
+    // ...and the keeper still gates commits
+    intercept[IllegalStateException](
+      Snapshots.commitAppend(Seq((-1L, 5L)).toDF("id", "qty"), loc))
+    assert(Snapshots.read(spark, loc).count() == 50L)
+  }
+
   test("UPDATE re-validates rewritten rows; MoR delete skips (no new files)") {
     wipe()
     val loc = table("t3")

@@ -143,6 +143,61 @@ class SidecarAggSpec extends SparkTestBase {
     assert(legacy.collect().head.getLong(0) == 50L)
   }
 
+  test("emergency verbs keep sidecar coverage: rollback / fast_forward / bucketed ingest") {
+    import spark.implicits._
+    wipe(); register()
+    val loc = s"$root/ev"
+    Snapshots.commitAppend(
+      (1L to 400L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4), loc)
+    Snapshots.setAutoStats(spark, loc, Seq("id"))
+    spark.sql("INSERT INTO aggcat.ev VALUES (401, 'x401')") // v2, auto-covered
+    def localCount(expect: Long): Unit = {
+      val df = spark.sql("SELECT count(*) AS n FROM aggcat.ev")
+      assert(isLocal(df),
+        "sidecar lost after an emergency verb — the very next query " +
+          "full-scans:\n" + df.queryExecution.executedPlan)
+      assert(df.collect().head.getLong(0) == expect)
+    }
+    localCount(401L)
+    // metadata-only undo publishes v3 — auto-stats must cover it with
+    // ZERO manual attach (the all-carried attach is O(manifest))
+    spark.sql("CALL aggcat.system.rollback('ev', 1)")
+    localCount(400L)
+    // write-audit-publish: branch DML, then fast_forward publishes the
+    // audited state — the parent's next query stays metadata-only
+    spark.sql("CALL aggcat.system.branch('ev', 'audit')")
+    spark.sql("INSERT INTO aggcat.`ev#audit` VALUES (500, 'x500')")
+    spark.sql("CALL aggcat.system.fast_forward('ev', 'audit')")
+    localCount(401L)
+    // zone-map file skipping also holds on the published version
+    val pruned = spark.sql("SELECT id FROM aggcat.ev WHERE id <= 50")
+    assert(pruned.count() == 50L)
+    val planned = pruned.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan match {
+        case pq: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          pq.fileIndex.inputFiles.length
+        case _ => 0
+      }
+    }.sum
+    val total = Snapshots.versionFiles(spark, loc,
+      Snapshots.latestVersion(spark, loc)).length
+    assert(planned < total,
+      s"post-fast-forward skipping dead: planned $planned of $total")
+    // bucketed exactly-once ingest refreshes coverage per epoch too —
+    // pinned on the sidecar artifact itself (a layout version reads
+    // through the row scan, whose skipping consumes the same sidecar)
+    graft.ops.BucketLayout.commitBucketed(spark, loc, "id", 4)
+    graft.streaming.SnapshotSink.commitBatchBucketed(
+      Seq((600L, "x600")).toDF("id", "v"), loc, 7L)
+    val epochV = Snapshots.latestVersion(spark, loc)
+    val statsP = new Path(f"$loc/_manifests/v$epochV%05d.stats.txt")
+    assert(statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(statsP),
+      s"bucketed epoch v$epochV published without its auto-stats sidecar")
+    assert(spark.sql("SELECT count(*) AS n FROM aggcat.ev")
+      .collect().head.getLong(0) == 402L)
+  }
+
   test("all-null covered column yields null min/max, still local") {
     import spark.implicits._
     wipe(); register()

@@ -120,6 +120,34 @@ class SnapshotRefsSpec extends SparkTestBase {
     assert(Refs.listBranches(spark, loc).isEmpty)
   }
 
+  test("drop_branch keeps files a SIBLING branch still references (post-expire)") {
+    wipe()
+    import spark.implicits._
+    val loc = table("t5s")
+    // branch 'a' lands a file under ITS data dir; fast-forward publishes
+    // it into the parent by reference
+    Refs.createBranch(spark, loc, "a")
+    Snapshots.commitAppend(Seq((500L, "shared")).toDF("id", "v"),
+      Refs.branchLoc(loc, "a"))
+    Refs.fastForward(spark, loc, "a")
+    // branch 'b' forks at the published state — its v1 carries a's file
+    // BY REFERENCE
+    Refs.createBranch(spark, loc, "b")
+    // the parent moves on: an overwrite drops a's file from the parent's
+    // live set, and expire forgets the manifests that named it (the file
+    // itself survives via branchRefs — cross-ref liveness)
+    Snapshots.commitReplace(Seq((1L, "only")).toDF("id", "v"), loc)
+    Snapshots.expire(spark, loc, retainLast = 1, orphanGraceMs = Long.MaxValue)
+    assert(ids(Refs.branchLoc(loc, "b")) == (1L to 100L).toSet + 500L,
+      "expire must keep files branch manifests still reference")
+    // dropping 'a' must NOT delete the shared file: no PARENT manifest
+    // names it anymore, but sibling b's fork carry still reads it —
+    // liveness is parent ∪ other branches, both directions
+    Refs.dropBranch(spark, loc, "a")
+    assert(ids(Refs.branchLoc(loc, "b")) == (1L to 100L).toSet + 500L,
+      "drop_branch deleted a file a sibling branch still reads")
+  }
+
   test("tags pin versions through expire; immutable until dropped") {
     wipe()
     val loc = table("t6")

@@ -413,6 +413,42 @@ class SnapshotSpjSpec extends SparkTestBase {
     }
   }
 
+  test("writeStream.toTable keeps the layout: routed epochs, exactly-once markers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    fixture()
+    val ckpt = s"$root/_ckpt_stream"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = mem.toDF()
+      .select(org.apache.spark.sql.functions.col("value").as("id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("f"),
+          org.apache.spark.sql.functions.col("value")).as("v"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable("spjcat.fact")
+    try {
+      mem.addData(401L, 402L); q.processAllAvailable()
+      mem.addData(403L); q.processAllAvailable()
+    } finally q.stop()
+    val loc = s"$root/fact"
+    assert(Snapshots.versionLayout(spark, loc, -1L).contains("bucket,4,id"),
+      "streamed epochs must carry the layout")
+    assert(Snapshots.read(spark, loc).count() == 403L)
+    val files = Snapshots.versionFiles(spark, loc,
+      Snapshots.latestVersion(spark, loc))
+    assert(files.forall(f => BucketLayout.bucketOfPath(f).isDefined),
+      "epoch landed unrouted files")
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df) == 0,
+        "streamed ingest broke the SPJ:\n" + df.queryExecution.executedPlan)
+      assert(df.count() == 100L)
+    }
+  }
+
   test("bucket ids in file paths match the bucket function contract") {
     import spark.implicits._
     fixture()
