@@ -38,6 +38,19 @@ object Programs {
         ($"n_inside" * 4.0 / $"n_total").as("pi_est"))
   }
 
+  /** The iterated-division Halton factor sequence `f₁=1/base,
+    * fₖ=fₖ₋₁/base` as round-trip double literals — each step ROUNDS
+    * (base 3 is not dyadic), so an oracle must replay the identical
+    * rounded values, not `base^-k`. One definition feeds both the Spark
+    * loop above (same arithmetic) and the DuckDB mirror's inlined
+    * literals, so the two can never diverge. Scala's `Double.toString`
+    * is shortest-round-trip: DuckDB parses each literal back to the
+    * exact same bits. */
+  def haltonFactorLiterals(base: Int, k: Int): Seq[String] = {
+    var f = 1.0
+    (0 until k).map { _ => f /= base; f.toString }
+  }
+
   /** Integer-EXACT certificate twin of [[piQmc]]: the same 2-D Halton
     * sampling QUANTIZED to a dyadic/triadic grid — x to 15 base-2 digits
     * (a = Σ bitₖ(i)·2^(14−k), the bit-reversal = ⌊rad₂(i)·2^15⌋) and y to

@@ -1345,6 +1345,67 @@ object Snapshots {
       "total_files", "proven_rows", "has_bloom")
   }
 
+  /** Per-bucket layout skew (`<cat>.<t>.buckets`): one row per live
+    * bucket of a layout version — file count, bytes, and (when the
+    * zone-map sidecar covers the version) exact rows — sorted hottest
+    * first, so an operator SEES a Zipf-hot bucket before it becomes the
+    * straggler of every storage-partitioned join. Driver-only metadata:
+    * one manifest read + one listStatus per commit dir + one sidecar
+    * header read; no data files open. A table without an active layout
+    * answers zero rows (nothing to introspect). The fixed-layout story
+    * for skew is operational by design — the salting idiom
+    * ([[Skew]]) is unusable under a layout, so the remedy is re-layout
+    * at a higher count (`CALL system.bucket`) or accepting the
+    * straggler; this surface is what tells the operator which. */
+  def bucketsMeta(s: SparkSession, loc: String, version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("key", StringType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("rows", LongType, nullable = true)))
+    val v = if (version < 0) latestVersion(s, loc) else version
+    val spec = versionLayout(s, loc, v).flatMap(BucketLayout.parse)
+    spec match {
+      case None =>
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema)
+      case Some(sp) =>
+        val files = versionFiles(s, loc, v)
+        val sizes = fileSizes(s, files)
+        // per-file proven rows from the version's stats sidecar, if any
+        val rowsByFile: Map[String, Long] = {
+          val p = statsPath(loc, v)
+          if (!fs(s, loc).exists(p)) Map.empty
+          else {
+            val lines = manifestLines(s, p)
+            val k = lines.headOption.filter(_.startsWith("#cols="))
+              .map(_.stripPrefix("#cols=").split(',').length).getOrElse(0)
+            val widths = Set(2 + 2 * k, 2 + 3 * k)
+            lines.filterNot(_.startsWith("#")).map(_.split("\t", -1))
+              .filter(a => widths.contains(a.length))
+              .flatMap(a => a(1 + 2 * k).toLongOption.map(a(0) -> _)).toMap
+          }
+        }
+        val rows = files.groupBy(f => BucketLayout.bucketOfPath(f).getOrElse(-1))
+          .toSeq.map { case (b, fs0) =>
+            val key = sp.columns
+              .zip(if (b < 0) sp.columns.map(_ => -1) else sp.vectorOf(b).toSeq)
+              .map { case (c, i) => s"$c=$i" }.mkString(",")
+            val bytes = fs0.map(f => sizes.getOrElse(normPath(f), 0L)).sum
+            val cnt = fs0.map(f => rowsByFile.get(normPath(f)))
+            org.apache.spark.sql.Row(v, b, key, fs0.length, bytes,
+              if (cnt.forall(_.isDefined)) cnt.flatten.sum
+              else null.asInstanceOf[Any])
+          }.sortBy(r => -r.getLong(4))
+        // local rows, zero tasks — the metadata LocalScan stays driver-only
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
+    }
+  }
+
   /** Byte sizes of `files` keyed by normalized path — ONE listStatus per
     * commit directory, never a per-file RPC. The single implementation
     * behind the files metadata table, incremental compaction's size

@@ -230,6 +230,44 @@ object LlmQueries {
     Embeddings.cosineDedupLsh(Tables.embeddings(s, d), "vec_id", "embedding",
       dim, threshold = 0.45, bits = 60, bands = 10)
 
+  /** FULL oracle for the sign-LSH dedup (the `knn_ann_lsh` replication
+    * pattern): the hyperplanes are the fixed ±1 matrix
+    * ([[Embeddings.planeSigns]], splitmix-mixed (bit, component) — ONE
+    * definition shared with the Spark signature builder), so DuckDB
+    * replays the exact candidate set — 6-bit band buckets over 60 sign
+    * bits, bucket-mate pairs, exact double cosine ≥ threshold. The
+    * output is deterministic end-to-end; no recall bound needed. */
+  private val dedupEmbeddingLshSql: String = {
+    val rows = Embeddings.planeSigns(60, dim).zipWithIndex
+      .map { case (sgn, b) => s"($b, '$sgn')" }.mkString(",\n  ")
+    s"""WITH pl(b, sgn) AS (VALUES
+       |  $rows),
+       |sig AS (
+       |  SELECT e.vec_id AS id, pl.b,
+       |    CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) *
+       |          (CASE WHEN substr(pl.sgn, i, 1) = '+'
+       |           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+       |      (x, y) -> x + y) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN pl),
+       |bands AS (
+       |  SELECT id, b // 6 AS band,
+       |    CAST(sum(bit << (b % 6)) AS BIGINT) AS bh
+       |  FROM sig GROUP BY id, b // 6),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id1, c.id AS id2
+       |  FROM bands a JOIN bands c ON a.band = c.band AND a.bh = c.bh
+       |  WHERE a.id < c.id),
+       |$sqlNorms
+       |SELECT id1, id2, cos FROM (
+       |  SELECT cand.id1, cand.id2,
+       |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+       |  FROM cand JOIN v a ON cand.id1 = a.vec_id
+       |            JOIN v b ON cand.id2 = b.vec_id) t
+       |WHERE cos >= 0.45
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   private val dedupEmbeddingSql: String =
     s"""WITH $sqlNorms
        |SELECT id1, id2, cos FROM (
@@ -733,7 +771,10 @@ object LlmQueries {
     Q("dedup_simhash_md5", dedupSimhashMd5, Some(dedupSimhashMd5Sql)),
     Q("dedup_embedding_cosine", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("cluster_sample", clusterSample, Some(clusterSampleSql)),
-    Q("dedup_embedding_lsh", dedupEmbeddingLsh, None), // subset-of-exact — LlmSpec recall pin
+    // FULL oracle since round 13: the fixed hyperplane matrix replays in
+    // SQL (knn_ann_lsh pattern), so the candidate set — and with it the
+    // whole output — is deterministic, not just subset-of-exact
+    Q("dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshSql)),
     Q("dedup_semantic", (s, d) => graft.llm.Embeddings.semanticDedup(
       Tables.embeddings(s, d), "vec_id", "embedding", dim, threshold = 0.45,
       nlist = 16, corpusKey = d), // shares the cached IVF build with knn_ann_ivf

@@ -134,6 +134,11 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       case "stats" =>
         Some(new SnapshotMetaTable(full,
           () => Snapshots.statsMeta(spark, baseLoc, version)))
+      case "buckets" =>
+        // bucket-layout skew introspection: hottest bucket first, so a
+        // Zipf-hot key is visible BEFORE it straggles every SPJ
+        Some(new SnapshotMetaTable(full,
+          () => Snapshots.bucketsMeta(spark, baseLoc, version)))
       case "refs" =>
         Some(new SnapshotMetaTable(full,
           () => graft.ops.Refs.refsMeta(spark, baseLoc)))

@@ -114,6 +114,38 @@ class SnapshotMetaSpec extends SparkTestBase {
     assert(u.getString(0) == "u" && u.getInt(1) == 0 && u.getBoolean(4))
   }
 
+  test("buckets reports per-bucket skew, hottest first; empty off-layout") {
+    import spark.implicits._
+    wipe(); register()
+    val loc = s"$root/bk"
+    // Zipf-ish: key 1 holds ~HALF the rows — its bucket must surface on top
+    Snapshots.commitAppend(
+      ((1L to 500L).map(_ => 1L) ++ (1L to 500L))
+        .map(i => (i, s"v$i")).toDF("id", "v").repartition(4), loc)
+    // no layout yet: zero rows, not an error
+    assert(spark.sql("SELECT * FROM metacat.bk.buckets").count() == 0L)
+    graft.ops.BucketLayout.commitBucketed(spark, loc, "id", 4)
+    Snapshots.attachStats(spark, loc, 2L, Seq("id"))
+    val rows = spark.sql(
+      "SELECT bucket, key, n_files, bytes, rows FROM metacat.bk.buckets")
+      .as[(Int, String, Int, Long, Long)].collect().toSeq
+    assert(rows.map(_._5).sum == 1000L, s"proven rows must total the table: $rows")
+    assert(rows.forall(r => r._3 == 1 && r._4 > 0L))
+    assert(rows.map(_._2).forall(_.startsWith("id=")))
+    // sorted hottest-first, and the hot key's bucket dominates
+    assert(rows.map(_._4) == rows.map(_._4).sortBy(-_))
+    val hot = java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(1L, org.apache.spark.sql.types.LongType, 42L).toInt, 4)
+    assert(rows.head._1 == hot && rows.head._5 >= 500L,
+      s"the Zipf-hot bucket must top the skew table: $rows (hot=$hot)")
+    // plan shape: local metadata, no file scan
+    val plan = spark.sql("SELECT * FROM metacat.bk.buckets")
+      .queryExecution.executedPlan
+    assert(plan.collectFirst {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l }.isDefined)
+  }
+
   test("changes serves one commit's row delta; VERSION AS OF pins which") {
     import spark.implicits._
     wipe(); register()
