@@ -727,7 +727,22 @@ object Snapshots {
   // pinned-readable. This is the Delta/Iceberg copy-on-write path; a
   // merge-on-read (delete vectors) variant changes only read-side cost.
 
-  private[graft] def normPath(p: String): String = new Path(p).toUri.getPath
+  /** Canonical path spelling for identity compares (manifest lines are
+    * written by different paths with/without scheme). Fast path: a
+    * clean scheme-less absolute path (no scheme colon, no repeated or
+    * relative segments, no %-escapes) IS its own URI path — the
+    * `new Path(p).toUri` round-trip costs ~3 µs/line, which at a 32
+    * manifests × 1M lines liveness fold (dropBranch/expire on a deep
+    * history) is ~100 s of pure object churn; the fast path cuts the
+    * fold to the string-hash floor. The slow path stays the single
+    * source of truth for every other spelling. */
+  private[graft] def normPath(p: String): String =
+    if (p.length > 1 && p.charAt(0) == '/' && !p.contains("//") &&
+        !p.contains("%") && !p.contains("/./") && !p.contains("/../") &&
+        !p.endsWith("/.") && !p.endsWith("/..") && !p.endsWith("/") &&
+        p.indexOf(':') < 0)
+      p
+    else new Path(p).toUri.getPath
 
   /** Files of the latest version whose rows intersect `pred`, found by
     * one scan of the live file list tagged with `input_file_name` —

@@ -879,6 +879,74 @@ object AdversarialProbe {
     // ratio = spj/shuffled: expected < 1 (printed above); bound 2x noise
     verdict("spj_vs_shuffled_x4", shufHi, spjHi, 1.0)
 
+    // ---- Zipf-hot key under a FIXED layout: half the fact's rows carry
+    // ONE key, so one bucket holds ~half the table and the SPJ is
+    // straggler-bound by it — the fixed-layout skew story is honest
+    // degrade (salting is unusable under a layout), the wall must still
+    // track the data linearly (the hot bucket grows linearly too), and
+    // the `t.buckets` introspection surface must SHOW the hot bucket on
+    // top so an operator sees it before it straggles.
+    def spjZipfPair(mult: Int): (String, String) = {
+      val names = (s"spjz_a_x$mult", s"spjz_b_x$mult")
+      val fact = spark.range(0L, mult * 2000000L).toDF("i")
+        .select(when(col("i") % 2 === 0, 0L).otherwise(col("i")).as("id"),
+          (col("i") % 97).as("v"))
+      val dim = spark.range(0L, 200000L).toDF("id")
+        .withColumn("v", col("id") % 97)
+      Seq((names._1, fact), (names._2, dim)).foreach { case (n, df) =>
+        val loc = s"/tmp/graft-probe/$n"
+        val p = new org.apache.hadoop.fs.Path(loc)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        graft.ops.Snapshots.commitAppend(df, loc)
+        graft.ops.BucketLayout.commitBucketed(spark, loc, "id", 16)
+      }
+      names
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (za1, zb1) = spjZipfPair(1)
+    val (za4, zb4) = spjZipfPair(4)
+    val zLo = time("spj zipf-hot join (x1)")(joinCount(za1, zb1))
+    val zHi = time("spj zipf-hot join (x4)")(joinCount(za4, zb4))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    verdict("spj_zipf_skew_linear", zLo, zHi, 4.0)
+    val skew = graft.ops.Snapshots.bucketsMeta(spark, s"/tmp/graft-probe/$za4")
+      .select("bucket", "bytes").collect().map(r => r.getLong(1))
+    println(f"PROBE spj_zipf buckets: hot=${skew.max}%d bytes, " +
+      f"median=${skew.sorted.apply(skew.length / 2)}%d bytes " +
+      f"(${skew.max.toDouble / skew.sorted.apply(skew.length / 2)}%.1fx skew " +
+      "— visible in t.buckets before the join runs)")
+
+    // ---- full-rewrite task routing: the exact probe-int routing must
+    // never LOSE to the old double-hash repartition (which idles ~1/e of
+    // the n slots and serializes 2-3 buckets in some tasks); expected
+    // ~1.3-1.6x faster at n=64 on 32 cores (printed), bounded at parity.
+    def rewriteWall(exact: Boolean): Double = {
+      val df = spark.range(0L, 8000000L).toDF("id")
+        .withColumn("v", col("id") % 1000)
+      val b = "__graft_bucket"
+      val withB = df.withColumn(b,
+        graft.ops.BucketLayout.bucketId(col("id"), 64))
+      val routed =
+        if (exact) {
+          val probes = graft.ops.BucketLayout.routeProbes(64)
+          withB.repartition(64, element_at(lit(probes), col(b) + 1))
+        } else withB.repartition(64, col(b)) // the pre-r13 shape
+      time(s"bucket rewrite n=64 exact=$exact") {
+        val out = s"/tmp/graft-probe/rewrite_${exact}_${System.nanoTime()}"
+        routed.sortWithinPartitions(col(b), col("id"))
+          .write.partitionBy(b).parquet(out)
+        val p = new org.apache.hadoop.fs.Path(out)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val n = fs.globStatus(
+          new org.apache.hadoop.fs.Path(out, "__graft_bucket=*/part-*")).length
+        fs.delete(p, true); n.toLong
+      }
+    }
+    val rwOld = rewriteWall(exact = false)
+    val rwNew = rewriteWall(exact = true)
+    println(f"PROBE rewrite exact-routing speedup: ${rwOld / rwNew}%.2fx")
+    verdict("bucket_rewrite_exact_routing", rwOld, rwNew, 1.0)
+
     // ---- hash-gated span trim: on a LOW-DUPLICATION corpus (every word
     // doc-tagged, so no gram repeats across docs) the gram STRINGS never
     // shuffle — only the 24-byte hash-gate rows do. Measured as actual

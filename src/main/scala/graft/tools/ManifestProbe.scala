@@ -49,6 +49,38 @@ object ManifestProbe {
         f"inc_commit=$tInc%6.2fs markers=$tMarkers%6.3fs " +
         f"bytes=$bytes (${bytes.toDouble / (n + 1)}%.1f B/file)")
     }
+
+    // ---- multi-manifest LIVENESS FOLD (dropBranch / expire): a deep
+    // un-expired history folds refs from MANY manifests into one set.
+    // The fold goes ONE manifest at a time into a mutable set, so peak
+    // driver memory is the liveness set + a single manifest's refs —
+    // never the 32M-string concatenation a flatMap(…).toSet would stage
+    // first. Measured: wall + retained heap across 32 manifests × 1M
+    // lines each (≈32M ref reads folding into a 1M-entry set), the
+    // shape of a 100 TB table with a month of un-expired daily commits.
+    val loc2 = s"$base/fold"
+    val n2 = 1000000
+    val ghosts2 = (0 until n2).map(i =>
+      f"$loc2/data/${i % 997}%03d-commit/part-$i%08d-probe.parquet")
+    Snapshots.publishAppend(spark, loc2, ghosts2)
+    (1 to 31).foreach(v => Snapshots.publishAppend(spark, loc2,
+      Seq(f"$loc2/data/zzz-commit/part-extra-$v%04d.parquet")))
+    def heap(): Long = {
+      System.gc(); Thread.sleep(100); System.gc()
+      Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+    }
+    val h0 = heap()
+    val ms = Snapshots.manifests(spark, loc2)
+    val (live, tFold) = time {
+      val acc = scala.collection.mutable.HashSet.empty[String]
+      ms.foreach { case (_, mp) => acc ++= Snapshots.manifestRefs(spark, mp) }
+      acc
+    }
+    val h1 = heap()
+    require(live.size == n2 + 31, s"fold lost refs: ${live.size}")
+    println(f"PROBE liveness fold: ${ms.length} manifests x ~$n2 lines " +
+      f"-> set=${live.size} in $tFold%6.2fs, retained heap " +
+      f"${(h1 - h0) / 1e6}%.0f MB (set-sized, not concat-sized)")
     spark.stop()
   }
 }

@@ -413,6 +413,53 @@ class SnapshotSpjSpec extends SparkTestBase {
     }
   }
 
+  test("partiallyClusteredDistribution: Zipf-hot bucket splits, rows exact") {
+    import spark.implicits._
+    wipe(); register()
+    // one key holds half the fact: its bucket is the straggler a fixed
+    // layout cannot salt away. partiallyClusteredDistribution is Spark's
+    // SPJ answer — replicate the small side into the hot bucket's splits
+    // instead of grouping them into one task. Evaluated here: the plan
+    // stays Exchange-free and the rows stay exact with the flag on.
+    Snapshots.commitAppend(
+      spark.range(0L, 4000L).toDF("i")
+        .select(org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("i") % 2 === 0, 0L)
+          .otherwise(org.apache.spark.sql.functions.col("i")).as("id"),
+          org.apache.spark.sql.functions.col("i").as("v")),
+      s"$root/zfact")
+    Snapshots.commitAppend(
+      (0L to 100L).map(i => (i, i * 10)).toDF("id", "w"), s"$root/zdim")
+    spark.sql("CALL spjcat.system.bucket('zfact', 'id', 4)")
+    spark.sql("CALL spjcat.system.bucket('zdim', 'id', 4)")
+    // two ingest batches so the hot bucket holds SEVERAL files (the
+    // split unit partial clustering works with)
+    graft.ops.BucketLayout.appendBucketed(spark, s"$root/zfact",
+      spark.range(4000L, 4100L).toDF("id")
+        .withColumn("v", org.apache.spark.sql.functions.col("id")))
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+      "true")
+    try noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, f.v, d.w FROM spjcat.zfact f
+          |JOIN spjcat.zdim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+      // expected: 2000 hot rows match id 0, plus odd ids 1..99 (50), plus
+      // nothing else <= 100 except evens mapped to 0
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.count(_._1 == 0L) == 2000)
+      assert(got.length == 2050)
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", v)
+      case None => spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    }
+  }
+
   test("writeStream.toTable keeps the layout: routed epochs, exactly-once markers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
