@@ -296,13 +296,24 @@ object Snapshots {
   private[graft] def publishReplaceGroups(s: SparkSession, loc: String,
                                           expectedPrev: Long,
                                           keptFiles: Seq[String],
-                                          newFiles: Seq[String]): Long = {
+                                          newFiles: Seq[String],
+                                          routedLayout: Option[String] = None): Long = {
     // a row-level rewrite preserves the table schema (carried from the
     // version the scan pinned)
     val schemaJson = versionSchema(s, loc, expectedPrev).map(_.json)
     val dvs = if (keptFiles.isEmpty) Nil else versionDvs(s, loc, expectedPrev)
+    // a ROUTED row-level rewrite keeps the bucket layout: the publish
+    // lands at exactly expectedPrev + 1 (the no-overwrite rename IS the
+    // proof nothing committed in between, so the header we routed for is
+    // still the table's), and the carry only needs every published file
+    // bucket-pathed — kept files come from the layout version, new files
+    // from the routing writer; any stray unrouted file drops the header
+    // (the honest degrade, never a mis-keyed SPJ)
+    val layout = routedLayout.filter(_ =>
+      (keptFiles ++ newFiles).forall(f =>
+        BucketLayout.bucketOfPath(f).isDefined))
     if (tryPublish(s, loc, expectedPrev + 1, keptFiles ++ newFiles, dvs = dvs,
-        schemaJson = schemaJson))
+        schemaJson = schemaJson, layout = layout))
       expectedPrev + 1
     else throw new java.util.ConcurrentModificationException(
       s"snapshot table at $loc moved past version $expectedPrev during a " +

@@ -48,7 +48,7 @@ import graft.ops.{BucketLayout, Snapshots}
 private[v2] class SnapshotBucketedWrite(spark: SparkSession, loc: String,
                                         schema: StructType,
                                         spec: BucketLayout.Spec,
-                                        replace: Boolean,
+                                        publish: Seq[String] => Long,
                                         queryId: String = "")
   extends Write with RequiresDistributionAndOrdering {
 
@@ -96,14 +96,8 @@ private[v2] class SnapshotBucketedWrite(spark: SparkSession, loc: String,
         case BucketFilesMessage(fs) => fs
         case _ => Nil
       }
-      try {
-        if (replace)
-          Snapshots.publishReplaceLoop(spark, loc, files, Some(schema.json),
-            layout = Some(BucketLayout.format(spec)))
-        else
-          Snapshots.publishAppend(spark, loc, files,
-            routedLayout = Some(BucketLayout.format(spec)))
-      } catch {
+      try publish(files)
+      catch {
         case e: Throwable =>
           val dir = new Path(dataDir)
           dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

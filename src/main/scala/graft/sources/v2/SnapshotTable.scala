@@ -171,7 +171,13 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = layout match {
         case Some(spec) =>
-          new SnapshotBucketedWrite(spark, loc, info.schema(), spec, replace,
+          val fmt = graft.ops.BucketLayout.format(spec)
+          new SnapshotBucketedWrite(spark, loc, info.schema(), spec,
+            publish = newFiles =>
+              if (replace) Snapshots.publishReplaceLoop(spark, loc, newFiles,
+                Some(info.schema().json), layout = Some(fmt))
+              else Snapshots.publishAppend(spark, loc, newFiles,
+                routedLayout = Some(fmt)),
             info.queryId())
         case None =>
           val batch = SnapshotTable.publishingWrite(spark, loc, delegate, info,
@@ -191,8 +197,13 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
   }
 
   // ---- DELETE FROM with translatable predicates: copy-on-write commit ----
+  // refused under an active bucket layout: commitDelete's rewrite lands
+  // UNROUTED files and would drop the layout — Spark then falls back to
+  // the row-level path below, whose routed write keeps it at the same
+  // O(affected files) cost class (runtime group filtering)
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    !pinned && filters.forall(f => SnapshotTable.toColumn(f).isDefined)
+    !pinned && layout.isEmpty &&
+      filters.forall(f => SnapshotTable.toColumn(f).isDefined)
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireMutable("DELETE")
     val pred = filters.flatMap(SnapshotTable.toColumn)
@@ -235,16 +246,34 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
           snapshotVersion, allowPushdown = false, rowLevel = Some(state))
       override def newWriteBuilder(wi: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
-          override def build(): Write =
-            SnapshotTable.publishingWrite(spark, loc, delegate, wi,
-              { newFiles =>
-                val scanned = state.scannedFiles.map(_.toSet)
-                val kept = scanned match {
-                  case Some(sc) => files.filterNot(sc.contains)
-                  case None => Nil // every file was scanned and rewritten
-                }
-                Snapshots.publishReplaceGroups(spark, loc, base, kept, newFiles)
-              })
+          private def publishGroups(newFiles: Seq[String],
+                                    routed: Option[String]): Long = {
+            val scanned = state.scannedFiles.map(_.toSet)
+            val kept = scanned match {
+              case Some(sc) => files.filterNot(sc.contains)
+              case None => Nil // every file was scanned and rewritten
+            }
+            Snapshots.publishReplaceGroups(spark, loc, base, kept, newFiles,
+              routedLayout = routed)
+          }
+          override def build(): Write = layout match {
+            // a bucket-laid table ROUTES its row-level rewrite: replaced
+            // groups' surviving rows land under their bucket paths (the
+            // same RequiresDistributionAndOrdering write as INSERT), kept
+            // files are routed already, and the exact-version publish
+            // carries the layout — a 100 TB fact keeps its zero-Exchange
+            // join plan through SQL UPDATE / MERGE / DELETE, not just
+            // through ingest. Cost class unchanged: O(affected files)
+            // via runtime group filtering, plus the batch-sized routing
+            // shuffle the layout contract requires.
+            case Some(spec) =>
+              new SnapshotBucketedWrite(spark, loc, wi.schema(), spec,
+                publish = newFiles => publishGroups(newFiles,
+                  Some(graft.ops.BucketLayout.format(spec))))
+            case None =>
+              SnapshotTable.publishingWrite(spark, loc, delegate, wi,
+                newFiles => publishGroups(newFiles, None))
+          }
         }
     }
   }

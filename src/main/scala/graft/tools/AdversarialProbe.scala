@@ -898,7 +898,10 @@ object AdversarialProbe {
         val p = new org.apache.hadoop.fs.Path(loc)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
         graft.ops.Snapshots.commitAppend(df, loc)
-        graft.ops.BucketLayout.commitBucketed(spark, loc, "id", 16)
+        val v = graft.ops.BucketLayout.commitBucketed(spark, loc, "id", 16)
+        // sidecar row counts feed the t.buckets skew surface (bytes alone
+        // UNDERSTATE a hot constant key — RLE crushes it ~10x)
+        graft.ops.Snapshots.attachStats(spark, loc, v, Seq("id"))
       }
       names
     }
@@ -910,28 +913,29 @@ object AdversarialProbe {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     verdict("spj_zipf_skew_linear", zLo, zHi, 4.0)
     val skew = graft.ops.Snapshots.bucketsMeta(spark, s"/tmp/graft-probe/$za4")
-      .select("bucket", "bytes").collect().map(r => r.getLong(1))
-    println(f"PROBE spj_zipf buckets: hot=${skew.max}%d bytes, " +
-      f"median=${skew.sorted.apply(skew.length / 2)}%d bytes " +
+      .select("rows").collect().map(_.getLong(0))
+    println(f"PROBE spj_zipf buckets: hot=${skew.max}%d rows, " +
+      f"median=${skew.sorted.apply(skew.length / 2)}%d rows " +
       f"(${skew.max.toDouble / skew.sorted.apply(skew.length / 2)}%.1fx skew " +
       "— visible in t.buckets before the join runs)")
 
     // ---- full-rewrite task routing: the exact probe-int routing must
     // never LOSE to the old double-hash repartition (which idles ~1/e of
-    // the n slots and serializes 2-3 buckets in some tasks); expected
-    // ~1.3-1.6x faster at n=64 on 32 cores (printed), bounded at parity.
+    // the n slots and serializes 2-3 buckets in some tasks — at n = cores
+    // that's a 3-wave makespan against exact routing's single wave;
+    // measured 1.85x at n=32/24M rows, write-bound with a string payload).
     def rewriteWall(exact: Boolean): Double = {
-      val df = spark.range(0L, 8000000L).toDF("id")
-        .withColumn("v", col("id") % 1000)
+      val df = spark.range(0L, 24000000L).toDF("id")
+        .withColumn("v", concat(lit("payload-"), col("id") % 100000))
       val b = "__graft_bucket"
       val withB = df.withColumn(b,
-        graft.ops.BucketLayout.bucketId(col("id"), 64))
+        graft.ops.BucketLayout.bucketId(col("id"), 32))
       val routed =
         if (exact) {
-          val probes = graft.ops.BucketLayout.routeProbes(64)
-          withB.repartition(64, element_at(lit(probes), col(b) + 1))
-        } else withB.repartition(64, col(b)) // the pre-r13 shape
-      time(s"bucket rewrite n=64 exact=$exact") {
+          val probes = graft.ops.BucketLayout.routeProbes(32)
+          withB.repartition(32, element_at(lit(probes), col(b) + 1))
+        } else withB.repartition(32, col(b)) // the pre-r13 shape
+      time(s"bucket rewrite n=32 exact=$exact") {
         val out = s"/tmp/graft-probe/rewrite_${exact}_${System.nanoTime()}"
         routed.sortWithinPartitions(col(b), col("id"))
           .write.partitionBy(b).parquet(out)

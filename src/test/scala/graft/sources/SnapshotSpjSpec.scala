@@ -413,6 +413,45 @@ class SnapshotSpjSpec extends SparkTestBase {
     }
   }
 
+  test("SQL UPDATE / DELETE / MERGE keep the layout (routed row-level rewrite)") {
+    fixture()
+    val loc = s"$root/fact"
+    // every row-level verb: the rewrite's surviving rows land ROUTED
+    // (same RequiresDistributionAndOrdering write as INSERT), kept files
+    // carry, and the exact-version publish keeps the #layout header
+    spark.sql("UPDATE spjcat.fact SET v = concat(v, '!') WHERE id <= 10")
+    assert(Snapshots.versionLayout(spark, loc, -1L).contains("bucket,4,id"),
+      "SQL UPDATE dropped the layout")
+    spark.sql("DELETE FROM spjcat.fact WHERE id = 400")
+    assert(Snapshots.versionLayout(spark, loc, -1L).contains("bucket,4,id"),
+      "SQL DELETE dropped the layout (canDeleteWhere must refuse under " +
+        "a layout so the routed row-level path runs)")
+    spark.sql(
+      """MERGE INTO spjcat.fact t
+        |USING (SELECT 401L AS id, 'f401' AS v) s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(Snapshots.versionLayout(spark, loc, -1L).contains("bucket,4,id"),
+      "SQL MERGE dropped the layout")
+    val files = Snapshots.versionFiles(spark, loc,
+      Snapshots.latestVersion(spark, loc))
+    assert(files.forall(f => BucketLayout.bucketOfPath(f).isDefined))
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, f.v, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df) == 0,
+        "row-level DML broke the SPJ:\n" + df.queryExecution.executedPlan)
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got.size == 100)
+      assert((1L to 10L).forall(i => got(i) == s"f$i!"), got(1L))
+      assert(got(11L) == "f11")
+    }
+    val all = Snapshots.read(spark, loc)
+    assert(all.count() == 400L) // 400 rows: -id400, +id401
+    assert(all.filter(org.apache.spark.sql.functions.col("id") === 400L).count() == 0L)
+    assert(all.filter(org.apache.spark.sql.functions.col("id") === 401L).count() == 1L)
+  }
+
   test("partiallyClusteredDistribution: Zipf-hot bucket splits, rows exact") {
     import spark.implicits._
     wipe(); register()
