@@ -1133,6 +1133,36 @@ object OpsQueries {
     s.sql(q + "\nORDER BY f.l_orderkey, f.l_linenumber")
   }
 
+  /** Bucket-pruned POINT READ: zone maps cannot skip on a hash-scattered
+    * key (every bucket's file spans the full key range), but an equality
+    * on the layout key pins the row's bucket by the layout's own hash —
+    * the scan plans ONE bucket's files before any I/O
+    * ([[graft.sources.v2.SnapshotRowScan.prunedBuckets]]). At 100 TB
+    * this is the point-lookup story for a bucketed fact: 1/n of the
+    * files, driver-side, no index build. In-query guard: the scan RDD
+    * holds exactly one input partition; oracle proves the rows. */
+  private def snapshotSqlBucketPoint(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_bp"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    graft.ops.Snapshots.commitAppend(
+      Tables.orders(s, d).repartition(4), loc)
+    s.sql("CALL graft_snap_dml.system.bucket('orders_bp', 'o_orderkey', 8)")
+    val q =
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft_snap_dml.orders_bp
+        |WHERE o_orderkey IN (7, 1234)""".stripMargin
+    val probe = s.sql(q)
+    val planned = probe.rdd.getNumPartitions
+    require(planned <= 2,
+      s"bucket point read planned $planned buckets (of 8) — pruning dead")
+    s.sql(q + "\nORDER BY o_orderkey")
+  }
+
   private def countShuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
     var n = 0
     def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
@@ -2041,6 +2071,10 @@ object OpsQueries {
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE o_orderkey <= 2000
              |ORDER BY o_orderkey, l_linenumber""".stripMargin)),
+    Q("snapshot_sql_bucket_point", snapshotSqlBucketPoint,
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders WHERE o_orderkey IN (7, 1234)
+             |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_sql_spj_multi", snapshotSqlSpjMulti,
       Some("""SELECT f.l_orderkey, f.l_linenumber, f.l_quantity, r.l_extendedprice
              |FROM lineitem f

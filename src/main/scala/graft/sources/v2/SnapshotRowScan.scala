@@ -182,6 +182,56 @@ private[v2] object SnapshotRowScan {
       .toMap
   }
 
+  /** The linear bucket ids a pushed conjunction can possibly match, or
+    * None when any layout column is not pinned to a finite value set —
+    * the conservative no-pruning fallback. A conjunct proves column `c`
+    * ∈ S via `c = v`, `c IN (…)`, or an OR-tree of those over the same
+    * column; conjuncts that don't are IGNORED (ignoring a constraint
+    * only keeps more buckets — always sound). Values hash through the
+    * SAME interpreted Murmur3 as the routing writer and
+    * [[BucketFunction]] (catalyst-converted first: UTF8String for
+    * strings, days for dates), so the pruned set can never disagree
+    * with where the writer put the row. Cross-products above 1024
+    * combinations skip pruning rather than enumerate. */
+  def prunedBuckets(pushed: Array[Filter], spec: graft.ops.BucketLayout.Spec,
+                    schema: StructType): Option[Set[Int]] = {
+    import org.apache.spark.sql.sources.{EqualTo, In, Or}
+    def eqValues(f: Filter, c: String): Option[Seq[Any]] = f match {
+      case EqualTo(a, v) if a == c && v != null => Some(Seq(v))
+      case In(a, vs) if a == c && vs.nonEmpty && !vs.contains(null) =>
+        Some(vs.toSeq)
+      case Or(l, r) =>
+        for (a <- eqValues(l, c); b <- eqValues(r, c)) yield a ++ b
+      case _ => None
+    }
+    val perCol: Seq[Option[Seq[Any]]] = spec.columns.map { c =>
+      val sets = pushed.toSeq.flatMap(f => eqValues(f, c))
+      if (sets.isEmpty) None
+      else Some(sets.reduce((x, y) => x.filter(y.toSet)))
+    }
+    if (perCol.exists(_.isEmpty)) return None
+    val lists = perCol.map(_.get.distinct)
+    if (lists.map(_.size.toLong).product > 1024L) return None
+    val dts = spec.columns.map(c => schema(c).dataType)
+    def bucketOf(value: Any, dt: org.apache.spark.sql.types.DataType,
+                 n: Int): Int = {
+      val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst(value)
+      java.lang.Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(cat, dt, 42L).toInt, n)
+    }
+    // cross-product of per-column bucket sets → linear ids (mixed-radix,
+    // same composition order as BucketLayout.linearId)
+    val perColBuckets = lists.zip(dts).zip(spec.counts)
+      .map { case ((vs, dt), n) => vs.map(v => bucketOf(v, dt, n)).distinct }
+    val linear = perColBuckets.zip(spec.counts)
+      .foldLeft(Seq(0)) { case (acc, (bs, n)) =>
+        for { a <- acc; b <- bs } yield a * n + b
+      }
+    Some(linear.toSet)
+  }
+
   /** The `__graft_file` values named by a runtime-filter IN predicate, or
     * None when no predicate has the recognized shape (→ prune nothing,
     * the conservative fallback). */
@@ -337,14 +387,30 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
     // driver-side zone-map file skipping applies to DV versions too: a
     // skipped file's DV entries are simply never consulted
     val keep =
-      if (allowPushdown)
-        pushed.foldLeft(activeFiles) { (fs, f) =>
+      if (allowPushdown) {
+        val ranged = pushed.foldLeft(activeFiles) { (fs, f) =>
           SnapshotRowScan.v1Bound(f) match {
             case Some((c, lo, hi)) =>
               Snapshots.statFilesBounds(spark, loc, version, fs, c, lo, hi)
             case None => fs
           }
         }
+        // BUCKET pruning: zone maps can't skip on a hash-SCATTERED key
+        // (every bucket file spans the full key range), but a point /
+        // IN predicate on ALL layout columns pins the row's bucket by
+        // the layout's own hash — a `WHERE id = k` lookup on a 100 TB
+        // bucketed fact reads 1/n of the files before any I/O
+        layout match {
+          case Some((spec, byFile)) =>
+            SnapshotRowScan.prunedBuckets(pushed, spec, schema) match {
+              case Some(allowed) =>
+                ranged.filter(f =>
+                  allowed.contains(byFile(SnapshotRowScan.norm(f))))
+              case None => ranged
+            }
+          case None => ranged
+        }
+      }
       else activeFiles
     if (keep.isEmpty) return Array.empty
     val deleted: Map[String, Array[Long]] =

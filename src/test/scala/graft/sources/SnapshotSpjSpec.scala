@@ -413,6 +413,41 @@ class SnapshotSpjSpec extends SparkTestBase {
     }
   }
 
+  test("point predicates prune to the key's bucket before any I/O") {
+    fixture()
+    // zone maps can't skip on a hash-SCATTERED key (every bucket spans
+    // the full range) — but `id = 42` pins the bucket by the layout's
+    // own hash: the scan plans ONE bucket's files out of four
+    val one = spark.sql("SELECT v FROM spjcat.fact WHERE id = 42")
+    assert(one.rdd.getNumPartitions == 1,
+      s"point read planned ${one.rdd.getNumPartitions} buckets")
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("f42"))
+    // IN over several keys keeps only their buckets
+    val in3 = spark.sql("SELECT v FROM spjcat.fact WHERE id IN (1, 2, 3)")
+    assert(in3.rdd.getNumPartitions <= 3)
+    assert(in3.collect().length == 3)
+    // OR of equalities over the same column prunes too
+    val or2 = spark.sql("SELECT v FROM spjcat.fact WHERE id = 7 OR id = 9")
+    assert(or2.rdd.getNumPartitions <= 2)
+    assert(or2.collect().length == 2)
+    // a RANGE keeps every bucket (nothing pins the hash) — exact rows
+    val range = spark.sql("SELECT v FROM spjcat.fact WHERE id <= 50")
+    assert(range.rdd.getNumPartitions == 4)
+    assert(range.collect().length == 50)
+    // composite layout: equality on EVERY key column prunes to one
+    // vector; missing one column keeps everything
+    import spark.implicits._
+    Snapshots.commitAppend(
+      (1L to 200L).map(i => (i % 5, i, s"m$i")).toDF("a", "b", "v"),
+      s"$root/mp")
+    spark.sql("CALL spjcat.system.bucket('mp', 'a,b', 3)")
+    val both = spark.sql("SELECT v FROM spjcat.mp WHERE a = 2 AND b = 7")
+    assert(both.rdd.getNumPartitions == 1)
+    assert(both.collect().map(_.getString(0)).toSeq == Seq("m7"))
+    val half = spark.sql("SELECT count(*) AS n FROM spjcat.mp WHERE a = 2")
+    assert(half.collect().head.getLong(0) == 40L)
+  }
+
   test("SQL UPDATE / DELETE / MERGE keep the layout (routed row-level rewrite)") {
     fixture()
     val loc = s"$root/fact"
