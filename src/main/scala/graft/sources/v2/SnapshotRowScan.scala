@@ -95,7 +95,8 @@ private[v2] class SnapshotRowScanBuilder(spark: SparkSession, schema: StructType
                                          rowLevel: Option[RowLevelScanState] = None,
                                          layout: Option[(graft.ops.BucketLayout.Spec, Map[String, Int])] = None)
   extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType =
@@ -115,7 +116,46 @@ private[v2] class SnapshotRowScanBuilder(spark: SparkSession, schema: StructType
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (allowPushdown) required = requiredSchema
 
-  override def build(): Scan =
+  // ---- metadata-only aggregates, same contract as ZoneMapScanBuilder:
+  // a bucket-LAYOUT version reads through this builder, and its
+  // filterless group-less COUNT(*)/MIN/MAX should answer from the stats
+  // sidecar exactly like an unbucketed table's — a bucketed 100 TB fact
+  // must not pay a full scan for count(*). DV-bearing versions refuse
+  // (physical counts ≠ logical); the row-level path refuses (its scan
+  // feeds a rewrite, never an aggregate).
+  private var aggRow: Array[Any] = _
+  private var aggSchema: StructType = _
+  private def trySidecarAgg(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (aggRow != null) return true
+    if (!allowPushdown || rowLevel.isDefined || dvs.nonEmpty ||
+        pushed.nonEmpty) return false
+    ZoneMapScanBuilder.wants(aggregation).flatMap { ws =>
+      Snapshots.statAggValues(spark, loc, version, files, ws.map(_._1))
+        .map { vals =>
+          aggRow = vals.map(_._1).toArray
+          aggSchema = StructType(ws.zip(vals).map { case ((w, name), (_, dt)) =>
+            StructField(name, dt, nullable = w != Snapshots.StatCount)
+          })
+        }
+    }.isDefined
+  }
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    trySidecarAgg(aggregation)
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    trySidecarAgg(aggregation)
+
+  override def build(): Scan = {
+    if (aggRow != null)
+      return new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow.fromSeq(aggRow.toIndexedSeq))
+        override def readSchema(): StructType = aggSchema
+        override def description(): String =
+          s"SidecarAggregate v$version ${aggSchema.fieldNames.mkString(", ")}"
+      }
     rowLevel match {
       case Some(state) =>
         new SnapshotRowScan(spark, schema, files, dvs, loc, version,
@@ -134,6 +174,7 @@ private[v2] class SnapshotRowScanBuilder(spark: SparkSession, schema: StructType
         new SnapshotRowScan(spark, schema, files, dvs, loc, version,
           allowPushdown, required, pushed, layout)
     }
+  }
 }
 
 private[v2] object SnapshotRowScan {

@@ -198,6 +198,27 @@ class SidecarAggSpec extends SparkTestBase {
       .collect().head.getLong(0) == 402L)
   }
 
+  test("a bucket-layout version answers count/min/max from the sidecar too") {
+    import spark.implicits._
+    wipe(); register()
+    val loc = s"$root/bkagg"
+    Snapshots.commitAppend(
+      (1L to 300L).map(i => (i, i * 3)).toDF("id", "amt").repartition(3), loc)
+    val v = graft.ops.BucketLayout.commitBucketed(spark, loc, "id", 4)
+    Snapshots.attachStats(spark, loc, v, Seq("id", "amt"))
+    // the layout read path (SnapshotRowScanBuilder) must serve the same
+    // metadata-only aggregate as the zone-map path — a bucketed 100 TB
+    // fact does not pay a full scan for count(*)
+    val df = spark.sql(
+      "SELECT count(*) AS n, min(id) AS mn, max(amt) AS mx FROM aggcat.bkagg")
+    assert(isLocal(df), df.queryExecution.executedPlan.toString)
+    assert(df.collect().head.toSeq == Seq(300L, 1L, 900L))
+    // filters fall back to the real (bucket-pruned) scan, exact rows
+    val f = spark.sql("SELECT count(*) AS n FROM aggcat.bkagg WHERE id = 7")
+    assert(!isLocal(f))
+    assert(f.collect().head.getLong(0) == 1L)
+  }
+
   test("all-null covered column yields null min/max, still local") {
     import spark.implicits._
     wipe(); register()
