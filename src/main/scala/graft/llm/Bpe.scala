@@ -50,6 +50,28 @@ object Bpe {
   private def toSyms(word: String): Seq[String] =
     word.map(_.toString) :+ EOW
 
+  /** The STEP-0 adjacent-pair count table — the exact integer relation
+    * the trainer's first argmax consumes (char symbols + EOW, weighted
+    * by word count). The iterated argmax itself can't be replayed by a
+    * one-shot SQL oracle, but this kernel CAN: it oracle-certifies the
+    * corpus-sized half of [[trainMerges]] (word counting, symbolization,
+    * weighted pair aggregation) while BpeSpec pins the merge loop to a
+    * sequential reference — together the lm_perplexity-style split of
+    * "exact-checkable kernel + property-pinned iteration". */
+  def pairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    wordCounts(docs, textCol).as[(String, Long)]
+      .flatMap { case (w, c) =>
+        val syms = toSyms(w)
+        syms.iterator.zip(syms.iterator.drop(1)).map {
+          case (a, b) => (a, b, c)
+        }
+      }
+      .toDF("l", "r", "c")
+      .groupBy(col("l"), col("r")).agg(sum(col("c")).as("n"))
+      .orderBy(col("l"), col("r"))
+  }
+
   /** One left-to-right pass merging every non-overlapping (a, b) —
     * the BPE merge convention (greedy, leftmost first). */
   private[llm] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {

@@ -849,6 +849,24 @@ object LlmQueries {
     Q("bpe_merges", (s, d) => graft.llm.Bpe.mergesDf(s,
       graft.llm.Bpe.trainMerges(Tables.documents(s, d), "text", nMerges = 24)),
       None),
+    // the ORACLE-CHECKED kernel under the trainer: step-0 weighted
+    // adjacent-pair counts (char symbols + the </w> marker) — exact
+    // integers, so the corpus-sized half of BPE training runs under the
+    // driver's hash gate even though the iterated argmax cannot
+    Q("bpe_pair_counts", (s, d) =>
+      graft.llm.Bpe.pairCounts(Tables.documents(s, d), "text"),
+      Some("""WITH wc AS (
+             |  SELECT w, count(*) AS cnt FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE length(w) > 0 GROUP BY w),
+             |syms AS (
+             |  SELECT list_append(list_transform(range(1, length(w) + 1),
+             |    i -> substr(w, i, 1)), '</w>') AS s, cnt FROM wc),
+             |pairs AS (
+             |  SELECT s[i] AS l, s[i + 1] AS r, cnt
+             |  FROM (SELECT s, cnt, unnest(range(1, len(s))) AS i FROM syms))
+             |SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
+             |FROM pairs GROUP BY l, r ORDER BY l, r""".stripMargin)),
     Q("bpe_token_freq", (s, d) => graft.llm.Bpe.tokenFrequencies(
       Tables.documents(s, d), "text",
       graft.llm.Bpe.trainMerges(Tables.documents(s, d), "text", nMerges = 24)),
