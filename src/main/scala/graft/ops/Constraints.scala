@@ -98,14 +98,9 @@ object Constraints {
     try out.write(cs.map { case (n, e) => s"$n\t$e\n" }.mkString.getBytes("UTF-8"))
     finally out.close()
     val target = new Path(d, f"cs${prev + 1}%05d")
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri,
-      s.sparkContext.hadoopConfiguration)
-    try { fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE); true }
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: org.apache.hadoop.fs.PathExistsException =>
-        f.delete(tmp, false); false
-    }
+    // the same exactly-once claim as the manifest log (hard link on
+    // local FS — see Snapshots.atomicClaim)
+    Snapshots.atomicClaim(s, f, tmp, target)
   }
 
   /** Read-modify-write under the CAS loop: apply `change` to the current

@@ -280,16 +280,11 @@ object Refs {
     val out = f.create(tmp, true)
     try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
     val target = tagPath(loc, name)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri,
-      s.sparkContext.hadoopConfiguration)
-    try { fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE); v }
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: org.apache.hadoop.fs.PathExistsException =>
-        f.delete(tmp, false)
-        throw new IllegalStateException(
-          s"tag '$name' already exists at $loc (tags are immutable; drop it first)")
-    }
+    // the same exactly-once claim as the manifest log (hard link on
+    // local FS — see Snapshots.atomicClaim)
+    if (Snapshots.atomicClaim(s, f, tmp, target)) v
+    else throw new IllegalStateException(
+      s"tag '$name' already exists at $loc (tags are immutable; drop it first)")
   }
 
   /** The version a tag pins, or None. */

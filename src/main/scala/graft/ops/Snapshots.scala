@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path}
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileSystem, Options, Path}
 
 /** Versioned table snapshots over immutable data files — a minimal
   * manifest-based table format (the mechanism behind Iceberg/Delta-style
@@ -407,12 +407,46 @@ object Snapshots {
     try out.write((header + files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val target = new Path(md, f"v$version%05d.txt")
-    val fc = FileContext.getFileContext(target.toUri,
-      s.sparkContext.hadoopConfiguration)
-    try { fc.rename(tmp, target, Options.Rename.NONE); true }
-    catch {
-      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
-        f.delete(tmp, false); false
+    atomicClaim(s, f, tmp, target)
+  }
+
+  /** Claim `target` with `tmp`'s content, EXACTLY-ONCE among racers:
+    * true = this caller owns the version, false = someone else does (tmp
+    * is cleaned up either way). On a LOCAL filesystem the claim is a
+    * HARD LINK — the kernel's only atomic no-overwrite primitive
+    * (link(2) fails EEXIST): `FileContext.rename(…, Rename.NONE)` there
+    * is an exists-probe followed by POSIX rename, which silently
+    * REPLACES a target that appeared between the two — and the local
+    * checksum shadow file can cross racers, leaving a manifest whose
+    * `.crc` belongs to the loser (a read-side "Checksum error" the
+    * round-13 commit-torture run caught once in ~10⁴ publishes). Linking
+    * also never moves a `.crc` for the target, so manifests carry no
+    * checksum shadow at all. Non-local filesystems (HDFS et al.) keep
+    * the FileContext rename, whose no-overwrite IS atomic server-side. */
+  private[graft] def atomicClaim(s: SparkSession, f: FileSystem,
+                                 tmp: Path, target: Path): Boolean = {
+    val scheme = Option(target.toUri.getScheme).getOrElse(
+      FileSystem.getDefaultUri(s.sparkContext.hadoopConfiguration).getScheme)
+    if (scheme == null || scheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+      }
+    } else {
+      val fc = FileContext.getFileContext(target.toUri,
+        s.sparkContext.hadoopConfiguration)
+      try { fc.rename(tmp, target, Options.Rename.NONE); true }
+      catch {
+        case _: FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException =>
+          f.delete(tmp, false); false
+      }
     }
   }
 
