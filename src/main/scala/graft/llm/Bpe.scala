@@ -57,7 +57,10 @@ object Bpe {
     * corpus-sized half of [[trainMerges]] (word counting, symbolization,
     * weighted pair aggregation) while BpeSpec pins the merge loop to a
     * sequential reference — together the lm_perplexity-style split of
-    * "exact-checkable kernel + property-pinned iteration". */
+    * "exact-checkable kernel + property-pinned iteration". Symbols are
+    * UTF-16 code units (Scala `word.map(_.toString)`) — identical to a
+    * code-point split on BMP text; the registry corpus is ASCII, so the
+    * DuckDB mirror's `substr` (code-point) split is bit-equal. */
   def pairCounts(docs: DataFrame, textCol: String): DataFrame = {
     import docs.sparkSession.implicits._
     wordCounts(docs, textCol).as[(String, Long)]

@@ -283,13 +283,26 @@ object BucketLayout {
     Snapshots.publishLayout(s, loc, newFiles, df.schema.json, format(spec))
   }
 
-  /** `column` may be comma-separated for a composite key; `n` buckets
-    * per column (`CALL system.bucket('t', 'tenant,ent', 4)` → 4×4
-    * vectors). */
+  /** `column` may be comma-separated for a composite key, each part
+    * optionally carrying its OWN count as `col:k` — `n` is the count for
+    * parts without one. `CALL system.bucket('t', 'tenant,ent', 4)` →
+    * 4×4 vectors; `CALL system.bucket('t', 'tenant:4,ent:8', 0)` →
+    * 4×8 — the full layout algebra through pure SQL. */
   def commitBucketed(s: SparkSession, loc: String, column: String,
                      n: Int): Long = {
-    require(n >= 1, s"bucket count must be >= 1, got $n")
-    val cols = column.split(',').map(_.trim).toSeq.filter(_.nonEmpty)
-    commitBucketed(s, loc, cols, Seq.fill(cols.length)(n))
+    val parts = column.split(',').map(_.trim).toSeq.filter(_.nonEmpty)
+    val (cols, counts) = parts.map { p =>
+      p.split(':') match {
+        case Array(c, k) if k.nonEmpty && k.forall(_.isDigit) =>
+          (c.trim, k.toInt)
+        case Array(c) =>
+          require(n >= 1,
+            s"bucket count must be >= 1 for '$c' (got $n and no per-column :k)")
+          (c.trim, n)
+        case _ => throw new IllegalArgumentException(
+          s"bucket key part must be 'col' or 'col:k', got '$p'")
+      }
+    }.unzip
+    commitBucketed(s, loc, cols, counts)
   }
 }

@@ -358,6 +358,21 @@ class SnapshotSpjSpec extends SparkTestBase {
     }
   }
 
+  test("per-column counts through SQL: bucket('t', 'a:2,b:3') lays out 2x3") {
+    import spark.implicits._
+    wipe(); register()
+    Snapshots.commitAppend(
+      (1L to 120L).map(i => (i % 4, i, s"v$i")).toDF("a", "b", "v"),
+      s"$root/pc")
+    spark.sql("CALL spjcat.system.bucket('pc', 'a:2,b:3', 0)")
+    assert(Snapshots.versionLayout(spark, s"$root/pc", -1L)
+      .contains("bucket,2*3,a,b"))
+    val files = Snapshots.versionFiles(spark, s"$root/pc",
+      Snapshots.latestVersion(spark, s"$root/pc"))
+    assert(files.flatMap(BucketLayout.bucketOfPath).forall(k => k >= 0 && k < 6))
+    assert(Snapshots.read(spark, s"$root/pc").count() == 120L)
+  }
+
   test("mismatched key ORDER refuses SPJ compatibility (shuffles, exact rows)") {
     import spark.implicits._
     wipe(); register()
