@@ -919,6 +919,40 @@ object AdversarialProbe {
       f"(${skew.max.toDouble / skew.sorted.apply(skew.length / 2)}%.1fx skew " +
       "— visible in t.buckets before the join runs)")
 
+    // ---- the DSv2 routed SQL INSERT must cost what the API append
+    // costs: both shuffle the batch once by the layout hash and write
+    // one file per touched bucket — the SQL route's extra machinery
+    // (RequiresDistributionAndOrdering resolution, the rolling writer)
+    // must be plan-level only, not a second data pass.
+    locally {
+      val loc = "/tmp/graft-probe/sql_insert_cost"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      spark.conf.set("spark.sql.catalog.graft_probe_ins",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_probe_ins.root",
+        "/tmp/graft-probe")
+      graft.ops.Snapshots.commitAppend(
+        spark.range(0L, 4000000L).toDF("id").withColumn("v", col("id") % 97),
+        loc)
+      graft.ops.BucketLayout.commitBucketed(spark, loc, "id", 16)
+      val batch = spark.range(4000000L, 8000000L).toDF("id")
+        .withColumn("v", col("id") % 97)
+      batch.createOrReplaceTempView("ins_probe_batch")
+      val apiW = time("layout ingest via API appendBucketed", reps = 1) {
+        graft.ops.BucketLayout.appendBucketed(spark, loc, batch)
+      }
+      val sqlW = time("layout ingest via SQL INSERT (routed DSv2 write)",
+          reps = 1) {
+        spark.sql("INSERT INTO graft_probe_ins.sql_insert_cost " +
+          "SELECT * FROM ins_probe_batch")
+        1L
+      }
+      require(graft.ops.Snapshots.versionLayout(spark, loc, -1L).isDefined,
+        "probe ingest dropped the layout")
+      verdict("sql_insert_vs_api_append", apiW, sqlW, 1.0)
+    }
+
     // ---- full-rewrite task routing: the exact probe-int routing must
     // never LOSE to the old double-hash repartition (which idles ~1/e of
     // the n slots and serializes 2-3 buckets in some tasks — at n = cores

@@ -398,6 +398,41 @@ class SnapshotSpjSpec extends SparkTestBase {
     }
   }
 
+  test("join keys a SUBSET of the layout keys: SPJ engages, rows exact") {
+    import spark.implicits._
+    wipe(); register()
+    // fact laid out (tenant, ent); dim laid out (tenant) with the SAME
+    // per-column count — a tenant-only join groups the fact's 4x4
+    // vectors by the tenant transform and zips them with the dim's 4,
+    // zero Exchange (allowJoinKeysSubsetOfPartitionKeys)
+    Snapshots.commitAppend(
+      (1L to 300L).map(i => (i % 7, i, s"f$i")).toDF("tenant", "ent", "v"),
+      s"$root/sa")
+    Snapshots.commitAppend(
+      (1L to 60L).map(i => (i % 7, i * 10)).toDF("tenant", "w"), s"$root/sb")
+    spark.sql("CALL spjcat.system.bucket('sa', 'tenant,ent', 4)")
+    spark.sql("CALL spjcat.system.bucket('sb', 'tenant', 4)")
+    val conf =
+      "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "true")
+    try noBroadcast {
+      val df = spark.sql(
+        """SELECT a.ent, b.w FROM spjcat.sa a
+          |JOIN spjcat.sb b ON a.tenant = b.tenant""".stripMargin)
+      assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+      // ground truth Σ_t fact(t)·dim(t): residues of 1..300 and 1..60
+      // mod 7 → 42·8 + 4·(43·9) + 2·(43·8) = 2572. The grouped fact
+      // partitions CONCATENATE several (tenant, ent)-sorted files, so a
+      // merge join must NOT trust per-file ordering here — the exact
+      // count is the no-silent-row-loss pin (the gcd-reducer lesson).
+      assert(df.count() == 2572L, "subset-key SPJ lost rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
   test("mismatched bucket counts (4 vs 8) join zero-Exchange via the gcd reducer") {
     import spark.implicits._
     fixture() // fact at n=4
