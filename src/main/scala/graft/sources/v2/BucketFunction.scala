@@ -53,15 +53,32 @@ object BucketFunction extends UnboundFunction {
         s"bucket count must be integral, got $other")
     }
     inputType.fields(1).dataType match {
-      case dt @ (_: IntegerType | _: LongType | _: ShortType | _: ByteType |
-                 _: StringType | _: DateType | _: BooleanType) =>
-        new Bound(dt)
+      case dt: LongType => new BoundLong(dt)
+      case dt @ (_: IntegerType | _: DateType) => new BoundInt(dt)
+      case dt: ShortType => new BoundShort(dt)
+      case dt: ByteType => new BoundByte(dt)
+      case dt: StringType => new BoundString(dt)
+      case dt: BooleanType => new BoundBoolean(dt)
       case other => throw new UnsupportedOperationException(
         s"bucket does not support key type ${other.catalogString}")
     }
   }
 
-  private final class Bound(keyDt: DataType)
+  /** Typed subclasses exist for the MAGIC METHOD (`invoke`): Spark
+    * resolves a ScalarFunction's `invoke(int, <key>)` by reflection at
+    * PLAN time and emits a codegen'd direct call — without it, every
+    * row of the routed-INSERT shuffle and the shuffle-one-side SPJ pays
+    * an interpreted `produceResult` with a fresh InternalRow (measured
+    * 1.5x on the SQL-vs-API ingest probe). Each `invoke` clones the
+    * per-type arm of catalyst's `InterpretedHashFunction.hash` exactly
+    * (hashInt / hashLong / hashUnsafeBytes, seed 42), and the
+    * interpreted `produceResult` stays as the contract twin the specs
+    * compare against the writer. NULLs never reach `invoke` (Spark
+    * null-checks the arguments); the writer's null contract
+    * (bare-seed bucket) is task-placement-only on the write path, and
+    * a join key's null rows can never match, so the two null behaviors
+    * are observationally equal everywhere the function runs. */
+  private sealed abstract class Bound(keyDt: DataType)
     extends ScalarFunction[Integer] with ReducibleFunction[Integer, Integer] {
     override def inputTypes(): Array[DataType] = Array(IntegerType, keyDt)
     override def resultType(): DataType = IntegerType
@@ -100,5 +117,34 @@ object BucketFunction extends UnboundFunction {
     extends Reducer[Integer, Integer] with Serializable {
     override def reduce(id: Integer): Integer =
       java.lang.Math.floorMod(id.intValue(), g)
+  }
+
+  import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+  private final class BoundLong(dt: DataType) extends Bound(dt) {
+    def invoke(n: Int, key: Long): Int =
+      java.lang.Math.floorMod(Murmur3_x86_32.hashLong(key, 42), n)
+  }
+  private final class BoundInt(dt: DataType) extends Bound(dt) {
+    def invoke(n: Int, key: Int): Int =
+      java.lang.Math.floorMod(Murmur3_x86_32.hashInt(key, 42), n)
+  }
+  private final class BoundShort(dt: DataType) extends Bound(dt) {
+    def invoke(n: Int, key: Short): Int =
+      java.lang.Math.floorMod(Murmur3_x86_32.hashInt(key.toInt, 42), n)
+  }
+  private final class BoundByte(dt: DataType) extends Bound(dt) {
+    def invoke(n: Int, key: Byte): Int =
+      java.lang.Math.floorMod(Murmur3_x86_32.hashInt(key.toInt, 42), n)
+  }
+  private final class BoundBoolean(dt: DataType) extends Bound(dt) {
+    def invoke(n: Int, key: Boolean): Int =
+      java.lang.Math.floorMod(
+        Murmur3_x86_32.hashInt(if (key) 1 else 0, 42), n)
+  }
+  private final class BoundString(dt: DataType) extends Bound(dt) {
+    def invoke(n: Int, key: org.apache.spark.unsafe.types.UTF8String): Int =
+      java.lang.Math.floorMod(Murmur3_x86_32.hashUnsafeBytes(
+        key.getBaseObject, key.getBaseOffset, key.numBytes, 42), n)
   }
 }

@@ -642,10 +642,36 @@ class SnapshotSpjSpec extends SparkTestBase {
         org.apache.spark.sql.types.StructField("k",
           org.apache.spark.sql.types.LongType))))
       .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    // the MAGIC-METHOD (codegen) path must be in lockstep with both
+    val invoke = bound.getClass.getMethod("invoke",
+      classOf[Int], classOf[Long])
     ids.foreach { id =>
       val viaV2 = bound.produceResult(
         org.apache.spark.sql.catalyst.InternalRow(4, id))
       assert(viaV2 == byExpr(id), s"id=$id")
+      assert(invoke.invoke(bound, Int.box(4), Long.box(id)) == byExpr(id),
+        s"magic invoke diverged at id=$id")
     }
+    // ...and for string / int / date / boolean keys the magic overloads
+    // stay in lockstep with the codegen'd writer hash (each clones its
+    // catalyst InterpretedHashFunction arm)
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.lit
+    def check(dt: DataType, value: Any, catalystArg: AnyRef): Unit = {
+      val b = graft.sources.v2.BucketFunction.bind(StructType(Seq(
+        StructField("n", IntegerType), StructField("k", dt))))
+      val m = b.getClass.getMethods.find(_.getName == "invoke").get
+      val expect = spark.range(1)
+        .select(BucketLayout.bucketId(lit(value), 7)).head().getInt(0)
+      val got = m.invoke(b, Int.box(7), catalystArg)
+      assert(got == expect, s"$dt $value: invoke=$got expr=$expect")
+    }
+    check(StringType, "graft",
+      org.apache.spark.unsafe.types.UTF8String.fromString("graft"))
+    check(IntegerType, 12345, Int.box(12345))
+    check(BooleanType, true, Boolean.box(true))
+    check(DateType, java.sql.Date.valueOf("2024-03-01"),
+      Int.box(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaDate(java.sql.Date.valueOf("2024-03-01"))))
   }
 }
