@@ -78,7 +78,7 @@ object BucketFunction extends UnboundFunction {
     * (bare-seed bucket) is task-placement-only on the write path, and
     * a join key's null rows can never match, so the two null behaviors
     * are observationally equal everywhere the function runs. */
-  private sealed abstract class Bound(keyDt: DataType)
+  private[v2] sealed abstract class Bound(keyDt: DataType)
     extends ScalarFunction[Integer] with ReducibleFunction[Integer, Integer] {
     override def inputTypes(): Array[DataType] = Array(IntegerType, keyDt)
     override def resultType(): DataType = IntegerType
@@ -121,28 +121,28 @@ object BucketFunction extends UnboundFunction {
 
   import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
-  private final class BoundLong(dt: DataType) extends Bound(dt) {
+  private[v2] final class BoundLong(dt: DataType) extends Bound(dt) {
     def invoke(n: Int, key: Long): Int =
       java.lang.Math.floorMod(Murmur3_x86_32.hashLong(key, 42), n)
   }
-  private final class BoundInt(dt: DataType) extends Bound(dt) {
+  private[v2] final class BoundInt(dt: DataType) extends Bound(dt) {
     def invoke(n: Int, key: Int): Int =
       java.lang.Math.floorMod(Murmur3_x86_32.hashInt(key, 42), n)
   }
-  private final class BoundShort(dt: DataType) extends Bound(dt) {
+  private[v2] final class BoundShort(dt: DataType) extends Bound(dt) {
     def invoke(n: Int, key: Short): Int =
       java.lang.Math.floorMod(Murmur3_x86_32.hashInt(key.toInt, 42), n)
   }
-  private final class BoundByte(dt: DataType) extends Bound(dt) {
+  private[v2] final class BoundByte(dt: DataType) extends Bound(dt) {
     def invoke(n: Int, key: Byte): Int =
       java.lang.Math.floorMod(Murmur3_x86_32.hashInt(key.toInt, 42), n)
   }
-  private final class BoundBoolean(dt: DataType) extends Bound(dt) {
+  private[v2] final class BoundBoolean(dt: DataType) extends Bound(dt) {
     def invoke(n: Int, key: Boolean): Int =
       java.lang.Math.floorMod(
         Murmur3_x86_32.hashInt(if (key) 1 else 0, 42), n)
   }
-  private final class BoundString(dt: DataType) extends Bound(dt) {
+  private[v2] final class BoundString(dt: DataType) extends Bound(dt) {
     def invoke(n: Int, key: org.apache.spark.unsafe.types.UTF8String): Int =
       java.lang.Math.floorMod(Murmur3_x86_32.hashUnsafeBytes(
         key.getBaseObject, key.getBaseOffset, key.numBytes, 42), n)

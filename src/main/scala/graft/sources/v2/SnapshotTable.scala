@@ -21,11 +21,16 @@ import graft.ops.Snapshots
   * list (pushdown, pruning, vectorization intact), and the WRITE side
   * routes every SQL statement into the manifest commit protocol:
   *
-  *  - `INSERT INTO snap.t ...`            → append commit (CAS loop)
+  *  - `INSERT INTO snap.t ...`            → append commit (CAS loop);
+  *    on a bucket-laid table the write is the ROUTED
+  *    [[SnapshotBucketedWrite]], so the layout (and the zero-Exchange
+  *    SPJ plan) survives pure-SQL ingest
   *  - `DELETE FROM snap.t WHERE <pred>`   → [[Snapshots.commitDelete]]'s
   *    copy-on-write path when every conjunct translates to a v1 filter
-  *    (`SupportsDelete` — the metadata-only route, rewriting ONLY
-  *    affected files and carrying the rest by reference)
+  *    AND the table has no layout (`SupportsDelete` — the metadata-only
+  *    route, rewriting ONLY affected files and carrying the rest by
+  *    reference; under a layout the row-level path below runs instead,
+  *    whose routed write keeps the layout at the same cost class)
   *  - `DELETE` with a subquery, `UPDATE`, `MERGE INTO` →
   *    `SupportsRowLevelOperations` group-based rewrite: Spark computes
   *    the surviving rows, writes them through the native v2 parquet

@@ -933,14 +933,17 @@ object AdversarialProbe {
       spark.conf.set("spark.sql.catalog.graft_probe_ins.root",
         "/tmp/graft-probe")
       graft.ops.Snapshots.commitAppend(
-        spark.range(0L, 4000000L).toDF("id").withColumn("v", col("id") % 97),
-        loc)
+        spark.range(0L, 1000000L).toDF("id").withColumn("v",
+          concat(lit("payload-"), col("id") % 100000)), loc)
       graft.ops.BucketLayout.commitBucketed(spark, loc, "id", 16)
-      val batch = spark.range(4000000L, 8000000L).toDF("id")
-        .withColumn("v", col("id") % 97)
-      batch.createOrReplaceTempView("ins_probe_batch")
+      // batch sized so per-ROW routing cost dominates the fixed SQL
+      // analysis/commit overhead (sub-second batches measure the
+      // constant, not the path)
+      def batch(lo: Long) = spark.range(lo, lo + 24000000L).toDF("id")
+        .withColumn("v", concat(lit("payload-"), col("id") % 100000))
+      batch(24000000L).createOrReplaceTempView("ins_probe_batch")
       val apiW = time("layout ingest via API appendBucketed", reps = 1) {
-        graft.ops.BucketLayout.appendBucketed(spark, loc, batch)
+        graft.ops.BucketLayout.appendBucketed(spark, loc, batch(48000000L))
       }
       val sqlW = time("layout ingest via SQL INSERT (routed DSv2 write)",
           reps = 1) {
