@@ -305,4 +305,54 @@ object BucketLayout {
     }.unzip
     commitBucketed(s, loc, cols, counts)
   }
+
+  /** Scale the layout's bucket counts WITHOUT a shuffle: when every new
+    * count is a multiple of its old count, `h mod newN` REFINES
+    * `h mod oldN` (they agree mod oldN), so each old bucket's rows can
+    * only land in the new buckets that refine it — a row never crosses
+    * old-bucket boundaries, and the rewrite is per-task local: scan
+    * tasks read old-bucket files, compute the new linear id, LOCALLY
+    * sort by (new bucket, keys…), and the dynamic-partition writer rolls
+    * one file per (task, new bucket). Zero Exchange anywhere in the plan
+    * (pinned in SnapshotSpjSpec with a shuffle-records listener) — at
+    * 100 TB this turns "bucket count too small" from a full-table
+    * shuffle into an IO-bound embarrassingly-parallel pass, the same
+    * cost class as compaction. Files read DV-APPLIED (vectors fold
+    * away); within-file key order survives splitting (a stable filter
+    * of a sorted run is sorted), so the new files keep the tight
+    * row-group stats the routed writers produce. Publishes a replace
+    * carrying the NEW layout header. */
+  def splitBuckets(s: SparkSession, loc: String,
+                   newCounts: Seq[Int]): Long = {
+    val latest = Snapshots.latestVersion(s, loc)
+    val spec = Snapshots.versionLayout(s, loc, latest).flatMap(parse)
+      .getOrElse(throw new IllegalStateException(
+        s"$loc has no active bucket layout to split"))
+    require(newCounts.length == spec.counts.length,
+      s"one count per layout column: ${spec.columns.mkString(",")} " +
+        s"vs $newCounts")
+    spec.counts.zip(newCounts).foreach { case (o, n) =>
+      require(n >= o && n % o == 0,
+        s"each new count must be a multiple of its old count " +
+          s"(old $o, new $n): only then does the new hash refine the " +
+          "old buckets and the split stay shuffle-free — use " +
+          "commitBucketed for an arbitrary re-layout") }
+    val newSpec = Spec(spec.columns, newCounts)
+    if (newSpec == spec) return latest
+    val files = Snapshots.versionFiles(s, loc, latest)
+    val dvs = Snapshots.versionDvs(s, loc, latest)
+    val schema = Snapshots.versionSchema(s, loc, latest)
+    val df = Snapshots.applyDv(s, Snapshots.readData(s, files, schema), dvs)
+    val b = "__graft_bucket"
+    val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
+    df.withColumn(b, linearId(newSpec))
+      .sortWithinPartitions((col(b) +: newSpec.columns.map(col)): _*)
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(b).parquet(dataDir.toString)
+    val f = dataDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val newFiles = f.globStatus(new Path(dataDir, s"$DirPrefix*/part-*"))
+      .toSeq.map(_.getPath.toString)
+    Snapshots.publishLayout(s, loc, newFiles,
+      schema.map(_.json).getOrElse(df.schema.json), format(newSpec))
+  }
 }

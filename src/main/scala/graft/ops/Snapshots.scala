@@ -528,16 +528,27 @@ object Snapshots {
     }
     StructType(prev.fields ++ next.fields
       .filterNot(f => prevByName.contains(f.name.toLowerCase))
-      .map(_.copy(nullable = true)))
+      // an added column must be nullable (old files fill it with null) —
+      // UNLESS it carries an existence DEFAULT, which fills old files'
+      // rows with a non-null constant instead, making NOT NULL sound
+      .map(f => if (f.metadata.contains("EXISTS_DEFAULT")) f
+                else f.copy(nullable = true)))
   }
 
   /** Publish an EMPTY version 1 carrying only a schema — SQL
     * `CREATE TABLE` through the DSv2 catalog. Fails if the table already
-    * has any committed version. */
+    * has any committed version. `layout` declares a bucket layout AT
+    * BIRTH (`CREATE TABLE … PARTITIONED BY (bucket(n, key))`): the empty
+    * version carries the `#layout=` header, so the very FIRST `INSERT
+    * INTO` routes through [[graft.sources.v2.SnapshotBucketedWrite]] and
+    * the table never exists in an un-co-partitioned state — no
+    * `CALL system.bucket` rewrite needed, ever. */
   def createEmpty(s: SparkSession, loc: String,
-                  schema: org.apache.spark.sql.types.StructType): Long = {
+                  schema: org.apache.spark.sql.types.StructType,
+                  layout: Option[String] = None): Long = {
     require(latestVersion(s, loc) == 0L, s"table already exists at $loc")
-    if (!tryPublish(s, loc, 1L, Nil, schemaJson = Some(schema.json)))
+    if (!tryPublish(s, loc, 1L, Nil, schemaJson = Some(schema.json),
+        layout = layout))
       throw new IllegalStateException(s"lost the create race at $loc")
     1L
   }

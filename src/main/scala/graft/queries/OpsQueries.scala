@@ -675,6 +675,51 @@ object OpsQueries {
             |FROM graft_snap_dml.orders_ddl ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Column DEFAULTs through pure SQL DDL: `ALTER TABLE … ADD COLUMN src
+    * STRING DEFAULT 'legacy'` is ONE metadata commit — zero files
+    * rewritten (guarded) — after which (a) rows in files that PREDATE
+    * the column read the add-time constant (`EXISTS_DEFAULT`: the
+    * parquet reader fills missing columns from the schema header's
+    * metadata), and (b) an INSERT that omits the column gets the
+    * current default (`CURRENT_DEFAULT`, analyzer-filled). At 100 TB
+    * this is the no-backfill evolution story: adding a provenance/
+    * quality column to a corpus costs O(manifest), not O(corpus), and
+    * NOT NULL additions stay sound because the default fills history. */
+  private def snapshotSqlDefault(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_def"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    Tables.orders(s, d).createOrReplaceTempView("orders_src_def")
+    s.sql("""CREATE TABLE graft_snap_dml.orders_def
+            |  (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+    s.sql("""INSERT INTO graft_snap_dml.orders_def
+            |SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_src_def WHERE o_orderkey % 3 = 0""".stripMargin)
+    val before = graft.ops.Snapshots.versionFiles(s, loc,
+      graft.ops.Snapshots.latestVersion(s, loc)).toSet
+    s.sql("""ALTER TABLE graft_snap_dml.orders_def
+            |ADD COLUMN source STRING DEFAULT 'legacy'""".stripMargin)
+    val after = graft.ops.Snapshots.versionFiles(s, loc,
+      graft.ops.Snapshots.latestVersion(s, loc)).toSet
+    require(after == before,
+      "ADD COLUMN DEFAULT must be a metadata-only commit (no file rewritten)")
+    // post-evolution ingest: naming the column, and OMITTING it (the
+    // analyzer fills CURRENT_DEFAULT)
+    s.sql("""INSERT INTO graft_snap_dml.orders_def
+            |SELECT o_orderkey, o_custkey, o_totalprice, 'fresh'
+            |FROM orders_src_def WHERE o_orderkey % 3 = 1""".stripMargin)
+    s.sql("""INSERT INTO graft_snap_dml.orders_def
+            |  (o_orderkey, o_custkey, o_totalprice)
+            |SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_src_def WHERE o_orderkey % 3 = 2""".stripMargin)
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice, source
+            |FROM graft_snap_dml.orders_def ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Version-to-version row delta (`Snapshots.diff`): v1 appends a third
     * of orders, v2 appends another third, v3 logically overwrites with
     * the open-status subset of both thirds. diff(1 → 3) must report the
@@ -1084,6 +1129,50 @@ object OpsQueries {
     s.sql(q + "\nORDER BY o.o_orderkey, l.l_linenumber")
   }
 
+  /** Shuffle-free bucket-count scaling (`CALL system.bucket_split`):
+    * the fact starts at n=4, splits to n=8 with a per-task local pass —
+    * `h mod 8` REFINES `h mod 4`, so no row crosses old-bucket
+    * boundaries and the rewrite plans ZERO Exchange (pinned with a
+    * shuffle-records listener in SnapshotSpjSpec) — then joins an n=8
+    * dim with zero Exchange. At 100 TB this is the escape hatch for
+    * "bucket count too small": compaction-class IO instead of the full
+    * re-layout shuffle `CALL bucket` pays. */
+  private def snapshotSqlBucketSplit(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    Seq(s"$root/orders_bsp", s"$root/lines_bsp").foreach { loc =>
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    graft.ops.Snapshots.commitAppend(
+      Tables.orders(s, d).repartition(4), s"$root/orders_bsp")
+    graft.ops.Snapshots.commitAppend(
+      Tables.lineitem(s, d).repartition(4), s"$root/lines_bsp")
+    s.sql("CALL graft_snap_dml.system.bucket('orders_bsp', 'o_orderkey', 4)")
+    s.sql("CALL graft_snap_dml.system.bucket('lines_bsp', 'l_orderkey', 8)")
+    s.sql("CALL graft_snap_dml.system.bucket_split('orders_bsp', 2)")
+    require(graft.ops.Snapshots.versionLayout(s, s"$root/orders_bsp", -1L)
+        .contains("bucket,8,o_orderkey"), "split must scale the layout header")
+    val q =
+      """SELECT o.o_orderkey, l.l_linenumber, o.o_totalprice, l.l_quantity
+        |FROM graft_snap_dml.orders_bsp o
+        |JOIN graft_snap_dml.lines_bsp l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey <= 2000""".stripMargin
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = s.sql(q)
+      probe.collect() // finalize the adaptive plan
+      val shuffles = countShuffles(probe.queryExecution.executedPlan)
+      require(shuffles == 0,
+        s"post-split SPJ still shuffled ($shuffles exchanges):\n" +
+          probe.queryExecution.executedPlan)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    s.sql(q + "\nORDER BY o.o_orderkey, l.l_linenumber")
+  }
+
   /** COMPOSITE-key storage-partitioned join: both tables laid out on the
     * two-column key `(l_orderkey, l_linenumber)` — one single-column
     * `bucket(n, c)` transform PER KEY (the only shape Spark's SPJ
@@ -1161,6 +1250,70 @@ object OpsQueries {
     require(planned <= 2,
       s"bucket point read planned $planned buckets (of 8) — pruning dead")
     s.sql(q + "\nORDER BY o_orderkey")
+  }
+
+  /** Layout AT BIRTH: `CREATE TABLE … PARTITIONED BY (bucket(8, key))`
+    * declares the bucket layout on the EMPTY table — the `#layout=`
+    * header rides the schema-only v1 manifest, so the very first
+    * `INSERT INTO` routes through the bucketed DSv2 write and the fact
+    * is co-partition-joinable from its first row. The whole lifecycle —
+    * DDL, two ingest batches per table, the join — is pure SQL with NO
+    * maintenance verb anywhere: the 100 TB pipeline never pays the
+    * `CALL system.bucket` full rewrite because the table never existed
+    * un-bucketed. In-query guards: both tables' headers present, every
+    * file routed, finalized adaptive join plan has ZERO Exchange;
+    * oracle proves exact rows. */
+  private def snapshotSqlCreateBucketed(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    Seq(s"$root/orders_ctb", s"$root/lines_ctb").foreach { loc =>
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    Tables.orders(s, d).createOrReplaceTempView("orders_src_ctb")
+    Tables.lineitem(s, d).createOrReplaceTempView("lines_src_ctb")
+    s.sql("""CREATE TABLE graft_snap_dml.orders_ctb
+            |  (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+            |PARTITIONED BY (bucket(8, o_orderkey))""".stripMargin)
+    s.sql("""CREATE TABLE graft_snap_dml.lines_ctb
+            |  (l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE)
+            |PARTITIONED BY (bucket(8, l_orderkey))""".stripMargin)
+    s.sql("""INSERT INTO graft_snap_dml.orders_ctb
+            |SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_src_ctb WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql("""INSERT INTO graft_snap_dml.orders_ctb
+            |SELECT o_orderkey, o_custkey, o_totalprice
+            |FROM orders_src_ctb WHERE o_orderkey % 2 = 1""".stripMargin)
+    s.sql("""INSERT INTO graft_snap_dml.lines_ctb
+            |SELECT l_orderkey, l_linenumber, l_quantity
+            |FROM lines_src_ctb""".stripMargin)
+    Seq(s"$root/orders_ctb" -> "bucket,8,o_orderkey",
+        s"$root/lines_ctb" -> "bucket,8,l_orderkey").foreach { case (loc, want) =>
+      val v = graft.ops.Snapshots.latestVersion(s, loc)
+      require(graft.ops.Snapshots.versionLayout(s, loc, v).contains(want),
+        s"CREATE-declared layout lost by v$v at $loc")
+      val unrouted = graft.ops.Snapshots.versionFiles(s, loc, v)
+        .filterNot(f => graft.ops.BucketLayout.bucketOfPath(f).isDefined)
+      require(unrouted.isEmpty, s"unrouted files under a birth layout: $unrouted")
+    }
+    val q =
+      """SELECT o.o_orderkey, l.l_linenumber, o.o_totalprice, l.l_quantity
+        |FROM graft_snap_dml.orders_ctb o
+        |JOIN graft_snap_dml.lines_ctb l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey <= 2000""".stripMargin
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = s.sql(q)
+      probe.collect() // finalize the adaptive plan
+      val shuffles = countShuffles(probe.queryExecution.executedPlan)
+      require(shuffles == 0,
+        s"birth-layout SPJ still shuffled ($shuffles exchanges):\n" +
+          probe.queryExecution.executedPlan)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    s.sql(q + "\nORDER BY o.o_orderkey, l.l_linenumber")
   }
 
   private def countShuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
@@ -1929,6 +2082,11 @@ object OpsQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
              |FROM orders WHERE o_orderkey % 5 = 0
              |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_default", snapshotSqlDefault,
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |  CASE WHEN o_orderkey % 3 = 1 THEN 'fresh' ELSE 'legacy' END AS source
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_sql_lifecycle", snapshotSqlLifecycle,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority
@@ -2075,6 +2233,16 @@ object OpsQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice
              |FROM orders WHERE o_orderkey IN (7, 1234)
              |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_bucket_split", snapshotSqlBucketSplit,
+      Some("""SELECT o_orderkey, l_linenumber, o_totalprice, l_quantity
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey <= 2000
+             |ORDER BY o_orderkey, l_linenumber""".stripMargin)),
+    Q("snapshot_sql_create_bucketed", snapshotSqlCreateBucketed,
+      Some("""SELECT o_orderkey, l_linenumber, o_totalprice, l_quantity
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey <= 2000
+             |ORDER BY o_orderkey, l_linenumber""".stripMargin)),
     Q("snapshot_sql_spj_multi", snapshotSqlSpjMulti,
       Some("""SELECT f.l_orderkey, f.l_linenumber, f.l_quantity, r.l_extendedprice
              |FROM lineitem f

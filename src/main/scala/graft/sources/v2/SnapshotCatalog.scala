@@ -225,23 +225,29 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
   /** `CREATE TABLE` / CTAS: publish an empty version 1 carrying only the
     * schema header — the table exists, with a schema, before its first
     * row; `INSERT INTO` (and CTAS's follow-up append write) commit data
-    * on top. Partition transforms are rejected: layout in this format is
-    * the writer's choice (range/bucket the DataFrame) + zone-map
-    * sidecars, not directory partitioning. */
+    * on top.
+    *
+    * `PARTITIONED BY (bucket(n₁, c₁)[, bucket(n₂, c₂)…])` declares the
+    * BUCKET LAYOUT AT BIRTH: the empty version carries the `#layout=`
+    * header, so the first INSERT (or the CTAS backfill write) routes
+    * through [[SnapshotBucketedWrite]] and the table is co-partition-
+    * joinable from its first row — no post-hoc `CALL system.bucket`
+    * rewrite. One single-column transform per key (the only shape
+    * Spark's SPJ machinery plans — composite keys are a transform PER
+    * column, never one multi-column hash); any other transform (identity
+    * / days / hours / truncate) is rejected: value layout in this format
+    * is zone-map sidecars over clustered files, not directories. */
   override def createTable(ident: Identifier,
                            schema: org.apache.spark.sql.types.StructType,
                            partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
                            properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "snapshot tables do not take partition transforms; cluster the " +
-        "written DataFrame and attach zone-map stats instead " +
-        "(CALL <catalog>.system.attach_stats — SQL range scans then plan " +
-        "only the files whose [min,max] intersects the predicate)")
+    val layout = SnapshotCatalog.layoutOfTransforms(partitions, schema)
     val loc = location(ident)
     if (Snapshots.latestVersion(spark, loc) > 0)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(catalogName) ++ ident.namespace() :+ ident.name())
-    Snapshots.createEmpty(spark, loc, schema)
+    Snapshots.createEmpty(spark, loc, schema,
+      layout.map(graft.ops.BucketLayout.format))
     // declared stat/Bloom columns at birth: TBLPROPERTIES
     // ('stats.columns'='a,b' [, 'bloom.columns'='k']) is CALL auto_stats
     // folded into the CREATE — every write this table ever takes
@@ -262,11 +268,24 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
     loadTable(ident)
   }
 
+  /** Column DEFAULTs are supported on CREATE and ADD COLUMNS: the
+    * default rides the schema header as the standard field metadata
+    * (`CURRENT_DEFAULT` for future INSERTs, `EXISTS_DEFAULT` — the
+    * add-time constant — for rows in files that predate the column), so
+    * a 100 TB table evolves with a non-null-filled column in one
+    * metadata commit, zero files rewritten: the parquet readers emit
+    * the existence default for files missing the column. */
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** `ALTER TABLE … ADD COLUMNS` — the one evolution this format defines
     * (additive): a pure metadata commit widening the schema header; no
-    * file touched, existing rows read the new columns as null. Every
-    * other change (rename/drop/retype/reposition) is rejected — they
-    * would require rewriting history or break pinned readers. */
+    * file touched, existing rows read the new columns as null — or as
+    * the declared DEFAULT (`EXISTS_DEFAULT` semantics: the constant at
+    * add time, never re-evaluated). Every other change
+    * (rename/drop/retype/reposition) is rejected — they would require
+    * rewriting history or break pinned readers. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val adds = changes.map {
       case a: TableChange.AddColumn =>
@@ -274,14 +293,30 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
           "nested column additions are not supported")
         if (a.position() != null) throw new UnsupportedOperationException(
           "column positions are not supported; new columns append at the end")
+        val dv = Option(a.defaultValue())
         // never silently drop a declared constraint: existing rows WOULD
-        // read the new column as null, so a NOT NULL addition is a lie
-        if (!a.isNullable) throw new UnsupportedOperationException(
-          s"ADD COLUMNS ${a.fieldNames()(0)} NOT NULL is not supported: " +
-            "additive evolution fills existing rows with null, so added " +
-            "columns must be nullable")
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames()(0), a.dataType(), nullable = true)
+        // read the new column as null, so a NOT NULL addition is a lie —
+        // UNLESS a non-null DEFAULT fills them
+        if (!a.isNullable && !dv.exists(_.getValue.value() != null))
+          throw new UnsupportedOperationException(
+            s"ADD COLUMNS ${a.fieldNames()(0)} NOT NULL is not supported " +
+              "without a non-null DEFAULT: added columns must be nullable " +
+              "(existing rows fill with null) unless an existence default " +
+              "fills them")
+        val base = org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = a.isNullable)
+        dv.map { d =>
+          // EXISTS_DEFAULT is the FOLDED constant (getValue is already a
+          // literal); CURRENT_DEFAULT keeps the user's SQL for future
+          // INSERT analysis — the split Spark's own evolution maintains
+          val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+            d.getValue.value(), d.getValue.dataType())
+          base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(base.metadata)
+            .putString("CURRENT_DEFAULT", Option(d.getSql).getOrElse(lit.sql))
+            .putString("EXISTS_DEFAULT", lit.sql)
+            .build())
+        }.getOrElse(base)
       case other => readOnly(s"ALTER TABLE change ${other.getClass.getSimpleName}")
     }
     Snapshots.commitAddColumns(spark, location(ident),
@@ -301,4 +336,62 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
   }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
+}
+
+object SnapshotCatalog {
+
+  /** `PARTITIONED BY` transforms → a [[graft.ops.BucketLayout.Spec]]
+    * declared at CREATE time. Accepts exactly the shape the SPJ planner
+    * can use — one `bucket(n, col)` per top-level column, n ≥ 1, no
+    * column twice, every key type one [[BucketFunction]] can bind (the
+    * same gate the scan's transform report goes through, so a layout
+    * this accepts is a layout SPJ can plan). Everything else fails at
+    * CREATE with the reason, never at first read. */
+  private[v2] def layoutOfTransforms(
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      schema: org.apache.spark.sql.types.StructType)
+      : Option[graft.ops.BucketLayout.Spec] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLiteral, NamedReference}
+    if (partitions.isEmpty) return None
+    val keys = partitions.toSeq.map { t =>
+      if (!t.name().equalsIgnoreCase("bucket"))
+        throw new UnsupportedOperationException(
+          s"snapshot tables take only bucket(n, col) partition transforms " +
+            s"(got ${t.describe()}); for value locality cluster the written " +
+            "DataFrame and attach zone-map stats (CALL <catalog>.system" +
+            ".attach_stats) — range scans then plan only intersecting files")
+      val counts = t.arguments().collect {
+        case l: VLiteral[_] if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }
+      val refs = t.arguments().collect { case r: NamedReference => r }
+      if (counts.length != 1 || refs.length != 1)
+        throw new UnsupportedOperationException(
+          s"each bucket transform takes exactly one column — spell a " +
+            s"composite key as bucket(n1, c1), bucket(n2, c2) (got ${t.describe()}); " +
+            "a single multi-column hash cannot engage storage-partitioned joins")
+      if (counts.head < 1) throw new IllegalArgumentException(
+        s"bucket count must be >= 1: ${t.describe()}")
+      if (refs.head.fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"bucket keys must be top-level columns: ${t.describe()}")
+      val name = refs.head.fieldNames()(0)
+      val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"bucket key '$name' is not a column of the table (have: " +
+            schema.fieldNames.mkString(", ") + ")"))
+      // same type gate as the SPJ resolver: unbucketable key types fail
+      // the CREATE, not the first co-partitioned plan
+      BucketFunction.bind(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+        field)))
+      (field.name, counts.head)
+    }
+    val dup = keys.groupBy(_._1.toLowerCase).collectFirst {
+      case (_, vs) if vs.length > 1 => vs.head._1
+    }
+    dup.foreach(c => throw new IllegalArgumentException(
+      s"bucket key '$c' appears in more than one transform"))
+    Some(graft.ops.BucketLayout.Spec(keys.map(_._1), keys.map(_._2)))
+  }
 }

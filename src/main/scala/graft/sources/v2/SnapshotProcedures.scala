@@ -36,7 +36,8 @@ object SnapshotProcedures {
       "attach_blooms", "auto_stats", "cluster", "bucket", "migrate",
       "delete_mor", "rollback", "attach_grams",
       "branch", "fast_forward", "drop_branch", "tag", "drop_tag",
-      "add_constraint", "drop_constraint", "optimize_buckets")
+      "add_constraint", "drop_constraint", "optimize_buckets",
+      "bucket_split")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -187,6 +188,31 @@ object SnapshotProcedures {
       str(input, 1), input.getInt(2))
     Snapshots.autoStats(spark, loc)
     Seq[Any](v, input.getInt(2))
+  }
+
+  /** Shuffle-free bucket-count scaling ([[graft.ops.BucketLayout
+    * .splitBuckets]]): multiply every layout count by `factor` — each
+    * old bucket's rows can only land in the new buckets refining it
+    * (`h mod kn` agrees with `h mod n` mod n), so the rewrite is a
+    * per-task local pass with ZERO Exchange: the 100 TB answer to
+    * "bucket count too small" at compaction cost, not full-shuffle
+    * cost. Arbitrary re-layouts (new key, non-multiple count) stay
+    * `CALL bucket`. */
+  private val bucketSplit = procedure("bucket_split",
+    Seq(in("table", StringType), in("factor", IntegerType)),
+    StructType(Seq(StructField("version", LongType),
+      StructField("buckets", IntegerType)))) { (loc, input) =>
+    val k = input.getInt(1)
+    require(k >= 2, s"split factor must be >= 2, got $k")
+    val latest = Snapshots.latestVersion(spark, loc)
+    val spec = Snapshots.versionLayout(spark, loc, latest)
+      .flatMap(graft.ops.BucketLayout.parse)
+      .getOrElse(throw new IllegalStateException(
+        s"$loc has no active bucket layout to split"))
+    val v = graft.ops.BucketLayout.splitBuckets(spark, loc,
+      spec.counts.map(_ * k))
+    Snapshots.autoStats(spark, loc)
+    Seq[Any](v, spec.counts.map(_ * k).product)
   }
 
   /** Incremental per-bucket fold ([[graft.ops.BucketLayout
@@ -356,7 +382,8 @@ object SnapshotProcedures {
     "optimize" -> optimize, "optimize_small" -> optimizeSmall,
     "expire" -> expire, "attach_stats" -> attachStats,
     "attach_blooms" -> attachBlooms, "cluster" -> clusterTable,
-    "bucket" -> bucketTable, "auto_stats" -> autoStats,
+    "bucket" -> bucketTable, "bucket_split" -> bucketSplit,
+    "auto_stats" -> autoStats,
     "migrate" -> migrateTable, "delete_mor" -> deleteMor,
     "rollback" -> rollbackTable, "attach_grams" -> attachGrams,
     "branch" -> branchTable, "fast_forward" -> fastForward,

@@ -24,10 +24,33 @@ import graft.ops.Snapshots
   * arrive complete and IN FILE ORDER, which is what the streaming source
   * relies on. */
 private[v2] object V2ParquetRead {
+  // Read schemas hand the parquet reader `asNullable` copies: a column
+  // added by evolution is MISSING from older files, and the reader
+  // errors on a missing column it believes required — nullability in a
+  // read schema is an assertion about file bytes, and this format's
+  // non-null guarantees come from the manifest schema + existence
+  // defaults (which the reader fills from the surviving field
+  // metadata), not from the files. Table-level nullability (INSERT
+  // enforcement, relation output) is untouched.
+  /** StructType.asNullable is private[spark]; same recipe (metadata —
+    * including CURRENT/EXISTS_DEFAULT — survives the copy). */
+  private[v2] def nullable(st: StructType): StructType =
+    StructType(st.fields.map(f =>
+      f.copy(nullable = true, dataType = nullableType(f.dataType))))
+  private def nullableType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => nullable(s)
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = nullableType(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = nullableType(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   def rowReadFunc(spark: SparkSession,
                   schema: StructType): PartitionedFile => Iterator[InternalRow] =
     new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, schema, StructType(Nil), schema, Nil,
+      spark, nullable(schema), StructType(Nil), nullable(schema), Nil,
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
 
@@ -42,10 +65,10 @@ private[v2] object V2ParquetRead {
                         withRowIndex: Boolean)
       : PartitionedFile => Iterator[InternalRow] =
     new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, dataSchema, StructType(Nil),
-      if (withRowIndex) StructType(required.fields :+ StructField(
+      spark, nullable(dataSchema), StructType(Nil),
+      if (withRowIndex) StructType(nullable(required).fields :+ StructField(
         ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType))
-      else required,
+      else nullable(required),
       filters, Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
 

@@ -79,10 +79,13 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
       else None
     }
 
-  /** Declared table partitioning: the bucket transform when the layout
-    * is active, so `DESCRIBE` and the SPJ resolver both see it. */
+  /** Declared table partitioning: the bucket transforms when the layout
+    * is active, so `DESCRIBE` and the SPJ resolver both see it — and on
+    * an EMPTY table the layout DECLARED at CREATE time (`PARTITIONED BY
+    * (bucket(n, key))`), which every file the table will ever hold must
+    * route through. */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    activeLayout.map { case (spec, _) =>
+    (if (files.isEmpty) layout else activeLayout.map(_._1)).map { spec =>
       spec.columns.zip(spec.counts).map { case (c, n) =>
         org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
       }.toArray
@@ -112,7 +115,12 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
     classOf[ParquetFileFormat])
 
   override def name(): String = ident
-  override def schema(): StructType = delegate.schema
+  /** The manifest header's schema verbatim when present: the delegate
+    * (Spark's FileTable) reports user schemas `asNullable`, which would
+    * erase a `NOT NULL DEFAULT`-added column's nullability — the header
+    * is this format's source of truth, including field metadata
+    * (CURRENT/EXISTS_DEFAULT) and nullability. */
+  override def schema(): StructType = manifestSchema.getOrElse(delegate.schema)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -144,8 +152,13 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
           // to infer from) — pruning to nothing falls back to the full list
           // there; schema-bearing tables plan the empty scan directly
           val eff = if (keep.isEmpty && manifestSchema.isEmpty) files else keep
+          // asNullable: evolution-added columns are missing from older
+          // files; the reader fills null / the existence default, and
+          // erroring on "required column missing" would reject exactly
+          // the NOT NULL DEFAULT case the format supports
           ParquetTable(ident, spark, CaseInsensitiveStringMap.empty(),
-            eff.toIndexedSeq, manifestSchema, classOf[ParquetFileFormat])
+            eff.toIndexedSeq, manifestSchema.map(V2ParquetRead.nullable),
+            classOf[ParquetFileFormat])
             .newScanBuilder(options)
         },
         // a projection naming __graft_file leaves the delegate (parquet

@@ -62,7 +62,12 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
   override def pushedFilters: Array[Predicate] =
     innerOrAll.asInstanceOf[SupportsPushDownCatalystFilters].pushedFilters
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema0: StructType): Unit = {
+    // read schemas go to the parquet reader asNullable: an evolution-
+    // added NOT NULL DEFAULT column is missing from older files, and the
+    // reader must fill its existence default (which rides the field
+    // metadata, preserved here) rather than error on a required column
+    val requiredSchema = V2ParquetRead.nullable(requiredSchema0)
     if (aggRow != null) () // metadata-answered aggregate: nothing to prune
     // the delegated parquet scan cannot synthesize the __graft_file
     // metadata column — a projection naming it switches to the per-file
@@ -78,6 +83,7 @@ private[v2] class ZoneMapScanBuilder(spark: SparkSession, loc: String,
       innerOrAll.asInstanceOf[SupportsPushDownRequiredColumns]
         .pruneColumns(requiredSchema)
     }
+  }
 
   // ---- top-n / limit file pruning ----
   // `ORDER BY k [DESC] LIMIT n` on a sidecar-covered column narrows the

@@ -47,7 +47,10 @@ class SnapshotCatalogSpec extends SparkTestBase {
       s"$root/pruned")
     val plan = spark.sql("SELECT id FROM snapcat.pruned WHERE id = 7")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,7)]"), plan)
+    // no IsNotNull alongside: the table reports the manifest schema's
+    // nullability verbatim (id is non-null here), so the optimizer
+    // correctly elides the null check the old all-nullable report forced
+    assert(plan.contains("PushedFilters: [EqualTo(id,7)]"), plan)
     assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
   }
 

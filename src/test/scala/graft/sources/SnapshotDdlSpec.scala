@@ -141,4 +141,61 @@ class SnapshotDdlSpec extends SparkTestBase {
     assert(feed.columns.contains("score"))
     assert(feed.filter(col("change") === "insert").count() >= 3)
   }
+
+  test("ADD COLUMN DEFAULT: history reads the constant, inserts fill it, no rewrite") {
+    import spark.implicits._
+    init()
+    spark.sql("CREATE TABLE sqlddl.t_def (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO sqlddl.t_def VALUES (1, 'a'), (2, 'b')")
+    val loc = s"$root/t_def"
+    val before = Snapshots.versionFiles(spark, loc,
+      Snapshots.latestVersion(spark, loc)).toSet
+    spark.sql("ALTER TABLE sqlddl.t_def ADD COLUMN src STRING DEFAULT 'legacy'")
+    // metadata-only: same data files, one more version
+    assert(Snapshots.versionFiles(spark, loc,
+      Snapshots.latestVersion(spark, loc)).toSet == before)
+    // (a) rows predating the column read the add-time constant
+    assert(spark.sql("SELECT src FROM sqlddl.t_def WHERE id = 1")
+      .as[String].head() == "legacy")
+    // (b) INSERT omitting the column analyzer-fills CURRENT_DEFAULT...
+    spark.sql("INSERT INTO sqlddl.t_def (id, v) VALUES (3, 'c')")
+    // ...and naming it wins
+    spark.sql("INSERT INTO sqlddl.t_def VALUES (4, 'd', 'fresh')")
+    val got = spark.sql("SELECT id, src FROM sqlddl.t_def")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "legacy"), (2L, "legacy"),
+      (3L, "legacy"), (4L, "fresh")), got.toString)
+    // pinned pre-evolution history is untouched (no src column at all)
+    assert(!Snapshots.read(spark, loc, 2).columns.contains("src"))
+  }
+
+  test("NOT NULL column additions: sound with a DEFAULT, rejected without") {
+    import spark.implicits._
+    init()
+    spark.sql("CREATE TABLE sqlddl.t_nn (id BIGINT)")
+    spark.sql("INSERT INTO sqlddl.t_nn VALUES (1), (2)")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE sqlddl.t_nn ADD COLUMN bad INT NOT NULL"))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("DEFAULT"), msgs(e))
+    spark.sql("ALTER TABLE sqlddl.t_nn ADD COLUMN n INT NOT NULL DEFAULT 7")
+    val sch = spark.table("sqlddl.t_nn").schema
+    assert(!sch("n").nullable)
+    assert(spark.sql("SELECT id, n FROM sqlddl.t_nn")
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+      == Seq((1L, 7), (2L, 7)))
+  }
+
+  test("CREATE TABLE with DEFAULT columns: INSERT omitting them fills the default") {
+    import spark.implicits._
+    init()
+    spark.sql("""CREATE TABLE sqlddl.t_cdef
+                |  (id BIGINT, q DOUBLE DEFAULT 1.5, tag STRING DEFAULT 'none')""".stripMargin)
+    spark.sql("INSERT INTO sqlddl.t_cdef (id) VALUES (1)")
+    spark.sql("INSERT INTO sqlddl.t_cdef VALUES (2, 2.5, 'set')")
+    val got = spark.sql("SELECT id, q, tag FROM sqlddl.t_cdef")
+      .as[(Long, Double, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1.5, "none"), (2L, 2.5, "set")), got.toString)
+  }
 }

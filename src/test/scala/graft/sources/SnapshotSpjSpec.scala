@@ -674,4 +674,172 @@ class SnapshotSpjSpec extends SparkTestBase {
       Int.box(org.apache.spark.sql.catalyst.util.DateTimeUtils
         .fromJavaDate(java.sql.Date.valueOf("2024-03-01"))))
   }
+
+  test("bucket_split scales counts shuffle-FREE; SPJ engages at the new count") {
+    import spark.implicits._
+    fixture() // fact + dim bucketed at 4
+    // jobGroup-scoped shuffle accounting: the listener attributes each
+    // stage to the job group that launched it, so the split's stages are
+    // separable from the control shuffle that proves event delivery
+    val sc = spark.sparkContext
+    val groupStages = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val groupRecords = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+        e.stageIds.foreach(sid => groupStages.put(sid, g))
+      }
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val g = groupStages.getOrDefault(e.stageId, "")
+        val m = e.taskMetrics
+        if (m != null)
+          groupRecords.merge(g, m.shuffleWriteMetrics.recordsWritten,
+            (a, b) => a + b)
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup("split-under-test", "bucket_split must not shuffle")
+      val res = spark.sql("CALL spjcat.system.bucket_split('fact', 2)").collect()
+      assert(res.head.getInt(1) == 8)
+      sc.setJobGroup("control-shuffle", "proves listener delivery")
+      (1L to 10000L).toDF("x")
+        .repartition(7, org.apache.spark.sql.functions.col("x")).count()
+      sc.clearJobGroup()
+      // FIFO bus: once the control's shuffle records are visible, the
+      // split's earlier events have been delivered too
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (groupRecords.getOrDefault("control-shuffle", 0L) == 0L &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      assert(groupRecords.getOrDefault("control-shuffle", 0L) > 0L,
+        "listener never saw the control shuffle — accounting broken")
+      assert(groupRecords.getOrDefault("split-under-test", 0L) == 0L,
+        s"bucket_split shuffled: $groupRecords")
+    } finally sc.removeSparkListener(listener)
+    // layout header scaled, every file routed, one-or-more files per
+    // refined bucket only where the parent bucket had rows
+    assert(Snapshots.versionLayout(spark, s"$root/fact", -1L)
+      .contains("bucket,8,id"))
+    val files = Snapshots.versionFiles(spark, s"$root/fact",
+      Snapshots.latestVersion(spark, s"$root/fact"))
+    assert(files.forall(f => BucketLayout.bucketOfPath(f).isDefined))
+    // the split table joins an n=8 dim with zero Exchange and exact rows
+    Snapshots.commitAppend(
+      (1L to 100L).map(i => (i, i * 10)).toDF("id", "w").repartition(4),
+      s"$root/dim8")
+    spark.sql("CALL spjcat.system.bucket('dim8', 'id', 8)")
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, f.v, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim8 d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got == (1L to 100L).map(i => (i, s"f$i", i * 10)))
+    }
+    // refinement refused where it isn't one: coprime/non-multiple counts
+    intercept[IllegalArgumentException](
+      BucketLayout.splitBuckets(spark, s"$root/fact", Seq(12)))
+  }
+
+  test("CREATE TABLE PARTITIONED BY bucket: layout at birth, first INSERT routes") {
+    import spark.implicits._
+    wipe(); register()
+    spark.sql("""CREATE TABLE spjcat.bfact (id BIGINT, v STRING)
+                |PARTITIONED BY (bucket(4, id))""".stripMargin)
+    spark.sql("""CREATE TABLE spjcat.bdim (id BIGINT, w BIGINT)
+                |PARTITIONED BY (bucket(4, id))""".stripMargin)
+    // the EMPTY v1 already carries the header and declares partitioning
+    assert(Snapshots.versionLayout(spark, s"$root/bfact", 1L)
+      .contains("bucket,4,id"))
+    val desc = spark.sql("DESCRIBE TABLE spjcat.bfact")
+      .collect().map(_.mkString(" ")).mkString("\n")
+    assert(desc.contains("bucket(4, id)"), desc)
+    (1L to 400L).map(i => (i, s"f$i")).toDF("id", "v")
+      .createOrReplaceTempView("bfact_src")
+    (1L to 100L).map(i => (i, i * 10)).toDF("id", "w")
+      .createOrReplaceTempView("bdim_src")
+    spark.sql("INSERT INTO spjcat.bfact SELECT * FROM bfact_src WHERE id % 2 = 0")
+    spark.sql("INSERT INTO spjcat.bfact SELECT * FROM bfact_src WHERE id % 2 = 1")
+    spark.sql("INSERT INTO spjcat.bdim SELECT * FROM bdim_src")
+    Seq("bfact", "bdim").foreach { t =>
+      val v = Snapshots.latestVersion(spark, s"$root/$t")
+      assert(Snapshots.versionLayout(spark, s"$root/$t", v).contains("bucket,4,id"),
+        s"$t lost its birth layout by v$v")
+      assert(Snapshots.versionFiles(spark, s"$root/$t", v)
+        .forall(f => BucketLayout.bucketOfPath(f).isDefined))
+    }
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, f.v, d.w FROM spjcat.bfact f
+          |JOIN spjcat.bdim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got == (1L to 100L).map(i => (i, s"f$i", i * 10)))
+    }
+  }
+
+  test("CTAS with a birth layout routes the backfill write") {
+    import spark.implicits._
+    wipe(); register()
+    (1L to 300L).map(i => (i, i % 7)).toDF("id", "g")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("""CREATE TABLE spjcat.bctas
+                |PARTITIONED BY (bucket(4, id))
+                |AS SELECT * FROM ctas_src""".stripMargin)
+    val v = Snapshots.latestVersion(spark, s"$root/bctas")
+    assert(Snapshots.versionLayout(spark, s"$root/bctas", v).contains("bucket,4,id"))
+    assert(Snapshots.versionFiles(spark, s"$root/bctas", v)
+      .forall(f => BucketLayout.bucketOfPath(f).isDefined))
+    assert(spark.table("spjcat.bctas").count() == 300L)
+  }
+
+  test("composite birth layout: one transform per column, mixed counts") {
+    import spark.implicits._
+    wipe(); register()
+    spark.sql("""CREATE TABLE spjcat.bmulti (a BIGINT, b STRING, x DOUBLE)
+                |PARTITIONED BY (bucket(2, a), bucket(4, b))""".stripMargin)
+    assert(Snapshots.versionLayout(spark, s"$root/bmulti", 1L)
+      .contains("bucket,2*4,a,b"))
+    (1L to 200L).map(i => (i, s"s${i % 13}", i * 0.5)).toDF("a", "b", "x")
+      .createOrReplaceTempView("bmulti_src")
+    spark.sql("INSERT INTO spjcat.bmulti SELECT * FROM bmulti_src")
+    val v = Snapshots.latestVersion(spark, s"$root/bmulti")
+    assert(Snapshots.versionLayout(spark, s"$root/bmulti", v)
+      .contains("bucket,2*4,a,b"))
+    assert(spark.table("spjcat.bmulti").count() == 200L)
+  }
+
+  test("birth-layout CREATE rejects what SPJ cannot plan, at CREATE time") {
+    wipe(); register()
+    def fails(ddl: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(ddl))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)), s"$ddl →\n${msgs(e).mkString("\n")}")
+    }
+    fails("""CREATE TABLE spjcat.rej1 (id BIGINT, d DATE)
+            |PARTITIONED BY (d)""".stripMargin, "bucket(n, col)")
+    fails("""CREATE TABLE spjcat.rej2 (id BIGINT, v STRING)
+            |PARTITIONED BY (bucket(4, id, v))""".stripMargin,
+      "exactly one column")
+    // Spark's own transform resolution catches the unknown column before
+    // the catalog does (the catalog's check remains the API-path gate)
+    fails("""CREATE TABLE spjcat.rej3 (id BIGINT)
+            |PARTITIONED BY (bucket(4, nope))""".stripMargin,
+      "nope")
+    fails("""CREATE TABLE spjcat.rej4 (id BIGINT, x DOUBLE)
+            |PARTITIONED BY (bucket(4, x))""".stripMargin,
+      "does not support key type")
+    // duplicate keys: Spark's partitioning check fires first here too
+    fails("""CREATE TABLE spjcat.rej5 (id BIGINT)
+            |PARTITIONED BY (bucket(4, id), bucket(8, id))""".stripMargin,
+      "duplicate")
+    // nothing half-created: every rejected table is absent
+    (1 to 5).foreach { i =>
+      assert(Snapshots.latestVersion(spark, s"$root/rej$i") == 0L)
+    }
+  }
 }
