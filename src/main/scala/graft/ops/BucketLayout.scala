@@ -275,12 +275,19 @@ object BucketLayout {
       s"bucket columns must be plain top-level column names: " +
         s"'${columns.mkString(",")}'")
     val spec = Spec(columns, counts)
-    val df = Snapshots.read(s, loc)
+    val cur = Snapshots.latestVersion(s, loc)
+    val df = Snapshots.read(s, loc, cur)
     columns.foreach(c => require(df.columns.contains(c),
       s"bucket column '$c' not in table schema ${df.columns.mkString(",")}"))
     val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
     val newFiles = writeBucketed(df, spec, dataDir)
-    Snapshots.publishLayout(s, loc, newFiles, df.schema.json, format(spec))
+    try Snapshots.publishLayout(s, loc, cur, newFiles, df.schema.json,
+      format(spec))
+    catch { case e: Throwable =>
+      dataDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(dataDir, true)
+      throw e
+    }
   }
 
   /** `column` may be comma-separated for a composite key, each part
@@ -342,6 +349,11 @@ object BucketLayout {
     val files = Snapshots.versionFiles(s, loc, latest)
     val dvs = Snapshots.versionDvs(s, loc, latest)
     val schema = Snapshots.versionSchema(s, loc, latest)
+    if (files.isEmpty) // birth layout, no rows yet: a pure header commit
+      return Snapshots.publishLayout(s, loc, latest, Nil,
+        schema.map(_.json).getOrElse(
+          throw new IllegalStateException(s"$loc: empty table without a " +
+            "schema header cannot carry a layout")), format(newSpec))
     val df = Snapshots.applyDv(s, Snapshots.readData(s, files, schema), dvs)
     val b = "__graft_bucket"
     val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
@@ -352,7 +364,8 @@ object BucketLayout {
     val f = dataDir.getFileSystem(s.sparkContext.hadoopConfiguration)
     val newFiles = f.globStatus(new Path(dataDir, s"$DirPrefix*/part-*"))
       .toSeq.map(_.getPath.toString)
-    Snapshots.publishLayout(s, loc, newFiles,
+    try Snapshots.publishLayout(s, loc, latest, newFiles,
       schema.map(_.json).getOrElse(df.schema.json), format(newSpec))
+    catch { case e: Throwable => f.delete(dataDir, true); throw e }
   }
 }

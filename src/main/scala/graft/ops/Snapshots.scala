@@ -241,20 +241,74 @@ object Snapshots {
   }
 
   /** Publish an already-written BUCKET-layout rewrite
-    * ([[BucketLayout.commitBucketed]]) as a logical replace carrying the
-    * `#layout=` header — the only publish path that records a layout;
-    * every other commit drops it, so a layout header always describes
-    * exactly the files it was published with. */
+    * ([[BucketLayout.commitBucketed]] / [[BucketLayout.splitBuckets]])
+    * as a logical replace of `derivedFrom` carrying the `#layout=`
+    * header — a layout header always describes exactly the files it was
+    * published with. Conflict handling is [[publishDerivedReplace]]'s:
+    * append-only interleaves merge (their files ride along BY
+    * REFERENCE, the layout header drops because those files were not
+    * routed for THIS spec — honest degrade, rows exact), anything else
+    * raises rather than silently dropping the interleaved commit. */
   private[graft] def publishLayout(s: SparkSession, loc: String,
+                                   derivedFrom: Long,
                                    newFiles: Seq[String], schemaJson: String,
-                                   layout: String): Long = {
+                                   layout: String): Long =
+    publishDerivedReplace(s, loc, derivedFrom, newFiles, Some(schemaJson),
+      Some(layout))
+
+  /** Publish a FULL REWRITE whose content was DERIVED from version
+    * `derivedFrom` (compaction, Z-order cluster, bucket layout, bucket
+    * split). The design rule for derived rewrites (DESIGN.md round-9/11:
+    * "a lost race must never silently drop the interleaved commit's
+    * rows") applied to whole-table maintenance:
+    *
+    *  - **clean claim** of `derivedFrom + 1` → published;
+    *  - **append-only interleaves** (every file of `derivedFrom` still
+    *    live at the new latest, delete-vector set unchanged): the
+    *    interleaved commits only ADDED files, so the rewrite republishes
+    *    as `rewrittenFiles ∪ addedFiles` at the new tip — at 100 TB a
+    *    fact under continuous ingest can still complete its maintenance
+    *    window instead of starving. The added files keep their own
+    *    manifests' markers (header lines survive until expire), the
+    *    publish carries the LATEST schema (an interleaved additive
+    *    evolution widens it; the rewritten files simply predate the new
+    *    column), and a requested layout header drops when riders exist
+    *    (they were not routed for the new spec — plans degrade honestly,
+    *    rows stay exact);
+    *  - **anything else** (interleaved DELETE/UPDATE/replace/DV commit —
+    *    rows our rewrite would resurrect or drop) raises
+    *    ConcurrentModificationException: first-committer-wins, re-run
+    *    the verb. */
+  private[graft] def publishDerivedReplace(s: SparkSession, loc: String,
+                                           derivedFrom: Long,
+                                           newFiles: Seq[String],
+                                           schemaJson: Option[String],
+                                           layout: Option[String]): Long = {
+    var expected = derivedFrom
+    var extras: Seq[String] = Nil
+    var lay = layout
+    var schema = schemaJson
     var attempt = 0
     while (attempt < 64) {
-      val version = latestVersion(s, loc) + 1
-      if (tryPublish(s, loc, version, newFiles,
-          schemaJson = Some(schemaJson), layout = Some(layout),
-          carriedValid = true)) // row-preserving layout rewrite
-        return version
+      if (tryPublish(s, loc, expected + 1, newFiles ++ extras,
+          schemaJson = schema, layout = lay, carriedValid = true))
+        return expected + 1
+      val latest = latestVersion(s, loc)
+      val oldSet = versionFiles(s, loc, derivedFrom).map(normPath).toSet
+      val latestFiles = versionFiles(s, loc, latest)
+      val appendOnly =
+        oldSet.subsetOf(latestFiles.map(normPath).toSet) &&
+          versionDvs(s, loc, latest).map(normPath).toSet ==
+            versionDvs(s, loc, derivedFrom).map(normPath).toSet
+      if (!appendOnly) throw new java.util.ConcurrentModificationException(
+        s"$loc moved past v$derivedFrom with a non-append commit during " +
+          "a derived rewrite — publishing the rewrite would drop or " +
+          "resurrect the interleaved commit's rows; re-run the verb " +
+          "against the new version")
+      extras = latestFiles.filterNot(f => oldSet(normPath(f)))
+      lay = if (extras.isEmpty) layout else None
+      schema = versionSchema(s, loc, latest).map(_.json).orElse(schema)
+      expected = latest
       attempt += 1
     }
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
@@ -332,8 +386,16 @@ object Snapshots {
   /** `carriedValid` exempts row-preserving rewrites (compaction) from
     * the CHECK-constraint gate — their rows were validated when first
     * committed, and re-validating a full OPTIMIZE would double its read. */
+  /** `derivedFrom = Some(v)` marks the replace as a DERIVED rewrite of
+    * version v (compaction, Z-order): conflict handling switches from
+    * blind retry (correct only for self-contained overwrites, whose
+    * content does not depend on the prior state) to
+    * [[publishDerivedReplace]]'s append-merge / first-committer-wins —
+    * a blind retry here would republish stale content over an
+    * interleaved commit and silently drop its rows. */
   private[graft] def commitReplaceImpl(df: DataFrame, loc: String,
-                                       carriedValid: Boolean): Long = {
+                                       carriedValid: Boolean,
+                                       derivedFrom: Option[Long] = None): Long = {
     val s = df.sparkSession
     val f = fs(s, loc)
     val commitId = java.util.UUID.randomUUID().toString
@@ -341,16 +403,23 @@ object Snapshots {
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     val newFiles = f.listStatus(dataDir).toSeq
       .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
-    var attempt = 0
-    while (attempt < 64) {
-      val version = latestVersion(s, loc) + 1
-      // a replace REDEFINES the table: its schema is df's, dvs drop
-      if (tryPublish(s, loc, version, newFiles,
-          schemaJson = Some(df.schema.json), carriedValid = carriedValid))
-        return version
-      attempt += 1
+    derivedFrom match {
+      case Some(prev) =>
+        try publishDerivedReplace(s, loc, prev, newFiles,
+          Some(df.schema.json), layout = None)
+        catch { case e: Throwable => f.delete(dataDir, true); throw e }
+      case None =>
+        var attempt = 0
+        while (attempt < 64) {
+          val version = latestVersion(s, loc) + 1
+          // a replace REDEFINES the table: its schema is df's, dvs drop
+          if (tryPublish(s, loc, version, newFiles,
+              schemaJson = Some(df.schema.json), carriedValid = carriedValid))
+            return version
+          attempt += 1
+        }
+        throw new IllegalStateException(s"lost the commit race 64 times at $loc")
     }
-    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
   }
 
   /** One publish attempt: write a UNIQUE temp file (two racers must not
@@ -574,8 +643,14 @@ object Snapshots {
       val widened = mergeAdditive(prevSchema, newCols)
       val files = readManifest(s, prev._2)
       val dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
+      // a pure metadata commit keeps the file set, so the bucket layout
+      // (and the zero-Exchange plans it enables) SURVIVES schema widening
+      // — added columns are not layout keys (they're new), and every
+      // file stays routed exactly as published
+      val layout = header.find(_.startsWith("#layout="))
+        .map(_.stripPrefix("#layout="))
       if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs,
-          schemaJson = Some(widened.json)))
+          schemaJson = Some(widened.json), layout = layout))
         return prev._1 + 1
       attempt += 1
     }
@@ -2024,9 +2099,12 @@ object Snapshots {
     * caller's session never observe the altered value and two concurrent
     * compactions cannot race a set/restore on shared conf. */
   def commitCompaction(s: SparkSession, loc: String,
-                       targetBytes: Long = 128L * 1024 * 1024): Long =
-    commitReplaceImpl(read(scopedAdvisory(s, targetBytes), loc).hint("rebalance"),
-      loc, carriedValid = true)
+                       targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val cur = latestVersion(s, loc)
+    commitReplaceImpl(
+      read(scopedAdvisory(s, targetBytes), loc, cur).hint("rebalance"),
+      loc, carriedValid = true, derivedFrom = Some(cur))
+  }
 
   private def scopedAdvisory(s: SparkSession, targetBytes: Long): SparkSession = {
     val scoped = s.newSession()

@@ -91,8 +91,8 @@ object ZOrder {
                       targetBytes: Long = 128L * 1024 * 1024,
                       numFiles: Int = 0): Long = {
     require(cols.nonEmpty, "clusterSnapshot needs at least one column")
-    val df = Snapshots.read(s, loc)
     val cur = Snapshots.latestVersion(s, loc)
+    val df = Snapshots.read(s, loc, cur)
     val files = Snapshots.versionFiles(s, loc, cur)
     if (files.isEmpty) return cur
     val aggs = cols.flatMap(c => Seq(
@@ -114,7 +114,8 @@ object ZOrder {
         math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
       }
     val v = Snapshots.commitReplaceImpl(cluster(df, bits, n, normed: _*), loc,
-      carriedValid = true) // row-preserving cluster rewrite
+      carriedValid = true, // row-preserving cluster rewrite
+      derivedFrom = Some(cur)) // derived: append-merge or CME, never drop
     // cover the cluster columns PLUS any declared auto-stats columns —
     // attaching only the cluster key would overwrite the version's
     // sidecar header and silently un-cover the declared ones — and keep

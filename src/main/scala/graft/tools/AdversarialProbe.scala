@@ -988,6 +988,33 @@ object AdversarialProbe {
     println(f"PROBE rewrite exact-routing speedup: ${rwOld / rwNew}%.2fx")
     verdict("bucket_rewrite_exact_routing", rwOld, rwNew, 1.0)
 
+    // ---- bucket_split vs full re-layout: scaling n -> 2n through
+    // splitBuckets is a per-task LOCAL pass (h mod 2n refines h mod n:
+    // zero shuffle anywhere), while CALL bucket at 2n re-shuffles the
+    // whole table. Same 24M rows read, same 32 buckets written — the
+    // split must never lose, and the printed speedup is the shuffle's
+    // price on this box (network-free local[32] is its FLOOR; on a real
+    // cluster the shuffle crosses the wire and the gap widens).
+    {
+      val loc = "/tmp/graft-probe/split_cost"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.ops.Snapshots.commitAppend(
+        spark.range(0L, 24000000L).toDF("id").withColumn("v",
+          concat(lit("payload-"), col("id") % 100000)), loc)
+      graft.ops.BucketLayout.commitBucketed(spark, loc, "id", 16)
+      val splitW = time("bucket_split 16 -> 32 (local refine)", reps = 1) {
+        graft.ops.BucketLayout.splitBuckets(spark, loc, Seq(32))
+      }
+      require(graft.ops.Snapshots.versionLayout(spark, loc, -1L)
+        .contains("bucket,32,id"), "split lost the layout")
+      val rebucketW = time("full re-layout at 32 (shuffle rewrite)", reps = 1) {
+        graft.ops.BucketLayout.commitBucketed(spark, loc, "id", 32)
+      }
+      println(f"PROBE split-vs-rebucket speedup: ${rebucketW / splitW}%.2fx")
+      verdict("bucket_split_vs_rebucket", rebucketW, splitW, 1.0)
+    }
+
     // ---- hash-gated span trim: on a LOW-DUPLICATION corpus (every word
     // doc-tagged, so no gram repeats across docs) the gram STRINGS never
     // shuffle — only the 24-byte hash-gate rows do. Measured as actual

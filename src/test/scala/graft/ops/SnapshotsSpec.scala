@@ -452,4 +452,63 @@ class SnapshotsSpec extends SparkTestBase {
     val (_, deleted) = Snapshots.expire(spark, loc, retainLast = 1)
     assert(deleted >= 32)
   }
+
+  test("derived rewrites never drop interleaved commits: appends merge, deletes refuse") {
+    import spark.implicits._
+    // --- append-only interleave MERGES: rewrite ∪ added files ---
+    val loc = "/tmp/graft-test/snapshots/derived_merge"
+    wipe(loc)
+    Snapshots.commitAppend((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), loc)
+    val derivedFrom = Snapshots.latestVersion(spark, loc)
+    // the rewrite's content, derived from v1, already written to disk
+    val dataDir = s"$loc/data/rewrite-test"
+    Snapshots.read(spark, loc, derivedFrom).repartition(2)
+      .write.parquet(dataDir)
+    val p = new Path(dataDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rewritten = fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map(_.toString)
+    // an ingest batch lands between derivation and publish
+    Snapshots.commitAppend(
+      (101L to 110L).map(i => (i, s"v$i")).toDF("id", "v"), loc)
+    val schema = Snapshots.read(spark, loc, derivedFrom).schema.json
+    val v = Snapshots.publishDerivedReplace(spark, loc, derivedFrom,
+      rewritten, Some(schema), layout = Some("bucket,4,id"))
+    // all 110 rows live: the rewrite's 100 plus the interleaved 10
+    assert(Snapshots.read(spark, loc, v).count() == 110L)
+    assert(Snapshots.read(spark, loc, v).agg(sum(col("id"))).head.getLong(0)
+      == (1L to 110L).sum)
+    // the requested layout header DROPPED: the riders weren't routed for it
+    assert(Snapshots.versionLayout(spark, loc, v).isEmpty)
+
+    // --- a non-append interleave (DELETE) REFUSES: first-committer-wins ---
+    val loc2 = "/tmp/graft-test/snapshots/derived_refuse"
+    wipe(loc2)
+    Snapshots.commitAppend((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), loc2)
+    val from2 = Snapshots.latestVersion(spark, loc2)
+    val dir2 = s"$loc2/data/rewrite-test"
+    Snapshots.read(spark, loc2, from2).repartition(2).write.parquet(dir2)
+    val rewritten2 = fs.listStatus(new Path(dir2)).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map(_.toString)
+    Snapshots.commitDelete(spark, loc2, col("id") <= 50L)
+    val tip = Snapshots.latestVersion(spark, loc2)
+    intercept[java.util.ConcurrentModificationException](
+      Snapshots.publishDerivedReplace(spark, loc2, from2, rewritten2,
+        Some(schema), layout = None))
+    // the delete's result is untouched; the stale rewrite never published
+    assert(Snapshots.latestVersion(spark, loc2) == tip)
+    assert(Snapshots.read(spark, loc2).count() == 50L)
+
+    // --- the maintenance verbs route through it: compaction vs delete_mor ---
+    // (an interleaved DV commit is rows our full rewrite would resurrect)
+    val loc3 = "/tmp/graft-test/snapshots/derived_verb"
+    wipe(loc3)
+    Snapshots.commitAppend((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), loc3)
+    Snapshots.commitDeleteMoR(spark, loc3, col("id") > 90L)
+    // compaction derived from the DV version folds it — sanity that the
+    // plumbed-through path still works uncontended
+    val v3 = Snapshots.commitCompaction(spark, loc3)
+    assert(Snapshots.read(spark, loc3, v3).count() == 90L)
+    assert(Snapshots.versionDvs(spark, loc3, v3).isEmpty)
+  }
 }

@@ -675,6 +675,23 @@ class SnapshotSpjSpec extends SparkTestBase {
         .fromJavaDate(java.sql.Date.valueOf("2024-03-01"))))
   }
 
+  test("ALTER TABLE ADD COLUMN keeps the layout: metadata-only widen, SPJ intact") {
+    fixture()
+    spark.sql("ALTER TABLE spjcat.fact ADD COLUMNS (note STRING)")
+    assert(Snapshots.versionLayout(spark, s"$root/fact", -1L)
+      .contains("bucket,4,id"),
+      "a pure metadata commit must not drop the layout (files unchanged)")
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, f.note, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+      val rows = df.collect()
+      assert(rows.length == 100)
+      assert(rows.forall(_.isNullAt(1)), "pre-evolution rows read null")
+    }
+  }
+
   test("bucket_split scales counts shuffle-FREE; SPJ engages at the new count") {
     import spark.implicits._
     fixture() // fact + dim bucketed at 4
@@ -741,6 +758,33 @@ class SnapshotSpjSpec extends SparkTestBase {
     // refinement refused where it isn't one: coprime/non-multiple counts
     intercept[IllegalArgumentException](
       BucketLayout.splitBuckets(spark, s"$root/fact", Seq(12)))
+  }
+
+  test("composite layout split: per-column multiples refine independently") {
+    import spark.implicits._
+    wipe(); register()
+    val rows = (1L to 300L).map(i => (i % 17, s"t${i % 5}", i))
+    Snapshots.commitAppend(rows.toDF("a", "b", "x").repartition(3),
+      s"$root/cfact")
+    spark.sql("CALL spjcat.system.bucket('cfact', 'a:2,b:2', 0)")
+    // scale only the first column's count: (2,2) -> (4,2)
+    BucketLayout.splitBuckets(spark, s"$root/cfact", Seq(4, 2))
+    assert(Snapshots.versionLayout(spark, s"$root/cfact", -1L)
+      .contains("bucket,4*2,a,b"))
+    Snapshots.commitAppend(
+      (0L to 16L).flatMap(a => (0 to 4).map(t => (a, s"t$t", a * 100)))
+        .toDF("a", "b", "w").repartition(3), s"$root/cdim")
+    spark.sql("CALL spjcat.system.bucket('cdim', 'a:4,b:2', 0)")
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.a, f.b, f.x, d.w FROM spjcat.cfact f
+          |JOIN spjcat.cdim d ON f.a = d.a AND f.b = d.b""".stripMargin)
+      assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+      val got = df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+      val want = rows.map { case (a, b, x) => (a, b, x, a * 100) }.sorted
+      assert(got == want)
+    }
   }
 
   test("CREATE TABLE PARTITIONED BY bucket: layout at birth, first INSERT routes") {
