@@ -190,6 +190,20 @@ object BucketLayout {
       s"appendBucketed batch columns ${df.columns.mkString(",")} must match " +
         s"the table's ${table.columns.mkString(",")} exactly (additive " +
         "evolution goes through commitAppend, which drops the layout)")
+    // the publish carries the table's schema header VERBATIM (its
+    // nullability is truth the optimizer plans on), so a batch that
+    // could carry nulls into a non-null header column is refused at
+    // schema level — cast/assert the batch non-null, or use the SQL
+    // INSERT path, which inserts Spark's runtime null check
+    table.schema.fields.filterNot(_.nullable).foreach { tf =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(tf.name)).foreach { bf =>
+        require(!bf.nullable,
+          s"appendBucketed batch column ${bf.name} is nullable but the " +
+            "table header declares it NOT NULL — a null row would make " +
+            "IS NULL predicates silently wrong; assert the batch " +
+            "non-null first")
+      }
+    }
     val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
     val f = dataDir.getFileSystem(s.sparkContext.hadoopConfiguration)
     val newFiles = writeBucketed(df, spec, dataDir)
@@ -330,11 +344,28 @@ object BucketLayout {
     * row-group stats the routed writers produce. Publishes a replace
     * carrying the NEW layout header. */
   def splitBuckets(s: SparkSession, loc: String,
-                   newCounts: Seq[Int]): Long = {
+                   newCounts: Seq[Int]): Long =
+    splitBucketsImpl(s, loc, _ => newCounts)
+
+  /** Multiply EVERY count by `factor` — counts resolve against the spec
+    * THIS call reads, in the same breath as the split itself, so a
+    * concurrent re-layout between "look at the spec" and "split it"
+    * cannot make a x2 request silently become a x4 of somebody else's
+    * fresh layout (the publish itself still detects any interleaved
+    * rewrite — this closes the smaller ambiguity of WHICH spec the
+    * factor applied to). */
+  def splitBuckets(s: SparkSession, loc: String, factor: Int): Long = {
+    require(factor >= 2, s"split factor must be >= 2, got $factor")
+    splitBucketsImpl(s, loc, spec => spec.counts.map(_ * factor))
+  }
+
+  private def splitBucketsImpl(s: SparkSession, loc: String,
+                               countsOf: Spec => Seq[Int]): Long = {
     val latest = Snapshots.latestVersion(s, loc)
     val spec = Snapshots.versionLayout(s, loc, latest).flatMap(parse)
       .getOrElse(throw new IllegalStateException(
         s"$loc has no active bucket layout to split"))
+    val newCounts = countsOf(spec)
     require(newCounts.length == spec.counts.length,
       s"one count per layout column: ${spec.columns.mkString(",")} " +
         s"vs $newCounts")

@@ -288,18 +288,20 @@ object Snapshots {
     var extras: Seq[String] = Nil
     var lay = layout
     var schema = schemaJson
+    // the derived version's manifest is immutable: read it once, on the
+    // first conflict only (the clean-claim fast path never pays it)
+    lazy val oldSet = versionFiles(s, loc, derivedFrom).map(normPath).toSet
+    lazy val oldDvs = versionDvs(s, loc, derivedFrom).map(normPath).toSet
     var attempt = 0
     while (attempt < 64) {
       if (tryPublish(s, loc, expected + 1, newFiles ++ extras,
           schemaJson = schema, layout = lay, carriedValid = true))
         return expected + 1
       val latest = latestVersion(s, loc)
-      val oldSet = versionFiles(s, loc, derivedFrom).map(normPath).toSet
       val latestFiles = versionFiles(s, loc, latest)
       val appendOnly =
         oldSet.subsetOf(latestFiles.map(normPath).toSet) &&
-          versionDvs(s, loc, latest).map(normPath).toSet ==
-            versionDvs(s, loc, derivedFrom).map(normPath).toSet
+          versionDvs(s, loc, latest).map(normPath).toSet == oldDvs
       if (!appendOnly) throw new java.util.ConcurrentModificationException(
         s"$loc moved past v$derivedFrom with a non-append commit during " +
           "a derived rewrite — publishing the rewrite would drop or " +
@@ -589,13 +591,27 @@ object Snapshots {
                             next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.StructType
     val prevByName = prev.fields.map(f => f.name.toLowerCase -> f).toMap
+    val nextByName = next.fields.map(f => f.name.toLowerCase -> f).toMap
     next.fields.foreach { f =>
       prevByName.get(f.name.toLowerCase).foreach { pf =>
         require(pf.dataType == f.dataType,
           s"additive evolution cannot change ${f.name}: ${pf.dataType.sql} -> ${f.dataType.sql}")
       }
     }
-    StructType(prev.fields ++ next.fields
+    // the header's nullability is TRUTH the optimizer plans on (the
+    // catalog reports it verbatim since the NOT NULL DEFAULT work): an
+    // API append whose batch schema is nullable may carry nulls into a
+    // column the header claims non-null, and IS NULL predicates would
+    // then constant-fold to false over real nulls — so the merge WIDENS
+    // an existing field to nullable whenever the incoming batch's field
+    // is (the SQL INSERT path never hits this: Spark coerces to the
+    // table schema with a runtime null check before the write)
+    val widenedPrev = prev.fields.map { pf =>
+      if (nextByName.get(pf.name.toLowerCase).exists(_.nullable) && !pf.nullable)
+        pf.copy(nullable = true)
+      else pf
+    }
+    StructType(widenedPrev ++ next.fields
       .filterNot(f => prevByName.contains(f.name.toLowerCase))
       // an added column must be nullable (old files fill it with null) —
       // UNLESS it carries an existence DEFAULT, which fills old files'

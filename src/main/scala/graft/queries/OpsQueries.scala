@@ -1005,16 +1005,7 @@ object OpsQueries {
         |FROM graft_snap_dml.orders_spj o
         |JOIN graft_snap_dml.lines_spj l ON o.o_orderkey = l.l_orderkey
         |WHERE o.o_orderkey <= 2000""".stripMargin
-    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val probe = s.sql(q)
-      probe.collect() // finalize the adaptive plan
-      val shuffles = countShuffles(probe.queryExecution.executedPlan)
-      require(shuffles == 0,
-        s"storage-partitioned join still shuffled ($shuffles exchanges):\n" +
-          probe.queryExecution.executedPlan)
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    requireZeroExchange(s, q, "storage-partitioned join")
     s.sql(q + "\nORDER BY o.o_orderkey, l.l_linenumber")
   }
 
@@ -1053,16 +1044,7 @@ object OpsQueries {
         |FROM graft_snap_dml.orders_spja o
         |JOIN graft_snap_dml.lines_spja l ON o.o_orderkey = l.l_orderkey
         |WHERE o.o_orderkey <= 2000""".stripMargin
-    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val probe = s.sql(q)
-      probe.collect()
-      val shuffles = countShuffles(probe.queryExecution.executedPlan)
-      require(shuffles == 0,
-        s"ingest broke the storage-partitioned join ($shuffles exchanges):\n" +
-          probe.queryExecution.executedPlan)
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    requireZeroExchange(s, q, "post-ingest SPJ")
     s.sql(q + "\nORDER BY o.o_orderkey, l.l_linenumber")
   }
 
@@ -1116,16 +1098,7 @@ object OpsQueries {
         |FROM graft_snap_dml.orders_spji o
         |JOIN graft_snap_dml.lines_spji l ON o.o_orderkey = l.l_orderkey
         |WHERE o.o_orderkey <= 2000""".stripMargin
-    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val probe = s.sql(q)
-      probe.collect() // finalize the adaptive plan
-      val shuffles = countShuffles(probe.queryExecution.executedPlan)
-      require(shuffles == 0,
-        s"SQL ingest broke the storage-partitioned join ($shuffles exchanges):\n" +
-          probe.queryExecution.executedPlan)
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    requireZeroExchange(s, q, "post-SQL-ingest SPJ")
     s.sql(q + "\nORDER BY o.o_orderkey, l.l_linenumber")
   }
 
@@ -1160,16 +1133,7 @@ object OpsQueries {
         |FROM graft_snap_dml.orders_bsp o
         |JOIN graft_snap_dml.lines_bsp l ON o.o_orderkey = l.l_orderkey
         |WHERE o.o_orderkey <= 2000""".stripMargin
-    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val probe = s.sql(q)
-      probe.collect() // finalize the adaptive plan
-      val shuffles = countShuffles(probe.queryExecution.executedPlan)
-      require(shuffles == 0,
-        s"post-split SPJ still shuffled ($shuffles exchanges):\n" +
-          probe.queryExecution.executedPlan)
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    requireZeroExchange(s, q, "post-split SPJ")
     s.sql(q + "\nORDER BY o.o_orderkey, l.l_linenumber")
   }
 
@@ -1209,16 +1173,7 @@ object OpsQueries {
         |JOIN graft_snap_dml.rets_spjm r
         |  ON f.l_orderkey = r.l_orderkey AND f.l_linenumber = r.l_linenumber
         |WHERE f.l_orderkey <= 4000""".stripMargin
-    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val probe = s.sql(q)
-      probe.collect() // finalize the adaptive plan
-      val shuffles = countShuffles(probe.queryExecution.executedPlan)
-      require(shuffles == 0,
-        s"composite-key SPJ still shuffled ($shuffles exchanges):\n" +
-          probe.queryExecution.executedPlan)
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    requireZeroExchange(s, q, "composite-key SPJ")
     s.sql(q + "\nORDER BY f.l_orderkey, f.l_linenumber")
   }
 
@@ -1303,6 +1258,15 @@ object OpsQueries {
         |FROM graft_snap_dml.orders_ctb o
         |JOIN graft_snap_dml.lines_ctb l ON o.o_orderkey = l.l_orderkey
         |WHERE o.o_orderkey <= 2000""".stripMargin
+    requireZeroExchange(s, q, "birth-layout SPJ")
+    s.sql(q + "\nORDER BY o.o_orderkey, l.l_linenumber")
+  }
+
+  /** The in-query SPJ guard every storage-partitioned-join fixture
+    * shares: run `q` with broadcasting disabled, finalize the adaptive
+    * plan, and require ZERO ShuffleExchange anywhere in it. */
+  private def requireZeroExchange(s: SparkSession, q: String,
+                                  what: String): Unit = {
     val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -1310,10 +1274,9 @@ object OpsQueries {
       probe.collect() // finalize the adaptive plan
       val shuffles = countShuffles(probe.queryExecution.executedPlan)
       require(shuffles == 0,
-        s"birth-layout SPJ still shuffled ($shuffles exchanges):\n" +
+        s"$what still shuffled ($shuffles exchanges):\n" +
           probe.queryExecution.executedPlan)
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
-    s.sql(q + "\nORDER BY o.o_orderkey, l.l_linenumber")
   }
 
   private def countShuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int = {

@@ -202,17 +202,13 @@ object SnapshotProcedures {
     Seq(in("table", StringType), in("factor", IntegerType)),
     StructType(Seq(StructField("version", LongType),
       StructField("buckets", IntegerType)))) { (loc, input) =>
-    val k = input.getInt(1)
-    require(k >= 2, s"split factor must be >= 2, got $k")
-    val latest = Snapshots.latestVersion(spark, loc)
-    val spec = Snapshots.versionLayout(spark, loc, latest)
-      .flatMap(graft.ops.BucketLayout.parse)
-      .getOrElse(throw new IllegalStateException(
-        s"$loc has no active bucket layout to split"))
-    val v = graft.ops.BucketLayout.splitBuckets(spark, loc,
-      spec.counts.map(_ * k))
+    // the factor resolves against the spec splitBuckets itself reads —
+    // no read-here/act-there window for a concurrent re-layout to slip
+    // into (and one fewer manifest header read)
+    val v = graft.ops.BucketLayout.splitBuckets(spark, loc, input.getInt(1))
     Snapshots.autoStats(spark, loc)
-    Seq[Any](v, spec.counts.map(_ * k).product)
+    Seq[Any](v, Snapshots.versionLayout(spark, loc, v)
+      .flatMap(graft.ops.BucketLayout.parse).map(_.buckets).getOrElse(-1))
   }
 
   /** Incremental per-bucket fold ([[graft.ops.BucketLayout
