@@ -673,6 +673,50 @@ object Snapshots {
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
   }
 
+  /** `ALTER TABLE … ALTER COLUMN c SET DEFAULT <sql>` / `DROP DEFAULT`
+    * as a pure metadata commit: republishes the SAME files, DVs, and
+    * layout under a schema whose field carries the new CURRENT_DEFAULT
+    * (what FUTURE inserts omitting the column fill) — or none. The
+    * field's EXISTS_DEFAULT is deliberately untouched: it is the
+    * add-time constant rows in pre-column files READ, and changing it
+    * would rewrite history's values from under pinned readers. This is
+    * the standard CURRENT/EXISTS split. */
+  def commitSetDefault(s: SparkSession, loc: String, column: String,
+                       currentDefault: Option[String]): Long = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    var attempt = 0
+    while (attempt < 64) {
+      val prev = manifests(s, loc).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshots at $loc"))
+      val header = headerLines(s, prev._2)
+      val prevSchema = schemaFromHeader(header).getOrElse(
+        throw new UnsupportedOperationException(
+          s"$loc predates schema headers; rewrite it (commitReplace) first"))
+      require(prevSchema.fields.exists(_.name.equalsIgnoreCase(column)),
+        s"no column '$column' in ${prevSchema.fieldNames.mkString(", ")}")
+      val updated = StructType(prevSchema.fields.map { f =>
+        if (!f.name.equalsIgnoreCase(column)) f
+        else {
+          val mb = new MetadataBuilder().withMetadata(f.metadata)
+          currentDefault match {
+            case Some(sql) => mb.putString("CURRENT_DEFAULT", sql)
+            case None => mb.remove("CURRENT_DEFAULT")
+          }
+          f.copy(metadata = mb.build())
+        }
+      })
+      val files = readManifest(s, prev._2)
+      val dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
+      val layout = header.find(_.startsWith("#layout="))
+        .map(_.stripPrefix("#layout="))
+      if (tryPublish(s, loc, prev._1 + 1, files, dvs = dvs,
+          schemaJson = Some(updated.json), layout = layout))
+        return prev._1 + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
+  }
+
   /** The DESTRUCTIVE-evolution recipe this format ships INSTEAD of
     * in-place rename/drop/retype (which are rejected — they would break
     * pinned readers or demand Iceberg-style field-ID indirection):

@@ -287,7 +287,19 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
     * (rename/drop/retype/reposition) is rejected — they would require
     * rewriting history or break pinned readers. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val adds = changes.map {
+    // SET / DROP DEFAULT: pure metadata commits updating CURRENT_DEFAULT
+    // only — EXISTS_DEFAULT (what pre-column files read) stays frozen at
+    // add time by design; changing it would rewrite history's values
+    val (defaultChanges, columnChanges) = changes.partition(
+      _.isInstanceOf[TableChange.UpdateColumnDefaultValue])
+    defaultChanges.foreach { case u: TableChange.UpdateColumnDefaultValue =>
+      if (u.fieldNames().length != 1) throw new UnsupportedOperationException(
+        "nested column defaults are not supported")
+      Snapshots.commitSetDefault(spark, location(ident), u.fieldNames()(0),
+        Option(u.newDefaultValue()).filter(_.nonEmpty))
+    }
+    if (columnChanges.isEmpty) return loadTable(ident)
+    val adds = columnChanges.map {
       case a: TableChange.AddColumn =>
         if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
           "nested column additions are not supported")

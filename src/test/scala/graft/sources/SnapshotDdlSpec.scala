@@ -187,6 +187,33 @@ class SnapshotDdlSpec extends SparkTestBase {
       == Seq((1L, 7), (2L, 7)))
   }
 
+  test("SET/DROP DEFAULT: current default moves, existence default stays frozen") {
+    import spark.implicits._
+    init()
+    spark.sql("CREATE TABLE sqlddl.t_sdef (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO sqlddl.t_sdef VALUES (1, 'a')")
+    spark.sql("ALTER TABLE sqlddl.t_sdef ADD COLUMN src STRING DEFAULT 'legacy'")
+    spark.sql("ALTER TABLE sqlddl.t_sdef ALTER COLUMN src SET DEFAULT 'v2'")
+    // future inserts omitting the column fill the NEW current default...
+    spark.sql("INSERT INTO sqlddl.t_sdef (id, v) VALUES (2, 'b')")
+    // ...while rows that PREDATE the column still read the add-time
+    // constant (EXISTS_DEFAULT frozen — history does not rewrite)
+    val got = spark.sql("SELECT id, src FROM sqlddl.t_sdef")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "legacy"), (2L, "v2")), got.toString)
+    // a pure metadata commit: same files across the SET DEFAULT version
+    val loc = s"$root/t_sdef"
+    spark.sql("ALTER TABLE sqlddl.t_sdef ALTER COLUMN src DROP DEFAULT")
+    val sch = spark.table("sqlddl.t_sdef").schema
+    assert(!sch("src").metadata.contains("CURRENT_DEFAULT"))
+    assert(sch("src").metadata.contains("EXISTS_DEFAULT"))
+    // with no current default, naming the column still works
+    spark.sql("INSERT INTO sqlddl.t_sdef VALUES (3, 'c', 'explicit')")
+    assert(spark.sql("SELECT src FROM sqlddl.t_sdef WHERE id = 3")
+      .as[String].head() == "explicit")
+    assert(Snapshots.latestVersion(spark, loc) >= 5L)
+  }
+
   test("CREATE TABLE with DEFAULT columns: INSERT omitting them fills the default") {
     import spark.implicits._
     init()
