@@ -150,8 +150,8 @@ object BucketLayout {
     * inside each file that
     * [[graft.sources.v2.SnapshotRowScan.outputOrdering]] reports.
     * Returns the written files. */
-  private def writeBucketed(df: DataFrame, spec: Spec,
-                            dataDir: Path): Seq[String] = {
+  private[graft] def writeBucketed(df: DataFrame, spec: Spec,
+                                   dataDir: Path): Seq[String] = {
     val b = "__graft_bucket"
     val probes = routeProbes(spec.buckets)
     df.withColumn(b, linearId(spec))

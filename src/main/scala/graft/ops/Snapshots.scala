@@ -2222,6 +2222,71 @@ object Snapshots {
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
   }
 
+  /** Fold the latest version's merge-on-read DELETE VECTORS away by
+    * rewriting ONLY the files their entries name — the missing middle
+    * between `delete_mor` (O(matched rows) at write time, but readers
+    * pay the per-file subtraction forever) and full `optimize`
+    * (O(table)). Cost is O(deleted-from files): every other file is
+    * carried BY REFERENCE, byte-identical. On a bucket-LAYOUT table the
+    * rewrite routes through the layout's own bucket writer, so the
+    * zero-Exchange join plan SURVIVES the fold — the GDPR-cleanup
+    * lifecycle (delete_mor → fold_dvs) never costs a 100 TB fact its
+    * co-partitioned plans or a full rewrite. Entries naming files no
+    * longer live fold away as pure metadata. A DV-free version returns
+    * unchanged (no commit) — safe on a timer. Same CAS loop as every
+    * carry-by-reference verb: a lost race recomputes against the new
+    * latest, so concurrent appends are never dropped. */
+  def commitFoldDvs(s: SparkSession, loc: String,
+                    targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val f = fs(s, loc)
+    var attempt = 0
+    while (attempt < 64) {
+      val prev = manifests(s, loc).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshots at $loc"))
+      val header = headerLines(s, prev._2)
+      val dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
+      if (dvs.isEmpty) return prev._1 // nothing to fold; no commit
+      val files = readManifest(s, prev._2)
+      val schema = schemaFromHeader(header)
+      val layout = header.find(_.startsWith("#layout="))
+        .map(_.stripPrefix("#layout="))
+      // the files the vectors actually name — O(distinct deleted-from
+      // files) driver strings, the same cardinality class as a manifest
+      val named = s.read.parquet(dvs: _*).select("file").distinct()
+        .collect().map(r => normPath(r.getString(0))).toSet
+      val (affected, kept) = files.partition(x => named(normPath(x)))
+      if (affected.isEmpty) {
+        // every entry names a gone file: dropping the refs is metadata
+        if (tryPublish(s, loc, prev._1 + 1, files,
+            schemaJson = schema.map(_.json), layout = layout,
+            carriedValid = true))
+          return prev._1 + 1
+      } else {
+        val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
+        val df = applyDv(s, readData(s, affected, schema), dvs)
+        val routed = layout.flatMap(BucketLayout.parse)
+        val newFiles = routed match {
+          case Some(spec) => BucketLayout.writeBucketed(df, spec, dataDir)
+          case None =>
+            writeData(scopedAdvisory(s, targetBytes),
+              df.hint("rebalance"), dataDir)
+        }
+        // all kept files were routed (the layout was active) and the
+        // rewrite routed too, so the layout carries; vectors drop —
+        // every entry either folded with its file or named a dead one
+        if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles,
+            schemaJson = schema.map(_.json),
+            layout = layout.filter(_ => routed.isDefined || kept.forall(
+              x => BucketLayout.bucketOfPath(x).isDefined)),
+            carriedValid = true))
+          return prev._1 + 1
+        f.delete(dataDir, true) // lost the race: recompute against new latest
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
+  }
+
   /** Retention GC: keep the newest `retainLast` versions, drop every
     * older manifest, then delete dead data files. Returns (manifests
     * dropped, data files deleted). A data file is dead if either

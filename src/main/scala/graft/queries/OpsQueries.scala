@@ -817,6 +817,53 @@ object OpsQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** O(deleted-from files) delete-vector fold (`CALL system.fold_dvs`):
+    * a range-clustered base takes a merge-on-read delete touching only
+    * the LOW-range files, then the fold rewrites exactly the files the
+    * vectors name and carries every other file by reference
+    * (path-identity guarded) — after it the version is DV-free, so
+    * reads drop the per-file subtraction. This is the delete_mor
+    * lifecycle's missing middle: at 100 TB the GDPR cleanup
+    * (delete_mor → fold_dvs) costs O(affected files), never the full
+    * rewrite `optimize` pays, and never leaves readers paying the MoR
+    * tax forever. */
+  private def snapshotFoldDvs(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_fdv"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      o.repartitionByRange(4, col("o_orderkey")), loc)
+    val thr = o.agg(max(col("o_orderkey"))).head.getLong(0) / 4
+    s.sql(s"CALL graft_snap_dml.system.delete_mor('orders_fdv', " +
+      s"'o_orderkey <= $thr')")
+    require(graft.ops.Snapshots.versionDvs(s, loc, 2L).nonEmpty,
+      "delete_mor must commit a delete vector")
+    val before = graft.ops.Snapshots.versionFiles(s, loc, 2L)
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    val res = s.sql("CALL graft_snap_dml.system.fold_dvs('orders_fdv')")
+      .collect()
+    require(res.head.getInt(1) == 0, "fold_dvs must leave zero vectors")
+    val v = graft.ops.Snapshots.latestVersion(s, loc)
+    require(graft.ops.Snapshots.versionDvs(s, loc, v).isEmpty,
+      "the folded version must carry no delete vectors")
+    val after = graft.ops.Snapshots.versionFiles(s, loc, v)
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    val carried = after.intersect(before)
+    require(carried.size >= 2,
+      s"fold must carry the untouched high-range files by reference " +
+        s"(carried ${carried.size} of ${before.size})")
+    require(after.size < before.size + 4,
+      "fold must rewrite only the DV-named files")
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            |  o_orderdate, o_orderpriority
+            |FROM graft_snap_dml.orders_fdv ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Row-level UPDATE as a commit (`Snapshots.commitUpdate`): double the
     * price of open orders; same copy-on-write contract. */
   private def snapshotUpdateRows(s: SparkSession, d: String): DataFrame = {
@@ -2070,6 +2117,13 @@ object OpsQueries {
              |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 = 1
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_fold_dvs", snapshotFoldDvs,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders
+             |WHERE o_orderkey > (SELECT CAST(floor(max(o_orderkey) / 4.0) AS BIGINT)
+             |                    FROM orders)
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_delete_mor", snapshotDeleteMor,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -37,7 +37,7 @@ object SnapshotProcedures {
       "delete_mor", "rollback", "attach_grams",
       "branch", "fast_forward", "drop_branch", "tag", "drop_tag",
       "add_constraint", "drop_constraint", "optimize_buckets",
-      "bucket_split")
+      "bucket_split", "fold_dvs")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -227,6 +227,22 @@ object SnapshotProcedures {
     Seq[Any](v, Snapshots.versionFiles(spark, loc, v).length)
   }
 
+  /** O(deleted-from files) delete-vector fold
+    * ([[Snapshots.commitFoldDvs]]): rewrite ONLY the files the version's
+    * DVs name (DV-applied, layout-routed on a bucketed table), carry
+    * everything else by reference — the delete_mor lifecycle's missing
+    * middle between per-read subtraction forever and a full optimize. */
+  private val foldDvs = procedure("fold_dvs",
+    Seq(in("table", StringType),
+      inDefault("target_mb", IntegerType, "128")),
+    StructType(Seq(StructField("version", LongType),
+      StructField("dvs", IntegerType)))) { (loc, input) =>
+    val v = Snapshots.commitFoldDvs(spark, loc,
+      targetBytes = input.getInt(1).toLong * 1024 * 1024)
+    Snapshots.autoStats(spark, loc)
+    Seq[Any](v, Snapshots.versionDvs(spark, loc, v).length)
+  }
+
   private val deleteMor = procedure("delete_mor",
     Seq(in("table", StringType), in("condition", StringType)),
     StructType(Seq(StructField("version", LongType)))) { (loc, input) =>
@@ -381,6 +397,7 @@ object SnapshotProcedures {
     "bucket" -> bucketTable, "bucket_split" -> bucketSplit,
     "auto_stats" -> autoStats,
     "migrate" -> migrateTable, "delete_mor" -> deleteMor,
+    "fold_dvs" -> foldDvs,
     "rollback" -> rollbackTable, "attach_grams" -> attachGrams,
     "branch" -> branchTable, "fast_forward" -> fastForward,
     "drop_branch" -> dropBranch, "tag" -> tagTable, "drop_tag" -> dropTag,

@@ -675,6 +675,32 @@ class SnapshotSpjSpec extends SparkTestBase {
         .fromJavaDate(java.sql.Date.valueOf("2024-03-01"))))
   }
 
+  test("fold_dvs on a layout table: vectors fold ROUTED, layout and SPJ survive") {
+    fixture()
+    Snapshots.commitDeleteMoR(spark, s"$root/fact",
+      org.apache.spark.sql.functions.col("id") <= 10)
+    assert(Snapshots.versionDvs(spark, s"$root/fact",
+      Snapshots.latestVersion(spark, s"$root/fact")).nonEmpty)
+    Snapshots.commitFoldDvs(spark, s"$root/fact")
+    val v = Snapshots.latestVersion(spark, s"$root/fact")
+    assert(Snapshots.versionDvs(spark, s"$root/fact", v).isEmpty,
+      "fold_dvs must leave a DV-free version")
+    assert(Snapshots.versionLayout(spark, s"$root/fact", v)
+      .contains("bucket,4,id"),
+      "the routed fold must keep the bucket layout")
+    assert(Snapshots.versionFiles(spark, s"$root/fact", v)
+      .forall(f => BucketLayout.bucketOfPath(f).isDefined))
+    noBroadcast {
+      val df = spark.sql(
+        """SELECT f.id, d.w FROM spjcat.fact f
+          |JOIN spjcat.dim d ON f.id = d.id""".stripMargin)
+      assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString)
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == (11L to 100L))
+    }
+    // a DV-free table folds to itself: no commit
+    assert(Snapshots.commitFoldDvs(spark, s"$root/fact") == v)
+  }
+
   test("ALTER TABLE ADD COLUMN keeps the layout: metadata-only widen, SPJ intact") {
     fixture()
     spark.sql("ALTER TABLE spjcat.fact ADD COLUMNS (note STRING)")
