@@ -1015,6 +1015,39 @@ object AdversarialProbe {
       verdict("bucket_split_vs_rebucket", rebucketW, splitW, 1.0)
     }
 
+    // ---- fold_dvs vs full optimize: after a RANGE-LOCAL merge-on-read
+    // delete (one region of a 24M-row range-clustered table), folding
+    // the vectors must cost O(deleted-from files), not the full rewrite
+    // optimize pays — the fold reads ~1/16 of the data. The verdict
+    // bound is the usual 2x-of-model slack; the printed speedup is the
+    // honest ratio on this box.
+    {
+      val loc = "/tmp/graft-probe/fold_cost"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.ops.Snapshots.commitAppend(
+        spark.range(0L, 24000000L).toDF("id")
+          .withColumn("v", concat(lit("payload-"), col("id") % 100000))
+          .repartitionByRange(16, col("id")), loc)
+      graft.ops.Snapshots.commitDeleteMoR(spark, loc,
+        col("id") < 1000000L && col("id") % 3 === 0L)
+      val foldW = time("fold_dvs (range-local delete, 16 files)", reps = 1) {
+        graft.ops.Snapshots.commitFoldDvs(spark, loc)
+      }
+      require(graft.ops.Snapshots.versionDvs(spark, loc,
+        graft.ops.Snapshots.latestVersion(spark, loc)).isEmpty,
+        "probe fold left vectors behind")
+      // the comparator: the same cleanup done the only way that existed
+      // before — a full-table rewrite
+      graft.ops.Snapshots.commitDeleteMoR(spark, loc,
+        col("id") < 1000000L && col("id") % 3 === 1L)
+      val optW = time("full optimize for the same cleanup", reps = 1) {
+        graft.ops.Snapshots.commitCompaction(spark, loc)
+      }
+      println(f"PROBE fold-vs-optimize speedup: ${optW / foldW}%.2fx")
+      verdict("fold_dvs_vs_optimize", optW, foldW, 1.0)
+    }
+
     // ---- hash-gated span trim: on a LOW-DUPLICATION corpus (every word
     // doc-tagged, so no gram repeats across docs) the gram STRINGS never
     // shuffle — only the 24-byte hash-gate rows do. Measured as actual
