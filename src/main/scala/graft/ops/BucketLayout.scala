@@ -385,7 +385,24 @@ object BucketLayout {
         schema.map(_.json).getOrElse(
           throw new IllegalStateException(s"$loc: empty table without a " +
             "schema header cannot carry a layout")), format(newSpec))
-    val df = Snapshots.applyDv(s, Snapshots.readData(s, files, schema), dvs)
+    // SATURATE the executors without a shuffle: the natural scan
+    // parallelism is one task per FILE (≈ old bucket count), which can
+    // be far below the cluster's slots — so size maxPartitionBytes in a
+    // CLONED session (caller's conf untouched) to split big bucket
+    // files into ~2 waves of tasks. A file SPLIT stays correct: every
+    // row re-routes by its own hash, the sub-range of a sorted file is
+    // sorted, and a split merely yields one file per (task, refined
+    // bucket) — the scan groups them, same as post-ingest buckets.
+    val scoped = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      try scoped.conf.set(k, v) catch { case _: Exception => () } // static confs
+    }
+    val totalBytes = Snapshots.fileSizes(s, files).values.sum
+    val slots = math.max(1, s.sparkContext.defaultParallelism)
+    scoped.conf.set("spark.sql.files.maxPartitionBytes",
+      math.max(4L * 1024 * 1024, totalBytes / (2L * slots)).toString)
+    val df = Snapshots.applyDv(scoped,
+      Snapshots.readData(scoped, files, schema), dvs)
     val b = "__graft_bucket"
     val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
     df.withColumn(b, linearId(newSpec))

@@ -866,6 +866,26 @@ class SnapshotSpjSpec extends SparkTestBase {
     assert(spark.table("spjcat.bctas").count() == 300L)
   }
 
+  test("bucket_split on an empty birth-layout table: pure header commit") {
+    import spark.implicits._
+    wipe(); register()
+    spark.sql("""CREATE TABLE spjcat.bempty (id BIGINT, v STRING)
+                |PARTITIONED BY (bucket(2, id))""".stripMargin)
+    spark.sql("CALL spjcat.system.bucket_split('bempty', 4)")
+    assert(Snapshots.versionLayout(spark, s"$root/bempty",
+      Snapshots.latestVersion(spark, s"$root/bempty")).contains("bucket,8,id"))
+    // the scaled birth layout still routes the first INSERT
+    (1L to 40L).map(i => (i, s"x$i")).toDF("id", "v")
+      .createOrReplaceTempView("bempty_src")
+    spark.sql("INSERT INTO spjcat.bempty SELECT * FROM bempty_src")
+    val v = Snapshots.latestVersion(spark, s"$root/bempty")
+    assert(Snapshots.versionLayout(spark, s"$root/bempty", v)
+      .contains("bucket,8,id"))
+    assert(Snapshots.versionFiles(spark, s"$root/bempty", v)
+      .forall(f => BucketLayout.bucketOfPath(f).isDefined))
+    assert(spark.table("spjcat.bempty").count() == 40L)
+  }
+
   test("composite birth layout: one transform per column, mixed counts") {
     import spark.implicits._
     wipe(); register()
