@@ -95,6 +95,12 @@ object Bench {
       .find(_.length <= 1900)
       .getOrElse(render(Nil, 0))
     println(line)
+    // a trailing SHORT total-only line: sbt can append GC warnings after
+    // our output, eating into the driver's ~2000-char tail capture (round
+    // 13's 228-query line + the warn left the artifact unparseable) — the
+    // LAST-printed compact line keeps an adjudicable total inside the
+    // tail no matter what trails it; the full map stays in detailPath
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"failures":$fails,"detail":"$detailPath","sf":"$sfName"}""")
     spark.stop()
   }
 }

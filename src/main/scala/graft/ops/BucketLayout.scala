@@ -264,7 +264,9 @@ object BucketLayout {
       val newFiles = writeBucketed(
         Snapshots.applyDv(s, Snapshots.readData(s, multi, schema), dvs),
         spec, dataDir)
-      val keepDvs = if (kept.nonEmpty) dvs else Nil
+      // carried files keep their vectors, FILTERED to entries naming
+      // kept files — entries for just-folded files are dead weight
+      val keepDvs = Snapshots.filterCarriedDvs(s, dvs, kept, dataDir)
       if (Snapshots.tryPublish(s, loc, latest + 1, kept ++ newFiles,
           dvs = keepDvs, schemaJson = schema.map(_.json),
           layout = Some(format(spec)), carriedValid = true))
@@ -380,11 +382,22 @@ object BucketLayout {
     val files = Snapshots.versionFiles(s, loc, latest)
     val dvs = Snapshots.versionDvs(s, loc, latest)
     val schema = Snapshots.versionSchema(s, loc, latest)
-    if (files.isEmpty) // birth layout, no rows yet: a pure header commit
-      return Snapshots.publishLayout(s, loc, latest, Nil,
+    if (files.isEmpty) {
+      // birth layout, no rows yet: a pure header commit — but a first
+      // INSERT can interleave, its files routed under the OLD spec, and
+      // the merged publish then (correctly) keeps the old layout rather
+      // than claiming a refinement the rider files don't satisfy. Detect
+      // the unapplied header and re-run the split against the new tip,
+      // which now has files and takes the real shuffle-free path (counts
+      // pinned, so a x2 factor cannot compound). At most one recursion:
+      // the retry sees the rider files.
+      val v = Snapshots.publishLayout(s, loc, latest, Nil,
         schema.map(_.json).getOrElse(
           throw new IllegalStateException(s"$loc: empty table without a " +
             "schema header cannot carry a layout")), format(newSpec))
+      return if (Snapshots.versionLayout(s, loc, v).contains(format(newSpec))) v
+             else splitBucketsImpl(s, loc, _ => newCounts)
+    }
     // SATURATE the executors without a shuffle: the natural scan
     // parallelism is one task per FILE (≈ old bucket count), which can
     // be far below the cluster's slots — so size maxPartitionBytes in a

@@ -1,0 +1,250 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Incremental cross-location replication — the snapshot-native
+  * `DistCp -update -diff` (reference:
+  * `hadoop-tools/hadoop-distcp/src/main/java/org/apache/hadoop/tools/DistCpSync.java`):
+  * make `dstLoc` an exact replica of `srcLoc`'s version chain by
+  * shipping ONLY the files each missing version ADDED (manifest diff —
+  * data files and delete-vector sidecars), then publishing the same
+  * manifests with paths rewritten under the replica root. Carried files
+  * are never re-copied: after one append, a `replicate` call moves
+  * O(new files), which is the whole DR / cross-region story at 100 TB.
+  *
+  *  - INCREMENTAL: versions the replica already has are skipped; each
+  *    missing version copies exactly `refs(v) − refs(v−1)`.
+  *  - IDEMPOTENT / RESUMABLE: copies skip same-length existing targets
+  *    (the `-update` heuristic; commit paths are UUID-unique, so a
+  *    length match IS identity), and a replayed manifest publish that
+  *    finds its version already claimed verifies the content matches
+  *    and moves on — a crashed run resumes from wherever it stopped.
+  *  - DIVERGENCE-REFUSED (the fast_forward rule): if the replica's tip
+  *    manifest differs from the source's same-numbered manifest
+  *    (rewritten), the verb throws instead of silently merging two
+  *    histories. A replica is read-only by contract; anything else is a
+  *    fork and must say so.
+  *  - Markers, schema, layout, and lineage headers carry VERBATIM, so
+  *    exactly-once streaming markers and co-partitioned plans survive
+  *    replication; `#dv=` references rewrite like data paths.
+  *  - The tip's pruning sidecars ship too: the stats text rewrites its
+  *    per-line file paths, Bloom/gram parquet sidecars rewrite their
+  *    `file` column, headers last (their crash-safety contract), plus
+  *    the auto-stats policy file — so the replica prunes like the
+  *    source from the first query. Historical versions' sidecars are
+  *    skipped (pruning is an optimization; the tip is what queries
+  *    read).
+  *
+  * Copies distribute across the cluster (foreachPartition, the
+  * [[graft.jobs.Programs.distCpLite]] pattern); the driver holds only
+  * the O(files) listing — the same cardinality class as the manifest.
+  */
+object Replicate {
+
+  def replicate(s: SparkSession, srcLoc: String, dstLoc: String,
+                numTasks: Int = 32): Long = {
+    val srcMs = Snapshots.manifests(s, srcLoc)
+    require(srcMs.nonEmpty, s"no committed snapshots at $srcLoc")
+    val srcRoot = Snapshots.normPath(srcLoc)
+    val dstRoot = Snapshots.normPath(dstLoc)
+    require(srcRoot != dstRoot, s"replica location equals the source: $srcRoot")
+    def rewritePath(p: String): String = {
+      val n = Snapshots.normPath(p)
+      require(n.startsWith(srcRoot + "/"),
+        s"manifest names a file outside the source root ($srcRoot): $p")
+      dstRoot + n.stripPrefix(srcRoot)
+    }
+    def rewriteLine(line: String): String =
+      if (line.startsWith("#dv=")) "#dv=" + rewritePath(line.stripPrefix("#dv="))
+      else if (line.startsWith("#") || line.isEmpty) line
+      else rewritePath(line)
+    val f = Snapshots.fs(s, dstLoc)
+    def textOf(p: Path): String = {
+      val in = Snapshots.fs(s, p.toString).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    def rewrittenText(p: Path): String =
+      textOf(p).linesWithSeparators
+        .map { l =>
+          val (body, sep) = l.span(c => c != '\n' && c != '\r')
+          rewriteLine(body) + sep
+        }.mkString
+
+    // ---- divergence gate: the replica's tip must BE the source's ----
+    val dstMs = Snapshots.manifests(s, dstLoc)
+    dstMs.lastOption.foreach { case (dv, dp) =>
+      val srcSame = srcMs.find(_._1 == dv).getOrElse(
+        throw new IllegalStateException(
+          s"$dstLoc is at v$dv but $srcLoc no longer has that manifest " +
+            "(expired?) — cannot verify the replica's lineage; re-seed it"))
+      if (textOf(dp) != rewrittenText(srcSame._2))
+        throw new java.util.ConcurrentModificationException(
+          s"$dstLoc diverged from $srcLoc at v$dv — a replica is " +
+            "read-only by contract; refusing to merge two histories " +
+            "(re-seed the replica, or fork it explicitly)")
+    }
+    val have = dstMs.map(_._1).toSet
+
+    // ---- ship each missing version's ADDED files, then its manifest ----
+    val todo = srcMs.filter { case (v, _) => !have.contains(v) }
+    var prevRefs: Set[String] =
+      dstMs.lastOption.flatMap { case (dv, _) =>
+        srcMs.find(_._1 == dv).map { case (_, p) =>
+          Snapshots.manifestRefs(s, p) }
+      }.getOrElse(Set.empty)
+    // versions below the replica tip that the source still carries but
+    // the replica never saw can't exist (manifests publish in order and
+    // the gate above pinned the tip) — `todo` is a suffix of the chain
+    todo.foreach { case (v, p) =>
+      val dvRefs = Snapshots.headerLines(s, p).filter(_.startsWith("#dv="))
+        .map(l => Snapshots.normPath(l.stripPrefix("#dv="))).toSet
+      val refs = Snapshots.manifestRefs(s, p)
+      val fresh = (refs -- prevRefs).toSeq
+      val (freshDvs, freshData) = fresh.partition(dvRefs)
+      copyFiles(s, freshData.map(n => n -> rewritePath(n)), numTasks)
+      // delete vectors are CONTENT-rewritten, not byte-copied: their
+      // `file` column names source data files in the source scan's
+      // qualified spelling — the replica's anti-join must see ITS OWN
+      // files' spelling or deleted rows resurrect
+      freshDvs.foreach(dv =>
+        copyDvRewritten(s, dv, rewritePath(dv), srcRoot, dstLoc))
+      val text = rewrittenText(p)
+      val md = Snapshots.manifestDir(dstLoc)
+      f.mkdirs(md)
+      val tmp = new Path(md,
+        f"_tmp_${java.util.UUID.randomUUID().toString}%s_v$v%05d.txt")
+      val out = f.create(tmp, true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+      val target = new Path(md, f"v$v%05d.txt")
+      if (!Snapshots.atomicClaim(s, f, tmp, target) &&
+          textOf(target) != text)
+        throw new java.util.ConcurrentModificationException(
+          s"$dstLoc grew a divergent v$v while replicating — refusing")
+      prevRefs = refs
+    }
+
+    // ---- tip sidecars + the auto-stats policy, so the replica prunes ----
+    val tip = srcMs.last._1
+    copySidecars(s, srcLoc, dstLoc, tip, rewritePath)
+    Snapshots.latestVersion(s, dstLoc)
+  }
+
+  private def copyFiles(s: SparkSession, pairs: Seq[(String, String)],
+                        numTasks: Int): Unit = {
+    if (pairs.isEmpty) return
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    s.sparkContext
+      .parallelize(pairs, math.min(numTasks, math.max(pairs.size, 1)))
+      .foreachPartition { it =>
+        val c = serConf.value
+        it.foreach { case (from, to) =>
+          val fromP = new Path(from)
+          val toP = new Path(to)
+          val sfs = fromP.getFileSystem(c)
+          val dfs = toP.getFileSystem(c)
+          val len = sfs.getFileStatus(fromP).getLen
+          // UUID-unique commit paths: a same-length target IS this file
+          // (a half-written crash leftover is shorter — recopied)
+          if (!dfs.exists(toP) || dfs.getFileStatus(toP).getLen != len)
+            FileUtil.copy(sfs, fromP, dfs, toP, false, true, c)
+        }
+      }
+  }
+
+  /** One delete-vector sidecar, content-rewritten for the replica: each
+    * `file` value maps to the SAME relative path under the replica root,
+    * spelled exactly as the replica's scan will spell
+    * `_metadata.file_path` (filesystem-qualified), so the read-side
+    * anti-join subtracts precisely the same rows. Written to the exact
+    * target path the rewritten manifest names (atomic rename of the one
+    * tiny part file); an existing target is a finished prior attempt —
+    * skipped, resume-safe. */
+  private def copyDvRewritten(s: SparkSession, from: String, to: String,
+                              srcRoot: String, dstLoc: String): Unit = {
+    import org.apache.spark.sql.functions.udf
+    val toP = new Path(to)
+    val dfs = toP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (dfs.exists(toP)) return
+    val qualifiedDstRoot =
+      dfs.makeQualified(new Path(Snapshots.normPath(dstLoc))).toString
+    val srcPrefix = srcRoot
+    val requalify = udf { p: String =>
+      val n = Snapshots.normPath(p)
+      require(n.startsWith(srcPrefix + "/"),
+        s"delete vector names a file outside the source root: $p")
+      qualifiedDstRoot + n.stripPrefix(srcPrefix)
+    }
+    val tmp = new Path(toP.getParent,
+      s"_tmp_dv_${java.util.UUID.randomUUID()}")
+    s.read.parquet(from)
+      .withColumn("file", requalify(org.apache.spark.sql.functions.col("file")))
+      .coalesce(1)
+      .write.parquet(tmp.toString)
+    val part = dfs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-")).getOrElse(
+        throw new IllegalStateException(s"empty delete vector at $from"))
+    dfs.mkdirs(toP.getParent)
+    if (!dfs.rename(part, toP) && !dfs.exists(toP))
+      throw new java.io.IOException(s"could not place replica DV at $to")
+    dfs.delete(tmp, true)
+  }
+
+  /** Tip pruning sidecars: stats text (per-line leading file path
+    * rewritten), Bloom + gram parquet (their `file` column rewritten,
+    * `.txt` headers written LAST per the sidecar crash contract), and
+    * the auto-stats policy file. All O(sidecar), never O(data). */
+  private def copySidecars(s: SparkSession, srcLoc: String, dstLoc: String,
+                           version: Long,
+                           rewritePath: String => String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, substring, concat}
+    val sf = Snapshots.fs(s, srcLoc)
+    val df = Snapshots.fs(s, dstLoc)
+    val srcMd = Snapshots.manifestDir(srcLoc)
+    val dstMd = Snapshots.manifestDir(dstLoc)
+    val srcRoot = Snapshots.normPath(srcLoc)
+    val dstRoot = Snapshots.normPath(dstLoc)
+    def writeText(target: Path, text: String): Unit = {
+      val tmp = new Path(dstMd, s"_tmp_${java.util.UUID.randomUUID()}.txt")
+      val out = df.create(tmp, true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+      df.delete(target, false)
+      if (!df.rename(tmp, target)) df.delete(tmp, false)
+    }
+    // stats sidecar: '#' headers verbatim, data lines lead with the path
+    val stats = new Path(srcMd, f"v$version%05d.stats.txt")
+    if (sf.exists(stats)) {
+      val text = Snapshots.manifestLines(s, stats).map { l =>
+        if (l.startsWith("#") || l.isEmpty) l
+        else {
+          val cut = l.indexOf('\t')
+          if (cut < 0) l else rewritePath(l.substring(0, cut)) + l.substring(cut)
+        }
+      }.mkString("", "\n", "\n")
+      writeText(new Path(dstMd, f"v$version%05d.stats.txt"), text)
+    }
+    // Bloom / gram sidecars: parquet first, header last
+    Seq("bloom", "gbloom").foreach { kind =>
+      val srcHdr = new Path(srcMd, f"v$version%05d.$kind.txt")
+      val srcDat = new Path(srcMd, f"v$version%05d.$kind.parquet")
+      if (sf.exists(srcHdr) && sf.exists(srcDat)) {
+        val dstDat = new Path(dstMd, f"v$version%05d.$kind.parquet")
+        df.delete(dstDat, true)
+        s.read.parquet(srcDat.toString)
+          .withColumn("file",
+            concat(lit(dstRoot),
+              substring(col("file"), srcRoot.length + 1, Int.MaxValue)))
+          .coalesce(1)
+          .write.parquet(dstDat.toString)
+        writeText(new Path(dstMd, f"v$version%05d.$kind.txt"),
+          Snapshots.manifestLines(s, srcHdr).mkString("", "\n", "\n"))
+      }
+    }
+    val policy = new Path(srcMd, "autostats.cols")
+    if (sf.exists(policy))
+      writeText(new Path(dstMd, "autostats.cols"),
+        Snapshots.manifestLines(s, policy).mkString("", "\n", "\n"))
+  }
+}

@@ -67,7 +67,7 @@ object Snapshots {
   // manifest lines: '#'-prefixed header lines carry commit metadata
   // (e.g. the exactly-once batch marker); every other line is a live
   // data-file path
-  private def manifestLines(s: SparkSession, p: Path): Seq[String] = {
+  private[graft] def manifestLines(s: SparkSession, p: Path): Seq[String] = {
     val in = fs(s, p.toString).open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
@@ -308,7 +308,15 @@ object Snapshots {
           "resurrect the interleaved commit's rows; re-run the verb " +
           "against the new version")
       extras = latestFiles.filterNot(f => oldSet(normPath(f)))
-      lay = if (extras.isEmpty) layout else None
+      // riders + rewrite files mix two routings, so no layout describes
+      // the union — EXCEPT a pure header commit (newFiles empty): the
+      // published content is then exactly the tip's files, which the
+      // tip's own layout describes, so keep THAT rather than silently
+      // dropping a CREATE-declared layout on a benign ingest race (the
+      // caller can detect the unapplied header and retry)
+      lay = if (extras.isEmpty) layout
+            else if (newFiles.isEmpty) versionLayout(s, loc, latest)
+            else None
       schema = versionSchema(s, loc, latest).map(_.json).orElse(schema)
       expected = latest
       attempt += 1
@@ -602,16 +610,22 @@ object Snapshots {
     // catalog reports it verbatim since the NOT NULL DEFAULT work): an
     // API append whose batch schema is nullable may carry nulls into a
     // column the header claims non-null, and IS NULL predicates would
-    // then constant-fold to false over real nulls — so the merge WIDENS
-    // an existing field to nullable whenever the incoming batch's field
-    // is (the SQL INSERT path never hits this: Spark coerces to the
-    // table schema with a runtime null check before the write)
-    val widenedPrev = prev.fields.map { pf =>
-      if (nextByName.get(pf.name.toLowerCase).exists(_.nullable) && !pf.nullable)
-        pf.copy(nullable = true)
-      else pf
+    // then constant-fold to false over real nulls. Silently WIDENING the
+    // header would permanently erase a DDL-declared NOT NULL (almost
+    // every parquet-read batch reports nullable even when it holds no
+    // nulls) — so the batch is REFUSED at schema level, the same rule
+    // appendBucketed applies; cast/assert the batch non-null, or use the
+    // SQL INSERT path, which inserts Spark's runtime null check
+    prev.fields.filterNot(_.nullable).foreach { pf =>
+      nextByName.get(pf.name.toLowerCase).filter(_.nullable).foreach { bf =>
+        require(!bf.nullable,
+          s"append batch column ${bf.name} is nullable but the table " +
+            "header declares it NOT NULL — a null row would make IS NULL " +
+            "predicates silently wrong; assert the batch non-null first " +
+            "or insert through SQL (which null-checks at runtime)")
+      }
     }
-    StructType(widenedPrev ++ next.fields
+    StructType(prev.fields ++ next.fields
       .filterNot(f => prevByName.contains(f.name.toLowerCase))
       // an added column must be nullable (old files fill it with null) —
       // UNLESS it carries an existence DEFAULT, which fills old files'
@@ -974,6 +988,184 @@ object Snapshots {
     // is consistent: NULL rows never mark a file affected.
     rewriteAffected(s, loc, pred,
       df => df.filter(!coalesce(pred, lit(false))), pruneBy)
+  }
+
+  /** RANGE retention DELETE — `DELETE FROM t WHERE column < cutoff` (any
+    * one- or two-sided range) in O(straddling files). The stats sidecar
+    * already records every file's exact per-column [min, max] and null
+    * accounting, so the version's files classify driver-side, without
+    * opening one:
+    *
+    *  - FULLY INSIDE the range (every live row matches, no nulls in the
+    *    column): dropped from the manifest — pure metadata, the daily
+    *    100 TB "expire data older than N days" costs zero data I/O;
+    *  - FULLY OUTSIDE (no row can match — including all-null files,
+    *    since NULL never satisfies a comparison): carried BY REFERENCE,
+    *    never scanned;
+    *  - STRADDLING the cutoff (or unprovable: sidecar gap, unorderable
+    *    type): the existing copy-on-write path, confined to exactly
+    *    those files — usually 0–1 per ingest stream when data arrives
+    *    roughly in `column` order.
+    *
+    * Classification is PROOF-gated: only types whose sidecar string
+    * round-trip provably orders (numerics via BigDecimal, UTF-8 strings,
+    * date / ntz-timestamp / boolean lexically) ever drop or skip a file;
+    * session-zoned timestamps and everything else fall through to the
+    * straddler scan, which is always exact. On a bucket-layout table the
+    * straddler rewrite ROUTES, so the zero-Exchange layout survives
+    * retention. Carried delete vectors are filtered to live files at
+    * publish. Reference analog: partition-directory retention via
+    * path-by-value outputs (`CORE/mapred/lib/MultipleTextOutputFormat.java`).
+    *
+    * Bounds are sidecar-rendered strings (Spark `CAST(x AS STRING)`
+    * form); the boolean marks the bound inclusive. */
+  def commitDeleteRange(s: SparkSession, loc: String, column: String,
+                        lo: Option[(String, Boolean)],
+                        hi: Option[(String, Boolean)]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(lo.isDefined || hi.isDefined,
+      "a range delete needs at least one bound")
+    val f = fs(s, loc)
+    var attempt = 0
+    while (attempt < 64) {
+      val prev = manifests(s, loc).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshots at $loc"))
+      val files = readManifest(s, prev._2)
+      val header = headerLines(s, prev._2)
+      val dvs = header.filter(_.startsWith("#dv=")).map(_.stripPrefix("#dv="))
+      val schema = schemaFromHeader(header)
+      val layout = header.find(_.startsWith("#layout="))
+        .map(_.stripPrefix("#layout="))
+      val (inside, outside, straddle) =
+        classifyRange(s, loc, prev._1, files, column, lo, hi)
+      // the predicate for the straddler scan, typed through the table
+      // schema (CAST the rendered bound back in the column's own type) —
+      // only built when a straddler exists (an empty/fully-classified
+      // version never opens a footer)
+      lazy val pred = {
+        val dt = schema
+          .flatMap(_.fields.find(_.name.equalsIgnoreCase(column)))
+          .map(_.dataType)
+          .getOrElse(s.read.parquet(straddle.head).schema
+            .find(_.name.equalsIgnoreCase(column)).map(_.dataType)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no column $column at $loc")))
+        def bound(v: String) = lit(v).cast(dt)
+        val c = col(column)
+        (lo.map { case (v, inc) =>
+            if (inc) c >= bound(v) else c > bound(v) } ++
+          hi.map { case (v, inc) =>
+            if (inc) c <= bound(v) else c < bound(v) }).reduce(_ && _)
+      }
+      val (affected, keptStraddle) =
+        if (straddle.isEmpty) (Nil, Nil)
+        else affectedFiles(s, straddle, pred, schema)
+      val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
+      val routed = layout.flatMap(BucketLayout.parse)
+      val newFiles: Seq[String] =
+        if (affected.isEmpty) Nil
+        else {
+          // DV-applied read, survivors only; ROUTED when a layout is live
+          // so retention never costs the table its co-partitioned plans
+          val df = applyDv(s, readData(s, affected, schema), dvs)
+            .filter(!coalesce(pred, lit(false)))
+          routed match {
+            case Some(spec) => BucketLayout.writeBucketed(df, spec, dataDir)
+            case None => writeData(s, df, dataDir)
+          }
+        }
+      val kept = outside ++ keptStraddle
+      val keepDvs = filterCarriedDvs(s, dvs, kept, dataDir)
+      if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles, dvs = keepDvs,
+          schemaJson = schema.map(_.json),
+          layout = layout.filter(_ =>
+            routed.isDefined || affected.isEmpty)))
+        return prev._1 + 1
+      f.delete(dataDir, true) // lost the race: recompute against new latest
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the commit race 64 times at $loc")
+  }
+
+  /** Ternary zone-map classification for [[commitDeleteRange]]: files
+    * whose every live row provably matches the range (droppable), files
+    * no row of which can match (carriable), and the rest (scan). Absent
+    * sidecar / uncovered column / unorderable type classify everything
+    * as straddling — never wrong, merely unoptimized. */
+  private def classifyRange(s: SparkSession, loc: String, version: Long,
+                            files: Seq[String], column: String,
+                            lo: Option[(String, Boolean)],
+                            hi: Option[(String, Boolean)])
+      : (Seq[String], Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.types._
+    val sp = statsPath(loc, version)
+    if (!fs(s, loc).exists(sp)) return (Nil, Nil, files)
+    val lines = manifestLines(s, sp)
+    val cols = lines.headOption.filter(_.startsWith("#cols="))
+      .map(_.stripPrefix("#cols=").split(',').toSeq).getOrElse(Nil)
+    val ci = cols.indexOf(column)
+    if (ci < 0) return (Nil, Nil, files)
+    val dt = lines.lift(1).filter(_.startsWith("#types="))
+      .map(_.stripPrefix("#types=").split(',').toSeq).flatMap(_.lift(ci))
+      .flatMap(t => try Some(DataType.fromDDL(t))
+        catch { case _: Exception => None })
+      .getOrElse(return (Nil, Nil, files))
+    val numeric = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: DecimalType => true
+      case _ => false
+    }
+    val orderable = numeric || (dt match {
+      case _: StringType | _: DateType | _: TimestampNTZType |
+           _: BooleanType => true
+      case _ => false // session-zoned timestamps shift across zones
+    })
+    if (!orderable) return (Nil, Nil, files)
+    // exact compare in the sidecar's own encoding; None = unprovable
+    def cmp(a: String, b: String): Option[Int] =
+      if (numeric)
+        try Some(BigDecimal(a).compare(BigDecimal(b)))
+        catch { case _: NumberFormatException => None } // NaN/Infinity
+      else if (dt.isInstanceOf[StringType])
+        Some(if (!utf8Leq(a, b)) 1 else if (utf8Leq(b, a)) 0 else -1)
+      else Some(a.compare(b))
+    // full-width lines only: classification needs row/non-null counts
+    val stats = lines.filterNot(_.startsWith("#")).map(_.split("\t", -1))
+      .filter(_.length == 2 + 3 * cols.length)
+      .map(a => a(0) -> a).toMap
+    val inside = Seq.newBuilder[String]
+    val outside = Seq.newBuilder[String]
+    val straddle = Seq.newBuilder[String]
+    files.foreach { file =>
+      stats.get(normPath(file)) match {
+        case None => straddle += file
+        case Some(a) =>
+          val (mn, mx) = (a(1 + 2 * ci), a(2 + 2 * ci))
+          val cnt = a(1 + 2 * cols.length)
+          val nn = a(2 + 2 * cols.length + ci)
+          if (nn == "0") outside += file // all-null: NULL never matches
+          else if (mn.isEmpty || mx.isEmpty) straddle += file
+          else {
+            // outside: the whole [min,max] sits beyond one bound
+            val out =
+              hi.exists { case (h, inc) =>
+                cmp(mn, h).exists(x => if (inc) x > 0 else x >= 0) } ||
+              lo.exists { case (l, inc) =>
+                cmp(mx, l).exists(x => if (inc) x < 0 else x <= 0) }
+            // inside: [min,max] within BOTH bounds AND no null rows
+            // (NULL survives a DELETE, so a null-bearing file must scan)
+            val in = !out && nn == cnt &&
+              lo.forall { case (l, inc) =>
+                cmp(mn, l).exists(x => if (inc) x >= 0 else x > 0) } &&
+              hi.forall { case (h, inc) =>
+                cmp(mx, h).exists(x => if (inc) x <= 0 else x < 0) }
+            if (out) outside += file
+            else if (in) inside += file
+            else straddle += file
+          }
+      }
+    }
+    (inside.result(), outside.result(), straddle.result())
   }
 
   /** Row-level UPDATE as a commit: `set` maps column name → new value
@@ -1733,6 +1925,28 @@ object Snapshots {
     if (!f.rename(tmp, statsPath(loc, version))) f.delete(tmp, false)
   }
 
+  /** Exact live-row count for `files` of a version, provable from pure
+    * metadata: Σ sidecar per-file row counts minus the delete-vector
+    * entries naming those files. None when the sidecar cannot prove
+    * every file (the caller reports unknown, never a guess). Feeds
+    * DSv2 `estimateStatistics().numRows` — what lets Spark's CBO
+    * reorder multi-joins over snapshot tables. The DV adjustment reads
+    * only the tiny vector sidecars. */
+  private[graft] def sidecarNumRows(s: SparkSession, loc: String,
+                                    version: Long, files: Seq[String],
+                                    dvs: Seq[String]): Option[Long] =
+    statAggValues(s, loc, version, files, Seq(StatCount)) match {
+      case Some(Seq((n: Long, _))) =>
+        if (dvs.isEmpty) Some(n)
+        else try {
+          val active = files.map(normPath).toSet
+          val deleted = s.read.parquet(dvs: _*).select("file").collect()
+            .count(r => active.contains(normPath(r.getString(0))))
+          Some(math.max(0L, n - deleted))
+        } catch { case _: Exception => None }
+      case _ => None
+    }
+
   /** Columns the version's stats sidecar covers (empty without one) —
     * the attributes a scan can offer for runtime (join-driven) file
     * skipping. One header-line read. */
@@ -2166,6 +2380,36 @@ object Snapshots {
       loc, carriedValid = true, derivedFrom = Some(cur))
   }
 
+  /** Carried delete-vector sidecars for a publish that rewrote some
+    * files DV-applied and carries `kept` by reference: entries naming
+    * kept files must survive (their rows are still subtracted at scan
+    * time); entries naming rewritten files are dead weight every later
+    * DV scan's broadcast build would re-read. Cost is O(distinct
+    * deleted-from files) driver strings — the commitFoldDvs named-set
+    * logic. Returns the original sidecars when every entry is live, Nil
+    * when none is, and otherwise writes ONE consolidated filtered
+    * sidecar under `dataDir` (so a lost publish race cleans it up with
+    * the data directory). */
+  private[graft] def filterCarriedDvs(s: SparkSession, dvs: Seq[String],
+                                      kept: Seq[String],
+                                      dataDir: Path): Seq[String] = {
+    if (dvs.isEmpty || kept.isEmpty) return Nil
+    val keptSet = kept.map(normPath).toSet
+    val named = s.read.parquet(dvs: _*).select("file").distinct()
+      .collect().map(_.getString(0))
+    val (live, dead) = named.partition(f => keptSet(normPath(f)))
+    if (dead.isEmpty) return dvs
+    if (live.isEmpty) return Nil
+    val dvDir = new Path(dataDir, "dv")
+    val f = fs(s, dvDir.toString)
+    s.read.parquet(dvs: _*)
+      .filter(org.apache.spark.sql.functions.col("file").isin(live.toSeq: _*))
+      .coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists).parquet(dvDir.toString)
+    f.listStatus(dvDir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map(_.toString)
+  }
+
   private def scopedAdvisory(s: SparkSession, targetBytes: Long): SparkSession = {
     val scoped = s.newSession()
     s.conf.getAll.foreach { case (k, v) =>
@@ -2211,8 +2455,11 @@ object Snapshots {
       val newFiles = writeData(scoped,
         applyDv(scoped, readData(scoped, small, schema), dvs).hint("rebalance"),
         dataDir)
-      // kept files may still be DV-covered — carry the vectors with them
-      val keepDvs = if (kept.nonEmpty) dvs else Nil
+      // kept files may still be DV-covered — carry the vectors with them,
+      // FILTERED to entries naming kept files (entries whose files were
+      // just rewritten DV-applied are dead weight every later DV scan's
+      // broadcast build would re-read)
+      val keepDvs = filterCarriedDvs(s, dvs, kept, dataDir)
       if (tryPublish(s, loc, prev._1 + 1, kept ++ newFiles, dvs = keepDvs,
           schemaJson = schema.map(_.json), carriedValid = true))
         return prev._1 + 1
@@ -2263,13 +2510,18 @@ object Snapshots {
           return prev._1 + 1
       } else {
         val dataDir = new Path(loc, s"data/${java.util.UUID.randomUUID()}")
-        val df = applyDv(s, readData(s, affected, schema), dvs)
         val routed = layout.flatMap(BucketLayout.parse)
         val newFiles = routed match {
-          case Some(spec) => BucketLayout.writeBucketed(df, spec, dataDir)
+          case Some(spec) => BucketLayout.writeBucketed(
+            applyDv(s, readData(s, affected, schema), dvs), spec, dataDir)
           case None =>
-            writeData(scopedAdvisory(s, targetBytes),
-              df.hint("rebalance"), dataDir)
+            // the rebalance hint resolves advisoryPartitionSizeInBytes
+            // from df.sparkSession, so the READ must be built under the
+            // scoped session too — else targetBytes is silently inert
+            val scoped = scopedAdvisory(s, targetBytes)
+            writeData(scoped,
+              applyDv(scoped, readData(scoped, affected, schema), dvs)
+                .hint("rebalance"), dataDir)
         }
         // all kept files were routed (the layout was active) and the
         // rewrite routed too, so the layout carries; vectors drop —

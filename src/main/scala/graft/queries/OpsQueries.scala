@@ -558,6 +558,117 @@ object OpsQueries {
             |FROM graft_snap_dml.orders_del ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Incremental cross-location replication through PURE SQL:
+    * `CALL system.replicate(src, dstLoc)` ships only manifest-diff'd
+    * files + delete vectors + tip sidecars
+    * ([[graft.ops.Replicate.replicate]]) and publishes the same version
+    * chain at the replica. The in-query requires pin the DR contract:
+    * the second call after one append leaves every previously-copied
+    * data file byte-untouched (mtime pin — O(new files), the 100 TB
+    * cross-region story), and the oracle certifies replica content ==
+    * source content THROUGH the replica's own manifest + DV read path.
+    * Reference: `hadoop-tools/hadoop-distcp/.../DistCpSync.java`. */
+  private def snapshotSqlReplicate(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val src = s"$root/orders_repsrc"
+    val dst = s"$root/orders_repdst"
+    Seq(src, dst).foreach { l =>
+      val p = new org.apache.hadoop.fs.Path(l)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 3 === 0), src)
+    // a merge-on-read delete: its VECTOR must replicate, not a rewrite
+    graft.ops.Snapshots.commitDeleteMoR(s, src, col("o_orderkey") % 9 === 0)
+    graft.ops.Snapshots.setAutoStats(s, src, Seq("o_orderkey"))
+    s.sql(s"CALL graft_snap_dml.system.replicate('orders_repsrc', '$dst')")
+    def mtimes(): Map[String, Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dst/data")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.startsWith("part-"))
+          b += (st.getPath.toString -> st.getModificationTime)
+      }
+      b.result()
+    }
+    val firstWave = mtimes()
+    require(firstWave.nonEmpty, "first replicate shipped nothing")
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 3 === 1), src)
+    s.sql(s"CALL graft_snap_dml.system.replicate('orders_repsrc', '$dst')")
+    // O(new files): everything the first wave shipped is byte-untouched
+    val secondWave = mtimes()
+    firstWave.foreach { case (f, m) =>
+      require(secondWave.get(f).contains(m),
+        s"incremental replicate re-copied an already-shipped file: $f")
+    }
+    require(graft.ops.Snapshots.latestVersion(s, dst)
+      == graft.ops.Snapshots.latestVersion(s, src),
+      "replica must carry the source's version chain")
+    // the oracle reads the REPLICA (manifest + DV subtraction at dst)
+    graft.ops.Snapshots.read(s, dst)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  /** RANGE retention through PURE SQL: `DELETE FROM t WHERE ts < cutoff`
+    * takes the sidecar-classified path ([[graft.ops.Snapshots.commitDeleteRange]])
+    * — files whose [min, max] sits wholly under the cutoff DROP from the
+    * manifest as pure metadata (zero data I/O), wholly-above files carry
+    * BY REFERENCE, and only the straddler rewrites. The daily "expire
+    * data older than N days" a 100 TB table runs: time-sliced ingest
+    * makes almost every file classify, so the verb costs O(straddling
+    * files) ≈ O(1). In-query requires pin both classifications; the
+    * ghost-file and DV/layout-carry pins live in SnapshotSqlDmlSpec.
+    * Reference analog: partition-directory retention via path-by-value
+    * outputs (`CORE/mapred/lib/MultipleTextOutputFormat.java`). */
+  private def snapshotSqlRetention(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_ret"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val o = Tables.orders(s, d)
+    // time-sliced arrival — the ingest pattern retention exploits
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderdate") < "1997-01-01").coalesce(2), loc)
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderdate") >= "1997-01-01" &&
+        col("o_orderdate") < "1999-01-01").coalesce(2), loc)
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderdate") >= "1999-01-01").coalesce(2), loc)
+    graft.ops.Snapshots.setAutoStats(s, loc, Seq("o_orderdate"))
+    val v1Files = graft.ops.Snapshots.versionFiles(s, loc, 1L)
+      .map(graft.ops.Snapshots.normPath).toSet
+    val v3Only = (graft.ops.Snapshots.versionFiles(s, loc, 3L)
+      .map(graft.ops.Snapshots.normPath).toSet
+      -- graft.ops.Snapshots.versionFiles(s, loc, 2L)
+           .map(graft.ops.Snapshots.normPath).toSet)
+    // the cutoff lands INSIDE slice 2's range: slice 1 drops as
+    // metadata, slice 3 carries untouched, slice 2 alone rewrites
+    s.sql("""DELETE FROM graft_snap_dml.orders_ret
+            |WHERE o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'""".stripMargin)
+    val after = graft.ops.Snapshots.versionFiles(s, loc, 4L)
+      .map(graft.ops.Snapshots.normPath).toSet
+    require(v3Only.subsetOf(after),
+      "retention rewrote fully-outside files")
+    require(v1Files.intersect(after).isEmpty,
+      "fully-covered files must drop from the manifest")
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            |  o_orderdate, o_orderpriority
+            |FROM graft_snap_dml.orders_ret ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Row-level MERGE through PURE SQL: `MERGE INTO … WHEN MATCHED THEN
     * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` routes through DSv2
     * `SupportsRowLevelOperations` — Spark's group-based rewrite, written
@@ -2106,6 +2217,18 @@ object OpsQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 3 <= 1 AND o_orderstatus <> 'F'
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_replicate", snapshotSqlReplicate,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders
+             |WHERE (o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
+             |   OR o_orderkey % 3 = 1
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_retention", snapshotSqlRetention,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_sql_merge", snapshotSqlMerge,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -243,6 +243,70 @@ object SnapshotProcedures {
     Seq[Any](v, Snapshots.versionDvs(spark, loc, v).length)
   }
 
+  /** Layout advisor — the operator verb behind the `t.buckets` skew
+    * surface: read the per-bucket byte/row distribution (pure metadata:
+    * manifest + stats sidecar, zero data I/O) and recommend the
+    * shuffle-free split factor that un-straggles a Zipf-hot bucket.
+    * Splitting spreads a bucket whose heat comes from MANY colliding
+    * keys (`h mod kn` separates them); a single dominant KEY keeps its
+    * rows together under any count — the metadata cannot distinguish
+    * the two, so the operator re-reads `t.buckets` after the split (an
+    * unmoved hot bucket means key-level skew: salt the join). The
+    * straggler measure is ABSOLUTE (a bucket is one SPJ task; wall
+    * clock ∝ hot-bucket bytes — an even split leaves hot/mean invariant
+    * while cutting every task k-fold): factor = smallest power of two
+    * bringing the hot bucket under `target_mb` per task; 1 = stragglers
+    * already task-sized, no action. */
+  private val adviseLayout = procedure("advise_layout",
+    Seq(in("table", StringType),
+      inDefault("target_mb", IntegerType, "256")),
+    StructType(Seq(
+      StructField("columns", StringType),
+      StructField("buckets", IntegerType),
+      StructField("hot_bucket", IntegerType),
+      StructField("hot_bytes", LongType),
+      StructField("mean_bytes", LongType),
+      StructField("recommended_factor", IntegerType),
+      StructField("statement", StringType)))) { (loc, input) =>
+    val tbl = str(input, 0)
+    val targetBytes = input.getInt(1).toLong * 1024 * 1024
+    val v = Snapshots.latestVersion(spark, loc)
+    val spec = Snapshots.versionLayout(spark, loc, v)
+      .flatMap(graft.ops.BucketLayout.parse).getOrElse(
+        throw new IllegalStateException(
+          s"$loc has no active bucket layout to advise on — " +
+            "CALL system.bucket first"))
+    val perBucket = Snapshots.bucketsMeta(spark, loc, v)
+      .collect().filter(_.getInt(1) >= 0)
+      .map(r => (r.getInt(1), r.getLong(4))) // (bucket, bytes)
+    require(perBucket.nonEmpty, s"$loc: empty layout, nothing to advise")
+    val (hotB, hotBytes) = perBucket.maxBy(_._2)
+    val mean = math.max(1L, perBucket.map(_._2).sum / spec.buckets)
+    val needed = (hotBytes + targetBytes - 1) / targetBytes
+    val factor =
+      if (needed <= 1L) 1
+      else Integer.highestOneBit(math.min(needed, 64L).toInt * 2 - 1)
+    val stmt =
+      if (factor <= 1) "balanced: no action"
+      else s"CALL system.bucket_split('$tbl', $factor)"
+    Seq[Any](UTF8String.fromString(spec.columns.mkString(",")),
+      spec.buckets, hotB, hotBytes, mean, factor,
+      UTF8String.fromString(stmt))
+  }
+
+  /** Incremental cross-location replication ([[graft.ops.Replicate]]):
+    * ship only manifest-diff'd files + delete vectors + tip sidecars to
+    * a replica location, publishing the SAME version chain — idempotent
+    * on retry, resumable mid-copy, divergent replicas refused the
+    * fast_forward way. After one append a second call copies O(new
+    * files): the DR / cross-region story at 100 TB. Reference:
+    * `hadoop-tools/hadoop-distcp/.../DistCpSync.java` (-diff copy). */
+  private val replicateTable = procedure("replicate",
+    Seq(in("table", StringType), in("dst_location", StringType)),
+    StructType(Seq(StructField("version", LongType)))) { (loc, input) =>
+    Seq[Any](graft.ops.Replicate.replicate(spark, loc, str(input, 1)))
+  }
+
   private val deleteMor = procedure("delete_mor",
     Seq(in("table", StringType), in("condition", StringType)),
     StructType(Seq(StructField("version", LongType)))) { (loc, input) =>
@@ -402,7 +466,8 @@ object SnapshotProcedures {
     "branch" -> branchTable, "fast_forward" -> fastForward,
     "drop_branch" -> dropBranch, "tag" -> tagTable, "drop_tag" -> dropTag,
     "add_constraint" -> addConstraint, "drop_constraint" -> dropConstraint,
-    "optimize_buckets" -> optimizeBuckets)
+    "optimize_buckets" -> optimizeBuckets, "replicate" -> replicateTable,
+    "advise_layout" -> adviseLayout)
 
   def load(name: String, root: String): Option[UnboundProcedure] =
     all.get(name.toLowerCase(java.util.Locale.ROOT)).map(_(root))

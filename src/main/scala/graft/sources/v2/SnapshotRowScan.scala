@@ -421,17 +421,28 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
   /** Size = Σ live file lengths (one listStatus per commit directory) —
     * an upper bound under DVs, which is the conservative direction for
     * join planning. Without this a custom scan reports UNKNOWN and the
-    * planner treats a small merge-on-read dim table as unbroadcastable. */
+    * planner treats a small merge-on-read dim table as unbroadcastable.
+    *
+    * Rows = Σ sidecar per-file row counts − the delete-vector entries
+    * naming live files, reported only when the sidecar PROVES every
+    * active file (else empty, never a guess) — this is what lets Spark's
+    * CBO reorder multi-joins over snapshot tables instead of falling
+    * back to size heuristics. Pure metadata except the DV adjustment,
+    * which reads only the tiny vector sidecars (the same driver-side
+    * cost class the DV scan itself already pays). */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       private val total =
         try fileLengths(activeFiles).values.sum
         catch { case _: java.io.IOException => -1L }
+      private val rows: Option[Long] =
+        Snapshots.sidecarNumRows(spark, loc, version, activeFiles, dvs)
       override def sizeInBytes(): java.util.OptionalLong =
         if (total < 0) java.util.OptionalLong.empty()
         else java.util.OptionalLong.of(total)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
     }
 
   /** One listStatus per commit directory, not one getFileStatus per

@@ -215,18 +215,28 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
   }
 
   // ---- DELETE FROM with translatable predicates: copy-on-write commit ----
-  // refused under an active bucket layout: commitDelete's rewrite lands
-  // UNROUTED files and would drop the layout — Spark then falls back to
-  // the row-level path below, whose routed write keeps it at the same
-  // O(affected files) cost class (runtime group filtering)
+  // A single-column RANGE predicate (`ts < cutoff`, `lo <= ts AND ts < hi`,
+  // point equality) takes the sidecar-classified retention path: files
+  // wholly inside the range DROP as pure metadata, wholly-outside files
+  // carry by reference, and only cutoff-straddling files rewrite — the
+  // daily 100 TB "expire data older than N days" in O(straddling files).
+  // It routes its rewrite, so range deletes are accepted even under an
+  // active bucket layout. Anything else: commitDelete's generic CoW when
+  // layout-free, else the row-level fallback (whose routed write keeps
+  // the layout at the same O(affected files) cost class).
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    !pinned && layout.isEmpty &&
-      filters.forall(f => SnapshotTable.toColumn(f).isDefined)
+    !pinned && filters.forall(f => SnapshotTable.toColumn(f).isDefined) &&
+      (layout.isEmpty || SnapshotTable.rangeOf(filters).isDefined)
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireMutable("DELETE")
-    val pred = filters.flatMap(SnapshotTable.toColumn)
-      .reduceOption(_ && _).getOrElse(F.lit(true))
-    Snapshots.commitDelete(spark, loc, pred)
+    SnapshotTable.rangeOf(filters) match {
+      case Some((c, lo, hi)) =>
+        Snapshots.commitDeleteRange(spark, loc, c, lo, hi)
+      case None =>
+        val pred = filters.flatMap(SnapshotTable.toColumn)
+          .reduceOption(_ && _).getOrElse(F.lit(true))
+        Snapshots.commitDelete(spark, loc, pred)
+    }
     Snapshots.autoStats(spark, loc)
   }
 
@@ -347,6 +357,71 @@ object SnapshotTable {
         }
       }
     }
+  }
+
+  /** DELETE filters that form a single-column RANGE — the shape
+    * [[graft.ops.Snapshots.commitDeleteRange]] classifies against the
+    * stats sidecar. Accepts one lower and/or one upper comparison on one
+    * top-level column (point `=` counts as both), plus IsNotNull riders
+    * on that same column (implied by any comparison). Values render to
+    * the sidecar's CAST-AS-STRING form; an unrenderable value (session-
+    * zoned timestamp, NaN) declines and the generic path runs. */
+  private[v2] def rangeOf(filters: Array[Filter])
+      : Option[(String, Option[(String, Boolean)], Option[(String, Boolean)])] = {
+    def flat(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    val conj = filters.toSeq.flatMap(flat)
+    var column: Option[String] = None
+    var lo: Option[(String, Boolean)] = None
+    var hi: Option[(String, Boolean)] = None
+    def claim(a: String): Boolean =
+      !a.contains(".") && column.forall(_ == a) && { column = Some(a); true }
+    val ok = conj.forall {
+      case IsNotNull(a) => claim(a)
+      case GreaterThan(a, v) if claim(a) && lo.isEmpty =>
+        lo = renderLiteral(v).map((_, false)); lo.isDefined
+      case GreaterThanOrEqual(a, v) if claim(a) && lo.isEmpty =>
+        lo = renderLiteral(v).map((_, true)); lo.isDefined
+      case LessThan(a, v) if claim(a) && hi.isEmpty =>
+        hi = renderLiteral(v).map((_, false)); hi.isDefined
+      case LessThanOrEqual(a, v) if claim(a) && hi.isEmpty =>
+        hi = renderLiteral(v).map((_, true)); hi.isDefined
+      case EqualTo(a, v) if claim(a) && lo.isEmpty && hi.isEmpty =>
+        val r = renderLiteral(v).map((_, true)); lo = r; hi = r; r.isDefined
+      case _ => false
+    }
+    if (ok && column.isDefined && (lo.isDefined || hi.isDefined))
+      Some((column.get, lo, hi))
+    else None
+  }
+
+  /** A v1-filter literal in the stats sidecar's `CAST(x AS STRING)`
+    * rendering, or None when the round-trip is not provably
+    * order-faithful (session-zoned timestamps shift across reader zones;
+    * NaN/Infinity don't order). */
+  private def renderLiteral(v: Any): Option[String] = v match {
+    case null => None
+    case _: java.sql.Timestamp | _: java.time.Instant => None // session-zoned
+    case d: java.sql.Date => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ: space-separated,
+      // seconds always, micros fraction with trailing zeros trimmed —
+      // exactly Spark's CAST(ntz AS STRING)
+      val base = f"${t.getYear}%04d-${t.getMonthValue}%02d-" +
+        f"${t.getDayOfMonth}%02d ${t.getHour}%02d:${t.getMinute}%02d:" +
+        f"${t.getSecond}%02d"
+      val frac = f"${t.getNano / 1000}%06d".reverse.dropWhile(_ == '0').reverse
+      Some(if (frac.isEmpty) base else s"$base.$frac")
+    case f: Float =>
+      if (f.isNaN || f.isInfinite) None else Some(f.toString)
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) None else Some(d.toString)
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Boolean |
+              _: BigDecimal | _: java.math.BigDecimal) => Some(n.toString)
+    case s: String => Some(s)
+    case _ => None
   }
 
   /** v1 Filter → Column, the standard translatable subset; None marks a

@@ -226,15 +226,26 @@ private[graft] class RuntimePrunedScan(spark: SparkSession, loc: String,
     s"RuntimePruned(${kept.length} files) ${current.description()}"
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     current.toBatch
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    current match {
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val inner = current match {
       case r: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        r.estimateStatistics()
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
-        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
-      }
+        Some(r.estimateStatistics())
+      case _ => None
     }
+    // sizeInBytes stays the delegate's (its filter-selectivity model);
+    // numRows fills from the stats sidecar when the parquet scan reports
+    // none — this wrapper only serves DV-free versions, so the sidecar's
+    // physical per-file counts ARE the live counts (sidecarNumRows)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        inner.map(_.sizeInBytes()).getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        inner.map(_.numRows()).filter(_.isPresent).getOrElse(
+          Snapshots.sidecarNumRows(spark, loc, version, kept, Nil)
+            .map(java.util.OptionalLong.of)
+            .getOrElse(java.util.OptionalLong.empty()))
+    }
+  }
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     covered.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray

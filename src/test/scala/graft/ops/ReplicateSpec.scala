@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Incremental cross-location replication ([[Replicate.replicate]]):
+  * the replica carries the SAME version chain (markers, schema, layout,
+  * delete vectors — content-rewritten), a second call after one append
+  * ships only the delta, divergent replicas are refused, and a crashed
+  * run resumes. Reference analog: `DistCpSync` (-diff copy).
+  */
+class ReplicateSpec extends SparkTestBase {
+
+  private val root = "/tmp/graft-test/replicate"
+
+  private def wipe(locs: String*): Unit = locs.foreach { l =>
+    val p = new Path(l)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private def mtimes(loc: String): Map[String, Long] = {
+    val p = new Path(s"$loc/data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.startsWith("part-"))
+          b += (st.getPath.toString -> st.getModificationTime)
+      }
+      b.result()
+    }
+  }
+
+  test("full chain replicates: versions, markers, DVs; delta-only second call") {
+    import spark.implicits._
+    val src = s"$root/src1"; val dst = s"$root/dst1"
+    wipe(src, dst)
+    Snapshots.commitAppend((1L to 500L).map(i => (i, s"v$i")).toDF("id", "v"),
+      src, marker = Some("epoch-1"))
+    Snapshots.commitDeleteMoR(spark, src, col("id") <= 10L)
+    assert(Replicate.replicate(spark, src, dst) == 2L)
+    // version chain + the exactly-once marker carried verbatim
+    assert(Snapshots.latestVersion(spark, dst) == 2L)
+    assert(Snapshots.markers(spark, dst).contains("epoch-1"))
+    // the DV subtracts at the REPLICA (content-rewritten file refs)
+    assert(Snapshots.read(spark, dst).as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq == (11L to 500L))
+    // pinned history reads at the replica too
+    assert(Snapshots.read(spark, dst, 1L).count() == 500L)
+    // one append, second call: every already-shipped file byte-untouched
+    val first = mtimes(dst)
+    Snapshots.commitAppend(Seq((900L, "x")).toDF("id", "v"), src)
+    assert(Replicate.replicate(spark, src, dst) == 3L)
+    val second = mtimes(dst)
+    first.foreach { case (f, m) =>
+      assert(second.get(f).contains(m), s"re-copied a shipped file: $f")
+    }
+    assert(Snapshots.read(spark, dst).count() == 491L)
+    // and a no-op call publishes nothing
+    assert(Replicate.replicate(spark, src, dst) == 3L)
+  }
+
+  test("a diverged replica is refused, never merged") {
+    import spark.implicits._
+    val src = s"$root/src2"; val dst = s"$root/dst2"
+    wipe(src, dst)
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "v"), src)
+    Replicate.replicate(spark, src, dst)
+    // someone writes to the replica directly — a fork, not a replica
+    Snapshots.commitAppend(Seq((2L, "rogue")).toDF("id", "v"), dst)
+    Snapshots.commitAppend(Seq((3L, "src")).toDF("id", "v"), src)
+    intercept[java.util.ConcurrentModificationException](
+      Replicate.replicate(spark, src, dst))
+    // the rogue row is still there — refusal, not destruction
+    assert(Snapshots.read(spark, dst).filter(col("v") === "rogue").count() == 1)
+  }
+
+  test("a crashed run resumes: missing tip manifest re-publishes over shipped files") {
+    import spark.implicits._
+    val src = s"$root/src3"; val dst = s"$root/dst3"
+    wipe(src, dst)
+    Snapshots.commitAppend((1L to 100L).map(i => (i, i * 2)).toDF("id", "x"), src)
+    Snapshots.commitAppend((101L to 200L).map(i => (i, i * 2)).toDF("id", "x"), src)
+    Replicate.replicate(spark, src, dst)
+    // simulate a crash AFTER the v2 copies landed but BEFORE its
+    // manifest published: drop the replica's tip manifest
+    val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$dst/_manifests/v00002.txt"), false)
+    val shipped = mtimes(dst)
+    assert(Replicate.replicate(spark, src, dst) == 2L)
+    // resume re-published the manifest without re-copying a byte
+    mtimes(dst).foreach { case (f, m) =>
+      assert(shipped.get(f).contains(m), s"resume re-copied $f") }
+    assert(Snapshots.read(spark, dst).count() == 200L)
+  }
+
+  test("a bucket-layout table replicates co-partitioned: layout header + routed paths") {
+    import spark.implicits._
+    val src = s"$root/src4"; val dst = s"$root/dst4"
+    wipe(src, dst)
+    Snapshots.commitAppend((1L to 400L).map(i => (i, s"v$i")).toDF("id", "v"), src)
+    BucketLayout.commitBucketed(spark, src, Seq("id"), Seq(4))
+    Replicate.replicate(spark, src, dst)
+    val v = Snapshots.latestVersion(spark, dst)
+    assert(Snapshots.versionLayout(spark, dst, v).contains("bucket,4,id"))
+    assert(Snapshots.versionFiles(spark, dst, v)
+      .forall(f => BucketLayout.bucketOfPath(f).isDefined))
+    assert(Snapshots.read(spark, dst).count() == 400L)
+  }
+}

@@ -286,6 +286,56 @@ class SnapshotDvSpec extends SparkTestBase {
     assert(v2 == v, "a no-gain pass must not publish a version")
   }
 
+  test("partial fold carries only DV entries naming live files") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/dv_fold_filter"
+    wipe(loc)
+    // one WELL-SIZED file (kept) + tiny files (folded)
+    Snapshots.commitAppend((1L to 50000L).map(i => (i, s"payload-$i"))
+      .toDF("id", "v").coalesce(1), loc)
+    (0 until 4).foreach { i =>
+      Snapshots.commitAppend(
+        Seq((100000L + i, s"t$i")).toDF("id", "v").coalesce(1), loc)
+    }
+    // ONE sidecar holding entries for BOTH a kept file (id=5 lives in the
+    // big file) and folded files (id=100001 lives in a tiny one)
+    Snapshots.commitDeleteMoR(spark, loc, col("id").isin(5L, 100001L))
+    val v = Snapshots.commitCompactionPartial(spark, loc,
+      smallerThanBytes = 64 * 1024)
+    val dvs = manifestText(loc, v).filter(_.startsWith("#dv="))
+      .map(_.stripPrefix("#dv="))
+    assert(dvs.nonEmpty, "the kept file's vector must be carried")
+    // the carried entry set names ONLY files the new manifest carries —
+    // entries for just-folded files are dropped at publish, so DV scans'
+    // broadcast builds never re-read dead weight
+    val live = Snapshots.versionFiles(spark, loc, v)
+      .map(f => new Path(f).toUri.getPath).toSet
+    val named = spark.read.parquet(dvs: _*).select("file").distinct()
+      .as[String].collect()
+    assert(named.nonEmpty)
+    named.foreach(f => assert(live.contains(new Path(f).toUri.getPath),
+      s"carried DV entry names a dead file: $f"))
+    // rows stay exact: one delete via the carried vector, one folded
+    val ids = Snapshots.read(spark, loc).select("id").as[Long].collect().toSet
+    assert(!ids.contains(5L) && !ids.contains(100001L))
+    assert(ids.size == 50000 + 4 - 2)
+    // a vector naming ONLY folded files vanishes entirely
+    val loc2 = "/tmp/graft-test/dv_fold_filter2"
+    wipe(loc2)
+    Snapshots.commitAppend((1L to 50000L).map(i => (i, s"payload-$i"))
+      .toDF("id", "v").coalesce(1), loc2)
+    (0 until 4).foreach { i =>
+      Snapshots.commitAppend(
+        Seq((100000L + i, s"t$i")).toDF("id", "v").coalesce(1), loc2)
+    }
+    Snapshots.commitDeleteMoR(spark, loc2, col("id") === 100001L)
+    val v2 = Snapshots.commitCompactionPartial(spark, loc2,
+      smallerThanBytes = 64 * 1024)
+    assert(!manifestText(loc2, v2).exists(_.startsWith("#dv=")),
+      "a fully-folded vector must not be carried")
+    assert(Snapshots.read(spark, loc2).count() == 50000 + 4 - 1)
+  }
+
   test("expire keeps DV files of retained versions, collects dead ones") {
     import spark.implicits._
     val loc = "/tmp/graft-test/dv_expire"

@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.Snapshots
+
+/** Sidecar row counts feed the CBO: a snapshot table whose stats sidecar
+  * proves every file reports exact `numRows` through DSv2
+  * `estimateStatistics` (physical rows minus delete-vector entries), so
+  * Spark's cost-based optimizer reorders multi-joins over snapshot
+  * tables instead of falling back to size heuristics. Coverage gaps
+  * report UNKNOWN — never a guess.
+  */
+class CboStatsSpec extends SparkTestBase {
+
+  private val root = "/tmp/graft-test/cbostats"
+
+  private def freshTable(name: String): String = {
+    val loc = s"$root/$name"
+    val p = new Path(loc)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.conf.set("spark.sql.catalog.cbocat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cbocat.root", root)
+    loc
+  }
+
+  private def reportedRows(table: String): Option[BigInt] =
+    spark.table(table).queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r
+    }.head.computeStats().rowCount
+
+  test("stats sidecar feeds exact numRows; DVs subtract; gaps report unknown") {
+    import spark.implicits._
+    val loc = freshTable("t_rows")
+    Snapshots.commitAppend((1L to 500L).map(i => (i, s"v$i")).toDF("id", "v"), loc)
+    Snapshots.commitAppend((501L to 800L).map(i => (i, s"v$i")).toDF("id", "v"), loc)
+    // no sidecar yet: unknown, never a guess
+    assert(reportedRows("cbocat.t_rows").isEmpty)
+    Snapshots.setAutoStats(spark, loc, Seq("id"))
+    assert(reportedRows("cbocat.t_rows").contains(BigInt(800)))
+    // a merge-on-read delete subtracts its vector's cardinality
+    Snapshots.commitDeleteMoR(spark, loc, col("id").isin(5L, 6L, 700L))
+    Snapshots.autoStats(spark, loc)
+    assert(reportedRows("cbocat.t_rows").contains(BigInt(797)))
+  }
+
+  test("CBO reorders a 3-table join with sidecar counts, written order without") {
+    import spark.implicits._
+    val bigLoc = freshTable("t_big")
+    val midLoc = freshTable("t_mid")
+    val tinyLoc = freshTable("t_tiny")
+    Snapshots.commitAppend((1L to 50000L).map(i => (i % 997L, i))
+      .toDF("k", "pay"), bigLoc)
+    Snapshots.commitAppend((1L to 997L).map(i => (i, s"m$i"))
+      .toDF("k", "mv"), midLoc)
+    Snapshots.commitAppend((1L to 7L).map(i => (i, s"t$i"))
+      .toDF("k", "tv"), tinyLoc)
+    Seq(bigLoc, midLoc, tinyLoc).foreach(l =>
+      Snapshots.setAutoStats(spark, l, Seq("k")))
+    val q = """SELECT b.pay, m.mv, t.tv
+              |FROM cbocat.t_big b
+              |JOIN cbocat.t_mid m ON b.k = m.k
+              |JOIN cbocat.t_tiny t ON b.k = t.k""".stripMargin
+    def innermostJoinLeaves(): Set[String] = {
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val joins = spark.sql(q).queryExecution.optimizedPlan.collect {
+        case j: Join => j }
+      // the innermost join is the one with no Join beneath it
+      val inner = joins.filter(j => j.children.forall(c =>
+        c.collect { case jj: Join => jj }.isEmpty)).head
+      inner.collect { case r: DataSourceV2ScanRelation =>
+        r.scan.description() }.mkString("\n")
+        .split("\n").filter(_.nonEmpty).toSet
+    }
+    def withConf(kv: (String, String)*)(body: => Set[String]): Set[String] = {
+      val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kv.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally olds.foreach { case (k, o) =>
+        o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+    val reordered = withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")(innermostJoinLeaves())
+    // with exact row counts the DP reorder pulls the 7-row tiny table
+    // into the FIRST join (its output is ~7 keys' worth) instead of the
+    // written big×mid (997-key, 50k-row intermediate)
+    assert(reordered.exists(_.contains("t_tiny")),
+      s"CBO did not pull the tiny table into the innermost join: $reordered")
+    assert(!reordered.exists(_.contains("t_mid")),
+      s"CBO kept the written big×mid innermost join: $reordered")
+    val written = withConf(
+      "spark.sql.cbo.enabled" -> "false")(innermostJoinLeaves())
+    assert(written.exists(_.contains("t_mid")) &&
+      !written.exists(_.contains("t_tiny")),
+      s"without CBO the written order should survive: $written")
+    // and both plans return exactly the same rows
+    val expect = (1L to 50000L).count(i => i % 997L >= 1 && i % 997L <= 7)
+    withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      assert(spark.sql(q).count() == expect)
+      Set.empty[String]
+    }
+    assert(spark.sql(q).count() == expect)
+  }
+}

@@ -187,6 +187,30 @@ class SnapshotDdlSpec extends SparkTestBase {
       == Seq((1L, 7), (2L, 7)))
   }
 
+  test("API append refuses a nullable batch into a NOT NULL header column") {
+    import spark.implicits._
+    init()
+    spark.sql("CREATE TABLE sqlddl.t_nnap (id BIGINT NOT NULL, v STRING)")
+    spark.sql("INSERT INTO sqlddl.t_nnap VALUES (1, 'a')")
+    val loc = s"$root/t_nnap"
+    assert(!Snapshots.versionSchema(spark, loc,
+      Snapshots.latestVersion(spark, loc)).get("id").nullable)
+    // a parquet-read batch reports nullable even when it holds no nulls:
+    // silently widening would permanently erase the DDL-declared NOT NULL
+    // (and the null-check elision the optimizer plans on) — refused, the
+    // same rule as appendBucketed
+    val batch = Seq((2L, "b")).toDF("id", "v")
+      .withColumn("id", when(col("v").isNotNull, col("id"))) // force nullable
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commitAppend(batch, loc))
+    assert(e.getMessage.contains("NOT NULL"), e.getMessage)
+    // header unchanged, SQL path (runtime null check) still works
+    assert(!Snapshots.versionSchema(spark, loc,
+      Snapshots.latestVersion(spark, loc)).get("id").nullable)
+    spark.sql("INSERT INTO sqlddl.t_nnap VALUES (2, 'b')")
+    assert(spark.table("sqlddl.t_nnap").count() == 2L)
+  }
+
   test("SET/DROP DEFAULT: current default moves, existence default stays frozen") {
     import spark.implicits._
     init()

@@ -228,6 +228,56 @@ class SnapshotProceduresSpec extends SparkTestBase {
     assert(e.getMessage.contains("99"))
   }
 
+  test("CALL advise_layout flags a Zipf-hot bucket; the split it recommends spreads it") {
+    import spark.implicits._
+    val loc = fresh("t_advise")
+    // Zipf-ish heat: many DISTINCT keys whose Murmur3 all lands in
+    // bucket 0 at count 4 (selected with the WRITER's own hash) — the
+    // shape a shuffle-free split CAN spread (single-key skew cannot)
+    val hotKeys = spark.range(0, 20000)
+      .filter(pmod(hash(col("id")), lit(4)) === 0)
+      .as[Long].collect()
+    assert(hotKeys.length > 1000)
+    // incompressible-ish distinct payloads so file BYTES track the skew
+    def pay(k: Long, j: Int): String =
+      (0 until 8).map(i => (k * 2654435761L + j * 40503L + i * 69427L)
+        .toHexString).mkString("-")
+    val rows = hotKeys.toSeq.flatMap(k =>
+      (0 until 12).map(j => (k, pay(k, j)))) ++
+      (100001L to 110000L).map(i => (i, pay(i, 99)))
+    Snapshots.commitAppend(rows.toDF("k", "v"), loc)
+    spark.sql("CALL sqlproc.system.bucket('t_advise', 'k', 4)")
+    def hot(): Long = Snapshots.bucketsMeta(spark, loc)
+      .collect().filter(_.getInt(1) >= 0).map(_.getLong(4)).max
+    val hot0 = hot()
+    assert(hot0 > 2 * 1024 * 1024, s"fixture hot bucket too small: $hot0")
+    // target_mb=1: the hot bucket is several MB of straggler work
+    val advice = spark
+      .sql("CALL sqlproc.system.advise_layout('t_advise', target_mb => 1)")
+      .collect().head
+    val factor = advice.getInt(5)
+    assert(factor >= 2, s"advisor missed the hot bucket: $advice")
+    assert(advice.getString(6).contains(s"bucket_split('t_advise', $factor)"))
+    // metadata-only: the advisor reads sidecars, never data (no new version)
+    assert(Snapshots.latestVersion(spark, loc) == 2L)
+    // apply the recommendation: the straggler task's work drops ~factor-fold
+    // (an SPJ task = one bucket; wall clock ∝ hot-bucket bytes)
+    spark.sql(s"CALL sqlproc.system.bucket_split('t_advise', $factor)")
+    val hot1 = hot()
+    assert(hot1 < hot0 / 2,
+      s"split did not un-straggle: hot $hot0 -> $hot1 (factor $factor)")
+    assert(Snapshots.read(spark, loc).count() == rows.length)
+    // a balanced table advises factor 1 / no action
+    val loc2 = fresh("t_advise_flat")
+    Snapshots.commitAppend((1L to 10000L).map(i => (i, s"v$i")).toDF("k", "v"),
+      loc2)
+    spark.sql("CALL sqlproc.system.bucket('t_advise_flat', 'k', 4)")
+    val flat = spark.sql("CALL sqlproc.system.advise_layout('t_advise_flat')")
+      .collect().head
+    assert(flat.getInt(5) == 1 && flat.getString(6).contains("balanced"),
+      s"flat layout advised a split: $flat")
+  }
+
   test("unknown procedure and wrong namespace fail fast with the available list") {
     fresh("t_err")
     val e = intercept[Exception](

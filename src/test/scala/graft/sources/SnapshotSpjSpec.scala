@@ -866,6 +866,35 @@ class SnapshotSpjSpec extends SparkTestBase {
     assert(spark.table("spjcat.bctas").count() == 300L)
   }
 
+  test("pure header commit racing an ingest keeps the declared layout") {
+    import spark.implicits._
+    wipe(); register()
+    spark.sql("""CREATE TABLE spjcat.brace (id BIGINT, v STRING)
+                |PARTITIONED BY (bucket(2, id))""".stripMargin)
+    val loc = s"$root/brace"
+    // an INSERT lands AFTER the split read v1 but BEFORE its publish —
+    // simulate by publishing the split's empty header commit derived
+    // from the now-stale v1
+    (1L to 20L).map(i => (i, s"x$i")).toDF("id", "v")
+      .createOrReplaceTempView("brace_src")
+    spark.sql("INSERT INTO spjcat.brace SELECT * FROM brace_src")
+    val schemaJson = Snapshots.versionSchema(spark, loc, 2L).get.json
+    val v = Snapshots.publishLayout(spark, loc, 1L, Nil, schemaJson,
+      "bucket,4,id")
+    // the rider files were routed under the BIRTH spec: the merge must
+    // keep that layout (the rider set satisfies it) rather than claiming
+    // the unapplied refinement or — worse — silently dropping the
+    // CREATE-declared layout entirely
+    assert(Snapshots.versionLayout(spark, loc, v).contains("bucket,2,id"),
+      Snapshots.versionLayout(spark, loc, v).toString)
+    assert(Snapshots.read(spark, loc).count() == 20L)
+    // a later real split applies cleanly and keeps every row
+    spark.sql("CALL spjcat.system.bucket_split('brace', 2)")
+    val v2 = Snapshots.latestVersion(spark, loc)
+    assert(Snapshots.versionLayout(spark, loc, v2).contains("bucket,4,id"))
+    assert(Snapshots.read(spark, loc).count() == 20L)
+  }
+
   test("bucket_split on an empty birth-layout table: pure header commit") {
     import spark.implicits._
     wipe(); register()

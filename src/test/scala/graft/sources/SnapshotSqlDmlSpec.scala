@@ -249,6 +249,110 @@ class SnapshotSqlDmlSpec extends SparkTestBase {
       .collect().head == 989L)
   }
 
+  test("range DELETE drops covered files as PURE metadata — ghost-file proof") {
+    import spark.implicits._
+    val loc = freshTable("t_retention")
+    // three disjoint id slices, one file each — the time-sliced arrival
+    // pattern retention exploits
+    Snapshots.commitAppend((1L to 100L).map(i => (i, s"a$i")).toDF("id", "v")
+      .coalesce(1), loc)
+    Snapshots.commitAppend((101L to 200L).map(i => (i, s"b$i")).toDF("id", "v")
+      .coalesce(1), loc)
+    Snapshots.commitAppend((201L to 300L).map(i => (i, s"c$i")).toDF("id", "v")
+      .coalesce(1), loc)
+    Snapshots.setAutoStats(spark, loc, Seq("id"))
+    def vf(v: Long) = Snapshots.versionFiles(spark, loc, v)
+    val f1 = vf(1L).head
+    val f2 = (vf(2L).toSet -- vf(1L).toSet).head
+    val f3 = (vf(3L).toSet -- vf(2L).toSet).head
+    // make the fully-covered file a GHOST: if classification is truly
+    // metadata-only the DELETE never opens it — the generic CoW path
+    // (which scans every candidate) would throw FileNotFound here
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(f1), false)
+    val mtimeBefore = dataFiles(loc)
+    spark.sql("DELETE FROM sqldml.t_retention WHERE id <= 150")
+    val after = vf(4L).map(f => new Path(f).toUri.getPath).toSet
+    def up(f: String) = new Path(f).toUri.getPath
+    assert(!after.contains(up(f1)), "fully-covered file must drop")
+    assert(!after.contains(up(f2)), "the straddler must be replaced")
+    assert(after.contains(up(f3)), "fully-outside file must carry")
+    // the carried file is byte-identical (mtime pin)
+    assert(dataFiles(loc).get(f3) == mtimeBefore.get(f3),
+      "retention rewrote a fully-outside file")
+    assert(spark.sql("SELECT id FROM sqldml.t_retention").as[Long]
+      .collect().sorted.toSeq == (151L to 300L))
+    // exactly ONE rewrite product: the straddler, nothing else
+    assert((after -- vf(3L).map(up).toSet).size == 1,
+      s"more than the straddler was rewritten: $after")
+  }
+
+  test("range DELETE on a DV-bearing table: carried vectors filter to live files") {
+    import spark.implicits._
+    val loc = freshTable("t_ret_dv")
+    Snapshots.commitAppend((1L to 100L).map(i => (i, s"a$i")).toDF("id", "v")
+      .coalesce(1), loc)
+    Snapshots.commitAppend((201L to 300L).map(i => (i, s"c$i")).toDF("id", "v")
+      .coalesce(1), loc)
+    Snapshots.setAutoStats(spark, loc, Seq("id"))
+    // one DV with entries in BOTH files: id=5 (file about to drop) and
+    // id=250 (file about to carry)
+    Snapshots.commitDeleteMoR(spark, loc, col("id").isin(5L, 250L))
+    spark.sql("DELETE FROM sqldml.t_ret_dv WHERE id < 150")
+    val v = Snapshots.latestVersion(spark, loc)
+    val dvs = Snapshots.versionDvs(spark, loc, v)
+    assert(dvs.nonEmpty, "the carried file's vector must survive")
+    val live = Snapshots.versionFiles(spark, loc, v)
+      .map(f => new Path(f).toUri.getPath).toSet
+    spark.read.parquet(dvs: _*).select("file").distinct()
+      .as[String].collect().foreach(f =>
+        assert(live.contains(new Path(f).toUri.getPath),
+          s"carried DV entry names a dead file: $f"))
+    assert(spark.sql("SELECT id FROM sqldml.t_ret_dv").as[Long]
+      .collect().sorted.toSeq == (201L to 300L).filterNot(_ == 250L))
+  }
+
+  test("range DELETE under a bucket layout: routed rewrite, layout survives") {
+    import spark.implicits._
+    val loc = freshTable("t_ret_bkt")
+    spark.sql("""CREATE TABLE sqldml.t_ret_bkt (id BIGINT, ts BIGINT, v STRING)
+                |PARTITIONED BY (bucket(4, id))""".stripMargin)
+    // two ts epochs; ids hash across all buckets in both — retention on
+    // ts is uncorrelated with the layout key, the realistic shape
+    (1L to 200L).map(i => (i, 100L, s"old$i")).toDF("id", "ts", "v")
+      .createOrReplaceTempView("ret_old")
+    (201L to 400L).map(i => (i, 200L + i % 50L, s"new$i")).toDF("id", "ts", "v")
+      .createOrReplaceTempView("ret_new")
+    spark.sql("INSERT INTO sqldml.t_ret_bkt SELECT * FROM ret_old")
+    spark.sql("INSERT INTO sqldml.t_ret_bkt SELECT * FROM ret_new")
+    Snapshots.setAutoStats(spark, loc, Seq("ts"))
+    // epoch-1 files are FULLY covered: they drop as metadata and the
+    // remaining (all routed) files keep the layout — zero rewrites here
+    val before = dataFiles(loc)
+    spark.sql("DELETE FROM sqldml.t_ret_bkt WHERE ts < 150")
+    val v = Snapshots.latestVersion(spark, loc)
+    assert(Snapshots.versionLayout(spark, loc, v).contains("bucket,4,id"),
+      "retention must not cost the table its layout")
+    val files = Snapshots.versionFiles(spark, loc, v)
+    assert(files.forall(f => graft.ops.BucketLayout.bucketOfPath(f).isDefined))
+    // pure metadata: every surviving file is byte-identical
+    files.foreach(f => assert(dataFiles(loc).get(f) == before.get(f),
+      s"fully-classified retention rewrote $f"))
+    assert(spark.sql("SELECT id FROM sqldml.t_ret_bkt").as[Long]
+      .collect().sorted.toSeq == (201L to 400L))
+    // and a cutoff INSIDE epoch 2's per-file ranges rewrites ROUTED
+    // (every bucket file straddles ts=220) — the layout still carries
+    spark.sql("DELETE FROM sqldml.t_ret_bkt WHERE ts < 220")
+    val v2 = Snapshots.latestVersion(spark, loc)
+    assert(Snapshots.versionLayout(spark, loc, v2).contains("bucket,4,id"),
+      "routed straddler rewrite must keep the layout")
+    assert(Snapshots.versionFiles(spark, loc, v2)
+      .forall(f => graft.ops.BucketLayout.bucketOfPath(f).isDefined))
+    assert(spark.sql("SELECT id FROM sqldml.t_ret_bkt").as[Long]
+      .collect().sorted.toSeq
+      == (201L to 400L).filter(i => 200L + i % 50L >= 220L))
+  }
+
   test("a concurrent commit between scan and publish fails the statement, not the data") {
     import spark.implicits._
     val loc = freshTable("t_conflict")
