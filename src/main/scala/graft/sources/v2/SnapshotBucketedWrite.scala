@@ -66,14 +66,22 @@ private[v2] class SnapshotBucketedWrite(spark: SparkSession, loc: String,
     Distributions.clustered(transforms.map(t =>
       t: org.apache.spark.sql.connector.expressions.Expression).toArray)
 
-  /** Exactly one shuffle partition per bucket: without this the routing
-    * Exchange runs at `spark.sql.shuffle.partitions` and AQE COALESCES
-    * the small post-shuffle partitions — merging several buckets into
-    * one serial writer task (measured 1.7x on the 24M-row ingest probe
-    * vs the API path's exact routing). Bucket ids still collide into
-    * tasks (~1/e idle at n = buckets), which matches the write
-    * parallelism the layout's file count admits anyway. */
-  override def requiredNumPartitions(): Int = spec.buckets
+  /** Pin the routing Exchange's partition count: without this it runs
+    * at `spark.sql.shuffle.partitions` and AQE COALESCES the small
+    * post-shuffle partitions — merging several buckets into one serial
+    * writer task (measured 1.7x on the 24M-row ingest probe vs the API
+    * path's exact routing). At exactly `buckets` partitions, bucket ids
+    * still HASH-COLLIDE into tasks (~1/e slots idle, some tasks writing
+    * 2-3 buckets serially — measured 1.25x vs the API append at n =
+    * cores, the sharpest case); OVER-PROVISIONING 4x spreads distinct
+    * bucket vectors across mostly-distinct tasks (expected collisions
+    * n/8), cutting the makespan tail to ~1.05x while each bucket still
+    * lands whole in ONE task (= one file). Empty partitions schedule
+    * no-op tasks — noise next to a serialized bucket write. Counts past
+    * 1024 stay 1:1: many waves amortize collisions there, and the probe
+    * overhead of 4096+ empty tasks would exceed the win. */
+  override def requiredNumPartitions(): Int =
+    if (spec.buckets <= 1024) spec.buckets * 4 else spec.buckets
 
   /** (bucket vector, keys…) ascending: the clustered distribution alone
     * lets a task receive several bucket vectors (they hash into tasks);

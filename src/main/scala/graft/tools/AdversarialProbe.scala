@@ -956,6 +956,40 @@ object AdversarialProbe {
       verdict("sql_insert_vs_api_append", apiW, sqlW, 1.0)
     }
 
+    // ---- routed-INSERT collision cost at n = cores, the sharpest case:
+    // with requiredNumPartitions = buckets exactly, bucket vectors hash-
+    // collide into tasks (~1/e slots idle, 2-3 buckets serialized in one
+    // task — measured 1.25x vs the API append's exact probe-int routing
+    // at n=32 on this box); the shipped 4x over-provision spreads them
+    // (expected collisions n/8) and must keep the routed SQL INSERT at
+    // API-append cost. Decision recorded in DESIGN.md round 14.
+    locally {
+      val loc = "/tmp/graft-probe/sql_insert_n32"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      spark.conf.set("spark.sql.catalog.graft_probe_ins",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_probe_ins.root",
+        "/tmp/graft-probe")
+      graft.ops.Snapshots.commitAppend(
+        spark.range(0L, 1000000L).toDF("id").withColumn("v",
+          concat(lit("payload-"), col("id") % 100000)), loc)
+      graft.ops.BucketLayout.commitBucketed(spark, loc, Seq("id"), Seq(32))
+      def batch(lo: Long) = spark.range(lo, lo + 24000000L).toDF("id")
+        .withColumn("v", concat(lit("payload-"), col("id") % 100000))
+      batch(24000000L).createOrReplaceTempView("ins_probe_batch32")
+      val apiW = time("n=cores ingest via API appendBucketed", reps = 1) {
+        graft.ops.BucketLayout.appendBucketed(spark, loc, batch(48000000L))
+      }
+      val sqlW = time("n=cores ingest via SQL INSERT (4x over-provision)",
+          reps = 1) {
+        spark.sql("INSERT INTO graft_probe_ins.sql_insert_n32 " +
+          "SELECT * FROM ins_probe_batch32")
+        1L
+      }
+      verdict("sql_insert_collision_n_cores", apiW, sqlW, 1.0)
+    }
+
     // ---- full-rewrite task routing: the exact probe-int routing must
     // never LOSE to the old double-hash repartition (which idles ~1/e of
     // the n slots and serializes 2-3 buckets in some tasks — at n = cores
