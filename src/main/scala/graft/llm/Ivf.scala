@@ -86,10 +86,30 @@ object Ivf {
   private[llm] def corpusId(df: DataFrame, key: String): String =
     s"$key#${df.queryExecution.analyzed.semanticHash()}"
 
+  /** Run-derived oracle literals for the driver's DuckDB replay: the
+    * (id → cell) assignment and (cell, center, cnorm2) centroid rows of
+    * the most recently built cached index. `SparkEntry.registry` is a
+    * `def`, re-evaluated when Verify dumps `oracle_sql.json` AFTER every
+    * query ran — so the oracle builders (LlmQueries `dedupSemanticSql` /
+    * `knnAnnIvfSql`) see exactly the index those queries probed, and
+    * everything DOWNSTREAM of the MLlib cell assignment — probe-cell
+    * ranking, within-cell candidate generation, the cosine fold, top-k
+    * tie order — replays bit-exactly in SQL (the `graft_dot` ==
+    * left-to-right `list_reduce` contract). The assignment itself is the
+    * one inlined fact, O(corpus ids) literals; the quantizer's training
+    * is certified separately (IvfSpec: exhaustive probe == brute force,
+    * which the driver ALSO hash-checks via knn_ann_ivf_exh). */
+  @volatile private[graft] var lastLits
+      : Option[(Seq[(Long, Int)], Seq[(Int, Seq[Float], Double)])] = None
+  private val litsCache = new ConcurrentHashMap[
+    (SparkContext, String, Int, Long),
+    (Seq[(Long, Int)], Seq[(Int, Seq[Float], Double)])]()
+
   def cachedIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                   nlist: Int, seed: Long, corpusKey: String): IvfIndex = {
-    val idx = cache.computeIfAbsent(
-      (emb.sparkSession.sparkContext, corpusId(emb, corpusKey), nlist, seed),
+    val key = (emb.sparkSession.sparkContext, corpusId(emb, corpusKey),
+      nlist, seed)
+    val idx = cache.computeIfAbsent(key,
       _ => build(emb, idCol, vecCol, dim, nlist, seed))
     // a harness-level spark.catalog.clearCache() (Verify/Bench run one
     // between queries) unpersists the assignment behind our back; without
@@ -97,6 +117,12 @@ object Ivf {
     // call and the "repeat calls are probe-only" contract is false
     if (idx.assigned.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       idx.assigned.persist()
+    lastLits = Some(litsCache.computeIfAbsent(key, _ => (
+      idx.assigned.select(col("id"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq,
+      idx.centroids.collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1), r.getDouble(2)))
+        .sortBy(_._1).toSeq)))
     idx
   }
 
@@ -182,14 +208,29 @@ object Ivf {
                      idCol: String, vecCol: String, dim: Int, k: Int,
                      nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark) // graft_dot for the probe
     val dir = IndexStore.indexDir(spark, s"ivf${nlist}_$seed", dataPath)
     IndexStore.ensure(spark, dir) {
       val idx = build(emb, idCol, vecCol, dim, nlist, seed)
       save(idx, dir)
       idx.assigned.unpersist()
     }
-    probeFromDisk(load(spark, dir), queryIds, dim, k, nprobe)
+    val loaded = load(spark, dir)
+    // oracle literals from the LOADED artifact (it may predate this
+    // process — the in-memory index's assignment is not authoritative
+    // for the disk probe); same replay contract as lastLits
+    lastDiskLits = Some((
+      loaded.assigned.select(col("id"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq,
+      loaded.centroids.collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1), r.getDouble(2)))
+        .sortBy(_._1).toSeq))
+    probeFromDisk(loaded, queryIds, dim, k, nprobe)
   }
+
+  /** [[lastLits]] for the disk-backed probe's own saved artifact. */
+  @volatile private[graft] var lastDiskLits
+      : Option[(Seq[(Long, Int)], Seq[(Int, Seq[Float], Double)])] = None
 
   /** The nprobe nearest cells per query (build-metric ranking) — exposed
     * for the IvfSpec pin that the top-1 probe is the assigned cell. */

@@ -80,10 +80,18 @@ object AnalyticsQueries {
     * completion marker, same lifecycle as the ANN/dedup indexes), and the
     * answer comes from the COLD-loaded table via `graft_kll_merge`: raw
     * orders are scanned only on the first-ever build, every subsequent
-    * quantile query is metadata-sized work over sketch rows. Approximate
-    * → rows-only; KllSketchSpec pins atom-reinsertion roundtrip, parquet
-    * roundtrip losslessness, weight conservation, and the rank-error
-    * bound vs the exact pass. */
+    * quantile query is metadata-sized work over sketch rows.
+    *
+    * FULL oracle since round 14 via the bound-certificate pattern
+    * ([[quantilesSketchBound]]'s shape): the rolled-up estimates are
+    * approximate by construction (merge order varies), so the query
+    * emits the OBSERVED integer rank error of every estimate against the
+    * exact data, asserted against the merged-sketch bound KllSketchSpec
+    * pins (`2·levels·n/k`, one extra compaction generation per level) AS
+    * DATA — the all-true oracle makes an accuracy regression in the
+    * persisted-rollup path fail the driver's hash gate, not just a spec.
+    * Atom-reinsertion roundtrip, parquet losslessness, and weight
+    * conservation stay KllSketchSpec-pinned. */
   private def quantilesRollup(s: SparkSession, d: String): DataFrame = {
     val dir = graft.llm.IndexStore.indexDir(s, "kll_orders", s"$d/orders.parquet")
     graft.llm.IndexStore.ensure(s, dir) {
@@ -92,11 +100,27 @@ object AnalyticsQueries {
           "o_orderdate", cents(col("o_totalprice")), k = 512)
         .write.parquet(s"$dir/sketches")
     }
-    graft.ops.Quantiles.rollupQuantiles(
-      s.read.parquet(s"$dir/sketches"), "g", "sketch",
-      Seq(("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)),
-      k = 512)
-      .select(col("g").as("status"), col("p"), col("v").as("q_cents"))
+    val est = graft.ops.Quantiles.rollupQuantiles(
+        s.read.parquet(s"$dir/sketches"), "g", "sketch", decileSpecs, k = 512)
+      .select(col("g").as("status"), col("p"), col("v").as("est"))
+    val o = Tables.orders(s, d).select(col("o_orderstatus").as("status"),
+      cents(col("o_totalprice")).as("v"))
+    val specs = { import s.implicits._; decileSpecs.toDF("p", "num", "den") }
+    // merged-sketch rank bound: 2·levels·n/k, levels = ceil(log2(n/k))+1
+    val levels = (ceil(log(2.0, col("n") / lit(512.0))) + 1L).cast("long")
+    est.join(broadcast(specs), "p")
+      .join(o, Seq("status"))
+      .groupBy(col("status"), col("p"), col("est"), col("num"), col("den"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("below"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("at_or_below"))
+      .select(col("status"), col("p"),
+        (greatest(
+          (col("below") + 1L) - ((col("num") * col("n") + col("den") - 1L) / col("den")),
+          ((col("num") * col("n") + col("den") - 1L) / col("den")) - col("at_or_below"),
+          lit(0L)) <= lit(2L) * levels * col("n") / lit(512L))
+          .as("within_bound"))
+      .orderBy(col("status"), col("p"))
   }
 
   private val decileSpecs =
@@ -812,10 +836,14 @@ object AnalyticsQueries {
       None), // sketch estimates depend on partition arrival order (within
              // the pinned error bound) — no stable oracle; KllSketchSpec
              // pins rank error vs the exact pass
+    // FULL oracle since round 14: bound-certificate output (observed
+    // integer rank error vs the merged-sketch bound, asserted as data —
+    // see the def's scaladoc); the raw estimates stay spec-pinned
     Q("quantiles_rollup", quantilesRollup,
-      None), // same approximate-by-construction reason as quantiles_sketch;
-             // KllSketchSpec pins atom-reinsertion roundtrip, weight
-             // conservation, and the rolled-up rank-error bound
+      Some("""SELECT status, p, true AS within_bound
+             |FROM (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+             |CROSS JOIN (VALUES ('p10'),('p25'),('p50'),('p75'),('p90')) t(p)
+             |ORDER BY status, p""".stripMargin)),
     // dense-regime error-bound certificates: observed error vs exact,
     // bound asserted as data under an all-true oracle (see scaladocs)
     Q("quantiles_sketch_bound", quantilesSketchBound,

@@ -276,6 +276,163 @@ object LlmQueries {
        |  FROM v a JOIN v b ON a.vec_id < b.vec_id) t
        |WHERE cos >= 0.45""".stripMargin
 
+  // ---- BPE training replay (round 14) ----
+  // Each word's tokenization rides as a string of delimiter-wrapped
+  // tokens — chr(30) t chr(31) per token — so a merge is ONE replace():
+  // every token owns both its delimiters, which makes replace()'s
+  // leftmost-first non-overlapping scan EXACTLY Bpe.applyMerge (with a
+  // shared delimiter, "aaaaa" would group (1,2)(4,5) instead of BPE's
+  // (1,2)(3,4)). 24 rounds unroll as chained CTEs: pair counts (exact
+  // integers, weighted by word count), argmax under the trainer's total
+  // order (n DESC, l, r — ASCII, so UTF-16 and byte order agree), merge
+  // applied via scalar subqueries; an early-stopped round (max n < 2)
+  // yields an empty m-CTE, replace() of NULL coalesces to the unchanged
+  // table, and every later round stays empty — exactly the trainer's
+  // `done` flag.
+  private val bpeRounds = 24
+
+  private def bpeRoundCtes: String =
+    (0 until bpeRounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT s, cnt, unnest(range(1, len(s))) AS i FROM (
+         |    SELECT string_split(substring(toks, 2, length(toks) - 2),
+         |      chr(31) || chr(30)) AS s, cnt FROM w$k))
+         |  GROUP BY l, r),
+         |m$k AS MATERIALIZED (SELECT l, r FROM p$k WHERE n >= 2
+         |        ORDER BY n DESC, l, r LIMIT 1),
+         |w${k + 1} AS MATERIALIZED (
+         |  SELECT w, cnt, coalesce(replace(toks,
+         |    chr(30) || (SELECT l FROM m$k) || chr(31) ||
+         |      chr(30) || (SELECT r FROM m$k) || chr(31),
+         |    chr(30) || (SELECT l FROM m$k) ||
+         |      (SELECT r FROM m$k) || chr(31)), toks) AS toks
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+
+  private def bpeBaseCtes: String =
+    s"""wc AS MATERIALIZED (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |w0 AS MATERIALIZED (
+       |  SELECT w, cnt,
+       |    array_to_string(list_transform(range(1, length(w) + 1),
+       |      i -> chr(30) || substr(w, i, 1) || chr(31)), '')
+       |      || chr(30) || '</w>' || chr(31) AS toks
+       |  FROM wc),
+       |$bpeRoundCtes""".stripMargin
+
+  // the base CTE block is already margin-stripped — concatenate, never
+  // re-stripMargin text containing lines that BEGIN with a `||` concat
+  private val bpeMergesSql: String =
+    s"WITH $bpeBaseCtes\n" +
+      "SELECT * FROM (\n  " +
+      (0 until bpeRounds).map(k =>
+        s"SELECT CAST($k AS INTEGER) AS rank, l AS \"left\", " +
+          s"r AS \"right\" FROM m$k").mkString("\n  UNION ALL\n  ") +
+      ")\nORDER BY rank"
+
+  private val bpeTokenFreqSql: String =
+    s"WITH $bpeBaseCtes\n" +
+      "SELECT t AS token, CAST(sum(cnt) AS BIGINT) AS n FROM (\n" +
+      "  SELECT unnest(string_split(substring(toks, 2, length(toks) - 2),\n" +
+      s"    chr(31) || chr(30))) AS t, cnt FROM w$bpeRounds)\n" +
+      "GROUP BY t ORDER BY n DESC, token"
+
+  private val bpeEncodeSql: String =
+    s"WITH $bpeBaseCtes,\n" +
+      "wtok AS (\n" +
+      "  SELECT w, string_split(substring(toks, 2, length(toks) - 2),\n" +
+      s"    chr(31) || chr(30)) AS ts FROM w$bpeRounds),\n" +
+      """dw AS (
+        |  SELECT doc_id, unnest(ws) AS wd,
+        |    unnest(range(1, len(ws) + 1)) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |agg AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(len(wt.ts)) AS BIGINT) AS n_tokens,
+        |    array_to_string(flatten(list(wt.ts ORDER BY d.i))[1:8], ' ')
+        |      AS head_tokens
+        |  FROM dw d JOIN wtok wt ON d.wd = wt.w
+        |  GROUP BY d.doc_id)
+        |SELECT doc.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+        |  coalesce(agg.head_tokens, '') AS head_tokens
+        |FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
+        |ORDER BY doc.doc_id""".stripMargin
+
+  // ---- run-derived IVF oracles (round 14) ----
+  // Built from Ivf.lastLits, populated when a registry query builds the
+  // cached index; None before any run (the rows-only fallback), Some at
+  // Verify's post-run oracle dump. See the Ivf.lastLits scaladoc.
+
+  private def ivfAsgValues(asg: Seq[(Long, Int)]): String =
+    asg.map { case (i, c) => s"($i, $c)" }.mkString(", ")
+
+  private def ivfCentValues(cents: Seq[(Int, Seq[Float], Double)]): String =
+    cents.map { case (c, arr, n2) =>
+      // Float literals CAST to FLOAT[] first (shortest-repr decimal →
+      // nearest float == the original); cnorm2 rides as the exact double
+      // Spark broadcast (Double.toString round-trips)
+      s"($c, CAST([${arr.mkString(", ")}] AS FLOAT[]), " +
+        s"CAST('$n2' AS DOUBLE))"
+    }.mkString(",\n  ")
+
+  private def dedupSemanticSql(): Option[String] =
+    graft.llm.Ivf.lastLits.map { case (asg, _) =>
+      s"""WITH asg(id, cell) AS (VALUES ${ivfAsgValues(asg)}),
+         |$sqlNorms,
+         |a AS (SELECT v.vec_id AS id, v.embedding, v.nrm, asg.cell
+         |      FROM v JOIN asg ON v.vec_id = asg.id)
+         |SELECT id1, id2, cos FROM (
+         |  SELECT x.id AS id1, y.id AS id2,
+         |    ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+         |  FROM a x JOIN a y ON x.cell = y.cell AND x.id < y.id) t
+         |WHERE cos >= 0.45""".stripMargin
+    }
+
+  private def knnAnnIvfSql(): Option[String] =
+    graft.llm.Ivf.lastLits.map(ivfProbeSql)
+
+  /** Same replay for the DISK-backed probe, from the literals of the
+    * LOADED artifact (which may predate this process). */
+  private def knnAnnIvfDiskSql(): Option[String] =
+    graft.llm.Ivf.lastDiskLits.map(ivfProbeSql)
+
+  private def ivfProbeSql(
+      lits: (Seq[(Long, Int)], Seq[(Int, Seq[Float], Double)])): String =
+    lits match { case (asg, cents) =>
+      s"""WITH asg(id, cell) AS (VALUES ${ivfAsgValues(asg)}),
+         |cent(cell, center, cnorm2) AS (VALUES
+         |  ${ivfCentValues(cents)}),
+         |$sqlNorms,
+         |q AS (SELECT vec_id, embedding, nrm FROM v WHERE vec_id < 8),
+         |probed AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.vec_id AS qid, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        (q.nrm * q.nrm
+         |          - ${sqlDot("q.embedding", "c.center")} * 2.0
+         |          + c.cnorm2), c.cell) AS crk
+         |    FROM q CROSS JOIN cent c) t
+         |  WHERE crk <= 6),
+         |cand AS (
+         |  SELECT p.qid, s.id AS nid
+         |  FROM probed p JOIN asg s ON s.cell = p.cell
+         |  WHERE s.id <> p.qid),
+         |scored AS (
+         |  SELECT cand.qid AS query_id, cand.nid AS neighbor_id,
+         |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |  FROM cand JOIN v a ON cand.qid = a.vec_id
+         |            JOIN v b ON cand.nid = b.vec_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin
+    }
+
   /** Cluster-balanced sampling ([[Embeddings.clusterBalancedSample]]):
     * the SemDeDup-style diversity cap — nearest-of-k-anchors cosine
     * assignment, then a deterministic hash-priority cap per cluster, so
@@ -700,7 +857,7 @@ object LlmQueries {
       threshold = 0.8)
   }
 
-  val all: Seq[Q] = Seq(
+  def all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact,
       Some("""SELECT md5(lower(text)) AS digest, min(doc_id) AS keep_id,
              |  count(*) AS copies
@@ -778,8 +935,14 @@ object LlmQueries {
     Q("dedup_semantic", (s, d) => graft.llm.Embeddings.semanticDedup(
       Tables.embeddings(s, d), "vec_id", "embedding", dim, threshold = 0.45,
       nlist = 16, corpusKey = d), // shares the cached IVF build with knn_ann_ivf
-      None), // KMeans cells aren't SQL-expressible — SemDedupSpec pins
-             // subset-of-exact and exact-restricted-to-co-clustered equality
+      // FULL oracle since round 14: the run's cell ASSIGNMENT is inlined
+      // as literals (Ivf.lastLits — registry re-evaluates at Verify's
+      // post-run dump), and everything downstream — within-cell pair
+      // generation, the exact cosine fold, the threshold — replays
+      // bit-exactly in DuckDB. The quantizer's own training stays
+      // certified by SemDedupSpec (subset-of-exact; exact restricted to
+      // co-clustered ids) + the driver-hashed knn_ann_ivf_exh row.
+      dedupSemanticSql()),
 
     Q("knn_bruteforce", knnBrute, Some(knnBruteSql)),
     Q("hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
@@ -787,7 +950,15 @@ object LlmQueries {
     Q("knn_ann_ivf", (s, d) => graft.llm.Ivf.annKnn(Tables.embeddings(s, d),
       (0L until 8L), "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 6,
       corpusKey = d), // index cached per corpus — repeat calls are probe-only
-      None), // approximate — exhaustive-probe==brute invariant in IvfSpec
+      // FULL oracle since round 14: assignment + centroid literals from
+      // the run's own index (Ivf.lastLits), probe-cell ranking by the
+      // same ||q−c||² expression (nrm·nrm − 2·dot + cnorm2, identical
+      // association), candidates from the inlined assignment, cosine +
+      // (cos DESC, id) top-k tie order — all bit-exact in DuckDB. The
+      // genuinely non-SQL piece (MLlib's training) is certified by the
+      // exhaustive twin knn_ann_ivf_exh == brute force under the same
+      // driver hash gate.
+      knnAnnIvfSql()),
     // driver-checked certificates for the ANN kernels: exhaustive
     // settings are ≡ exact search, so the full build+probe machinery
     // runs under the oracle hash gate (see each def's scaladoc)
@@ -797,8 +968,11 @@ object LlmQueries {
       Tables.embeddings(s, d), s"$d/embeddings.parquet", (0L until 8L),
       "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 6),
       // build+save once (marker-gated), answer from a COLD load with the
-      // probed cells as PARTITION filters on the saved layout
-      None), // approximate — disk≡memory + PartitionFilters pinned in IvfSpec
+      // probed cells as PARTITION filters on the saved layout. FULL
+      // oracle since round 14: the LOADED artifact's assignment +
+      // centroids replay the probe in DuckDB (knn_ann_ivf's pattern,
+      // from lastDiskLits); disk≡memory + PartitionFilters stay in IvfSpec
+      knnAnnIvfDiskSql()),
     Q("knn_ann_pq", (s, d) => graft.llm.Pq.annKnn(Tables.embeddings(s, d),
       (0L until 8L), "vec_id", "embedding", dim, k = 5, m = 16, ksub = 16,
       corpusKey = d), // codebooks+codes cached per corpus, 16x compression
@@ -841,14 +1015,19 @@ object LlmQueries {
              |    i -> md5(substr(text, i, 8)))) AS fp
              |FROM documents ORDER BY id""".stripMargin)),
 
-    // BPE tokenizer training is an ITERATED distributed argmax (one
-    // merge decided per round) — a one-shot SQL oracle can't replay the
-    // loop, so both entries are rows-only; BpeSpec pins the distributed
-    // trainer bit-exactly to a sequential reference implementation and
-    // proves corpus-wide encode/decode losslessness.
+    // FULL oracles since round 14: the whole BPE training loop REPLAYS
+    // in DuckDB — 24 unrolled rounds of (weighted pair count → argmax
+    // with the same total tie order → left-to-right non-overlapping
+    // merge), each word's tokenization carried as a delimiter-wrapped
+    // string where replace() reproduces applyMerge exactly (every token
+    // owns BOTH its delimiters, so consecutive merges never share a
+    // boundary and the leftmost-first grouping matches). Counts are
+    // exact integers; symbols are ASCII. BpeSpec keeps pinning the
+    // distributed == local == sequential-reference equality and
+    // corpus-wide decode losslessness.
     Q("bpe_merges", (s, d) => graft.llm.Bpe.mergesDf(s,
       graft.llm.Bpe.trainMerges(Tables.documents(s, d), "text", nMerges = 24)),
-      None),
+      Some(bpeMergesSql)),
     // the ORACLE-CHECKED kernel under the trainer: step-0 weighted
     // adjacent-pair counts (char symbols + the </w> marker) — exact
     // integers, so the corpus-sized half of BPE training runs under the
@@ -867,15 +1046,22 @@ object LlmQueries {
              |  FROM (SELECT s, cnt, unnest(range(1, len(s))) AS i FROM syms))
              |SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
              |FROM pairs GROUP BY l, r ORDER BY l, r""".stripMargin)),
+    // FULL oracle since round 14: token frequencies = the replayed
+    // round-24 tokenization's token counts. The greedy lowest-rank
+    // encoder reproduces the training-table segmentation on corpus
+    // words (a merge's parts can only be built by EARLIER merges, so
+    // rank order == training order on this corpus — BpeSpec pins the
+    // token-mass equality that would catch any divergence).
     Q("bpe_token_freq", (s, d) => graft.llm.Bpe.tokenFrequencies(
       Tables.documents(s, d), "text",
       graft.llm.Bpe.trainMerges(Tables.documents(s, d), "text", nMerges = 24)),
-      None),
+      Some(bpeTokenFreqSql)),
     // Corpus tokenization under the learned ranks — the encode step a
-    // training pipeline runs after [[Bpe.trainMerges]]; same iterated-
-    // argmax provenance as the two rows above, so rows-only. BpeSpec
-    // pins decode(encode(doc)) == doc corpus-wide and Σ n_tokens ==
-    // Σ tokenFrequencies.n on the same merges.
+    // training pipeline runs after [[Bpe.trainMerges]]. FULL oracle
+    // since round 14: per-document tokens re-assemble from the replayed
+    // word tokenization in word order (same greedy≡training-order
+    // argument as bpe_token_freq); BpeSpec keeps decode(encode(doc)) ==
+    // doc corpus-wide and Σ n_tokens == Σ tokenFrequencies.n.
     Q("bpe_encode", (s, d) => {
       import org.apache.spark.sql.functions._
       graft.llm.Bpe.encodeDocuments(
@@ -884,6 +1070,6 @@ object LlmQueries {
         .select(col("doc_id"), col("n_tokens"),
           concat_ws(" ", slice(col("tokens"), 1, 8)).as("head_tokens"))
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some(bpeEncodeSql)),
   )
 }
