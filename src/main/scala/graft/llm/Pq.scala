@@ -200,8 +200,29 @@ object Pq {
       })
     if (entry._2.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       entry._2.persist()
+    lastLits = Some(litsCache.computeIfAbsent(
+      (emb.sparkSession.sparkContext, Ivf.corpusId(emb, corpusKey), m, ksub, seed),
+      _ => (
+        entry._2.select(col("id"), col("code")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1).toSeq,
+        (for { j <- 0 until entry._1.m
+               c <- entry._1.codebooks(j).indices }
+          yield (j, c, entry._1.codebooks(j)(c).toSeq)).toSeq)))
     entry
   }
+
+  /** Run-derived oracle literals — the (id → code) table and the
+    * (j, c, center) codebooks of the most recently used cached model;
+    * the [[Ivf.lastLits]] contract (read at Verify's post-run oracle
+    * dump). DuckDB REAL arithmetic is IEEE single precision exactly
+    * like the JVM's, so the ADC table, per-candidate j-ordered distance
+    * fold, shortlist tie order, and exact rerank all replay bit-exactly
+    * from these literals. */
+  @volatile private[graft] var lastLits
+      : Option[(Seq[(Long, Seq[Int])], Seq[(Int, Int, Seq[Float])])] = None
+  private val litsCache = new ConcurrentHashMap[
+    (SparkContext, String, Int, Int, Long),
+    (Seq[(Long, Seq[Int])], Seq[(Int, Int, Seq[Float])])]()
 
   /** Build-or-reuse + ADC shortlist + exact re-rank in one call (registry
     * entry point) — the standard PQ retrieval pipeline: the compressed
@@ -303,6 +324,13 @@ object Pq {
     * those files hold 16×-compressed codes, not vectors. Output is
     * bit-identical to [[ivfAdcKnn]] with the same build (PqSpec pins it).
     * `emb` supplies query vectors and the rerank's shortlist vectors. */
+  /** [[lastLits]] + the coarse layout's literals for the DISK-backed
+    * composed probe, from the LOADED artifact (it may predate this
+    * process): ((assignment, centroids), (codes, codebooks)). */
+  @volatile private[graft] var lastDiskLits
+      : Option[((Seq[(Long, Int)], Seq[(Int, Seq[Float], Double)]),
+                (Seq[(Long, Seq[Int])], Seq[(Int, Int, Seq[Float])]))] = None
+
   def ivfAdcKnnFromDisk(emb: DataFrame, path: String, queryIds: Seq[Long],
                         idCol: String, vecCol: String, dim: Int, k: Int,
                         nprobe: Int, rerank: Int = 8): DataFrame = {
@@ -310,6 +338,17 @@ object Pq {
     import spark.implicits._
     val index = Ivf.load(spark, s"$path/ivf")
     val mdl = readModel(spark, s"$path/codebooks")
+    lastDiskLits = Some((
+      (index.assigned.select(col("id"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq,
+        index.centroids.collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1), r.getDouble(2)))
+          .sortBy(_._1).toSeq),
+      (spark.read.parquet(s"$path/cellcodes")
+        .select(col("id"), col("code")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1).toSeq,
+        (for { j <- 0 until mdl.m; c <- mdl.codebooks(j).indices }
+          yield (j, c, mdl.codebooks(j)(c).toSeq)).toSeq)))
     val qs = emb.select(col(idCol).cast("long"), col(vecCol))
       .filter(col(idCol).isInCollection(queryIds))
       .as[(Long, Array[Float])].collect().toSeq

@@ -361,6 +361,141 @@ object LlmQueries {
         |FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
         |ORDER BY doc.doc_id""".stripMargin
 
+  /** knn_ann_pq replay from the run's own codes + codebooks
+    * ([[graft.llm.Pq.lastLits]]): the ADC table (per-query ×
+    * per-subspace × per-centroid squared distance — FLOAT diffs and
+    * squares, DOUBLE accumulation, all IEEE-identical between DuckDB
+    * REAL and the JVM), the per-candidate j-ORDERED distance fold
+    * (`list(d ORDER BY j)` + left reduce — SUM() would reassociate),
+    * the k·rerank shortlist (adist, nid ties), and the exact Euclidean
+    * rerank. */
+  private def knnAnnPqSql(): Option[String] =
+    graft.llm.Pq.lastLits.map { case (codes, cbooks) =>
+      val codeRows = codes.map { case (i, cs) =>
+        s"($i, [${cs.mkString(", ")}])" }.mkString(", ")
+      val cbRows = cbooks.map { case (j, c, ctr) =>
+        s"($j, $c, CAST([${ctr.mkString(", ")}] AS FLOAT[]))"
+      }.mkString(",\n  ")
+      s"""WITH cb(j, c, center) AS (VALUES
+         |  $cbRows),
+         |codes(id, code) AS (VALUES $codeRows),
+         |$sqlNorms,
+         |q AS (SELECT vec_id, embedding, nrm FROM v WHERE vec_id < 8),
+         |dt AS MATERIALIZED (
+         |  SELECT q.vec_id AS qid, cb.j, cb.c,
+         |    list_reduce(list_transform(range(1, 5),
+         |      t -> CAST((q.embedding[cb.j * 4 + t] - cb.center[t])
+         |              * (q.embedding[cb.j * 4 + t] - cb.center[t])
+         |            AS DOUBLE)),
+         |      (x, y) -> x + y) AS d
+         |  FROM q CROSS JOIN cb),
+         |cj AS MATERIALIZED (
+         |  SELECT id, unnest(code) AS cidx, unnest(range(0, 16)) AS j
+         |  FROM codes),
+         |adist AS MATERIALIZED (
+         |  SELECT dt.qid, cj.id AS nid,
+         |    list_reduce(list(dt.d ORDER BY dt.j), (x, y) -> x + y) AS ad
+         |  FROM cj JOIN dt ON dt.j = cj.j AND dt.c = cj.cidx
+         |  WHERE cj.id <> dt.qid
+         |  GROUP BY dt.qid, cj.id),
+         |short AS MATERIALIZED (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY ad, nid) AS srk
+         |    FROM adist) s WHERE srk <= 40),
+         |scored AS (
+         |  SELECT sh.qid AS query_id, sh.nid AS neighbor_id,
+         |    (a.nrm * a.nrm + b.nrm * b.nrm
+         |      - ${sqlDot("a.embedding", "b.embedding")} * 2.0) AS dist2
+         |  FROM short sh JOIN v a ON sh.qid = a.vec_id
+         |                JOIN v b ON sh.nid = b.vec_id)
+         |SELECT query_id, neighbor_id, rank, dist2 FROM (
+         |  SELECT query_id, neighbor_id, dist2,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY dist2, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin
+    }
+
+  /** IVF-ADC replay — the composed index: probe-cell ranking from the
+    * coarse literals (knnAnnIvfSql's CTEs), candidates restricted to the
+    * probed cells' assignment, ADC scoring + shortlist + exact rerank
+    * from the PQ literals (knnAnnPqSql's CTEs). */
+  private def ivfAdcSql(
+      ivf: (Seq[(Long, Int)], Seq[(Int, Seq[Float], Double)]),
+      pq: (Seq[(Long, Seq[Int])], Seq[(Int, Int, Seq[Float])])): String = {
+    val (asg, cents) = ivf
+    val (codes, cbooks) = pq
+    val codeRows = codes.map { case (i, cs) =>
+      s"($i, [${cs.mkString(", ")}])" }.mkString(", ")
+    val cbRows = cbooks.map { case (j, c, ctr) =>
+      s"($j, $c, CAST([${ctr.mkString(", ")}] AS FLOAT[]))"
+    }.mkString(",\n  ")
+    s"""WITH asg(id, cell) AS (VALUES ${ivfAsgValues(asg)}),
+       |cent(cell, center, cnorm2) AS (VALUES
+       |  ${ivfCentValues(cents)}),
+       |cb(j, c, center) AS (VALUES
+       |  $cbRows),
+       |codes(id, code) AS (VALUES $codeRows),
+       |$sqlNorms,
+       |q AS (SELECT vec_id, embedding, nrm FROM v WHERE vec_id < 8),
+       |probed AS MATERIALIZED (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.vec_id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        (q.nrm * q.nrm
+       |          - ${sqlDot("q.embedding", "c.center")} * 2.0
+       |          + c.cnorm2), c.cell) AS crk
+       |    FROM q CROSS JOIN cent c) t
+       |  WHERE crk <= 6),
+       |cand AS MATERIALIZED (
+       |  SELECT p.qid, s.id AS nid
+       |  FROM probed p JOIN asg s ON s.cell = p.cell
+       |  WHERE s.id <> p.qid),
+       |dt AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, cb.j, cb.c,
+       |    list_reduce(list_transform(range(1, 5),
+       |      t -> CAST((q.embedding[cb.j * 4 + t] - cb.center[t])
+       |              * (q.embedding[cb.j * 4 + t] - cb.center[t])
+       |            AS DOUBLE)),
+       |      (x, y) -> x + y) AS d
+       |  FROM q CROSS JOIN cb),
+       |cj AS MATERIALIZED (
+       |  SELECT id, unnest(code) AS cidx, unnest(range(0, 16)) AS j
+       |  FROM codes),
+       |adist AS MATERIALIZED (
+       |  SELECT c.qid, c.nid,
+       |    list_reduce(list(dt.d ORDER BY dt.j), (x, y) -> x + y) AS ad
+       |  FROM cand c JOIN cj ON cj.id = c.nid
+       |              JOIN dt ON dt.qid = c.qid AND dt.j = cj.j
+       |                     AND dt.c = cj.cidx
+       |  GROUP BY c.qid, c.nid),
+       |short AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (
+       |      PARTITION BY qid ORDER BY ad, nid) AS srk
+       |    FROM adist) s WHERE srk <= 40),
+       |scored AS (
+       |  SELECT sh.qid AS query_id, sh.nid AS neighbor_id,
+       |    (a.nrm * a.nrm + b.nrm * b.nrm
+       |      - ${sqlDot("a.embedding", "b.embedding")} * 2.0) AS dist2
+       |  FROM short sh JOIN v a ON sh.qid = a.vec_id
+       |                JOIN v b ON sh.nid = b.vec_id)
+       |SELECT query_id, neighbor_id, rank, dist2 FROM (
+       |  SELECT query_id, neighbor_id, dist2,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY dist2, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  private def knnAnnIvfPqSql(): Option[String] =
+    for (ivf <- graft.llm.Ivf.lastLits; pq <- graft.llm.Pq.lastLits)
+      yield ivfAdcSql(ivf, pq)
+
+  private def knnAnnIvfPqDiskSql(): Option[String] =
+    graft.llm.Pq.lastDiskLits.map { case (ivf, pq) => ivfAdcSql(ivf, pq) }
+
   // ---- run-derived IVF oracles (round 14) ----
   // Built from Ivf.lastLits, populated when a registry query builds the
   // cached index; None before any run (the rows-only fallback), Some at
@@ -976,18 +1111,26 @@ object LlmQueries {
     Q("knn_ann_pq", (s, d) => graft.llm.Pq.annKnn(Tables.embeddings(s, d),
       (0L until 8L), "vec_id", "embedding", dim, k = 5, m = 16, ksub = 16,
       corpusKey = d), // codebooks+codes cached per corpus, 16x compression
-      None), // approximate — code shape/round-trip/recall pinned in PqSpec
+      // FULL oracle since round 14: the run's codes + codebooks replay
+      // the ADC shortlist and exact rerank bit-exactly in DuckDB (see
+      // knnAnnPqSql); code shape/round-trip/recall stay in PqSpec
+      knnAnnPqSql()),
     Q("knn_ann_ivfpq", (s, d) => graft.llm.Pq.ivfAdcKnn(Tables.embeddings(s, d),
       (0L until 8L), "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 6,
       m = 16, ksub = 16, corpusKey = d), // cell pruning × code compression
-      None), // approximate — nprobe==nlist ≡ plain PQ pinned in PqSpec
+      // FULL oracle since round 14: composed replay — coarse probe from
+      // the IVF literals, ADC + rerank from the PQ literals (ivfAdcSql);
+      // nprobe==nlist ≡ plain PQ stays pinned in PqSpec
+      knnAnnIvfPqSql()),
     Q("knn_ann_ivfpq_disk", (s, d) => graft.llm.Pq.ivfAdcKnnDisk(
       Tables.embeddings(s, d), s"$d/embeddings.parquet", (0L until 8L),
       "vec_id", "embedding", dim, k = 5, nlist = 16, nprobe = 6),
       // the durable composed artifact: cell-partitioned 16×-compressed
       // codes + codebooks + coarse layout, probed cold with the cells as
-      // partition filters
-      None), // approximate — disk≡memory + PartitionFilters pinned in PqSpec
+      // partition filters. FULL oracle since round 14 from the LOADED
+      // artifact's own literals (Pq.lastDiskLits); disk≡memory +
+      // PartitionFilters stay pinned in PqSpec
+      knnAnnIvfPqDiskSql()),
     // retrieval-quality certificate: recall floors of the four pruned
     // configs above, as driver-checked data (see knnRecall's scaladoc)
     Q("knn_recall", knnRecall, Some(knnRecallSql)),
