@@ -1935,7 +1935,8 @@ object Snapshots {
   private[graft] def sidecarNumRows(s: SparkSession, loc: String,
                                     version: Long, files: Seq[String],
                                     dvs: Seq[String]): Option[Long] =
-    statAggValues(s, loc, version, files, Seq(StatCount)) match {
+    if (sys.env.get("SPARK_GRAFT_NO_NUMROWS").contains("1")) None
+    else statAggValues(s, loc, version, files, Seq(StatCount)) match {
       case Some(Seq((n: Long, _))) =>
         if (dvs.isEmpty) Some(n)
         else try {
