@@ -1082,6 +1082,76 @@ object AdversarialProbe {
       verdict("fold_dvs_vs_optimize", optW, foldW, 1.0)
     }
 
+    // ---- range retention vs generic CoW delete: on a time-sliced table
+    // (the 100 TB arrival pattern) "expire the old half" must classify
+    // from the sidecar — fully-covered files DROP as metadata, zero data
+    // I/O — while the generic copy-on-write path scans every candidate
+    // for matches and rewrites the affected half. Same predicate, same
+    // table shape, two fresh copies (each verb consumes its table).
+    {
+      def mkTable(loc: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(loc)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        // 8 ingest slices with disjoint ts ranges, 3M rows each
+        (0 until 8).foreach { sl =>
+          graft.ops.Snapshots.commitAppend(
+            spark.range(sl * 3000000L, (sl + 1) * 3000000L).toDF("id")
+              .withColumn("ts", col("id"))
+              .withColumn("v", concat(lit("payload-"), col("id") % 100000)),
+            loc)
+        }
+        graft.ops.Snapshots.setAutoStats(spark, loc, Seq("ts"))
+      }
+      mkTable("/tmp/graft-probe/ret_a")
+      mkTable("/tmp/graft-probe/ret_b")
+      val retW = time("range retention (sidecar-classified DELETE)", reps = 1) {
+        graft.ops.Snapshots.commitDeleteRange(spark, "/tmp/graft-probe/ret_a",
+          "ts", None, Some(("12000000", false)))
+      }
+      require(graft.ops.Snapshots.read(spark, "/tmp/graft-probe/ret_a")
+        .count() == 12000000L, "retention dropped the wrong rows")
+      val cowW = time("generic CoW DELETE for the same expiry", reps = 1) {
+        graft.ops.Snapshots.commitDelete(spark, "/tmp/graft-probe/ret_b",
+          col("ts") < 12000000L)
+      }
+      require(graft.ops.Snapshots.read(spark, "/tmp/graft-probe/ret_b")
+        .count() == 12000000L, "CoW comparator dropped the wrong rows")
+      println(f"PROBE retention-vs-cow speedup: ${cowW / retW}%.2fx")
+      verdict("retention_vs_cow_delete", cowW, retW, 1.0)
+    }
+
+    // ---- incremental replication: after the seed ships the table, a
+    // second call following ONE small append must move O(new files) —
+    // its wall must sit far under the seed's (the DistCpSync -diff
+    // contract, mtime-pinned for identity in the registry row; this is
+    // the wall-clock claim at 24M rows).
+    {
+      val src = "/tmp/graft-probe/repl_src"
+      val dst = "/tmp/graft-probe/repl_dst"
+      Seq(src, dst).foreach { l =>
+        val p = new org.apache.hadoop.fs.Path(l)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      graft.ops.Snapshots.commitAppend(
+        spark.range(0L, 24000000L).toDF("id")
+          .withColumn("v", concat(lit("payload-"), col("id") % 100000)), src)
+      val seedW = time("replicate seed (full 24M-row ship)", reps = 1) {
+        graft.ops.Replicate.replicate(spark, src, dst)
+      }
+      graft.ops.Snapshots.commitAppend(
+        spark.range(24000000L, 24010000L).toDF("id")
+          .withColumn("v", concat(lit("payload-"), col("id") % 100000)), src)
+      val deltaW = time("replicate delta (one 10k-row append)", reps = 1) {
+        graft.ops.Replicate.replicate(spark, src, dst)
+      }
+      require(graft.ops.Snapshots.read(spark, dst).count() == 24010000L,
+        "replica content wrong after the delta ship")
+      println(f"PROBE replicate seed/delta ratio: ${seedW / deltaW}%.1fx")
+      // the delta must be at most ~a tenth of the seed (model 0.1, bound
+      // 0.2x): anything heavier means the second call re-ships the table
+      verdict("replicate_incremental_delta", seedW, deltaW, 0.1)
+    }
+
     // ---- hash-gated span trim: on a LOW-DUPLICATION corpus (every word
     // doc-tagged, so no gram repeats across docs) the gram STRINGS never
     // shuffle — only the 24-byte hash-gate rows do. Measured as actual
