@@ -1948,6 +1948,45 @@ object Snapshots {
       case _ => None
     }
 
+  /** Per-column (type, min, max, nullCount) for the CBO, provable from
+    * the stats sidecar over exactly `files` — the column-statistics
+    * companion of [[sidecarNumRows]]: filter-selectivity estimation
+    * under `spark.sql.cbo.enabled` needs min/max/nullCount, and the
+    * sidecar already holds all three exactly. Columns any piece of
+    * which is unprovable (type not order-faithful, coverage gap) are
+    * omitted — never guessed; DV-bearing versions return Nil (sidecar
+    * counts are physical). Values are Catalyst-internal, the shape the
+    * V1 ColumnStat conversion expects. */
+  private[graft] def sidecarColumnStats(s: SparkSession, loc: String,
+                                        version: Long, files: Seq[String],
+                                        dvs: Seq[String])
+      : Seq[(String, org.apache.spark.sql.types.DataType, Any, Any, Long)] = {
+    if (dvs.nonEmpty || files.isEmpty) return Nil
+    val cols = sidecarCols(s, loc, version)
+    if (cols.isEmpty) return Nil
+    def one(c: String): Option[(String, org.apache.spark.sql.types.DataType,
+        Any, Any, Long)] =
+      statAggValues(s, loc, version, files,
+          Seq(StatCount, StatCountCol(c), StatMin(c), StatMax(c))) match {
+        case Some(Seq((rows: Long, _), (nn: Long, _), (mn, dt), (mx, _))) =>
+          Some((c, dt, mn, mx, rows - nn))
+        case _ => None
+      }
+    // one sidecar read for the whole column set (statAggValues is
+    // all-or-nothing); only a partial-coverage table pays the
+    // per-column fallback — planning-path work, kept O(1) file reads
+    statAggValues(s, loc, version, files,
+        StatCount +: cols.flatMap(c =>
+          Seq(StatCountCol(c), StatMin(c), StatMax(c)))) match {
+      case Some((rows: Long, _) +: rest) =>
+        cols.zipWithIndex.map { case (c, i) =>
+          val Seq((nn: Long, _), (mn, dt), (mx, _)) = rest.slice(3 * i, 3 * i + 3)
+          (c, dt, mn, mx, rows - nn)
+        }
+      case _ => cols.flatMap(one)
+    }
+  }
+
   /** Columns the version's stats sidecar covers (empty without one) —
     * the attributes a scan can offer for runtime (join-driven) file
     * skipping. One header-line read. */

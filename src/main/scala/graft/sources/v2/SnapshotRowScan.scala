@@ -201,6 +201,32 @@ private[v2] class SnapshotRowScanBuilder(spark: SparkSession, schema: StructType
 }
 
 private[v2] object SnapshotRowScan {
+
+  /** DSv2 column statistics from the stats sidecar
+    * ([[Snapshots.sidecarColumnStats]]): exact min/max/nullCount per
+    * provable covered column — what CBO filter-selectivity estimation
+    * consumes. Values are Catalyst-internal (the V1 ColumnStat shape). */
+  private[graft] def v2ColumnStats(spark: SparkSession, loc: String,
+                                   version: Long, files: Seq[String],
+                                   dvs: Seq[String])
+      : java.util.Map[NamedReference,
+                      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val m = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    Snapshots.sidecarColumnStats(spark, loc, version, files, dvs).foreach {
+      case (c, _, mn, mx, nulls) =>
+        m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def min(): java.util.Optional[Object] =
+              java.util.Optional.ofNullable(mn.asInstanceOf[Object])
+            override def max(): java.util.Optional[Object] =
+              java.util.Optional.ofNullable(mx.asInstanceOf[Object])
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nulls)
+          })
+    }
+    m
+  }
   val FileCol = "__graft_file"
   val fileField: StructField = StructField(FileCol, StringType, nullable = true)
   def norm(p: String): String = new Path(p).toUri.getPath
@@ -443,6 +469,10 @@ private[v2] class SnapshotRowScan(spark: SparkSession, schema: StructType,
       override def numRows(): java.util.OptionalLong =
         rows.map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty())
+      override def columnStats()
+          : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+                          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        SnapshotRowScan.v2ColumnStats(spark, loc, version, activeFiles, dvs)
     }
 
   /** One listStatus per commit directory, not one getFileStatus per

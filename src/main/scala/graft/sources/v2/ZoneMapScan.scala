@@ -244,6 +244,10 @@ private[graft] class RuntimePrunedScan(spark: SparkSession, loc: String,
           Snapshots.sidecarNumRows(spark, loc, version, kept, Nil)
             .map(java.util.OptionalLong.of)
             .getOrElse(java.util.OptionalLong.empty()))
+      override def columnStats()
+          : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+                          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        SnapshotRowScan.v2ColumnStats(spark, loc, version, kept, Nil)
     }
   }
 

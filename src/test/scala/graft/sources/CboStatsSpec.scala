@@ -48,6 +48,45 @@ class CboStatsSpec extends SparkTestBase {
     assert(reportedRows("cbocat.t_rows").contains(BigInt(797)))
   }
 
+  test("sidecar column stats reach the optimizer: min/max/nullCount + selectivity") {
+    import spark.implicits._
+    val loc = freshTable("t_colstats")
+    Snapshots.commitAppend((1L to 800L)
+      .map(i => (i, if (i % 4 == 0) null else s"v$i"))
+      .toDF("id", "v"), loc)
+    Snapshots.setAutoStats(spark, loc, Seq("id"))
+    def withCbo[T](body: => T): T = {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try body finally spark.conf.unset("spark.sql.cbo.enabled")
+    }
+    withCbo {
+      val rel = spark.table("cbocat.t_colstats")
+        .queryExecution.optimizedPlan
+      val attrStats = rel.stats.attributeStats
+      val idStat = attrStats.find(_._1.name == "id").map(_._2)
+        .getOrElse(fail(s"no column stats for id: $attrStats"))
+      assert(idStat.min.contains(1L), s"min: ${idStat.min}")
+      assert(idStat.max.contains(800L), s"max: ${idStat.max}")
+      assert(idStat.nullCount.contains(BigInt(0)), s"nulls: ${idStat.nullCount}")
+      // the consequence: a pushed range filter PRUNES FILES first, and
+      // numRows + column stats follow the surviving set — an EXACT
+      // file-grain estimate (id 1..800 lands in 4 range-contiguous
+      // files of 200; id <= 350 keeps two of them), with the post-prune
+      // max tracking the kept files. No per-row selectivity is ever
+      // guessed (the sidecar has no ndv, so Spark's FilterEstimation
+      // stays off) — the estimate is provable, not heuristic.
+      val filtered = spark.table("cbocat.t_colstats")
+        .filter(col("id") <= 350L).queryExecution.optimizedPlan
+      val est = filtered.stats.rowCount.getOrElse(fail("no rowCount"))
+      assert(est == BigInt(400),
+        s"pruned-scan estimate should be the surviving files' 400 rows: $est")
+      val prunedMax = filtered.stats.attributeStats
+        .find(_._1.name == "id").map(_._2.max).getOrElse(None)
+      assert(prunedMax.contains(400L),
+        s"post-prune max should track kept files: $prunedMax")
+    }
+  }
+
   test("CBO reorders a 3-table join with sidecar counts, written order without") {
     import spark.implicits._
     val bigLoc = freshTable("t_big")
