@@ -240,6 +240,7 @@ object BloomSidecar {
       extraHeader + s"#base=${base.mkString(",")}\n"
     val os = f.create(hp(version), true)
     try os.write(headerBody.getBytes("UTF-8")) finally os.close()
+    Snapshots.invalidateMeta(s, hp(version))
   }
 
   private case class Header(cols: Seq[String], base: Seq[Long], gram: Int)

@@ -212,6 +212,7 @@ object Replicate {
       try out.write(text.getBytes("UTF-8")) finally out.close()
       df.delete(target, false)
       if (!df.rename(tmp, target)) df.delete(tmp, false)
+      Snapshots.invalidateMeta(s, target)
     }
     // stats sidecar: '#' headers verbatim, data lines lead with the path
     val stats = new Path(srcMd, f"v$version%05d.stats.txt")

@@ -64,13 +64,44 @@ object Snapshots {
   def latestVersion(s: SparkSession, loc: String): Long =
     manifests(s, loc).lastOption.map(_._1).getOrElse(0L)
 
+  // Plan-time metadata cache. Manifests and sidecars are immutable per
+  // (loc, version) once published — every rewrite goes through
+  // replace-by-rename, which changes (mtime, length) — so one validated
+  // LRU turns the per-plan stats/manifest re-read (estimateStatistics,
+  // columnStats, zone-map pruning all funnel through manifestLines) into
+  // a single getFileStatus round trip. Entries validate against the live
+  // (mtime, length) on every hit, so an external rewrite is picked up
+  // without any invalidation protocol; in-process rewriters also call
+  // [[invalidateMeta]] as belt-and-braces against same-millisecond
+  // same-length replacement. Bounded at 256 entries (a stats sidecar
+  // line list is O(files) strings — the same cardinality the planner
+  // holds anyway; 256 versions of headroom, least-recently-planned out).
+  private val metaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Long, Long, Seq[String])](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Seq[String])]): Boolean =
+        size() > 256
+    })
+
+  private[graft] def invalidateMeta(s: SparkSession, p: Path): Unit =
+    metaCache.remove(fs(s, p.toString).makeQualified(p).toString)
+
   // manifest lines: '#'-prefixed header lines carry commit metadata
   // (e.g. the exactly-once batch marker); every other line is a live
   // data-file path
   private[graft] def manifestLines(s: SparkSession, p: Path): Seq[String] = {
-    val in = fs(s, p.toString).open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-    finally in.close()
+    val f = fs(s, p.toString)
+    val st = f.getFileStatus(p) // FileNotFound surfaces exactly as open() did
+    val key = st.getPath.toString
+    val hit = metaCache.get(key)
+    if (hit != null && hit._1 == st.getModificationTime && hit._2 == st.getLen)
+      return hit._3
+    val in = f.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    metaCache.put(key, (st.getModificationTime, st.getLen, lines))
+    lines
   }
 
   // header block only: markers ride as the leading '#' lines, so the
@@ -1923,26 +1954,55 @@ object Snapshots {
       .getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, statsPath(loc, version))) f.delete(tmp, false)
+    invalidateMeta(s, statsPath(loc, version))
   }
+
+  // DV-cardinality cache for the CBO feed: delete-vector sidecars are
+  // immutable per (loc, version), so the count of entries naming a given
+  // active-file set is a constant — computed once (distributed), then a
+  // map hit on every later plan of the same (version, pruned-file-set).
+  private val dvCountCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Int), java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Int), java.lang.Long]): Boolean =
+        size() > 256
+    })
 
   /** Exact live-row count for `files` of a version, provable from pure
     * metadata: Σ sidecar per-file row counts minus the delete-vector
     * entries naming those files. None when the sidecar cannot prove
     * every file (the caller reports unknown, never a guess). Feeds
     * DSv2 `estimateStatistics().numRows` — what lets Spark's CBO
-    * reorder multi-joins over snapshot tables. The DV adjustment reads
-    * only the tiny vector sidecars. */
+    * reorder multi-joins over snapshot tables. The DV adjustment is
+    * DISTRIBUTED — a broadcast semi-join against the active set and a
+    * count, one long to the driver, never one row per deleted row —
+    * and cached per (loc, version, active-set): DV sidecars are
+    * immutable, so each distinct pruned shape pays the job once. */
   private[graft] def sidecarNumRows(s: SparkSession, loc: String,
                                     version: Long, files: Seq[String],
                                     dvs: Seq[String]): Option[Long] =
-    if (sys.env.get("SPARK_GRAFT_NO_NUMROWS").contains("1")) None
-    else statAggValues(s, loc, version, files, Seq(StatCount)) match {
+    statAggValues(s, loc, version, files, Seq(StatCount)) match {
       case Some(Seq((n: Long, _))) =>
         if (dvs.isEmpty) Some(n)
         else try {
-          val active = files.map(normPath).toSet
-          val deleted = s.read.parquet(dvs: _*).select("file").collect()
-            .count(r => active.contains(normPath(r.getString(0))))
+          val active = files.map(normPath).sorted
+          val key = (normPath(loc), version,
+            scala.util.hashing.MurmurHash3.orderedHash(active))
+          val hit = dvCountCache.get(key)
+          val deleted: Long =
+            if (hit != null) hit.longValue()
+            else {
+              import org.apache.spark.sql.functions.{broadcast, col, udf}
+              import s.implicits._
+              val normU = udf((p: String) => normPath(p))
+              val n = s.read.parquet(dvs: _*)
+                .withColumn("__fnorm", normU(col("file")))
+                .join(broadcast(active.toDF("__keep")),
+                  col("__fnorm") === col("__keep"), "left_semi")
+                .count()
+              dvCountCache.put(key, n)
+              n
+            }
           Some(math.max(0L, n - deleted))
         } catch { case _: Exception => None }
       case _ => None
@@ -2178,6 +2238,7 @@ object Snapshots {
       f.delete(autoStatsPath(loc), false)
       if (!f.rename(tmp, autoStatsPath(loc))) f.delete(tmp, false)
     }
+    invalidateMeta(s, autoStatsPath(loc))
     val v = latestVersion(s, loc)
     if (v > 0 && versionFiles(s, loc, v).nonEmpty) {
       if (cols.nonEmpty) attachStats(s, loc, v, cols)

@@ -48,6 +48,53 @@ class CboStatsSpec extends SparkTestBase {
     assert(reportedRows("cbocat.t_rows").contains(BigInt(797)))
   }
 
+  test("heavy-DV numRows: distributed count, no driver row materialization, cached") {
+    import spark.implicits._
+    val loc = freshTable("t_dvheavy")
+    Snapshots.commitAppend((1L to 50000L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(4), loc)
+    Snapshots.setAutoStats(spark, loc, Seq("id"))
+    Snapshots.commitDeleteMoR(spark, loc, col("id") % 5 === 0) // 10k DV entries
+    Snapshots.autoStats(spark, loc)
+    // pin the shape of the adjustment job itself: each task ships an
+    // aggregate buffer (one long), never the DV rows — the driver-side
+    // result stays KB-scale where a collect of 10k paths would be MB
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val jobsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) results.add(e.taskMetrics.resultSize)
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobsSeen.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup("graft-dvcount-first", "first plan")
+      assert(reportedRows("cbocat.t_dvheavy").contains(BigInt(40000)))
+      val firstJobs = spark.sparkContext.statusTracker
+        .getJobIdsForGroup("graft-dvcount-first")
+      assert(firstJobs.nonEmpty,
+        "the first DV-adjusted estimate must run the count as a Spark job")
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobsSeen.get() < firstJobs.length && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      val maxResult = results.iterator().asInstanceOf[java.util.Iterator[Long]]
+      var worst = 0L
+      while (maxResult.hasNext) worst = math.max(worst, maxResult.next())
+      assert(worst > 0 && worst < 100L * 1024,
+        s"count tasks must return aggregate buffers, not rows: $worst bytes")
+      // second plan of the same (version, file set): cache hit, zero jobs
+      spark.sparkContext.setJobGroup("graft-dvcount-second", "second plan")
+      assert(reportedRows("cbocat.t_dvheavy").contains(BigInt(40000)))
+      assert(spark.sparkContext.statusTracker
+        .getJobIdsForGroup("graft-dvcount-second").isEmpty,
+        "a re-plan of an unchanged DV version must answer from the cache")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("sidecar column stats reach the optimizer: min/max/nullCount + selectivity") {
     import spark.implicits._
     val loc = freshTable("t_colstats")
