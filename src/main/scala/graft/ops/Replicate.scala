@@ -28,6 +28,12 @@ import org.apache.spark.sql.SparkSession
   *  - Markers, schema, layout, and lineage headers carry VERBATIM, so
   *    exactly-once streaming markers and co-partitioned plans survive
   *    replication; `#dv=` references rewrite like data paths.
+  *  - REFS SHIP WITH THE TABLE: every branch replicates as its own
+  *    manifest chain (same diff/idempotency/divergence rules; a
+  *    source-side drop+recreate re-seeds the replica's branch), and
+  *    tags mirror name-for-name — a DR replica keeps its WAP staging
+  *    state and its retention pins. `DistCpSync` copies the whole
+  *    snapshotted tree for the same reason.
   *  - The tip's pruning sidecars ship too: the stats text rewrites its
   *    per-line file paths, Bloom/gram parquet sidecars rewrite their
   *    `file` column, headers last (their crash-safety contract), plus
@@ -44,11 +50,70 @@ object Replicate {
 
   def replicate(s: SparkSession, srcLoc: String, dstLoc: String,
                 numTasks: Int = 32): Long = {
-    val srcMs = Snapshots.manifests(s, srcLoc)
-    require(srcMs.nonEmpty, s"no committed snapshots at $srcLoc")
+    require(Snapshots.manifests(s, srcLoc).nonEmpty,
+      s"no committed snapshots at $srcLoc")
     val srcRoot = Snapshots.normPath(srcLoc)
     val dstRoot = Snapshots.normPath(dstLoc)
     require(srcRoot != dstRoot, s"replica location equals the source: $srcRoot")
+    shipChain(s, srcLoc, dstLoc, srcRoot, dstRoot, numTasks)
+
+    // ---- refs ship with the table (DistCpSync copies the whole tree):
+    // each BRANCH is its own manifest chain under the same root rewrite
+    // (its v1 fork-carries PARENT files, whose paths rewrite under the
+    // parent roots exactly like the main chain's), same diff/idempotency
+    // rules per branch. A divergent or expired-past-the-replica branch
+    // chain can only mean the source DROPPED AND RE-CREATED the branch
+    // (the replica is read-only; its branch state came from a prior
+    // replicate), so those re-seed: drop the replica's branch — keeping
+    // any file the replica's parent manifests still reference, the
+    // dropBranch liveness rule — and ship the new chain fresh.
+    val srcBranches = Refs.listBranches(s, srcLoc)
+    srcBranches.foreach { b =>
+      val sb = Refs.branchLoc(srcLoc, b)
+      val db = Refs.branchLoc(dstLoc, b)
+      try shipChain(s, sb, db, srcRoot, dstRoot, numTasks)
+      catch {
+        case _: java.util.ConcurrentModificationException |
+             _: IllegalStateException =>
+          Refs.dropBranch(s, dstLoc, b)
+          shipChain(s, sb, db, srcRoot, dstRoot, numTasks)
+      }
+    }
+    // branches the source no longer has leave the replica too — a
+    // replica that keeps a deleted staging branch isn't a replica
+    Refs.listBranches(s, dstLoc).filterNot(srcBranches.contains)
+      .foreach(b => Refs.dropBranch(s, dstLoc, b))
+
+    // ---- TAGS mirror verbatim: names + pinned versions (version
+    // numbers are identical by construction — the chains are the same).
+    // Tags are retention pins, so the mirror runs AFTER the chain ship:
+    // a tag never names a version the replica doesn't hold yet. A
+    // re-pointed name (source drop+retag) re-points here; a dropped
+    // name drops.
+    val srcTags = Refs.tags(s, srcLoc)
+    val dstTags = Refs.tags(s, dstLoc)
+    dstTags.keysIterator.filterNot(srcTags.contains)
+      .foreach(n => Refs.dropTag(s, dstLoc, n))
+    srcTags.toSeq.sortBy(_._1).foreach { case (n, v) =>
+      if (!dstTags.get(n).contains(v)) {
+        Refs.dropTag(s, dstLoc, n)
+        Refs.tag(s, dstLoc, n, v)
+      }
+    }
+    Snapshots.latestVersion(s, dstLoc)
+  }
+
+  /** Ship one manifest chain (the main table's or a branch's) from
+    * `srcLoc` to `dstLoc`, rewriting every path under `srcRoot` →
+    * `dstRoot` — the PARENT roots even for a branch chain, so
+    * fork-carried parent files resolve to the replica parent's copies.
+    * Incremental, idempotent, divergence-refused; ships the tip's
+    * pruning sidecars last. */
+  private def shipChain(s: SparkSession, srcLoc: String, dstLoc: String,
+                        srcRoot: String, dstRoot: String,
+                        numTasks: Int): Unit = {
+    val srcMs = Snapshots.manifests(s, srcLoc)
+    require(srcMs.nonEmpty, s"no committed snapshots at $srcLoc")
     def rewritePath(p: String): String = {
       val n = Snapshots.normPath(p)
       require(n.startsWith(srcRoot + "/"),
@@ -109,7 +174,7 @@ object Replicate {
       // qualified spelling — the replica's anti-join must see ITS OWN
       // files' spelling or deleted rows resurrect
       freshDvs.foreach(dv =>
-        copyDvRewritten(s, dv, rewritePath(dv), srcRoot, dstLoc))
+        copyDvRewritten(s, dv, rewritePath(dv), srcRoot, dstRoot))
       val text = rewrittenText(p)
       val md = Snapshots.manifestDir(dstLoc)
       f.mkdirs(md)
@@ -127,8 +192,7 @@ object Replicate {
 
     // ---- tip sidecars + the auto-stats policy, so the replica prunes ----
     val tip = srcMs.last._1
-    copySidecars(s, srcLoc, dstLoc, tip, rewritePath)
-    Snapshots.latestVersion(s, dstLoc)
+    copySidecars(s, srcLoc, dstLoc, tip, rewritePath, srcRoot, dstRoot)
   }
 
   private def copyFiles(s: SparkSession, pairs: Seq[(String, String)],
@@ -155,21 +219,23 @@ object Replicate {
   }
 
   /** One delete-vector sidecar, content-rewritten for the replica: each
-    * `file` value maps to the SAME relative path under the replica root,
-    * spelled exactly as the replica's scan will spell
-    * `_metadata.file_path` (filesystem-qualified), so the read-side
-    * anti-join subtracts precisely the same rows. Written to the exact
-    * target path the rewritten manifest names (atomic rename of the one
-    * tiny part file); an existing target is a finished prior attempt —
-    * skipped, resume-safe. */
+    * `file` value maps to the SAME relative path under the replica root
+    * (`dstRoot` — always the PARENT table's root, so a branch DV naming
+    * fork-carried parent files rewrites correctly too), spelled exactly
+    * as the replica's scan will spell `_metadata.file_path`
+    * (filesystem-qualified), so the read-side anti-join subtracts
+    * precisely the same rows. Written to the exact target path the
+    * rewritten manifest names (atomic rename of the one tiny part
+    * file); an existing target is a finished prior attempt — skipped,
+    * resume-safe. */
   private def copyDvRewritten(s: SparkSession, from: String, to: String,
-                              srcRoot: String, dstLoc: String): Unit = {
+                              srcRoot: String, dstRoot: String): Unit = {
     import org.apache.spark.sql.functions.udf
     val toP = new Path(to)
     val dfs = toP.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (dfs.exists(toP)) return
     val qualifiedDstRoot =
-      dfs.makeQualified(new Path(Snapshots.normPath(dstLoc))).toString
+      dfs.makeQualified(new Path(dstRoot)).toString
     val srcPrefix = srcRoot
     val requalify = udf { p: String =>
       val n = Snapshots.normPath(p)
@@ -193,19 +259,19 @@ object Replicate {
   }
 
   /** Tip pruning sidecars: stats text (per-line leading file path
-    * rewritten), Bloom + gram parquet (their `file` column rewritten,
-    * `.txt` headers written LAST per the sidecar crash contract), and
-    * the auto-stats policy file. All O(sidecar), never O(data). */
+    * rewritten), Bloom + gram parquet (their `file` column rewritten
+    * under the PARENT roots — branch sidecars inherit lines naming
+    * fork-carried parent files, `.txt` headers written LAST per the
+    * sidecar crash contract), and the auto-stats policy file. All
+    * O(sidecar), never O(data). */
   private def copySidecars(s: SparkSession, srcLoc: String, dstLoc: String,
-                           version: Long,
-                           rewritePath: String => String): Unit = {
+                           version: Long, rewritePath: String => String,
+                           srcRoot: String, dstRoot: String): Unit = {
     import org.apache.spark.sql.functions.{col, lit, substring, concat}
     val sf = Snapshots.fs(s, srcLoc)
     val df = Snapshots.fs(s, dstLoc)
     val srcMd = Snapshots.manifestDir(srcLoc)
     val dstMd = Snapshots.manifestDir(dstLoc)
-    val srcRoot = Snapshots.normPath(srcLoc)
-    val dstRoot = Snapshots.normPath(dstLoc)
     def writeText(target: Path, text: String): Unit = {
       val tmp = new Path(dstMd, s"_tmp_${java.util.UUID.randomUUID()}.txt")
       val out = df.create(tmp, true)

@@ -619,6 +619,51 @@ object OpsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Replication ships the REFS with the table
+    * ([[graft.ops.Replicate.replicate]], extended round 15): a WAP
+    * staging branch (fork carry + its own commit) and a tag pin both
+    * live at the replica after one `CALL system.replicate` — the
+    * in-query requires pin the tag's named time-travel read on the
+    * replica and the branch listing; the oracle certifies the branch's
+    * CONTENT through the replica's own fork-carried manifest read.
+    * Reference: `DistCpSync.java` syncs the whole snapshotted tree,
+    * branches included by construction. */
+  private def snapshotSqlReplicateRefs(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val src = s"$root/orders_refsrc"
+    val dst = s"$root/orders_refdst"
+    Seq(src, dst).foreach { l =>
+      val p = new org.apache.hadoop.fs.Path(l)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 4 === 0), src)
+    graft.ops.Refs.tag(s, src, "seed") // retention pin at v1
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 4 === 1), src)
+    // WAP: a staging branch forked at v2 with its own audit-side commit
+    graft.ops.Refs.createBranch(s, src, "audit")
+    graft.ops.Snapshots.commitAppend(o.filter(col("o_orderkey") % 4 === 2),
+      graft.ops.Refs.resolve(s"$src#audit"))
+    s.sql(s"CALL graft_snap_dml.system.replicate('orders_refsrc', '$dst')")
+    require(graft.ops.Refs.tagVersion(s, dst, "seed").contains(1L),
+      "the tag pin must ship with the table")
+    // the tag's NAMED time-travel read on the replica = the v1 content
+    val tagged = s.sql(
+      "SELECT count(*) AS n FROM graft_snap_dml.orders_refdst VERSION AS OF 'seed'")
+      .head().getLong(0)
+    val expectV1 = o.filter(col("o_orderkey") % 4 === 0).count()
+    require(tagged == expectV1,
+      s"tag time-travel on the replica read $tagged rows, expected $expectV1")
+    // the branch reads on the replica: fork carry (%4 in 0,1) + staged (%4=2)
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            |  o_orderdate, o_orderpriority
+            |FROM graft_snap_dml.`orders_refdst#audit`
+            |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** RANGE retention through PURE SQL: `DELETE FROM t WHERE ts < cutoff`
     * takes the sidecar-classified path ([[graft.ops.Snapshots.commitDeleteRange]])
     * — files whose [min, max] sits wholly under the cutoff DROP from the
@@ -2224,6 +2269,11 @@ object OpsQueries {
              |FROM orders
              |WHERE (o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
              |   OR o_orderkey % 3 = 1
+             |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_replicate_refs", snapshotSqlReplicateRefs,
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 4 <= 2
              |ORDER BY o_orderkey""".stripMargin)),
     Q("snapshot_sql_retention", snapshotSqlRetention,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -99,6 +99,75 @@ class ReplicateSpec extends SparkTestBase {
     assert(Snapshots.read(spark, dst).count() == 200L)
   }
 
+  test("branches and tags ship with the table; the ref mirror tracks the source") {
+    import spark.implicits._
+    val src = s"$root/src5"; val dst = s"$root/dst5"
+    wipe(src, dst)
+    Snapshots.commitAppend((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), src)
+    Refs.tag(spark, src, "seed")
+    Snapshots.commitAppend((101L to 150L).map(i => (i, s"v$i")).toDF("id", "v"), src)
+    // a live WAP staging branch with its own commit on top of the fork
+    Refs.createBranch(spark, src, "audit")
+    Snapshots.commitAppend(Seq((900L, "staged")).toDF("id", "v"),
+      Refs.branchLoc(src, "audit"))
+    Replicate.replicate(spark, src, dst)
+    // the branch reads at the replica: fork carry (parent files, by the
+    // replica's own spelling) + the branch's own commit
+    assert(Refs.listBranches(spark, dst) == Seq("audit"))
+    val branchRows = Snapshots.read(spark, Refs.branchLoc(dst, "audit"))
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq
+    assert(branchRows == ((1L to 150L) :+ 900L))
+    // fork lineage survives: the replica's branch can still fast-forward
+    assert(Refs.forkBase(spark, Refs.branchLoc(dst, "audit")) == 2L)
+    // the tag pins the same version by name
+    assert(Refs.tagVersion(spark, dst, "seed").contains(1L))
+    assert(Snapshots.read(spark, dst, 1L).count() == 100L)
+    // source moves its refs: publish+drop the branch, re-point the tag
+    Refs.fastForward(spark, src, "audit")
+    Refs.dropBranch(spark, src, "audit")
+    Refs.dropTag(spark, src, "seed")
+    Refs.tag(spark, src, "seed", 3L)
+    Replicate.replicate(spark, src, dst)
+    assert(Refs.listBranches(spark, dst).isEmpty,
+      "a branch dropped at the source must leave the replica")
+    assert(Refs.tagVersion(spark, dst, "seed").contains(3L))
+    // the fast-forwarded publish reads at the replica
+    assert(Snapshots.read(spark, dst).filter(col("v") === "staged").count() == 1)
+  }
+
+  test("a re-created source branch re-seeds the replica's; tags stay live across expire") {
+    import spark.implicits._
+    val src = s"$root/src6"; val dst = s"$root/dst6"
+    wipe(src, dst)
+    Snapshots.commitAppend((1L to 50L).map(i => (i, i)).toDF("id", "x"), src)
+    Refs.tag(spark, src, "pin") // pins v1 through the expire below
+    Refs.createBranch(spark, src, "wip")
+    Snapshots.commitAppend(Seq((500L, 500L)).toDF("id", "x"),
+      Refs.branchLoc(src, "wip"))
+    Replicate.replicate(spark, src, dst)
+    // the source drops and re-creates the branch from a NEW fork point —
+    // same name, divergent chain: the replica's copy must re-seed
+    Refs.dropBranch(spark, src, "wip")
+    Snapshots.commitAppend((51L to 80L).map(i => (i, i)).toDF("id", "x"), src)
+    Refs.createBranch(spark, src, "wip")
+    Snapshots.commitAppend(Seq((600L, 600L)).toDF("id", "x"),
+      Refs.branchLoc(src, "wip"))
+    Snapshots.expire(spark, src, retainLast = 1) // the tag keeps v1 alive
+    Replicate.replicate(spark, src, dst)
+    val rows = Snapshots.read(spark, Refs.branchLoc(dst, "wip"))
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(rows == ((1L to 80L) :+ 600L),
+      s"re-seeded branch must carry the NEW chain: $rows")
+    assert(Snapshots.read(spark, Refs.branchLoc(dst, "wip"))
+      .filter(col("id") === 500L).count() == 0,
+      "the old branch's commit must not survive the re-seed")
+    // tag liveness: the pinned v1 manifest survived the source expire,
+    // shipped, and time-travels at the replica by name
+    assert(Refs.tagVersion(spark, dst, "pin").contains(1L))
+    assert(Snapshots.read(spark, dst,
+      Refs.tagVersion(spark, dst, "pin").get).count() == 50L)
+  }
+
   test("a bucket-layout table replicates co-partitioned: layout header + routed paths") {
     import spark.implicits._
     val src = s"$root/src4"; val dst = s"$root/dst4"
