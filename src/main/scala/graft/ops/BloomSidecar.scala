@@ -53,6 +53,10 @@ object BloomSidecar {
     new Path(new Path(loc, "_manifests"), f"v$version%05d.gbloom.txt")
   private[graft] def gramDataPath(loc: String, version: Long) =
     new Path(new Path(loc, "_manifests"), f"v$version%05d.gbloom.parquet")
+  private[graft] def ndvHeaderPath(loc: String, version: Long) =
+    new Path(new Path(loc, "_manifests"), f"v$version%05d.ndv.txt")
+  private[graft] def ndvDataPath(loc: String, version: Long) =
+    new Path(new Path(loc, "_manifests"), f"v$version%05d.ndv.parquet")
 
   /** Per-group builder: buffers the distinct xxhash64 values (nulls —
     * from NULL column values — are skipped; equality never matches NULL),
@@ -173,6 +177,114 @@ object BloomSidecar {
       })
   }
 
+  /** Compute and attach per-file DISTINCT-COUNT sketches for `cols`
+    * (`v<NNNNN>.ndv.parquet`, one [[graft.functions.HllSketch]] summary
+    * per (file, column)) — what turns the CBO's ndv into a STORED FACT
+    * instead of a guess: registers union losslessly across files
+    * ([[ndvCounts]]), so the table-level distinct count is exact while
+    * the union stays in the sketch's sparse regime (≤ 2^p/4 distinct
+    * keys) and a proven ±1.04/√2^p estimate beyond — never a heuristic,
+    * absent when any active file lacks a sketch. Values hash through
+    * the sidecar family's shared `xxhash64(CAST(col AS STRING))`
+    * convention; NULLs don't count (`count(DISTINCT c)` semantics).
+    * Same O(delta) inherit/fold lifecycle as the Bloom sidecars; a
+    * precision mismatch refuses inheritance (summaries of different `p`
+    * cannot merge). */
+  def attachNdv(s: SparkSession, loc: String, version: Long,
+                cols: Seq[String], p: Int = 12): Unit = {
+    require(cols.nonEmpty, "attachNdv needs at least one column")
+    require(p >= 4 && p <= 16, s"HLL precision $p out of [4, 16]")
+    graft.functions.GraftFunctions.register(s) // idempotent
+    val normU = udf((pth: String) => Snapshots.normPath(pth))
+    attachCore(s, loc, version, cols, fpp = 0.0,
+      ndvHeaderPath(loc, _), ndvDataPath(loc, _),
+      extraHeader = s"#p=$p\n",
+      accept = _.p == p,
+      build = { fresh =>
+        val schema = Snapshots.versionSchema(s, loc, version)
+        def sk(c: String) = expr(
+          s"graft_hll(CASE WHEN `$c` IS NOT NULL THEN " +
+            s"xxhash64(CAST(`$c` AS STRING)) END, $p)")
+        Snapshots.readData(s, fresh, schema)
+          .groupBy(input_file_name().as("file"))
+          .agg(sk(cols.head).as("sk0"),
+            cols.tail.zipWithIndex.map { case (c, i) =>
+              sk(c).as(s"sk${i + 1}") }: _*)
+          .select(normU(col("file")).as("file"),
+            explode(array(cols.zipWithIndex.map { case (c, i) =>
+              struct(lit(c).as("column"), col(s"sk$i").as("bits")) }: _*)).as("e"))
+          .select(col("file"), col("e.column").as("column"), col("e.bits").as("bits"))
+      })
+  }
+
+  /** The versions whose ndv parquets a version's sidecar references —
+    * expire's carry-liveness, like [[baseVersions]]. */
+  private[graft] def ndvBaseVersions(s: SparkSession, loc: String,
+                                     version: Long): Seq[Long] = {
+    val hp = ndvHeaderPath(loc, version)
+    val f = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(hp)) Nil else readHeader(s, hp).base
+  }
+
+  // table-level ndv per (loc, version, active-set): sidecars are
+  // immutable, so each distinct pruned shape pays the merge job once
+  private val ndvCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Int), Map[String, Long]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Int), Map[String, Long]]): Boolean =
+        size() > 256
+    })
+
+  /** Table-level distinct counts over exactly `files`, provable from the
+    * ndv sidecar: a distributed register-union per covered column (the
+    * driver receives one summary per column, never per file), reported
+    * ONLY for columns where every active file has a sketch — the same
+    * exact-or-absent contract as the rest of the CBO feed. Sparse-regime
+    * unions are exact; dense ones carry the standard HLL bound. */
+  private[graft] def ndvCounts(s: SparkSession, loc: String, version: Long,
+                               files: Seq[String]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    try {
+      val hp = ndvHeaderPath(loc, version)
+      val f = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!f.exists(hp)) return Map.empty
+      val header = readHeader(s, hp)
+      if (header.cols.isEmpty || header.p < 4) return Map.empty
+      val paths = header.base.map(ndvDataPath(loc, _))
+      if (paths.isEmpty || !paths.forall(f.exists)) return Map.empty
+      val active = files.map(Snapshots.normPath).sorted
+      val key = (Snapshots.normPath(loc), version,
+        scala.util.hashing.MurmurHash3.orderedHash(active))
+      val hit = ndvCache.get(key)
+      if (hit != null) return hit
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s) // idempotent
+      val mergeSk = expr(s"graft_hll_merge(bits, ${header.p})")
+      val rows = s.read.parquet(paths.map(_.toString): _*)
+        .join(broadcast(active.toDF("__keep")),
+          col("file") === col("__keep"), "left_semi")
+        .groupBy(col("column"))
+        .agg(mergeSk.as("sk"),
+          countDistinct(col("file")).as("nf"),
+          (count(lit(1)) - count(col("bits"))).as("nulls"))
+        .collect()
+      val out: Map[String, Long] = rows.iterator.flatMap { r =>
+        // coverage: a sketch for EVERY active file, none of them null
+        if (r.getAs[Long]("nf") == active.length && r.getAs[Long]("nulls") == 0L)
+          Some(r.getAs[String]("column") ->
+            graft.functions.DistinctSketch.Summary
+              .fromBytes(r.getAs[Array[Byte]]("sk")).estimate())
+        else None
+      }.toMap
+      ndvCache.put(key, out)
+      out
+    } catch {
+      // a racing re-attach/expire between exists() and read: ndv is an
+      // optimizer hint surface — absent beats wrong or thrown
+      case scala.util.control.NonFatal(_) => Map.empty
+    }
+  }
+
   /** The shared sidecar lifecycle: inherit covered files by reference
     * from the prior chain, build filter rows for fresh files only, fold
     * the chain when it exceeds [[CompactChain]], publish data-then-header
@@ -181,7 +293,8 @@ object BloomSidecar {
                          cols: Seq[String], fpp: Double,
                          hp: Long => Path, dp: Long => Path,
                          extraHeader: String,
-                         build: Seq[String] => DataFrame): Unit = {
+                         build: Seq[String] => DataFrame,
+                         accept: Header => Boolean = _ => true): Unit = {
     val files = Snapshots.versionFiles(s, loc, version)
     if (files.isEmpty) return
     val f = hp(version).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -191,7 +304,10 @@ object BloomSidecar {
     // re-attach) or the previous version's, where the column set matches
     val prior: Seq[Long] = Seq(version, version - 1)
       .filter(v => v >= 1 && f.exists(hp(v)))
-      .find(v => readHeader(s, hp(v)).cols == cols)
+      .find { v =>
+        val h = readHeader(s, hp(v))
+        h.cols == cols && accept(h)
+      }
       .map(v => readHeader(s, hp(v)).base.filter(b => f.exists(dp(b))))
       .getOrElse(Nil)
     val covered: Set[String] =
@@ -243,7 +359,8 @@ object BloomSidecar {
     Snapshots.invalidateMeta(s, hp(version))
   }
 
-  private case class Header(cols: Seq[String], base: Seq[Long], gram: Int)
+  private case class Header(cols: Seq[String], base: Seq[Long], gram: Int,
+                            p: Int)
 
   /** Parse a sidecar header; a legacy header without `#base=` covers its
     * files from its own version's parquet. */
@@ -260,7 +377,8 @@ object BloomSidecar {
       tag("cols").map(_.split(',').toSeq).getOrElse(Nil),
       tag("base").map(_.split(',').toSeq.flatMap(_.toLongOption))
         .getOrElse(version.toLongOption.toSeq),
-      tag("gram").flatMap(_.toIntOption).getOrElse(0))
+      tag("gram").flatMap(_.toIntOption).getOrElse(0),
+      tag("p").flatMap(_.toIntOption).getOrElse(0))
   }
 
   /** The versions whose bloom parquets a version's sidecar references —

@@ -292,8 +292,8 @@ object Replicate {
       }.mkString("", "\n", "\n")
       writeText(new Path(dstMd, f"v$version%05d.stats.txt"), text)
     }
-    // Bloom / gram sidecars: parquet first, header last
-    Seq("bloom", "gbloom").foreach { kind =>
+    // Bloom / gram / ndv sidecars: parquet first, header last
+    Seq("bloom", "gbloom", "ndv").foreach { kind =>
       val srcHdr = new Path(srcMd, f"v$version%05d.$kind.txt")
       val srcDat = new Path(srcMd, f"v$version%05d.$kind.parquet")
       if (sf.exists(srcHdr) && sf.exists(srcDat)) {

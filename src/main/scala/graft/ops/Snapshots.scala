@@ -2223,16 +2223,18 @@ object Snapshots {
     * second the Bloom columns (possibly empty). */
   def setAutoStats(s: SparkSession, loc: String, cols: Seq[String],
                    bloomCols: Seq[String] = Nil,
-                   gramCols: Seq[String] = Nil): Unit = {
-    require(cols.nonEmpty || bloomCols.nonEmpty || gramCols.nonEmpty,
-      "auto-stats needs at least one column")
+                   gramCols: Seq[String] = Nil,
+                   ndvCols: Seq[String] = Nil): Unit = {
+    require(cols.nonEmpty || bloomCols.nonEmpty || gramCols.nonEmpty ||
+      ndvCols.nonEmpty, "auto-stats needs at least one column")
     val f = fs(s, loc)
     f.mkdirs(manifestDir(loc))
     val tmp = new Path(manifestDir(loc),
       s"_tmp_autostats_${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write((cols.mkString(",") + "\n" + bloomCols.mkString(",") + "\n" +
-      gramCols.mkString(",") + "\n").getBytes("UTF-8"))
+      gramCols.mkString(",") + "\n" + ndvCols.mkString(",") + "\n")
+      .getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, autoStatsPath(loc))) { // overwrite-by-replace
       f.delete(autoStatsPath(loc), false)
@@ -2244,6 +2246,7 @@ object Snapshots {
       if (cols.nonEmpty) attachStats(s, loc, v, cols)
       if (bloomCols.nonEmpty) BloomSidecar.attachBlooms(s, loc, v, bloomCols)
       if (gramCols.nonEmpty) BloomSidecar.attachGramBlooms(s, loc, v, gramCols)
+      if (ndvCols.nonEmpty) BloomSidecar.attachNdv(s, loc, v, ndvCols)
     }
   }
 
@@ -2268,6 +2271,11 @@ object Snapshots {
   def autoGramCols(s: SparkSession, loc: String): Option[Seq[String]] =
     policyLine(s, loc, 2)
 
+  /** The table's declared auto-NDV columns (distinct-sketch sidecar
+    * feeding the CBO's distinctCount), if any. */
+  def autoNdvCols(s: SparkSession, loc: String): Option[Seq[String]] =
+    policyLine(s, loc, 3)
+
   /** Best-effort post-commit refresh of the declared sidecars: the commit
     * is already published, so a maintenance failure must not fail the
     * statement — queries merely lose pruning until the next refresh
@@ -2277,13 +2285,15 @@ object Snapshots {
     val stats = autoStatsCols(s, loc)
     val blooms = autoBloomCols(s, loc)
     val grams = autoGramCols(s, loc)
-    if (stats.isEmpty && blooms.isEmpty && grams.isEmpty) return
+    val ndvs = autoNdvCols(s, loc)
+    if (stats.isEmpty && blooms.isEmpty && grams.isEmpty && ndvs.isEmpty) return
     try {
       val v = latestVersion(s, loc)
       if (v > 0 && versionFiles(s, loc, v).nonEmpty) {
         stats.foreach(cols => attachStats(s, loc, v, cols))
         blooms.foreach(cols => BloomSidecar.attachBlooms(s, loc, v, cols))
         grams.foreach(cols => BloomSidecar.attachGramBlooms(s, loc, v, cols))
+        ndvs.foreach(cols => BloomSidecar.attachNdv(s, loc, v, cols))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -2706,15 +2716,20 @@ object Snapshots {
       kept.flatMap { case (v, _) => BloomSidecar.baseVersions(s, loc, v) }.toSet
     val keptGramBases: Set[Long] =
       kept.flatMap { case (v, _) => BloomSidecar.gramBaseVersions(s, loc, v) }.toSet
+    val keptNdvBases: Set[Long] =
+      kept.flatMap { case (v, _) => BloomSidecar.ndvBaseVersions(s, loc, v) }.toSet
     dropped.foreach { case (v, p) =>
       f.delete(p, false)
       f.delete(statsPath(loc, v), false) // zone-map sidecar goes with it
       f.delete(BloomSidecar.headerPath(loc, v), false) // bloom sidecar too
       f.delete(BloomSidecar.gramHeaderPath(loc, v), false)
+      f.delete(BloomSidecar.ndvHeaderPath(loc, v), false)
       if (!keptBloomBases.contains(v))
         f.delete(BloomSidecar.dataPath(loc, v), true)
       if (!keptGramBases.contains(v))
         f.delete(BloomSidecar.gramDataPath(loc, v), true)
+      if (!keptNdvBases.contains(v))
+        f.delete(BloomSidecar.ndvDataPath(loc, v), true)
     }
     val dataRoot = new Path(loc, "data")
     val orphanHorizon = System.currentTimeMillis() - orphanGraceMs

@@ -254,10 +254,12 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
     // maintains its sidecars
     def csv(key: String): Seq[String] = Option(properties.get(key))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val (statCols, bloomCols, gramCols) =
-      (csv("stats.columns"), csv("bloom.columns"), csv("gram.columns"))
-    if (statCols.nonEmpty || bloomCols.nonEmpty || gramCols.nonEmpty)
-      Snapshots.setAutoStats(spark, loc, statCols, bloomCols, gramCols)
+    val (statCols, bloomCols, gramCols, ndvCols) =
+      (csv("stats.columns"), csv("bloom.columns"), csv("gram.columns"),
+        csv("ndv.columns"))
+    if (statCols.nonEmpty || bloomCols.nonEmpty || gramCols.nonEmpty ||
+        ndvCols.nonEmpty)
+      Snapshots.setAutoStats(spark, loc, statCols, bloomCols, gramCols, ndvCols)
     // CHECK constraints at birth: TBLPROPERTIES ('check.<name>'='<pred>')
     // is CALL add_constraint folded into the CREATE (the table is empty,
     // so add-time validation is trivially satisfied)

@@ -34,7 +34,7 @@ object SnapshotProcedures {
   val names: Seq[String] =
     Seq("optimize", "optimize_small", "expire", "attach_stats",
       "attach_blooms", "auto_stats", "cluster", "bucket", "migrate",
-      "delete_mor", "rollback", "attach_grams",
+      "delete_mor", "rollback", "attach_grams", "attach_ndv",
       "branch", "fast_forward", "drop_branch", "tag", "drop_tag",
       "add_constraint", "drop_constraint", "optimize_buckets",
       "bucket_split", "fold_dvs")
@@ -151,6 +151,21 @@ object SnapshotProcedures {
     val v = Snapshots.latestVersion(spark, loc)
     graft.ops.BloomSidecar.attachGramBlooms(spark, loc, v, cols,
       gram = input.getInt(2))
+    Seq[Any](v, cols.length)
+  }
+
+  /** Distinct-count sketch sidecar ([[graft.ops.BloomSidecar.attachNdv]])
+    * — per-file HLL summaries whose register-union feeds the CBO an
+    * exact-or-bounded `distinctCount`, unlocking equality-selectivity
+    * and join-cardinality estimation without guessed ndv. */
+  private val attachNdv = procedure("attach_ndv",
+    Seq(in("table", StringType), in("columns", StringType),
+      inDefault("p", IntegerType, "12")),
+    StructType(Seq(StructField("version", LongType),
+      StructField("columns", IntegerType)))) { (loc, input) =>
+    val cols = str(input, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val v = Snapshots.latestVersion(spark, loc)
+    graft.ops.BloomSidecar.attachNdv(spark, loc, v, cols, input.getInt(2))
     Seq[Any](v, cols.length)
   }
 
@@ -370,15 +385,17 @@ object SnapshotProcedures {
   private val autoStats = procedure("auto_stats",
     Seq(in("table", StringType), in("columns", StringType),
       inDefault("bloom_columns", StringType, "''"),
-      inDefault("gram_columns", StringType, "''")),
+      inDefault("gram_columns", StringType, "''"),
+      inDefault("ndv_columns", StringType, "''")),
     StructType(Seq(StructField("version", LongType),
       StructField("columns", IntegerType)))) { (loc, input) =>
     val cols = str(input, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val blooms = str(input, 2).split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val grams = str(input, 3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    Snapshots.setAutoStats(spark, loc, cols, blooms, grams)
+    val ndvs = str(input, 4).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    Snapshots.setAutoStats(spark, loc, cols, blooms, grams, ndvs)
     Seq[Any](Snapshots.latestVersion(spark, loc),
-      cols.length + blooms.length + grams.length)
+      cols.length + blooms.length + grams.length + ndvs.length)
   }
 
   /** Metadata-only undo ([[Snapshots.rollback]]): `CALL
@@ -463,6 +480,7 @@ object SnapshotProcedures {
     "migrate" -> migrateTable, "delete_mor" -> deleteMor,
     "fold_dvs" -> foldDvs,
     "rollback" -> rollbackTable, "attach_grams" -> attachGrams,
+    "attach_ndv" -> attachNdv,
     "branch" -> branchTable, "fast_forward" -> fastForward,
     "drop_branch" -> dropBranch, "tag" -> tagTable, "drop_tag" -> dropTag,
     "add_constraint" -> addConstraint, "drop_constraint" -> dropConstraint,

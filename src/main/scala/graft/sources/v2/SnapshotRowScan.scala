@@ -202,10 +202,15 @@ private[v2] class SnapshotRowScanBuilder(spark: SparkSession, schema: StructType
 
 private[v2] object SnapshotRowScan {
 
-  /** DSv2 column statistics from the stats sidecar
-    * ([[Snapshots.sidecarColumnStats]]): exact min/max/nullCount per
-    * provable covered column — what CBO filter-selectivity estimation
-    * consumes. Values are Catalyst-internal (the V1 ColumnStat shape). */
+  /** DSv2 column statistics from the sidecars: exact min/max/nullCount
+    * per provable covered column ([[Snapshots.sidecarColumnStats]]) plus
+    * distinctCount from the ndv sketch sidecar
+    * ([[graft.ops.BloomSidecar.ndvCounts]] — register-union over exactly
+    * the active files, exact-or-absent like everything else). The ndv
+    * merge is a small Spark job, so it runs only when the CBO is ON (the
+    * only consumer of distinctCount) and never on DV-bearing versions
+    * (sketch counts are physical). Values are Catalyst-internal (the V1
+    * ColumnStat shape). */
   private[graft] def v2ColumnStats(spark: SparkSession, loc: String,
                                    version: Long, files: Seq[String],
                                    dvs: Seq[String])
@@ -213,17 +218,29 @@ private[v2] object SnapshotRowScan {
                       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
     val m = new java.util.HashMap[NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-    Snapshots.sidecarColumnStats(spark, loc, version, files, dvs).foreach {
-      case (c, _, mn, mx, nulls) =>
-        m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
-          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-            override def min(): java.util.Optional[Object] =
-              java.util.Optional.ofNullable(mn.asInstanceOf[Object])
-            override def max(): java.util.Optional[Object] =
-              java.util.Optional.ofNullable(mx.asInstanceOf[Object])
-            override def nullCount(): java.util.OptionalLong =
-              java.util.OptionalLong.of(nulls)
-          })
+    val base: Seq[(String, Any, Any, Long)] =
+      Snapshots.sidecarColumnStats(spark, loc, version, files, dvs)
+        .map { case (c, _, mn, mx, nulls) => (c, mn, mx, nulls) }
+    val ndv: Map[String, Long] =
+      if (dvs.nonEmpty || !spark.sessionState.conf.cboEnabled) Map.empty
+      else graft.ops.BloomSidecar.ndvCounts(spark, loc, version, files)
+    val baseCols = base.map(_._1).toSet
+    val rows = base ++ ndv.keysIterator.filterNot(baseCols)
+      .map(c => (c, null: Any, null: Any, -1L))
+    rows.foreach { case (c, mn, mx, nulls) =>
+      m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+          override def min(): java.util.Optional[Object] =
+            java.util.Optional.ofNullable(mn.asInstanceOf[Object])
+          override def max(): java.util.Optional[Object] =
+            java.util.Optional.ofNullable(mx.asInstanceOf[Object])
+          override def nullCount(): java.util.OptionalLong =
+            if (nulls < 0) java.util.OptionalLong.empty()
+            else java.util.OptionalLong.of(nulls)
+          override def distinctCount(): java.util.OptionalLong =
+            ndv.get(c).map(java.util.OptionalLong.of)
+              .getOrElse(java.util.OptionalLong.empty())
+        })
     }
     m
   }

@@ -126,6 +126,45 @@ class BloomSidecarSpec extends SparkTestBase {
       Seq("100000")).length < all.length)
   }
 
+  test("ndv sidecar: exact sparse union, O(delta) inherit, coverage-or-absent") {
+    import spark.implicits._
+    val loc = "/tmp/graft-test/ndv_incr"
+    fixture(loc) // 4000 rows over 8 files; grp has 17 distinct, k 4000
+    BloomSidecar.attachNdv(spark, loc, 1L, Seq("grp", "k"))
+    val files1 = Snapshots.versionFiles(spark, loc, 1L)
+    val n1 = BloomSidecar.ndvCounts(spark, loc, 1L, files1)
+    // sparse regime (17 and 4000 are both <= 2^12/4 per file... k is not:
+    // 4000 distinct total but ~500 per file — each per-file summary is
+    // sparse, and the UNION crosses the bound into dense) — grp is exact;
+    // k's dense estimate stays inside the published 1.04/sqrt(4096) bound
+    assert(n1("grp") == 17L, s"sparse union must be exact: ${n1("grp")}")
+    assert(math.abs(n1("k") - 4000L) <= 4000L * 0.05, s"k ndv: ${n1("k")}")
+    // O(delta): the append's refresh scans only the fresh file
+    val f = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1Path = BloomSidecar.ndvDataPath(loc, 1L)
+    val v1Mtime = f.listStatus(v1Path).map(_.getModificationTime).toSeq
+    Snapshots.commitAppend(
+      Seq((100000L, "name_x", 99)).toDF("k", "name", "grp"), loc)
+    BloomSidecar.attachNdv(spark, loc, 2L, Seq("grp", "k"))
+    assert(spark.read.parquet(BloomSidecar.ndvDataPath(loc, 2L).toString)
+      .select("file").distinct().count() == 1,
+      "delta must hold only the fresh file's sketches")
+    assert(f.listStatus(v1Path).map(_.getModificationTime).toSeq === v1Mtime,
+      "carried sketch parquet must not be rewritten")
+    val files2 = Snapshots.versionFiles(spark, loc, 2L)
+    val n2 = BloomSidecar.ndvCounts(spark, loc, 2L, files2)
+    assert(n2("grp") == 18L, s"union after append must see the new value: $n2")
+    // coverage-or-absent: a pruned subset still answers (per-file
+    // sketches union over exactly the asked files)...
+    val sub = BloomSidecar.ndvCounts(spark, loc, 2L, files2.take(3))
+    assert(sub.contains("grp") && sub("grp") <= 18L)
+    // ...but a file list the sidecar never covered reports nothing
+    assert(BloomSidecar.ndvCounts(spark, loc, 2L,
+      files2 :+ "/tmp/ghost/part-none.parquet").isEmpty)
+    // and a missing sidecar version reports nothing (no throw)
+    assert(BloomSidecar.ndvCounts(spark, loc, 3L, files2).isEmpty)
+  }
+
   test("a no-change re-attach is a pure no-op on the data parquets") {
     val loc = "/tmp/graft-test/bloom_noop"
     fixture(loc)

@@ -134,6 +134,61 @@ class CboStatsSpec extends SparkTestBase {
     }
   }
 
+  test("ndv sketch sidecar: equality selectivity flips the join to broadcast") {
+    import spark.implicits._
+    val factLoc = freshTable("t_ndvfact")
+    val otherLoc = freshTable("t_ndvother")
+    // fact: 100k rows, grp holds 500 distinct values -> `grp = k` keeps
+    // ~200 rows; without ndv the CBO cannot estimate the equality and
+    // the filter passes through at full size
+    Snapshots.commitAppend((1L to 100000L)
+      .map(i => (i, i % 500L, s"payload_$i")).toDF("id", "grp", "pay")
+      .repartition(4), factLoc)
+    Snapshots.commitAppend((1L to 100000L).map(i => (i, s"o$i")).toDF("id", "ov")
+      .repartition(4), otherLoc)
+    Snapshots.setAutoStats(spark, factLoc, Seq("id", "grp"))
+    Snapshots.setAutoStats(spark, otherLoc, Seq("id"))
+    val q = """SELECT o.ov, f.pay FROM cbocat.t_ndvother o
+              |JOIN cbocat.t_ndvfact f ON o.id = f.id
+              |WHERE f.grp = 7""".stripMargin
+    def withConf[T](kv: (String, String)*)(body: => T): T = {
+      val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kv.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally olds.foreach { case (k, o) =>
+        o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+    def plan(): String = withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString)(
+      spark.sql(q).queryExecution.sparkPlan.toString)
+    // WITHOUT the ndv sidecar: no equality estimate, both sides plan at
+    // full size over the 64 KB threshold -> sort-merge
+    val before = plan()
+    assert(before.contains("SortMergeJoin") && !before.contains("BroadcastHashJoin"),
+      s"without ndv the filtered fact must not be broadcastable:\n$before")
+    // attach the sketch sidecar: 500 distinct is inside the sparse
+    // regime, so the reported ndv is EXACT and grp = 7 estimates ~200
+    // rows -> the filtered fact side broadcasts
+    graft.ops.BloomSidecar.attachNdv(spark, factLoc,
+      Snapshots.latestVersion(spark, factLoc), Seq("grp"))
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val ndv = spark.table("cbocat.t_ndvfact").queryExecution
+        .optimizedPlan.stats.attributeStats
+        .find(_._1.name == "grp").flatMap(_._2.distinctCount)
+      assert(ndv.contains(BigInt(500)),
+        s"sparse-regime ndv must be exact: $ndv")
+    }
+    val after = plan()
+    assert(after.contains("BroadcastHashJoin"),
+      s"with ndv the ~200-row filtered fact must broadcast:\n$after")
+    // and both plans return exactly the same rows
+    val expect = (1L to 100000L).count(_ % 500L == 7L)
+    assert(spark.sql(q).count() == expect)
+    withConf("spark.sql.cbo.enabled" -> "true")(
+      assert(spark.sql(q).count() == expect))
+  }
+
   test("CBO reorders a 3-table join with sidecar counts, written order without") {
     import spark.implicits._
     val bigLoc = freshTable("t_big")
