@@ -31,6 +31,11 @@ object Sessions {
 
   def withDefaults(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // the engine's extensions (native expressions + persisted-view
+      // DDL/substitution for snapshot catalogs) ship with every session
+      // this factory builds — users outside it set spark.sql.extensions
+      // themselves (GraftExtensions scaladoc)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -17,6 +17,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // persisted views over the snapshot catalog: CREATE/DROP VIEW on a
+    // SnapshotCatalog identifier become catalog commands; stored
+    // definitions substitute at read (graft.sources.v2.SnapshotViews)
+    ext.injectParser((session, delegate) =>
+      new graft.sources.v2.SnapshotViewParser(session, delegate))
+    ext.injectResolutionRule(session =>
+      graft.sources.v2.SnapshotViewSubstitution(session))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),

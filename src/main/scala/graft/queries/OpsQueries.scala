@@ -664,6 +664,51 @@ object OpsQueries {
             |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** PERSISTED VIEWS through pure SQL ([[graft.ops.Views]] +
+    * [[graft.sources.v2.SnapshotViewSubstitution]]): `CREATE VIEW` over
+    * the snapshot catalog stores the text as a versioned metadata
+    * object; reads re-parse it in place (late binding). The fixture
+    * layers a filtering view, an aggregating view OVER that view with
+    * declared column aliases, and an in-query pin that a view wrapping
+    * `VERSION AS OF 1` keeps reading version 1 after the base advances —
+    * the oracle certifies the nested-view read's content. */
+  private def snapshotSqlView(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    Seq("orders_vw", "v_open", "v_open_by_prio", "v_seed_count").foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$n")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 3 === 0), s"$root/orders_vw") // v1
+    s.sql("""CREATE VIEW graft_snap_dml.v_seed_count AS
+            |SELECT count(*) AS n
+            |FROM graft_snap_dml.orders_vw VERSION AS OF 1""".stripMargin)
+    graft.ops.Snapshots.commitAppend(
+      o.filter(col("o_orderkey") % 3 === 1), s"$root/orders_vw") // v2
+    // the pin is IN the view text: v1's count survives the append
+    val pinned = s.sql("SELECT n FROM graft_snap_dml.v_seed_count")
+      .head().getLong(0)
+    val expectV1 = o.filter(col("o_orderkey") % 3 === 0).count()
+    require(pinned == expectV1,
+      s"view over VERSION AS OF 1 read $pinned rows, expected $expectV1")
+    s.sql("""CREATE VIEW graft_snap_dml.v_open AS
+            |SELECT o_orderkey, o_orderpriority, o_totalprice
+            |FROM graft_snap_dml.orders_vw
+            |WHERE o_orderstatus = 'O'""".stripMargin)
+    s.sql("""CREATE OR REPLACE VIEW graft_snap_dml.v_open_by_prio
+            |  (prio, n_open, max_price) AS
+            |SELECT o_orderpriority, count(*),
+            |  CAST(round(max(o_totalprice) * 100) AS BIGINT)
+            |FROM graft_snap_dml.v_open GROUP BY o_orderpriority""".stripMargin)
+    s.sql("""SELECT prio, n_open, max_price
+            |FROM graft_snap_dml.v_open_by_prio
+            |ORDER BY prio""".stripMargin)
+  }
+
   /** RANGE retention through PURE SQL: `DELETE FROM t WHERE ts < cutoff`
     * takes the sidecar-classified path ([[graft.ops.Snapshots.commitDeleteRange]])
     * — files whose [min, max] sits wholly under the cutoff DROP from the
@@ -2270,6 +2315,13 @@ object OpsQueries {
              |WHERE (o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
              |   OR o_orderkey % 3 = 1
              |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_sql_view", snapshotSqlView,
+      Some("""SELECT o_orderpriority AS prio, count(*) AS n_open,
+             |  CAST(round(max(o_totalprice) * 100) AS BIGINT) AS max_price
+             |FROM orders
+             |WHERE o_orderkey % 3 <= 1 AND o_orderstatus = 'O'
+             |GROUP BY o_orderpriority
+             |ORDER BY prio""".stripMargin)),
     Q("snapshot_sql_replicate_refs", snapshotSqlReplicateRefs,
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              |  o_orderdate, o_orderpriority

@@ -65,6 +65,13 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
     graft.ops.Refs.resolve(
       (root +: (ident.namespace() :+ ident.name()).toSeq).mkString("/"))
 
+  /** Filesystem location of any catalog object (table or view) — what
+    * the view DDL/substitution surface resolves against
+    * ([[SnapshotViews]]); no branch-suffix handling (view names carry
+    * no refs). */
+  private[v2] def objectLocation(ns: Seq[String], name: String): String =
+    (root +: (ns :+ name)).mkString("/")
+
   private def spark: SparkSession = SparkSession.active
 
   /** A directory is a table iff it has published at least one manifest. */
@@ -246,6 +253,9 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
     if (Snapshots.latestVersion(spark, loc) > 0)
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    if (graft.ops.Views.exists(spark, loc))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName) ++ ident.namespace() :+ s"${ident.name()} (a VIEW)")
     Snapshots.createEmpty(spark, loc, schema,
       layout.map(graft.ops.BucketLayout.format))
     // declared stat/Bloom columns at birth: TBLPROPERTIES

@@ -249,4 +249,67 @@ class SnapshotDdlSpec extends SparkTestBase {
       .as[(Long, Double, String)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 1.5, "none"), (2L, 2.5, "set")), got.toString)
   }
+
+  test("persisted views: CREATE/read/REPLACE/DROP, aliases, late binding") {
+    import spark.implicits._
+    init()
+    spark.sql("CREATE TABLE sqlddl.t_vbase (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO sqlddl.t_vbase VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("""CREATE VIEW sqlddl.v_even AS
+                |SELECT id, upper(v) AS uv FROM sqlddl.t_vbase
+                |WHERE id % 2 = 0""".stripMargin)
+    assert(spark.sql("SELECT * FROM sqlddl.v_even").as[(Long, String)]
+      .collect().toSeq == Seq((2L, "B")))
+    // the definition persists as a metadata object, not session state
+    assert(graft.ops.Views.exists(spark, s"$root/v_even"))
+    // late binding: new base rows flow through without any view refresh
+    spark.sql("INSERT INTO sqlddl.t_vbase VALUES (4, 'd')")
+    assert(spark.sql("SELECT count(*) FROM sqlddl.v_even").head().getLong(0) == 2)
+    // a second CREATE refuses; IF NOT EXISTS no-ops; OR REPLACE re-points
+    intercept[Exception](
+      spark.sql("CREATE VIEW sqlddl.v_even AS SELECT 1 AS one"))
+    spark.sql("CREATE VIEW IF NOT EXISTS sqlddl.v_even AS SELECT 1 AS one")
+    assert(spark.sql("SELECT count(*) FROM sqlddl.v_even").head().getLong(0) == 2)
+    spark.sql("""CREATE OR REPLACE VIEW sqlddl.v_even (k, shout) AS
+                |SELECT id, concat(v, '!') FROM sqlddl.t_vbase
+                |WHERE id > 2""".stripMargin)
+    assert(spark.sql("SELECT k, shout FROM sqlddl.v_even ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((3L, "c!"), (4L, "d!")))
+    // nested: a view over a view
+    spark.sql("""CREATE VIEW sqlddl.v_top AS
+                |SELECT k FROM sqlddl.v_even WHERE k = 4""".stripMargin)
+    assert(spark.sql("SELECT * FROM sqlddl.v_top").as[Long]
+      .collect().toSeq == Seq(4L))
+    // an invalid query fails the CREATE, not the first read
+    intercept[Exception](spark.sql(
+      "CREATE VIEW sqlddl.v_bad AS SELECT nope FROM sqlddl.t_vbase"))
+    assert(!graft.ops.Views.exists(spark, s"$root/v_bad"))
+    // name conflicts refuse in both directions
+    intercept[Exception](spark.sql(
+      "CREATE VIEW sqlddl.t_vbase AS SELECT 1 AS one"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE sqlddl.v_even (x INT)"))
+    // DROP: gone for reads; IF EXISTS tolerates absence
+    spark.sql("DROP VIEW sqlddl.v_top")
+    intercept[Exception](spark.sql("SELECT * FROM sqlddl.v_top").collect())
+    intercept[Exception](spark.sql("DROP VIEW sqlddl.v_top"))
+    spark.sql("DROP VIEW IF EXISTS sqlddl.v_top")
+    // session-catalog view DDL still routes to Spark untouched
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_tmp_v AS SELECT 7 AS x")
+    assert(spark.sql("SELECT x FROM graft_tmp_v").head().getInt(0) == 7)
+  }
+
+  test("a view over a time-travel read stays pinned") {
+    import spark.implicits._
+    init()
+    spark.sql("CREATE TABLE sqlddl.t_vtt (id BIGINT)")
+    spark.sql("INSERT INTO sqlddl.t_vtt VALUES (1), (2)") // v2
+    spark.sql("""CREATE VIEW sqlddl.v_pinned AS
+                |SELECT id FROM sqlddl.t_vtt VERSION AS OF 2""".stripMargin)
+    spark.sql("INSERT INTO sqlddl.t_vtt VALUES (3)") // v3
+    // the pin is IN the text: the view keeps reading version 2
+    assert(spark.sql("SELECT id FROM sqlddl.v_pinned ORDER BY id").as[Long]
+      .collect().toSeq == Seq(1L, 2L))
+    assert(spark.sql("SELECT count(*) FROM sqlddl.t_vtt").head().getLong(0) == 3)
+  }
 }
