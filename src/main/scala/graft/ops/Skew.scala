@@ -54,4 +54,76 @@ object Skew {
       .withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Keys holding at least `minShare` of `df`'s rows (at most `k` of
+    * them, hottest first), as typed values ready for [[hotIsolatedJoin]].
+    * One partial-aggregated pass: the map-side combine collapses a hot
+    * key per task before the shuffle, so the exchange carries one row
+    * per DISTINCT key — the standard exact top-k; for a pre-filter that
+    * never shuffles the distinct set there is the Misra–Gries
+    * `graft_heavy_hitters` aggregate, whose guaranteed-count lower
+    * bounds feed the same `hot` list. */
+  def hotKeys(df: DataFrame, key: String, minShare: Double = 0.05,
+              k: Int = 64): Seq[Any] = {
+    require(minShare > 0 && minShare <= 1, s"minShare out of (0,1]: $minShare")
+    val total = df.count()
+    if (total == 0) return Nil
+    df.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= math.ceil(total * minShare).toLong &&
+        col(key).isNotNull)
+      .orderBy(col("_n").desc)
+      .limit(k)
+      .collect().map(_.get(0)).toSeq
+  }
+
+  /** The layout-aware skew join — what [[graft.sources.v2
+    * .SnapshotProcedures]]' `advise_layout` points at when a re-split
+    * cannot help (ONE dominant key keeps its rows together under any
+    * bucket count): isolate the hot keys, join the COLD mass
+    * co-partitioned (two co-bucketed snapshot tables keep their
+    * zero-Exchange storage-partitioned join — the pushed NOT-IN filter
+    * drops hot rows inside the scan), and join the hot keys' rows
+    * against a BROADCAST of the dimension's matching rows — no shuffle
+    * and no single-reducer sort ever touches the hot mass, and the
+    * pushed IN predicate on the layout key bucket-prunes the hot-side
+    * scan to the hot buckets' files (read in parallel per file: scan
+    * partitions are per-file, bucket-grouping happens only when a join
+    * demands it). INNER join semantics (hot/cold branches partition the
+    * key space; NULL keys match nothing in either branch, exactly as
+    * the plain inner join). Exact same rows as `fact.join(dim, key)` —
+    * the probe suite proves it on a Zipf fixture. */
+  def hotIsolatedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                      hot: Seq[Any]): DataFrame = {
+    require(hot.forall(_ != null), "hot keys must be non-null")
+    if (hot.isEmpty) return fact.join(dim, Seq(key))
+    val cold = fact.filter(!col(key).isin(hot: _*))
+      .join(dim.filter(!col(key).isin(hot: _*)), Seq(key))
+    val hotJ = fact.filter(col(key).isin(hot: _*))
+      .join(broadcast(dim.filter(col(key).isin(hot: _*))), Seq(key))
+    cold.unionByName(hotJ)
+  }
+
+  /** [[hotIsolatedJoin]] by CATALOG TABLE names, which unlocks the part
+    * a DataFrame-in API cannot: the hot branch re-reads the fact with
+    * `bucket_grouping=false` (a per-read snapshot-table option), so the
+    * hot keys' rows come through the vectorized parquet delegate at
+    * FILE-SPLIT parallelism instead of one bucket-grouped task per hot
+    * bucket — the hot mass, by definition, lives in few buckets, and a
+    * bucket-granular scan would put the whole straggler back on one
+    * core. The cold branch still reads bucket-grouped and keeps its
+    * zero-Exchange SPJ. */
+  def hotIsolatedJoinTables(s: org.apache.spark.sql.SparkSession,
+                            factTable: String, dimTable: String, key: String,
+                            hot: Seq[Any]): DataFrame = {
+    val fact = s.table(factTable)
+    val dim = s.table(dimTable)
+    require(hot.forall(_ != null), "hot keys must be non-null")
+    if (hot.isEmpty) return fact.join(dim, Seq(key))
+    val cold = fact.filter(!col(key).isin(hot: _*))
+      .join(dim.filter(!col(key).isin(hot: _*)), Seq(key))
+    val hotF = s.read.option("bucket_grouping", "false").table(factTable)
+      .filter(col(key).isin(hot: _*))
+    val hotJ = hotF.join(broadcast(dim.filter(col(key).isin(hot: _*))), Seq(key))
+    cold.unionByName(hotJ)
+  }
 }

@@ -140,8 +140,14 @@ class SnapshotTable(ident: String, spark: SparkSession, loc: String,
     // bucket — co-bucketed tables then join with zero Exchange (SPJ).
     // Gated on the SPJ session flag: without it Spark would ignore the
     // report anyway, so the table reads through the (vectorized) parquet
-    // delegate instead
+    // delegate instead. A per-read `bucket_grouping=false` option
+    // (spark.read.option(...).table(t)) opts ONE relation out of the
+    // report: bucket-grouped scans cap parallelism at the bucket count,
+    // which is right for a co-partitioned join and wrong for a scan that
+    // wants file/split parallelism — the hot branch of
+    // [[graft.ops.Skew.hotIsolatedJoin]] reads this way
     else if (activeLayout.isDefined &&
+        !"false".equalsIgnoreCase(options.get("bucket_grouping")) &&
         spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true")
       new SnapshotRowScanBuilder(spark, schema(), files, dvs, loc,
         snapshotVersion, layout = activeLayout)

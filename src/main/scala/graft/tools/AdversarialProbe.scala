@@ -1152,6 +1152,73 @@ object AdversarialProbe {
       verdict("replicate_incremental_delta", seedW, deltaW, 0.1)
     }
 
+    // ---- hot-isolated skew join ([[graft.ops.Skew.hotIsolatedJoin]]):
+    // a Zipf fact (half the rows on ONE key) co-bucketed with its dim.
+    // The plain storage-partitioned join has no exchange, so AQE's
+    // skew-split never sees it — the hot bucket's single sort-merge task
+    // IS the wall. Isolating the hot key (cold mass stays SPJ, hot rows
+    // stream against a broadcast of the dim's matching row — no sort, no
+    // shuffle) must un-straggle the join >= 2x, with the row set proven
+    // identical by count + checksum (SkewSpec proves exact equality at
+    // spec scale).
+    {
+      val factLoc = "/tmp/graft-probe/skew_fact"
+      val dimLoc = "/tmp/graft-probe/skew_dim"
+      Seq(factLoc, dimLoc).foreach { l =>
+        val p = new org.apache.hadoop.fs.Path(l)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      spark.conf.set("spark.sql.catalog.graft_probe_cat",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_probe_cat.root", "/tmp/graft-probe")
+      // 24M fact rows, 90% on key 0, wide string payload (sort cost is
+      // the straggler's wall); layout + 3 more routed ingest batches
+      def factBatch(lo: Long, hi: Long): DataFrame =
+        spark.range(lo, hi).toDF("id")
+          .withColumn("k", when(col("id") % 10 < 9, 0L)
+            .otherwise(pmod(xxhash64(col("id")), lit(100000L)) + 1L))
+          .withColumn("pay", col("id") * 31L)
+          .withColumn("w",
+            concat(lit("wide-payload-wide-payload-wide-payload-"), col("id")))
+      graft.ops.Snapshots.commitAppend(factBatch(0L, 6000000L), factLoc)
+      graft.ops.Snapshots.commitAppend(
+        spark.range(0L, 100001L).toDF("k")
+          .withColumn("dv", col("k") * 7L), dimLoc)
+      graft.ops.BucketLayout.commitBucketed(spark, factLoc, Seq("k"), Seq(8))
+      graft.ops.BucketLayout.commitBucketed(spark, dimLoc, Seq("k"), Seq(8))
+      (1 to 3).foreach(b => graft.ops.BucketLayout.appendBucketed(spark,
+        factLoc, factBatch(b * 6000000L, (b + 1) * 6000000L)))
+      val fact = spark.table("graft_probe_cat.skew_fact")
+      val dim = spark.table("graft_probe_cat.skew_dim")
+      def checksum(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col("pay") + col("dv"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val noBcast = "spark.sql.autoBroadcastJoinThreshold"
+      val oldT = spark.conf.get(noBcast)
+      spark.conf.set(noBcast, "-1") // the dim is "too big to broadcast whole"
+      try {
+        var base: (Long, Long) = null
+        var isolated: (Long, Long) = null
+        val baseW = time("spj join, zipf-hot bucket (straggler)") {
+          base = checksum(fact.join(dim, Seq("k"))); base._1
+        }
+        val hot = graft.ops.Skew.hotKeys(fact, "k", minShare = 0.25)
+        require(hot == Seq(0L), s"hot-key detection found $hot")
+        val skewW = time("hot-isolated skew join (cold SPJ + hot broadcast)") {
+          isolated = checksum(graft.ops.Skew.hotIsolatedJoinTables(spark,
+            "graft_probe_cat.skew_fact", "graft_probe_cat.skew_dim", "k", hot))
+          isolated._1
+        }
+        require(base == isolated,
+          s"skew join changed the result: $base vs $isolated")
+        println(f"PROBE skew-join un-straggle: ${baseW / skewW}%.2fx")
+        // measured 4.9x on this box; claim >= 2x (model 0.25 x the 2.0
+        // slack = bound 0.5x wall)
+        verdict("spj_skew_join_hot_isolated", baseW, skewW, 0.25)
+      } finally spark.conf.set(noBcast, oldT)
+    }
+
     // ---- hash-gated span trim: on a LOW-DUPLICATION corpus (every word
     // doc-tagged, so no gram repeats across docs) the gram STRINGS never
     // shuffle — only the 24-byte hash-gate rows do. Measured as actual
