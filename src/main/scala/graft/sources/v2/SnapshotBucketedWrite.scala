@@ -77,11 +77,21 @@ private[v2] class SnapshotBucketedWrite(spark: SparkSession, loc: String,
     * bucket vectors across mostly-distinct tasks (expected collisions
     * n/8), cutting the makespan tail to ~1.05x while each bucket still
     * lands whole in ONE task (= one file). Empty partitions schedule
-    * no-op tasks — noise next to a serialized bucket write. Counts past
-    * 1024 stay 1:1: many waves amortize collisions there, and the probe
-    * overhead of 4096+ empty tasks would exceed the win. */
-  override def requiredNumPartitions(): Int =
-    if (spec.buckets <= 1024) spec.buckets * 4 else spec.buckets
+    * no-op tasks — noise next to a serialized bucket write. Collisions
+    * only matter while the routed write fits in a few task WAVES
+    * (tasks ≈ cores — one straggling 2-bucket task extends the
+    * makespan); many waves amortize them, so the over-provision
+    * threshold scales with the cluster: up to 8 waves of cores (floor
+    * 1024 so small layouts behave identically everywhere), beyond that
+    * 1:1 — a 4096-bucket layout over-provisions on the 4000-core
+    * cluster where its ingest IS one wave, and stays 1:1 on the 32-core
+    * box where 128 waves already amortize. */
+  override def requiredNumPartitions(): Int = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (spec.buckets <= math.max(1024, 8 * cores))
+      math.min(spec.buckets * 4, 65536)
+    else spec.buckets
+  }
 
   /** (bucket vector, keys…) ascending: the clustered distribution alone
     * lets a task receive several bucket vectors (they hash into tasks);

@@ -282,6 +282,8 @@ object SnapshotProcedures {
       StructField("hot_bytes", LongType),
       StructField("mean_bytes", LongType),
       StructField("recommended_factor", IntegerType),
+      StructField("needed_factor", LongType),
+      StructField("target_met", org.apache.spark.sql.types.BooleanType),
       StructField("statement", StringType)))) { (loc, input) =>
     val tbl = str(input, 0)
     val targetBytes = input.getInt(1).toLong * 1024 * 1024
@@ -297,15 +299,23 @@ object SnapshotProcedures {
     require(perBucket.nonEmpty, s"$loc: empty layout, nothing to advise")
     val (hotB, hotBytes) = perBucket.maxBy(_._2)
     val mean = math.max(1L, perBucket.map(_._2).sum / spec.buckets)
+    // `needed` is the TRUTH (uncapped); the recommendation stays capped
+    // at one 64x step — a deeper split should be taken in verified
+    // rounds, not one blind 4096x rewrite — and `target_met` says so
+    // instead of silently returning a factor that won't meet the target
     val needed = (hotBytes + targetBytes - 1) / targetBytes
     val factor =
       if (needed <= 1L) 1
       else Integer.highestOneBit(math.min(needed, 64L).toInt * 2 - 1)
+    val met = factor.toLong >= needed
     val stmt =
       if (factor <= 1) "balanced: no action"
-      else s"CALL system.bucket_split('$tbl', $factor)"
+      else s"CALL system.bucket_split('$tbl', $factor)" + (if (met) "" else
+        s" -- capped step of a ${needed}x need: re-advise after it lands;" +
+          " a bucket still hot after splitting is ONE dominant key —" +
+          " join through graft.ops.Skew.hotIsolatedJoin")
     Seq[Any](UTF8String.fromString(spec.columns.mkString(",")),
-      spec.buckets, hotB, hotBytes, mean, factor,
+      spec.buckets, hotB, hotBytes, mean, factor, needed, met,
       UTF8String.fromString(stmt))
   }
 

@@ -257,7 +257,12 @@ class SnapshotProceduresSpec extends SparkTestBase {
       .collect().head
     val factor = advice.getInt(5)
     assert(factor >= 2, s"advisor missed the hot bucket: $advice")
-    assert(advice.getString(6).contains(s"bucket_split('t_advise', $factor)"))
+    assert(advice.getString(8).contains(s"bucket_split('t_advise', $factor)"))
+    // the truth columns: uncapped need + whether the capped step meets it
+    assert(advice.getLong(6) >= factor || advice.getBoolean(7),
+      s"needed/met inconsistent: $advice")
+    assert(advice.getBoolean(7) == (factor.toLong >= advice.getLong(6)),
+      s"target_met must equal factor >= needed: $advice")
     // metadata-only: the advisor reads sidecars, never data (no new version)
     assert(Snapshots.latestVersion(spark, loc) == 2L)
     // apply the recommendation: the straggler task's work drops ~factor-fold
@@ -274,8 +279,9 @@ class SnapshotProceduresSpec extends SparkTestBase {
     spark.sql("CALL sqlproc.system.bucket('t_advise_flat', 'k', 4)")
     val flat = spark.sql("CALL sqlproc.system.advise_layout('t_advise_flat')")
       .collect().head
-    assert(flat.getInt(5) == 1 && flat.getString(6).contains("balanced"),
+    assert(flat.getInt(5) == 1 && flat.getString(8).contains("balanced"),
       s"flat layout advised a split: $flat")
+    assert(flat.getBoolean(7), s"a balanced layout meets its target: $flat")
   }
 
   test("unknown procedure and wrong namespace fail fast with the available list") {
