@@ -186,16 +186,46 @@ object Snapshots {
     throw new IllegalStateException(s"lost the commit race 64 times at $loc")
   }
 
+  // Incremental marker cache: published manifests are immutable, so the
+  // marker set up to a version is a constant — a warm driver's next call
+  // reads headers of NEW manifests only, making the exactly-once replay
+  // check inside every marker-bearing publish (each streaming epoch)
+  // O(delta) instead of O(chain depth). Validated against the LISTING
+  // each call: if the surviving set below the cached tip changed (expire
+  // dropped manifests — their markers are forgotten by contract), the
+  // cache rebuilds from scratch. Keyed per table, bounded.
+  private val markerCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Long, Int, Set[String])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Int, Set[String])]): Boolean =
+        size() > 64
+    })
+
   /** Every commit marker recorded by surviving manifests (markers on
     * expired versions are forgotten with them — size retention to the
     * retention horizon, same as any table format's transaction log).
-    * Cost: one header read per version — markers are `#` HEADER lines,
-    * so no manifest body (the O(live files) part) is ever read. */
-  def markers(s: SparkSession, loc: String): Set[String] =
-    manifests(s, loc).flatMap { case (_, p) =>
-      headerLines(s, p).filter(_.startsWith("#marker="))
-        .map(_.stripPrefix("#marker="))
-    }.toSet
+    * Cost: one directory listing plus a header read per NEW version
+    * since the last call (full sweep on a cold driver or after an
+    * expire) — markers are `#` HEADER lines, so no manifest body (the
+    * O(live files) part) is ever read. */
+  def markers(s: SparkSession, loc: String): Set[String] = {
+    val ms = manifests(s, loc)
+    if (ms.isEmpty) return Set.empty
+    val key = normPath(loc)
+    val cached = markerCache.get(key)
+    val (fromV, baseSet) = cached match {
+      case (cMax, cCount, set)
+        if ms.count(_._1 <= cMax) == cCount => (cMax, set)
+      case _ => (Long.MinValue, Set.empty[String])
+    }
+    val out = baseSet ++ ms.iterator.filter(_._1 > fromV).flatMap {
+      case (_, p) =>
+        headerLines(s, p).filter(_.startsWith("#marker="))
+          .map(_.stripPrefix("#marker="))
+    }
+    markerCache.put(key, (ms.last._1, ms.length, out))
+    out
+  }
 
   /** Publish already-written data files as an APPEND commit — the
     * manifest half of [[commitAppend]], for callers (the DSv2 SQL and

@@ -81,6 +81,37 @@ object ManifestProbe {
     println(f"PROBE liveness fold: ${ms.length} manifests x ~$n2 lines " +
       f"-> set=${live.size} in $tFold%6.2fs, retained heap " +
       f"${(h1 - h0) / 1e6}%.0f MB (set-sized, not concat-sized)")
+
+    // ---- version-CHAIN depth: a commit-per-minute table left
+    // un-expired. Every read lists `_manifests` (O(versions), ONE
+    // directory listing) and every MARKER-bearing publish — each
+    // streaming epoch — consults the marker set. The markers cache
+    // makes that consult O(new manifests) in a warm driver; the first
+    // call after a restart pays the full O(versions) header sweep once.
+    // Small replace-style manifests (1 line each) isolate chain DEPTH
+    // from file count, which the sections above already cover.
+    Seq(10000, 100000).foreach { n =>
+      val loc = s"$base/chain$n"
+      val (_, tBuild) = time((1 to n).foreach { v =>
+        require(Snapshots.tryPublish(spark, loc, v.toLong,
+          Seq(f"$loc/data/c$v%07d/part-0.parquet"),
+          marker = Some(s"epoch-$v")), s"chain build lost v$v")
+      })
+      val (latest, tList) = time(Snapshots.latestVersion(spark, loc))
+      require(latest == n.toLong)
+      val (tipFiles, tTip) = time(Snapshots.versionFiles(spark, loc, n.toLong))
+      require(tipFiles.length == 1)
+      val (mk, tCold) = time(Snapshots.markers(spark, loc))
+      require(mk.size == n, s"marker sweep lost entries: ${mk.size}")
+      val (_, tWarm) = time(Snapshots.markers(spark, loc))
+      // the streaming-epoch shape: a marker-bearing publish at depth n
+      val (_, tEpoch) = time(Snapshots.publishAppend(spark, loc,
+        Seq(s"$loc/data/zz-extra/part-0.parquet"),
+        marker = Some("epoch-extra")))
+      println(f"PROBE chain n=$n%7d: build=$tBuild%7.2fs list=$tList%6.3fs " +
+        f"tip_read=$tTip%6.3fs markers_cold=$tCold%7.2fs " +
+        f"markers_warm=$tWarm%6.3fs epoch_publish=$tEpoch%6.3fs")
+    }
     spark.stop()
   }
 }
