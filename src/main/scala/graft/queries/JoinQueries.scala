@@ -110,6 +110,59 @@ object JoinQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** The hot-isolated skew join as a registry row
+    * ([[graft.ops.Skew.hotIsolatedJoinTables]]): a Zipf fact (every
+    * third order collapses onto key 0) co-bucketed with its dim; the
+    * detected hot key's rows join against a broadcast of the dim's
+    * matching row while the cold mass keeps the zero-Exchange SPJ, and
+    * the DuckDB oracle certifies the result equals the plain join —
+    * the probe suite carries the >= 2x un-straggle claim, this row
+    * carries the exactness. */
+  private def joinSkewIsolated(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val factLoc = s"$root/orders_skf"; val dimLoc = s"$root/orders_skd"
+    Seq(factLoc, dimLoc).foreach { l =>
+      val p = new org.apache.hadoop.fs.Path(l)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(o.select(
+      when(col("o_orderkey") % 3 === 0, 0L)
+        .otherwise(pmod(col("o_custkey"), lit(97L))).as("k"),
+      col("o_orderkey"),
+      cents(col("o_totalprice")).as("price_cents")), factLoc)
+    graft.ops.Snapshots.commitAppend(
+      s.range(0L, 97L).toDF("k")
+        .select(col("k"), concat(lit("d"), col("k")).as("tag")), dimLoc)
+    graft.ops.BucketLayout.commitBucketed(s, factLoc, Seq("k"), Seq(4))
+    graft.ops.BucketLayout.commitBucketed(s, dimLoc, Seq("k"), Seq(4))
+    val hot = graft.ops.Skew.hotKeys(
+      s.table("graft_snap_dml.orders_skf"), "k", minShare = 0.2)
+    require(hot == Seq(0L), s"hot-key detection found $hot")
+    graft.ops.Skew.hotIsolatedJoinTables(s,
+        "graft_snap_dml.orders_skf", "graft_snap_dml.orders_skd", "k", hot)
+      .groupBy(col("k"), col("tag"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("sum_cents"))
+      .orderBy(col("k"))
+  }
+
+  private def joinSkewIsolatedSql: String =
+    s"""WITH fact AS (
+       |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 0
+       |              ELSE o_custkey % 97 END AS k,
+       |    ${sqlCents("o_totalprice")} AS price_cents
+       |  FROM orders),
+       |dim AS (SELECT unnest(range(0, 97)) AS k)
+       |SELECT f.k, 'd' || CAST(d.k AS VARCHAR) AS tag,
+       |  count(*) AS n_orders,
+       |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
+       |FROM fact f JOIN dim d ON f.k = d.k
+       |GROUP BY f.k, d.k
+       |ORDER BY f.k""".stripMargin
+
   /** Theta (non-equi) join — the datajoin contrib's custom-predicate
     * `combine()` generalization: bucket events by value range against a
     * small broadcast ranges table → BroadcastNestedLoopJoin. */
@@ -389,6 +442,7 @@ object JoinQueries {
              |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin)),
     Q("join_theta", joinTheta, Some(joinThetaSql)),
+    Q("join_skew_isolated", joinSkewIsolated, Some(joinSkewIsolatedSql)),
     Q("secondary_sort", secondarySort,
       Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
              |  CAST(row_number() OVER (PARTITION BY o_custkey

@@ -664,6 +664,34 @@ object OpsQueries {
             |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** The ndv sketch sidecar's SPARSE-REGIME EXACTNESS under the hash
+    * gate ([[graft.ops.BloomSidecar.attachNdv]] / `ndvCounts`): per-file
+    * HLL summaries whose register-union is the literal distinct-key SET
+    * while it stays under 2^p/4 keys — so for bounded-cardinality
+    * columns the reported table-level ndv IS `count(DISTINCT …)`,
+    * certified by DuckDB at any scale factor (the fixture's columns are
+    * ≤ 500 distinct by construction, independent of SF). The dense
+    * regime's ±1.04/√2^p bound is spec-pinned (BloomSidecarSpec). */
+  private def snapshotNdvExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    val loc = s"$root/orders_ndv"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, d)
+    graft.ops.Snapshots.commitAppend(o.select(
+      col("o_orderkey"),
+      pmod(col("o_custkey"), lit(500L)).as("ck_mod"),
+      col("o_orderpriority"), col("o_orderstatus")).repartition(4), loc)
+    graft.ops.BloomSidecar.attachNdv(s, loc, 1L,
+      Seq("ck_mod", "o_orderpriority", "o_orderstatus"))
+    val ndv = graft.ops.BloomSidecar.ndvCounts(s, loc, 1L,
+      graft.ops.Snapshots.versionFiles(s, loc, 1L))
+    require(ndv.keySet == Set("ck_mod", "o_orderpriority", "o_orderstatus"),
+      s"sidecar must cover all three columns: ${ndv.keySet}")
+    ndv.toSeq.sortBy(_._1).toDF("col_name", "ndv")
+  }
+
   /** PERSISTED VIEWS through pure SQL ([[graft.ops.Views]] +
     * [[graft.sources.v2.SnapshotViewSubstitution]]): `CREATE VIEW` over
     * the snapshot catalog stores the text as a versioned metadata
@@ -2315,6 +2343,14 @@ object OpsQueries {
              |WHERE (o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
              |   OR o_orderkey % 3 = 1
              |ORDER BY o_orderkey""".stripMargin)),
+    Q("snapshot_ndv_exact", snapshotNdvExact,
+      Some("""SELECT 'ck_mod' AS col_name, count(DISTINCT o_custkey % 500) AS ndv
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_orderpriority', count(DISTINCT o_orderpriority) FROM orders
+             |UNION ALL
+             |SELECT 'o_orderstatus', count(DISTINCT o_orderstatus) FROM orders
+             |ORDER BY col_name""".stripMargin)),
     Q("snapshot_sql_view", snapshotSqlView,
       Some("""SELECT o_orderpriority AS prio, count(*) AS n_open,
              |  CAST(round(max(o_totalprice) * 100) AS BIGINT) AS max_price
