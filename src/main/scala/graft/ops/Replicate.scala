@@ -39,8 +39,9 @@ import org.apache.spark.sql.SparkSession
   *    `file` column, headers last (their crash-safety contract), plus
   *    the auto-stats policy file — so the replica prunes like the
   *    source from the first query. Historical versions' sidecars are
-  *    skipped (pruning is an optimization; the tip is what queries
-  *    read).
+  *    skipped by default (pruning is an optimization; the tip is what
+  *    queries read); `withHistory = true` ships every version's — the
+  *    opt-in for replicas serving pinned time-travel AUDIT reads.
   *
   * Copies distribute across the cluster (foreachPartition, the
   * [[graft.jobs.Programs.distCpLite]] pattern); the driver holds only
@@ -49,13 +50,13 @@ import org.apache.spark.sql.SparkSession
 object Replicate {
 
   def replicate(s: SparkSession, srcLoc: String, dstLoc: String,
-                numTasks: Int = 32): Long = {
+                numTasks: Int = 32, withHistory: Boolean = false): Long = {
     require(Snapshots.manifests(s, srcLoc).nonEmpty,
       s"no committed snapshots at $srcLoc")
     val srcRoot = Snapshots.normPath(srcLoc)
     val dstRoot = Snapshots.normPath(dstLoc)
     require(srcRoot != dstRoot, s"replica location equals the source: $srcRoot")
-    shipChain(s, srcLoc, dstLoc, srcRoot, dstRoot, numTasks)
+    shipChain(s, srcLoc, dstLoc, srcRoot, dstRoot, numTasks, withHistory)
 
     // ---- refs ship with the table (DistCpSync copies the whole tree):
     // each BRANCH is its own manifest chain under the same root rewrite
@@ -71,12 +72,12 @@ object Replicate {
     srcBranches.foreach { b =>
       val sb = Refs.branchLoc(srcLoc, b)
       val db = Refs.branchLoc(dstLoc, b)
-      try shipChain(s, sb, db, srcRoot, dstRoot, numTasks)
+      try shipChain(s, sb, db, srcRoot, dstRoot, numTasks, withHistory)
       catch {
         case _: java.util.ConcurrentModificationException |
              _: IllegalStateException =>
           Refs.dropBranch(s, dstLoc, b)
-          shipChain(s, sb, db, srcRoot, dstRoot, numTasks)
+          shipChain(s, sb, db, srcRoot, dstRoot, numTasks, withHistory)
       }
     }
     // branches the source no longer has leave the replica too — a
@@ -111,7 +112,7 @@ object Replicate {
     * pruning sidecars last. */
   private def shipChain(s: SparkSession, srcLoc: String, dstLoc: String,
                         srcRoot: String, dstRoot: String,
-                        numTasks: Int): Unit = {
+                        numTasks: Int, withHistory: Boolean = false): Unit = {
     val srcMs = Snapshots.manifests(s, srcLoc)
     require(srcMs.nonEmpty, s"no committed snapshots at $srcLoc")
     def rewritePath(p: String): String = {
@@ -190,9 +191,17 @@ object Replicate {
       prevRefs = refs
     }
 
-    // ---- tip sidecars + the auto-stats policy, so the replica prunes ----
+    // ---- tip sidecars + the auto-stats policy, so the replica prunes;
+    // `withHistory` ships every version's sidecars too — the opt-in for
+    // replicas serving pinned time-travel AUDIT reads (without it a
+    // historical read at the replica plans full scans; with it, the
+    // pruning tier travels with each version). Still O(sidecars), never
+    // O(data): every data file already shipped with its version.
     val tip = srcMs.last._1
-    copySidecars(s, srcLoc, dstLoc, tip, rewritePath, srcRoot, dstRoot)
+    val sidecarVersions =
+      if (withHistory) srcMs.map(_._1) else Seq(tip)
+    sidecarVersions.foreach(v =>
+      copySidecars(s, srcLoc, dstLoc, v, rewritePath, srcRoot, dstRoot))
   }
 
   private def copyFiles(s: SparkSession, pairs: Seq[(String, String)],

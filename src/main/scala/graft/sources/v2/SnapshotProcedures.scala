@@ -327,9 +327,11 @@ object SnapshotProcedures {
     * files): the DR / cross-region story at 100 TB. Reference:
     * `hadoop-tools/hadoop-distcp/.../DistCpSync.java` (-diff copy). */
   private val replicateTable = procedure("replicate",
-    Seq(in("table", StringType), in("dst_location", StringType)),
+    Seq(in("table", StringType), in("dst_location", StringType),
+      inDefault("with_history", org.apache.spark.sql.types.BooleanType, "false")),
     StructType(Seq(StructField("version", LongType)))) { (loc, input) =>
-    Seq[Any](graft.ops.Replicate.replicate(spark, loc, str(input, 1)))
+    Seq[Any](graft.ops.Replicate.replicate(spark, loc, str(input, 1),
+      withHistory = input.getBoolean(2)))
   }
 
   private val deleteMor = procedure("delete_mor",

@@ -168,6 +168,35 @@ class ReplicateSpec extends SparkTestBase {
       Refs.tagVersion(spark, dst, "pin").get).count() == 50L)
   }
 
+  test("withHistory ships every version's sidecars; default ships the tip's only") {
+    import spark.implicits._
+    val src = s"$root/src7"; val dstTip = s"$root/dst7a"; val dstAll = s"$root/dst7b"
+    wipe(src, dstTip, dstAll)
+    Snapshots.commitAppend((1L to 300L).map(i => (i, i)).toDF("id", "x")
+      .coalesce(2), src)
+    Snapshots.setAutoStats(spark, src, Seq("id")) // v1 sidecar
+    Snapshots.commitAppend((301L to 600L).map(i => (i, i)).toDF("id", "x")
+      .coalesce(2), src) // v2 + auto sidecar via policy
+    Snapshots.autoStats(spark, src)
+    def hasStats(loc: String, v: Long): Boolean = {
+      val p = new Path(s"$loc/_manifests", f"v$v%05d.stats.txt")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    Replicate.replicate(spark, src, dstTip)
+    assert(hasStats(dstTip, 2L) && !hasStats(dstTip, 1L),
+      "default replicate must ship the TIP sidecar only")
+    Replicate.replicate(spark, src, dstAll, withHistory = true)
+    assert(hasStats(dstAll, 2L) && hasStats(dstAll, 1L),
+      "withHistory must ship every version's sidecars")
+    // the shipped historical sidecar actually PRUNES a pinned read at
+    // the replica: v1's files classify against the replica's own paths
+    val v1Files = Snapshots.versionFiles(spark, dstAll, 1L)
+    val kept = Snapshots.statFiles(spark, dstAll, 1L, v1Files, "id", "1", "5")
+    assert(kept.length < v1Files.length,
+      s"replicated v1 sidecar must prune: ${kept.length}/${v1Files.length}")
+    assert(Snapshots.read(spark, dstAll, 1L).count() == 300L)
+  }
+
   test("a bucket-layout table replicates co-partitioned: layout header + routed paths") {
     import spark.implicits._
     val src = s"$root/src4"; val dst = s"$root/dst4"
