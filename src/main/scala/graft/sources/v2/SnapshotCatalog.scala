@@ -72,6 +72,11 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
   private[v2] def objectLocation(ns: Seq[String], name: String): String =
     (root +: (ns :+ name)).mkString("/")
 
+  /** Location of a namespace directory under the warehouse root (the
+    * `SHOW VIEWS IN <cat>[.<ns>]` listing scope). */
+  private[v2] def namespaceLocation(ns: Seq[String]): String =
+    (root +: ns).mkString("/")
+
   private def spark: SparkSession = SparkSession.active
 
   /** A directory is a table iff it has published at least one manifest. */

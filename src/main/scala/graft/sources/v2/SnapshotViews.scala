@@ -2,10 +2,10 @@ package graft.sources.v2
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedRelation, UnresolvedSubqueryColumnAliases}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -86,6 +86,34 @@ case class DropSnapshotViewCommand(loc: String, name: String,
   }
 }
 
+/** `SHOW VIEWS IN <cat>[.<ns>] [LIKE 'pattern']`: one directory listing
+  * of the namespace — a child is a view iff it has a `_view` log.
+  * Pattern semantics follow Spark's SHOW commands: `*` matches any
+  * chars, `|` separates alternatives, case-insensitive. */
+case class ShowSnapshotViewsCommand(nsLoc: String, ns: Seq[String],
+                                    pattern: Option[String],
+                                    override val output: Seq[Attribute])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = new org.apache.hadoop.fs.Path(nsLoc)
+    val fs = dir.getFileSystem(session.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val names = fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_view")))
+      .map(_.getPath.getName).sorted
+    val keep: String => Boolean = pattern match {
+      case None => _ => true
+      case Some(p) =>
+        val res = p.split('|').map(alt => java.util.regex.Pattern.compile(
+          java.util.regex.Pattern.quote(alt).replace("*", "\\E.*\\Q"),
+          java.util.regex.Pattern.CASE_INSENSITIVE))
+        n => res.exists(_.matcher(n).matches())
+    }
+    names.filter(keep).map(n => Row(ns.mkString("."), n, false))
+  }
+}
+
 /** Parser interceptor: CREATE/DROP VIEW statements addressed at a
   * [[SnapshotCatalog]] become snapshot-view commands; everything else —
   * including view DDL for the session catalog — delegates untouched. */
@@ -115,6 +143,15 @@ class SnapshotViewParser(session: SparkSession, delegate: ParserInterface)
                 dv.ifExists): LogicalPlan
             ).getOrElse(dv)
           case _ => dv
+        }
+      case sv: ShowViews =>
+        sv.namespace match {
+          case UnresolvedNamespace(parts, _) if parts.nonEmpty =>
+            SnapshotViews.snapCatalog(session, parts.head).map(cat =>
+              ShowSnapshotViewsCommand(cat.namespaceLocation(parts.tail),
+                parts.tail, sv.pattern, sv.output): LogicalPlan
+            ).getOrElse(sv)
+          case _ => sv
         }
       case p => p
     }

@@ -294,9 +294,18 @@ class SnapshotDdlSpec extends SparkTestBase {
     intercept[Exception](spark.sql("SELECT * FROM sqlddl.v_top").collect())
     intercept[Exception](spark.sql("DROP VIEW sqlddl.v_top"))
     spark.sql("DROP VIEW IF EXISTS sqlddl.v_top")
+    // SHOW VIEWS lists the catalog's persisted views (pattern = Spark's
+    // SHOW glob: '*' any chars, '|' alternation, case-insensitive)
+    val shown = spark.sql("SHOW VIEWS IN sqlddl").collect()
+      .map(_.getString(1)).toSeq
+    assert(shown == Seq("v_even"), s"SHOW VIEWS: $shown")
+    assert(spark.sql("SHOW VIEWS IN sqlddl LIKE 'V_E*'").count() == 1)
+    assert(spark.sql("SHOW VIEWS IN sqlddl LIKE 'nope|zz*'").count() == 0)
     // session-catalog view DDL still routes to Spark untouched
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_tmp_v AS SELECT 7 AS x")
     assert(spark.sql("SELECT x FROM graft_tmp_v").head().getInt(0) == 7)
+    assert(spark.sql("SHOW VIEWS").collect()
+      .exists(_.getString(1) == "graft_tmp_v"))
   }
 
   test("a view over a time-travel read stays pinned") {
