@@ -322,5 +322,22 @@ object Replicate {
     if (sf.exists(policy))
       writeText(new Path(dstMd, "autostats.cols"),
         Snapshots.manifestLines(s, policy).mkString("", "\n", "\n"))
+    // an MV's definition ships with its base location REWRITTEN when the
+    // base lives under the same catalog root as the MV (the sibling-table
+    // case — both replicate together and the replica refreshes locally);
+    // a base outside the root keeps its spelling, so the replica's
+    // refresh_mv reads the SOURCE base's change feed (cross-region CDC)
+    val mvDef = new Path(srcMd, "mv.def")
+    if (sf.exists(mvDef)) {
+      val lines = Snapshots.manifestLines(s, mvDef)
+      val srcParent = new Path(srcRoot).getParent.toString
+      val dstParent = new Path(dstRoot).getParent.toString
+      val base =
+        if (lines.head.startsWith(srcParent + "/"))
+          dstParent + lines.head.stripPrefix(srcParent)
+        else lines.head
+      writeText(new Path(dstMd, "mv.def"),
+        (base +: lines.tail).mkString("", "\n", "\n"))
+    }
   }
 }

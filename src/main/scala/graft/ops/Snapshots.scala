@@ -507,8 +507,9 @@ object Snapshots {
                          schemaJson: Option[String] = None,
                          lineage: Option[String] = None,
                          layout: Option[String] = None,
+                         mvBase: Option[String] = None,
                          carriedValid: Boolean = false): Boolean = {
-    (marker ++ lineage ++ layout).foreach(m => require(!m.contains("\n") && !m.contains("\r"),
+    (marker ++ lineage ++ layout ++ mvBase).foreach(m => require(!m.contains("\n") && !m.contains("\r"),
       "header values must be single lines"))
     // CHECK-constraint gate (ops/Constraints): every publish path funnels
     // here, so validating the commit's NEW files at this one choke point
@@ -543,6 +544,7 @@ object Snapshots {
       lineage.map(l => s"#lineage=$l\n").getOrElse("") +
       schemaJson.map(j => s"#schema=$j\n").getOrElse("") +
       layout.map(l => s"#layout=$l\n").getOrElse("") +
+      mvBase.map(v => s"#mvbase=$v\n").getOrElse("") +
       dvs.map(d => s"#dv=$d\n").mkString
     try out.write((header + files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()

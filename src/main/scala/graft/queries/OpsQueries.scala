@@ -737,6 +737,50 @@ object OpsQueries {
             |ORDER BY prio""".stripMargin)
   }
 
+  /** Catalog-level MATERIALIZED VIEW maintained INCREMENTALLY from the
+    * base's change feed ([[graft.ops.Mv]], `CALL system.create_mv` /
+    * `refresh_mv`): the base takes two appends and a row-level DELETE
+    * after the MV is built, each refresh folds ONLY the delta (one
+    * partial-agg shuffle over the feed + an MV-sized merge — the base is
+    * never re-read), and the DuckDB oracle recomputes the aggregate from
+    * scratch: the hash gate IS the incremental-==-recompute theorem on
+    * real data. In-query pins: each refresh reports the exact cursor
+    * interval it folded, and a third refresh with nothing new is a
+    * publish-free no-op. Reference contrast: MR job chains re-run the
+    * whole aggregate job on base+delta (SURVEY.md §2.3). */
+  private def snapshotSqlMvIncremental(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    Seq("docs_mvbase", "docs_mv").foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$n")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val docs = Tables.documents(s, d)
+    graft.ops.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 3 === 0), s"$root/docs_mvbase") // v1
+    s.sql("""CALL graft_snap_dml.system.create_mv(
+            |  'docs_mv', 'docs_mvbase', 'lang,source', 'n_chars')""".stripMargin)
+    graft.ops.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 3 === 1), s"$root/docs_mvbase") // v2
+    s.sql("DELETE FROM graft_snap_dml.docs_mvbase WHERE n_chars < 200") // v3
+    val r1 = s.sql("CALL graft_snap_dml.system.refresh_mv('docs_mv')").head()
+    require(r1.getLong(1) == 1L && r1.getLong(2) == 3L,
+      s"first refresh must fold base (1, 3], reported $r1")
+    graft.ops.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 3 === 2), s"$root/docs_mvbase") // v4
+    val r2 = s.sql("CALL graft_snap_dml.system.refresh_mv('docs_mv')").head()
+    require(r2.getLong(1) == 3L && r2.getLong(2) == 4L,
+      s"second refresh must fold base (3, 4], reported $r2")
+    val r3 = s.sql("CALL graft_snap_dml.system.refresh_mv('docs_mv')").head()
+    require(r3.getLong(0) == r2.getLong(0) && r3.getLong(3) == 0L,
+      s"refresh at the tip must publish nothing, reported $r3")
+    s.sql("""SELECT lang, source, n, s_n_chars, c_n_chars
+            |FROM graft_snap_dml.docs_mv
+            |ORDER BY lang, source""".stripMargin)
+  }
+
   /** RANGE retention through PURE SQL: `DELETE FROM t WHERE ts < cutoff`
     * takes the sidecar-classified path ([[graft.ops.Snapshots.commitDeleteRange]])
     * — files whose [min, max] sits wholly under the cutoff DROP from the
@@ -2351,6 +2395,15 @@ object OpsQueries {
              |UNION ALL
              |SELECT 'o_orderstatus', count(DISTINCT o_orderstatus) FROM orders
              |ORDER BY col_name""".stripMargin)),
+    Q("snapshot_sql_mv", snapshotSqlMvIncremental,
+      Some("""SELECT lang, source, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS s_n_chars,
+             |  count(n_chars) AS c_n_chars
+             |FROM documents
+             |WHERE (doc_id % 3 <= 1 AND (n_chars >= 200 OR n_chars IS NULL))
+             |   OR doc_id % 3 = 2
+             |GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin)),
     Q("snapshot_sql_view", snapshotSqlView,
       Some("""SELECT o_orderpriority AS prio, count(*) AS n_open,
              |  CAST(round(max(o_totalprice) * 100) AS BIGINT) AS max_price

@@ -31,13 +31,9 @@ import graft.ops.Snapshots
   */
 object SnapshotProcedures {
 
-  val names: Seq[String] =
-    Seq("optimize", "optimize_small", "expire", "attach_stats",
-      "attach_blooms", "auto_stats", "cluster", "bucket", "migrate",
-      "delete_mor", "rollback", "attach_grams", "attach_ndv",
-      "branch", "fast_forward", "drop_branch", "tag", "drop_tag",
-      "add_constraint", "drop_constraint", "optimize_buckets",
-      "bucket_split", "fold_dvs")
+  /** Every registered procedure (the `SHOW PROCEDURES` / error-message
+    * listing) — derived from the registry so it can't go stale. */
+  lazy val names: Seq[String] = all.keys.toSeq.sorted
 
   private def spark: SparkSession = SparkSession.active
 
@@ -374,6 +370,55 @@ object SnapshotProcedures {
     }
   }
 
+  /** CREATE a catalog-level MATERIALIZED VIEW ([[graft.ops.Mv]]): a
+    * snapshot table holding `SELECT keys…, count(*), sum(c)… FROM base
+    * GROUP BY keys…`, full-built once here and thereafter advanced by
+    * `refresh_mv` from the base's CHANGE FEED — O(delta), never a base
+    * re-scan. Summed columns must be integral (exact maintenance; the
+    * integer-cents stance). The base is named relative to the same
+    * catalog root, so the MV follows the base across replication. */
+  private val createMv: String => UnboundProcedure = { root =>
+    val params = Seq(in("table", StringType), in("base", StringType),
+      in("keys", StringType), inDefault("sums", StringType, "''"))
+    val out = StructType(Seq(StructField("version", LongType),
+      StructField("base_version", LongType)))
+    new UnboundProcedure {
+      override def name(): String = "create_mv"
+      override def description(): String = "snapshot-table create_mv"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = "create_mv"
+        override def description(): String = "snapshot-table create_mv"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val mvLoc = s"$root/${str(input, 0)}"
+          val baseLoc = graft.ops.Refs.resolve(s"$root/${str(input, 1)}")
+          def cols(i: Int) = str(input, i).split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          val r = graft.ops.Mv.create(spark, mvLoc, baseLoc,
+            cols(2), cols(3))
+          resultScan(out, r.mvVersion, r.toBase)
+        }
+      }
+    }
+  }
+
+  /** Advance a materialized view to its base's tip — incremental from
+    * the change feed by default; `full => true` recomputes (the
+    * re-anchor after a rollback on either side). Returns the cursor
+    * interval folded and how many groups the delta touched. */
+  private val refreshMv = procedure("refresh_mv",
+    Seq(in("table", StringType),
+      inDefault("full", org.apache.spark.sql.types.BooleanType, "false")),
+    StructType(Seq(
+      StructField("version", LongType),
+      StructField("from_base", LongType),
+      StructField("to_base", LongType),
+      StructField("groups_touched", LongType)))) { (loc, input) =>
+    val r = graft.ops.Mv.refresh(spark, loc, full = input.getBoolean(1))
+    Seq[Any](r.mvVersion, r.fromBase, r.toBase, r.groupsTouched)
+  }
+
   /** Comma split at paren depth 0 — `a, struct(b, c) AS s` → 2 items. */
   private[v2] def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
@@ -497,7 +542,8 @@ object SnapshotProcedures {
     "drop_branch" -> dropBranch, "tag" -> tagTable, "drop_tag" -> dropTag,
     "add_constraint" -> addConstraint, "drop_constraint" -> dropConstraint,
     "optimize_buckets" -> optimizeBuckets, "replicate" -> replicateTable,
-    "advise_layout" -> adviseLayout)
+    "advise_layout" -> adviseLayout,
+    "create_mv" -> createMv, "refresh_mv" -> refreshMv)
 
   def load(name: String, root: String): Option[UnboundProcedure] =
     all.get(name.toLowerCase(java.util.Locale.ROOT)).map(_(root))

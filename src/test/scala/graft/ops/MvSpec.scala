@@ -1,61 +1,198 @@
 package graft.ops
 
-import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Pins for incremental MV maintenance: any split of a change feed,
-  * applied in any number of rounds, lands bit-identical to a full
-  * recompute; groups fully deleted vanish; groups born in the delta
-  * appear. */
+import graft.SparkTestBase
+
+/** Catalog-level materialized views ([[graft.ops.Mv]]): incremental
+  * maintenance from the base's change feed, bit-identical to a full
+  * recompute after ANY mix of appends, deletes, and replaces — plus the
+  * SUM-over-NULLs distinction only the per-column non-null count can
+  * preserve, the crash-safe cursor (`#mvbase=` rides the MV's own
+  * manifest), and the SQL CALL surface. */
 class MvSpec extends SparkTestBase {
-  import spark.implicits._
 
-  private def recompute(rows: Seq[(Int, Long)]): Map[Int, (Long, Long)] =
-    rows.groupBy(_._1).map { case (k, vs) =>
-      k -> (vs.size.toLong, vs.map(_._2).sum)
-    }
+  private val root = "/tmp/graft-test/mv"
 
-  private def asMap(mv: DataFrame): Map[Int, (Long, Long)] =
-    mv.as[(Int, Long, Long)].collect().map { case (k, n, s) => k -> (n, s) }.toMap
-
-  test("one-shot delta application equals recompute") {
-    val rnd = new scala.util.Random(47)
-    val base = (1 to 2000).map(i => (rnd.nextInt(50), rnd.nextInt(1000).toLong))
-    // delete a random subset OF BASE rows, insert fresh ones
-    val (deleted, kept) = base.partition(_ => rnd.nextBoolean())
-    val inserts = (1 to 800).map(_ => (rnd.nextInt(60), rnd.nextInt(1000).toLong))
-    val mv = MaterializedView.build(base.toDF("k", "v"), "k", col("v"))
-    val delta =
-      inserts.map { case (k, v) => (k, v, "I") }
-        .++(deleted.map { case (k, v) => (k, v, "D") })
-        .toDF("k", "v", "op")
-    val got = asMap(MaterializedView.applyDelta(mv, delta, "k", col("v"), col("op")))
-    assert(got === recompute(kept ++ inserts))
+  private def fresh(name: String): String = {
+    val loc = s"$root/$name"
+    val p = new Path(loc)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.conf.set("spark.sql.catalog.mvcat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mvcat.root", root)
+    loc
   }
 
-  test("folding the feed in many rounds equals folding it in one") {
-    val rnd = new scala.util.Random(53)
-    val base = (1 to 1500).map(i => (rnd.nextInt(40), rnd.nextInt(500).toLong))
-    var state = base
-    var mv = MaterializedView.build(base.toDF("k", "v"), "k", col("v"))
-    (1 to 4).foreach { round =>
-      val (deleted, kept) = state.partition(_ => rnd.nextInt(4) == 0)
-      val inserts = (1 to 200).map(_ => (rnd.nextInt(45), rnd.nextInt(500).toLong))
-      val delta = inserts.map { case (k, v) => (k, v, "I") }
-        .++(deleted.map { case (k, v) => (k, v, "D") })
-        .toDF("k", "v", "op")
-      mv = MaterializedView.applyDelta(mv, delta, "k", col("v"), col("op"))
-      state = kept ++ inserts
-      assert(asMap(mv) === recompute(state), s"diverged at round $round")
-    }
+  private def docs(rows: Seq[(Long, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "k", "v")
   }
 
-  test("a fully-deleted group vanishes; a delta-born group appears") {
-    val base = Seq((1, 10L), (1, 20L), (2, 5L)).toDF("k", "v")
-    val mv = MaterializedView.build(base, "k", col("v"))
-    val delta = Seq((1, 10L, "D"), (1, 20L, "D"), (9, 99L, "I")).toDF("k", "v", "op")
-    val got = asMap(MaterializedView.applyDelta(mv, delta, "k", col("v"), col("op")))
-    assert(got === Map(2 -> (1L, 5L), 9 -> (1L, 99L)))
+  private def recompute(baseLoc: String): Seq[(String, Long, Any, Long)] =
+    Snapshots.read(spark, baseLoc).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("s_v"),
+        count(col("v")).as("c_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
+  private def mvContent(mvLoc: String): Seq[(String, Long, Any, Long)] =
+    Snapshots.read(spark, mvLoc)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
+  test("incremental refresh == full recompute across appends, deletes, updates") {
+    val base = fresh("base1"); val mv = fresh("mv1")
+    Snapshots.commitAppend(docs(Seq((1L, "a", 10L), (2L, "a", 20L),
+      (3L, "b", 5L))), base)
+    val c = Mv.create(spark, mv, base, Seq("k"), Seq("v"))
+    assert(c.mvVersion == 1L && c.toBase == 1L)
+    assert(mvContent(mv) == recompute(base))
+    // append (two commits — the feed spans multiple versions)
+    Snapshots.commitAppend(docs(Seq((4L, "b", 7L), (5L, "c", 1L))), base)
+    Snapshots.commitAppend(docs(Seq((6L, "c", 2L))), base)
+    val r1 = Mv.refresh(spark, mv)
+    assert(r1.fromBase == 1L && r1.toBase == 3L && r1.groupsTouched == 2L)
+    assert(mvContent(mv) == recompute(base))
+    // row-level delete: group 'a' shrinks, group 'b' survives
+    Snapshots.commitDelete(spark, base, col("v") >= 10L)
+    val r2 = Mv.refresh(spark, mv)
+    assert(r2.toBase == 4L)
+    assert(mvContent(mv) == recompute(base))
+    // update = delete+insert in the feed
+    Snapshots.commitUpdate(spark, base, col("k") === "c",
+      Map("v" -> lit(100L)))
+    Mv.refresh(spark, mv)
+    assert(mvContent(mv) == recompute(base))
+    // a group deleted to zero rows vanishes
+    Snapshots.commitDelete(spark, base, col("k") === "b")
+    Mv.refresh(spark, mv)
+    assert(mvContent(mv).map(_._1) == Seq("a", "c").filter(k =>
+      recompute(base).map(_._1).contains(k)))
+    assert(mvContent(mv) == recompute(base))
+  }
+
+  test("SUM over a group left all-NULL reports NULL, not 0") {
+    val base = fresh("base2"); val mv = fresh("mv2")
+    import spark.implicits._
+    Snapshots.commitAppend(Seq((1L, "g", Some(5L)), (2L, "g", None))
+      .toDF("id", "k", "v"), base)
+    Mv.create(spark, mv, base, Seq("k"), Seq("v"))
+    Snapshots.commitDelete(spark, base, col("id") === 1L)
+    Mv.refresh(spark, mv)
+    val row = Snapshots.read(spark, mv).collect().head
+    assert(row.getLong(1) == 1L, "one row survives")
+    assert(row.isNullAt(2), s"SUM of {NULL} must be NULL, got $row")
+    assert(row.getLong(3) == 0L, "zero non-null values")
+    assert(mvContent(mv) == recompute(base))
+  }
+
+  test("no-op refresh publishes nothing; cancelling churn advances the cursor by reference") {
+    val base = fresh("base3"); val mv = fresh("mv3")
+    Snapshots.commitAppend(docs(Seq((1L, "a", 1L))), base)
+    Mv.create(spark, mv, base, Seq("k"), Seq("v"))
+    val r0 = Mv.refresh(spark, mv)
+    assert(r0.mvVersion == 1L && r0.groupsTouched == 0L,
+      s"cursor at tip must be a no-op: $r0")
+    assert(Snapshots.latestVersion(spark, mv) == 1L)
+    // insert then delete the same row: the delta cancels group-by-group
+    Snapshots.commitAppend(docs(Seq((9L, "a", 4L))), base)
+    Snapshots.commitDelete(spark, base, col("id") === 9L)
+    val files1 = Snapshots.versionFiles(spark, mv, 1L).map(Snapshots.normPath)
+    val r = Mv.refresh(spark, mv)
+    assert(r.mvVersion == 2L && r.groupsTouched == 0L)
+    assert(Mv.baseVersionOfTip(spark, mv).contains(3L))
+    assert(Snapshots.versionFiles(spark, mv, 2L).map(Snapshots.normPath)
+      == files1, "cursor-only advance must carry files by reference")
+    assert(mvContent(mv) == recompute(base))
+  }
+
+  test("definition and cursor guards: non-integral sums, collisions, rollback re-anchor") {
+    val base = fresh("base4"); val mv = fresh("mv4")
+    import spark.implicits._
+    Snapshots.commitAppend(Seq((1L, "a", 1.5)).toDF("id", "k", "v"), base)
+    val e1 = intercept[IllegalArgumentException](
+      Mv.create(spark, mv, base, Seq("k"), Seq("v")))
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException](
+      Mv.create(spark, mv, base, Seq("k"), Seq("nope")))
+    assert(e2.getMessage.contains("not in the base"))
+    val baseN = fresh("base4n") // a base whose KEY is literally named n
+    Snapshots.commitAppend(Seq((1L, "a", 1L)).toDF("n", "k", "v"), baseN)
+    val e3 = intercept[IllegalArgumentException](
+      Mv.create(spark, mv, baseN, Seq("n"), Seq("v")))
+    assert(e3.getMessage.contains("collision"))
+    intercept[IllegalArgumentException](Mv.refresh(spark, mv))
+    // a base ROLLBACK publishes a new version with old content, so the
+    // feed still reaches it incrementally — and stays recompute-exact
+    Snapshots.commitAppend(Seq((1L, "a", 1L)).toDF("id", "k", "v"),
+      s"$root/base4b")
+    Snapshots.commitAppend(Seq((2L, "b", 2L)).toDF("id", "k", "v"),
+      s"$root/base4b")
+    Mv.create(spark, mv, s"$root/base4b", Seq("k"), Seq("v"))
+    Snapshots.rollback(spark, s"$root/base4b", 1L) // b vanishes (v3)
+    Mv.refresh(spark, mv)
+    assert(mvContent(mv) == recompute(s"$root/base4b"))
+    // an MV-side rollback re-publishes old content WITHOUT the #mvbase
+    // header: incremental refresh refuses, full = true re-anchors
+    Snapshots.commitAppend(Seq((3L, "c", 9L)).toDF("id", "k", "v"),
+      s"$root/base4b")
+    Mv.refresh(spark, mv) // MV tip advances past v1
+    val mvTip = Snapshots.latestVersion(spark, mv)
+    Snapshots.rollback(spark, mv, 1L) // header shed at version mvTip+1
+    assert(Snapshots.latestVersion(spark, mv) == mvTip + 1)
+    assert(Mv.baseVersionOfTip(spark, mv).isEmpty)
+    val e4 = intercept[IllegalStateException](Mv.refresh(spark, mv))
+    assert(e4.getMessage.contains("full => true"))
+    val rf = Mv.refresh(spark, mv, full = true)
+    assert(rf.toBase == Snapshots.latestVersion(spark, s"$root/base4b"))
+    assert(mvContent(mv) == recompute(s"$root/base4b"))
+  }
+
+  test("SQL CALL surface: create_mv / refresh_mv; the MV reads as a catalog table") {
+    fresh("base5"); fresh("mv5"); fresh("mv5c")
+    import spark.implicits._
+    Snapshots.commitAppend(Seq((1L, "x", 3L), (2L, "y", 4L))
+      .toDF("id", "k", "v"), s"$root/base5")
+    val c = spark.sql(
+      "CALL mvcat.system.create_mv('mv5', 'base5', 'k', 'v')")
+      .as[(Long, Long)].collect().head
+    assert(c == ((1L, 1L)))
+    Snapshots.commitAppend(Seq((3L, "x", 5L)).toDF("id", "k", "v"),
+      s"$root/base5")
+    val r = spark.sql("CALL mvcat.system.refresh_mv('mv5')")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r == ((2L, 1L, 2L, 1L)), s"refresh result $r")
+    val rows = spark.sql(
+      "SELECT k, n, s_v, c_v FROM mvcat.mv5 ORDER BY k")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(("x", 2L, 8L, 2L), ("y", 1L, 4L, 1L)))
+    // count-only MV (no sums)
+    spark.sql("CALL mvcat.system.create_mv('mv5c', 'base5', 'k')")
+    assert(spark.sql("SELECT * FROM mvcat.mv5c").columns.toSeq
+      == Seq("k", "n"))
+  }
+
+  test("replication ships mv.def with the sibling base re-rooted; the replica refreshes") {
+    val base = fresh("base6"); val mv = fresh("mv6")
+    Snapshots.commitAppend(docs(Seq((1L, "a", 1L), (2L, "b", 2L))), base)
+    Mv.create(spark, mv, base, Seq("k"), Seq("v"))
+    val rep = s"$root/replica"
+    val p = new Path(rep)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Replicate.replicate(spark, base, s"$rep/base6")
+    Replicate.replicate(spark, mv, s"$rep/mv6")
+    val d = Mv.readDef(spark, s"$rep/mv6").get
+    assert(d.baseLoc == s"$rep/base6", s"re-rooted base: ${d.baseLoc}")
+    assert(Mv.baseVersionOfTip(spark, s"$rep/mv6").contains(1L),
+      "the #mvbase cursor must survive the manifest rewrite")
+    // the replica pair evolves on its own: append + refresh locally
+    Snapshots.commitAppend(docs(Seq((3L, "b", 10L))), s"$rep/base6")
+    Mv.refresh(spark, s"$rep/mv6")
+    assert(mvContent(s"$rep/mv6") == recompute(s"$rep/base6"))
   }
 }
