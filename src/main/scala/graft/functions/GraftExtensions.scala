@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new graft.sources.v2.SnapshotViewParser(session, delegate))
     ext.injectResolutionRule(session =>
       graft.sources.v2.SnapshotViewSubstitution(session))
+    // transparent MV routing: a fresh materialized view serves the
+    // aggregates it stores (graft.sources.v2.MvRewrite — freshness
+    // proven against the plan's pinned base version, never guessed)
+    ext.injectOptimizerRule(session =>
+      graft.sources.v2.MvRewrite(session))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),

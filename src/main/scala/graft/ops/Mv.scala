@@ -54,6 +54,35 @@ object Mv {
   private def defPath(loc: String) =
     new Path(Snapshots.manifestDir(loc), "mv.def")
 
+  private def usersPath(baseLoc: String) =
+    new Path(Snapshots.manifestDir(baseLoc), "mv.users")
+
+  /** MVs registered over `baseLoc` (`_manifests/mv.users`, one location
+    * per line) — the REVERSE pointer the transparent-rewrite rule walks.
+    * Entries are advisory: a dropped MV leaves a dangling line that
+    * readers skip (readDef comes back empty), never an error. */
+  def usersOf(s: SparkSession, baseLoc: String): Seq[String] = {
+    val p = usersPath(baseLoc)
+    if (!Snapshots.fs(s, baseLoc).exists(p)) Nil
+    else Snapshots.manifestLines(s, p).filter(_.nonEmpty)
+  }
+
+  private def registerUser(s: SparkSession, baseLoc: String,
+                           mvLoc: String): Unit = {
+    val f = Snapshots.fs(s, baseLoc)
+    val lines = (usersOf(s, baseLoc) :+ mvLoc).distinct
+    val tmp = new Path(Snapshots.manifestDir(baseLoc),
+      s"_tmp_mvusers_${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, usersPath(baseLoc))) {
+      f.delete(usersPath(baseLoc), false)
+      if (!f.rename(tmp, usersPath(baseLoc))) f.delete(tmp, false)
+    }
+    Snapshots.invalidateMeta(s, usersPath(baseLoc))
+  }
+
   /** The stored definition, if `loc` is a materialized view. */
   def readDef(s: SparkSession, loc: String): Option[Def] = {
     val p = defPath(loc)
@@ -105,9 +134,18 @@ object Mv {
   /** Create the MV: full build from the base tip, published as version 1
     * with the cursor header; the definition lands AFTER the content (a
     * crash in between leaves a readable table that refresh_mv rejects
-    * as "not an MV" — recreate; never a cursor without content). */
+    * as "not an MV" — recreate; never a cursor without content).
+    *
+    * `buckets > 0` lays the MV out hash-bucketed on the FIRST key
+    * ([[BucketLayout]]) — the scale path for an MV too big to rewrite
+    * per refresh (per-user aggregates: billions of groups): refresh
+    * then rewrites ONLY the buckets the delta touches and carries every
+    * other file by reference, O(delta + touched buckets) instead of
+    * O(MV) — and joins against the MV on that key plan shuffle-free
+    * (SPJ) as a bonus. */
   def create(s: SparkSession, mvLoc: String, baseLoc: String,
-             keys: Seq[String], sums: Seq[String]): Refreshed = {
+             keys: Seq[String], sums: Seq[String],
+             buckets: Int = 0): Refreshed = {
     require(Snapshots.manifests(s, mvLoc).isEmpty,
       s"$mvLoc already exists — DROP it first")
     val vb = Snapshots.latestVersion(s, baseLoc)
@@ -116,7 +154,9 @@ object Mv {
     validate(base, keys, sums)
     val mv = base.groupBy(keys.map(col): _*).agg(aggExprs(sums).head,
       aggExprs(sums).tail: _*)
-    val v = publish(s, mvLoc, 1L, mv, vb)
+    val layout =
+      if (buckets > 0) Some(BucketLayout.Spec(keys.head, buckets)) else None
+    val v = publish(s, mvLoc, 1L, mv, vb, layout)
     require(v == 1L, s"$mvLoc raced a concurrent create — DROP and retry")
     val f = Snapshots.fs(s, mvLoc)
     val tmp = new Path(Snapshots.manifestDir(mvLoc),
@@ -129,6 +169,7 @@ object Mv {
       f.delete(defPath(mvLoc), false)
       if (!f.rename(tmp, defPath(mvLoc))) f.delete(tmp, false)
     }
+    registerUser(s, baseLoc, mvLoc)
     Refreshed(v, 0L, vb, -1L)
   }
 
@@ -147,12 +188,14 @@ object Mv {
     while (attempt < 8) {
       val tip = Snapshots.latestVersion(s, mvLoc)
       val vb = Snapshots.latestVersion(s, d.baseLoc)
+      val tipLayout = if (tip <= 0) None
+        else Snapshots.versionLayout(s, mvLoc, tip).flatMap(BucketLayout.parse)
       if (full) {
         val base = Snapshots.read(s, d.baseLoc, vb)
         validate(base, d.keys, d.sums)
         val mv = base.groupBy(d.keys.map(col): _*).agg(aggExprs(d.sums).head,
           aggExprs(d.sums).tail: _*)
-        val v = publish(s, mvLoc, tip + 1, mv, vb)
+        val v = publish(s, mvLoc, tip + 1, mv, vb, tipLayout)
         if (v > 0) return Refreshed(v, -1L, vb, -1L)
       } else {
         val v0 = baseVersionOfTip(s, mvLoc).getOrElse(
@@ -185,27 +228,51 @@ object Mv {
           val ok = Snapshots.tryPublish(s, mvLoc, tip + 1,
             Snapshots.versionFiles(s, mvLoc, tip),
             schemaJson = Snapshots.versionSchema(s, mvLoc, tip).map(_.json),
+            layout = tipLayout.map(BucketLayout.format),
             mvBase = Some(vb.toString), carriedValid = true)
           if (ok) return Refreshed(tip + 1, v0, vb, 0L)
         } else {
-          val mv = Snapshots.read(s, mvLoc, tip)
-          val joinCond = d.keys.map(k => mv(k) <=> dAgg(k)).reduce(_ && _)
-          val merged = mv.join(dAgg, joinCond, "full_outer").select(
-            d.keys.map(k => coalesce(mv(k), dAgg(k)).as(k)) ++
-              Seq((coalesce(mv("n"), lit(0L)) +
+          val tipFiles = Snapshots.versionFiles(s, mvLoc, tip)
+          // the SCALE path: a bucketed MV merges and rewrites ONLY the
+          // buckets the delta touches; every other file carries by
+          // reference — O(delta + touched buckets), never O(MV).
+          // Requires every live file bucket-addressed (a foreign commit
+          // to the MV sheds the layout header, so `tipLayout` already
+          // guards that; the path check is belt and braces)
+          val bucketed = tipLayout.filter(_ =>
+            tipFiles.forall(f => BucketLayout.bucketOfPath(f).nonEmpty))
+          val (mvOld, carryFiles) = bucketed match {
+            case Some(spec) =>
+              val touchedB = dAgg.select(BucketLayout.linearId(spec).as("b"))
+                .distinct().collect().map(_.getInt(0)).toSet
+              val (tf, cf) = tipFiles.partition(f =>
+                BucketLayout.bucketOfPath(f).exists(touchedB))
+              val schema = Snapshots.versionSchema(s, mvLoc, tip).getOrElse(
+                throw new IllegalStateException(s"$mvLoc tip has no schema"))
+              val df = if (tf.isEmpty) s.createDataFrame(
+                  s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+                else Snapshots.readData(s, tf, Some(schema))
+              (df, cf)
+            case None => (Snapshots.read(s, mvLoc, tip), Nil)
+          }
+          val joinCond = d.keys.map(k => mvOld(k) <=> dAgg(k)).reduce(_ && _)
+          val merged = mvOld.join(dAgg, joinCond, "full_outer").select(
+            d.keys.map(k => coalesce(mvOld(k), dAgg(k)).as(k)) ++
+              Seq((coalesce(mvOld("n"), lit(0L)) +
                 coalesce(dAgg("dn"), lit(0L))).as("n")) ++
               d.sums.flatMap { c =>
-                val cnt = coalesce(mv(s"c_$c"), lit(0L)) +
+                val cnt = coalesce(mvOld(s"c_$c"), lit(0L)) +
                   coalesce(dAgg(s"dc_$c"), lit(0L))
                 // SUM of zero non-null values is NULL, not 0 — the
                 // c_<col> count exists exactly for this distinction
                 Seq(when(cnt === 0L, lit(null).cast(LongType))
-                  .otherwise(coalesce(mv(s"s_$c"), lit(0L)) +
+                  .otherwise(coalesce(mvOld(s"s_$c"), lit(0L)) +
                     coalesce(dAgg(s"ds_$c"), lit(0L))).as(s"s_$c"),
                   cnt.as(s"c_$c"))
               }: _*)
             .filter(col("n") > 0L)
-          val v = publish(s, mvLoc, tip + 1, merged, vb)
+          val v = publish(s, mvLoc, tip + 1, merged, vb, bucketed,
+            carryFiles)
           if (v > 0) return Refreshed(v, v0, vb, touched)
         }
       }
@@ -217,16 +284,25 @@ object Mv {
 
   /** One replace-publish attempt at an EXPECTED version — a blind retry
     * would fold the same delta over an interleaved refresh's content, so
-    * losing the CAS must restart from the new tip, not republish. */
+    * losing the CAS must restart from the new tip, not republish.
+    * `layout` routes the write bucketed and records the header;
+    * `carried` files (untouched buckets) ride along by reference. */
   private def publish(s: SparkSession, mvLoc: String, version: Long,
-                      df: DataFrame, baseVersion: Long): Long = {
+                      df: DataFrame, baseVersion: Long,
+                      layout: Option[BucketLayout.Spec] = None,
+                      carried: Seq[String] = Nil): Long = {
     val f = Snapshots.fs(s, mvLoc)
     val dataDir = new Path(mvLoc, s"data/${java.util.UUID.randomUUID()}")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
-    val newFiles = f.listStatus(dataDir).toSeq
-      .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
-    if (Snapshots.tryPublish(s, mvLoc, version, newFiles,
+    val newFiles = layout match {
+      case Some(spec) => BucketLayout.writeBucketed(df, spec, dataDir)
+      case None =>
+        df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+        f.listStatus(dataDir).toSeq
+          .map(_.getPath).filter(_.getName.startsWith("part-")).map(_.toString)
+    }
+    if (Snapshots.tryPublish(s, mvLoc, version, carried ++ newFiles,
         schemaJson = Some(df.schema.json),
+        layout = layout.map(BucketLayout.format),
         mvBase = Some(baseVersion.toString)))
       version
     else { f.delete(dataDir, true); -1L }

@@ -327,17 +327,24 @@ object Replicate {
     // case — both replicate together and the replica refreshes locally);
     // a base outside the root keeps its spelling, so the replica's
     // refresh_mv reads the SOURCE base's change feed (cross-region CDC)
+    val srcParent = new Path(srcRoot).getParent.toString
+    val dstParent = new Path(dstRoot).getParent.toString
+    def reRoot(line: String): String =
+      if (line.startsWith(srcParent + "/")) dstParent + line.stripPrefix(srcParent)
+      else line
     val mvDef = new Path(srcMd, "mv.def")
     if (sf.exists(mvDef)) {
       val lines = Snapshots.manifestLines(s, mvDef)
-      val srcParent = new Path(srcRoot).getParent.toString
-      val dstParent = new Path(dstRoot).getParent.toString
-      val base =
-        if (lines.head.startsWith(srcParent + "/"))
-          dstParent + lines.head.stripPrefix(srcParent)
-        else lines.head
       writeText(new Path(dstMd, "mv.def"),
-        (base +: lines.tail).mkString("", "\n", "\n"))
+        (reRoot(lines.head) +: lines.tail).mkString("", "\n", "\n"))
     }
+    // the base-side MV pointers (transparent-rewrite registry) ship the
+    // same way: sibling MVs re-root, foreign ones keep their spelling —
+    // dangling entries are advisory (readers skip a missing mv.def)
+    val mvUsers = new Path(srcMd, "mv.users")
+    if (sf.exists(mvUsers))
+      writeText(new Path(dstMd, "mv.users"),
+        Snapshots.manifestLines(s, mvUsers).filter(_.nonEmpty)
+          .map(reRoot).mkString("", "\n", "\n"))
   }
 }

@@ -376,10 +376,14 @@ object SnapshotProcedures {
     * `refresh_mv` from the base's CHANGE FEED — O(delta), never a base
     * re-scan. Summed columns must be integral (exact maintenance; the
     * integer-cents stance). The base is named relative to the same
-    * catalog root, so the MV follows the base across replication. */
+    * catalog root, so the MV follows the base across replication.
+    * `buckets => n` lays the MV out hash-bucketed on the first key:
+    * refresh then rewrites ONLY the buckets the delta touches (the
+    * billions-of-groups scale path), and joins on that key SPJ. */
   private val createMv: String => UnboundProcedure = { root =>
     val params = Seq(in("table", StringType), in("base", StringType),
-      in("keys", StringType), inDefault("sums", StringType, "''"))
+      in("keys", StringType), inDefault("sums", StringType, "''"),
+      inDefault("buckets", IntegerType, "0"))
     val out = StructType(Seq(StructField("version", LongType),
       StructField("base_version", LongType)))
     new UnboundProcedure {
@@ -396,7 +400,7 @@ object SnapshotProcedures {
           def cols(i: Int) = str(input, i).split(',').map(_.trim)
             .filter(_.nonEmpty).toSeq
           val r = graft.ops.Mv.create(spark, mvLoc, baseLoc,
-            cols(2), cols(3))
+            cols(2), cols(3), buckets = input.getInt(4))
           resultScan(out, r.mvVersion, r.toBase)
         }
       }

@@ -56,8 +56,10 @@ import graft.ops.Snapshots
   * rewrites on such versions read DV-subtracted rows, so a SQL UPDATE
   * can never resurrect a deleted row.
   */
-class SnapshotTable(ident: String, spark: SparkSession, loc: String,
-                    val snapshotVersion: Long, pinned: Boolean, files: Seq[String],
+class SnapshotTable(ident: String, spark: SparkSession,
+                    private[v2] val loc: String,
+                    val snapshotVersion: Long,
+                    private[v2] val pinned: Boolean, files: Seq[String],
                     manifestSchema: Option[StructType] = None,
                     dvs: Seq[String] = Nil,
                     layout: Option[graft.ops.BucketLayout.Spec] = None)

@@ -485,6 +485,52 @@ object AdversarialProbe {
     verdict("mv_bucketed_refresh_flat", mvbLo, mvbHi, 1.0)
     Seq(mvbLoT, mvbHiT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
+    // CATALOG-level MV (ops/Mv, round 15): refresh folds the base's
+    // CHANGE FEED — O(delta + touched buckets), cursor atomic in the
+    // manifest — where full = true re-scans the base. A 10k-row / 10-key
+    // delta against a 12M-row snapshot base: the delta fold must not
+    // lose to the recompute (gate), and the speedup prints as the
+    // headline. Content equality is asserted, not assumed: the fold and
+    // the recompute land the same rows or the probe fails.
+    val mvcBase = "/tmp/graft-probe/mvc_base"
+    val mvcMv = "/tmp/graft-probe/mvc_mv"
+    Seq(mvcBase, mvcMv).foreach { l =>
+      val p = new org.apache.hadoop.fs.Path(l)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    graft.ops.Snapshots.commitAppend(
+      spark.range(12000000L).select((col("id") % 100000L).as("k"),
+        (col("id") % 997L).as("v")), mvcBase)
+    time("catalog-MV build (bucketed x64, reference)", reps = 1) {
+      graft.ops.Mv.create(spark, mvcMv, mvcBase,
+        Seq("k"), Seq("v"), buckets = 64)
+      graft.ops.Snapshots.read(spark, mvcMv).count()
+    }
+    graft.ops.Snapshots.commitAppend(
+      spark.range(10000L).select((col("id") % 10L).as("k"),
+        (col("id") % 991L).as("v")), mvcBase)
+    val mvcIncW = time("catalog-MV delta refresh (10k feed, 10 keys)", reps = 1) {
+      val r = graft.ops.Mv.refresh(spark, mvcMv)
+      graft.ops.Snapshots.read(spark, mvcMv).count() + r.groupsTouched
+    }
+    val vInc = graft.ops.Snapshots.latestVersion(spark, mvcMv)
+    val mvcFullW = time("catalog-MV full recompute (reference)", reps = 1) {
+      graft.ops.Mv.refresh(spark, mvcMv, full = true)
+      graft.ops.Snapshots.read(spark, mvcMv).count()
+    }
+    val mvcSame = graft.ops.Snapshots.read(spark, mvcMv)
+      .exceptAll(graft.ops.Snapshots.read(spark, mvcMv, vInc)).count() == 0L &&
+      graft.ops.Snapshots.read(spark, mvcMv, vInc)
+        .exceptAll(graft.ops.Snapshots.read(spark, mvcMv)).count() == 0L
+    if (!mvcSame) failed = true
+    println("CATALOG-MV fold == recompute: " + (if (mvcSame) "PASS" else "FAIL"))
+    println(f"PROBE catalog-mv refresh-vs-recompute speedup: ${mvcFullW / mvcIncW}%.2fx")
+    verdict("mv_catalog_refresh_vs_recompute", mvcFullW, mvcIncW, 1.0)
+    Seq(mvcBase, mvcMv).foreach { l =>
+      val p = new org.apache.hadoop.fs.Path(l)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+
     // Bloom pruning at SATURATION: a deliberately-undersized filter
     // (2^14 bits for 100k build keys -> fpp ~= 1) must degrade to
     // "keeps everything" — still bit-correct after the real join, with

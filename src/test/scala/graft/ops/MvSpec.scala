@@ -177,6 +177,41 @@ class MvSpec extends SparkTestBase {
       == Seq("k", "n"))
   }
 
+  test("a bucketed MV rewrites only the touched buckets; the rest carry by reference") {
+    val base = fresh("base7"); val mv = fresh("mv7")
+    import spark.implicits._
+    Snapshots.commitAppend((1L to 400L).map(i => (i, s"k${i % 40}", i % 7))
+      .toDF("id", "k", "v"), base)
+    Mv.create(spark, mv, base, Seq("k"), Seq("v"), buckets = 8)
+    assert(Snapshots.versionLayout(spark, mv, 1L).contains("bucket,8,k"))
+    assert(mvContent(mv) == recompute(base))
+    val files1 = Snapshots.versionFiles(spark, mv, 1L)
+      .map(Snapshots.normPath).toSet
+    // a delta touching ONE key must replace exactly that key's bucket
+    Snapshots.commitAppend(Seq((401L, "k1", 3L)).toDF("id", "k", "v"), base)
+    val r = Mv.refresh(spark, mv)
+    assert(r.groupsTouched == 1L)
+    val files2 = Snapshots.versionFiles(spark, mv, 2L)
+      .map(Snapshots.normPath).toSet
+    val hot = spark.range(1).select(
+      BucketLayout.bucketId(lit("k1"), 8)).head().getInt(0)
+    val replaced = files1 -- files2
+    val added = files2 -- files1
+    assert((files1 & files2).nonEmpty,
+      "untouched buckets must carry by reference")
+    assert(replaced.forall(_.contains(s"__graft_bucket=$hot")) &&
+      added.forall(_.contains(s"__graft_bucket=$hot")),
+      s"only bucket $hot may change: -$replaced +$added")
+    assert(mvContent(mv) == recompute(base))
+    // the layout header survives refresh — SPJ plans keep working
+    assert(Snapshots.versionLayout(spark, mv, 2L).contains("bucket,8,k"))
+    // deletes fold through the same path: empty a whole group
+    Snapshots.commitDelete(spark, base, col("k") === "k1")
+    Mv.refresh(spark, mv)
+    assert(mvContent(mv) == recompute(base))
+    assert(!mvContent(mv).exists(_._1 == "k1"))
+  }
+
   test("replication ships mv.def with the sibling base re-rooted; the replica refreshes") {
     val base = fresh("base6"); val mv = fresh("mv6")
     Snapshots.commitAppend(docs(Seq((1L, "a", 1L), (2L, "b", 2L))), base)
