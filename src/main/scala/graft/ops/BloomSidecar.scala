@@ -215,6 +215,9 @@ object BloomSidecar {
               struct(lit(c).as("column"), col(s"sk$i").as("bits")) }: _*)).as("e"))
           .select(col("file"), col("e.column").as("column"), col("e.bits").as("bits"))
       })
+    // a same-version re-attach (different column set / precision)
+    // rewrote the sidecar — cached counts for this version are stale
+    invalidateNdvCache(loc, version)
   }
 
   /** The versions whose ndv parquets a version's sidecar references —
@@ -226,14 +229,33 @@ object BloomSidecar {
     if (!f.exists(hp)) Nil else readHeader(s, hp).base
   }
 
-  // table-level ndv per (loc, version, active-set): sidecars are
-  // immutable, so each distinct pruned shape pays the merge job once
+  // table-level ndv per (loc, version, active-set): keyed by a FULL
+  // 128-bit digest of the sorted active list — the key is
+  // correctness-bearing (a colliding pruned subset would serve the
+  // other subset's counts), so a 32-bit hash is not enough. A
+  // same-version re-attach rewrites the sidecar, so attachNdv
+  // invalidates its (loc, version) entries.
   private val ndvCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long, Int), Map[String, Long]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long, String), Map[String, Long]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Int), Map[String, Long]]): Boolean =
+          e: java.util.Map.Entry[(String, Long, String), Map[String, Long]]): Boolean =
         size() > 256
     })
+
+  /** 128-bit digest of a sorted path list — the collision-safe cache
+    * key for "exactly this active subset". */
+  private[graft] def pathSetDigest(sortedPaths: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    sortedPaths.foreach { p => md.update(p.getBytes("UTF-8")); md.update(0.toByte) }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private[graft] def invalidateNdvCache(loc: String, version: Long): Unit = {
+    val norm = Snapshots.normPath(loc)
+    ndvCache.synchronized {
+      ndvCache.keySet().removeIf(k => k._1 == norm && k._2 == version)
+    }
+  }
 
   /** Table-level distinct counts over exactly `files`, provable from the
     * ndv sidecar: a distributed register-union per covered column (the
@@ -253,8 +275,7 @@ object BloomSidecar {
       val paths = header.base.map(ndvDataPath(loc, _))
       if (paths.isEmpty || !paths.forall(f.exists)) return Map.empty
       val active = files.map(Snapshots.normPath).sorted
-      val key = (Snapshots.normPath(loc), version,
-        scala.util.hashing.MurmurHash3.orderedHash(active))
+      val key = (Snapshots.normPath(loc), version, pathSetDigest(active))
       val hit = ndvCache.get(key)
       if (hit != null) return hit
       import s.implicits._

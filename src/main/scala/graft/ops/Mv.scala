@@ -54,33 +54,43 @@ object Mv {
   private def defPath(loc: String) =
     new Path(Snapshots.manifestDir(loc), "mv.def")
 
-  private def usersPath(baseLoc: String) =
-    new Path(Snapshots.manifestDir(baseLoc), "mv.users")
+  private[graft] def usersDir(baseLoc: String) =
+    new Path(Snapshots.manifestDir(baseLoc), "mv.users.d")
 
-  /** MVs registered over `baseLoc` (`_manifests/mv.users`, one location
-    * per line) — the REVERSE pointer the transparent-rewrite rule walks.
-    * Entries are advisory: a dropped MV leaves a dangling line that
+  /** MVs registered over `baseLoc` — the REVERSE pointer the
+    * transparent-rewrite rule walks. ONE FILE PER MV
+    * (`_manifests/mv.users.d/<digest>`, content = the MV location):
+    * concurrent `create_mv` calls over one base each write their own
+    * entry, so there is no read-modify-write to lose a registration to.
+    * Entries are advisory: a dropped MV leaves a dangling file that
     * readers skip (readDef comes back empty), never an error. */
   def usersOf(s: SparkSession, baseLoc: String): Seq[String] = {
-    val p = usersPath(baseLoc)
-    if (!Snapshots.fs(s, baseLoc).exists(p)) Nil
-    else Snapshots.manifestLines(s, p).filter(_.nonEmpty)
+    val dir = usersDir(baseLoc)
+    val f = Snapshots.fs(s, baseLoc)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.filterNot(_.getPath.getName.startsWith("_tmp"))
+      .flatMap(st => Snapshots.manifestLines(s, st.getPath).headOption)
+      .filter(_.nonEmpty).distinct.sorted
   }
 
-  private def registerUser(s: SparkSession, baseLoc: String,
-                           mvLoc: String): Unit = {
+  private def entryName(mvLoc: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(mvLoc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private[graft] def registerUser(s: SparkSession, baseLoc: String,
+                                  mvLoc: String): Unit = {
     val f = Snapshots.fs(s, baseLoc)
-    val lines = (usersOf(s, baseLoc) :+ mvLoc).distinct
-    val tmp = new Path(Snapshots.manifestDir(baseLoc),
-      s"_tmp_mvusers_${java.util.UUID.randomUUID()}")
+    f.mkdirs(usersDir(baseLoc))
+    val target = new Path(usersDir(baseLoc), entryName(mvLoc))
+    val tmp = new Path(usersDir(baseLoc),
+      s"_tmp_${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try out.write((mvLoc + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, usersPath(baseLoc))) {
-      f.delete(usersPath(baseLoc), false)
-      if (!f.rename(tmp, usersPath(baseLoc))) f.delete(tmp, false)
-    }
-    Snapshots.invalidateMeta(s, usersPath(baseLoc))
+    // same-MV re-register is idempotent (identical content); the claim
+    // failing because the entry already exists is success — and
+    // atomicClaim cleans its own tmp either way
+    Snapshots.atomicClaim(s, f, tmp, target)
   }
 
   /** The stored definition, if `loc` is a materialized view. */
@@ -104,6 +114,15 @@ object Mv {
     else Snapshots.headerLines(s, ms.last._2)
       .find(_.startsWith("#mvbase=")).map(_.stripPrefix("#mvbase=").toLong)
   }
+
+  /** The cursor a SPECIFIC MV version recorded — what the rewrite rule
+    * reads, so the freshness verdict and the version it serves come
+    * from one immutable manifest (no tip re-read in between). */
+  def baseVersionAt(s: SparkSession, loc: String,
+                    version: Long): Option[Long] =
+    Snapshots.manifests(s, loc).find(_._1 == version)
+      .flatMap { case (_, p) => Snapshots.headerLines(s, p)
+        .find(_.startsWith("#mvbase=")).map(_.stripPrefix("#mvbase=").toLong) }
 
   /** The aggregate both build and refresh maintain. */
   private def aggExprs(sums: Seq[String]): Seq[Column] =

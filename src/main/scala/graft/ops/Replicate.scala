@@ -202,6 +202,7 @@ object Replicate {
       if (withHistory) srcMs.map(_._1) else Seq(tip)
     sidecarVersions.foreach(v =>
       copySidecars(s, srcLoc, dstLoc, v, rewritePath, srcRoot, dstRoot))
+    shipPolicies(s, srcLoc, dstLoc, srcRoot, dstRoot)
   }
 
   private def copyFiles(s: SparkSession, pairs: Seq[(String, String)],
@@ -318,15 +319,34 @@ object Replicate {
           Snapshots.manifestLines(s, srcHdr).mkString("", "\n", "\n"))
       }
     }
+  }
+
+  /** The UNVERSIONED policy/MV metadata — shipped once per chain, not
+    * once per version (a 10k-version with_history ship must not rewrite
+    * these 10k times). The MV definition and the base-side MV pointers
+    * ship with locations REWRITTEN when they live under the same
+    * catalog parent (the sibling-table case — both replicate together
+    * and the replica refreshes locally); a location outside it keeps
+    * its spelling, so the replica's refresh_mv reads the SOURCE base's
+    * change feed (cross-region CDC). */
+  private def shipPolicies(s: SparkSession, srcLoc: String, dstLoc: String,
+                           srcRoot: String, dstRoot: String): Unit = {
+    val sf = Snapshots.fs(s, srcLoc)
+    val df = Snapshots.fs(s, dstLoc)
+    val srcMd = Snapshots.manifestDir(srcLoc)
+    val dstMd = Snapshots.manifestDir(dstLoc)
+    def writeText(target: Path, text: String): Unit = {
+      val tmp = new Path(dstMd, s"_tmp_${java.util.UUID.randomUUID()}.txt")
+      val out = df.create(tmp, true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+      df.delete(target, false)
+      if (!df.rename(tmp, target)) df.delete(tmp, false)
+      Snapshots.invalidateMeta(s, target)
+    }
     val policy = new Path(srcMd, "autostats.cols")
     if (sf.exists(policy))
       writeText(new Path(dstMd, "autostats.cols"),
         Snapshots.manifestLines(s, policy).mkString("", "\n", "\n"))
-    // an MV's definition ships with its base location REWRITTEN when the
-    // base lives under the same catalog root as the MV (the sibling-table
-    // case — both replicate together and the replica refreshes locally);
-    // a base outside the root keeps its spelling, so the replica's
-    // refresh_mv reads the SOURCE base's change feed (cross-region CDC)
     val srcParent = new Path(srcRoot).getParent.toString
     val dstParent = new Path(dstRoot).getParent.toString
     def reRoot(line: String): String =
@@ -338,13 +358,7 @@ object Replicate {
       writeText(new Path(dstMd, "mv.def"),
         (reRoot(lines.head) +: lines.tail).mkString("", "\n", "\n"))
     }
-    // the base-side MV pointers (transparent-rewrite registry) ship the
-    // same way: sibling MVs re-root, foreign ones keep their spelling —
-    // dangling entries are advisory (readers skip a missing mv.def)
-    val mvUsers = new Path(srcMd, "mv.users")
-    if (sf.exists(mvUsers))
-      writeText(new Path(dstMd, "mv.users"),
-        Snapshots.manifestLines(s, mvUsers).filter(_.nonEmpty)
-          .map(reRoot).mkString("", "\n", "\n"))
+    Mv.usersOf(s, srcLoc).foreach(mvLoc =>
+      Mv.registerUser(s, dstLoc, reRoot(mvLoc)))
   }
 }

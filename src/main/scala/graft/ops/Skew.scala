@@ -66,9 +66,15 @@ object Skew {
   def hotKeys(df: DataFrame, key: String, minShare: Double = 0.05,
               k: Int = 64): Seq[Any] = {
     require(minShare > 0 && minShare <= 1, s"minShare out of (0,1]: $minShare")
-    val total = df.count()
-    if (total == 0) return Nil
-    df.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+    // ONE scan of df: the per-key aggregate is one-row-per-distinct-key
+    // small, so the total comes from summing IT — a separate count()
+    // would re-scan the full fact this API exists to protect
+    val perKey = df.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
+    val totalRow = perKey.agg(sum(col("_n"))).head()
+    if (totalRow.isNullAt(0)) return Nil // empty input
+    val total = totalRow.getLong(0)
+    perKey
       .filter(col("_n") >= math.ceil(total * minShare).toLong &&
         col(key).isNotNull)
       .orderBy(col("_n").desc)
@@ -93,12 +99,20 @@ object Skew {
     * the plain inner join). Exact same rows as `fact.join(dim, key)` —
     * the probe suite proves it on a Zipf fixture. */
   def hotIsolatedJoin(fact: DataFrame, dim: DataFrame, key: String,
-                      hot: Seq[Any]): DataFrame = {
+                      hot: Seq[Any]): DataFrame =
+    splitJoin(fact, hotFact = fact, dim, key, hot)
+
+  /** The one hot/cold split both entry points share — a semantics fix
+    * (NULL handling, the union, the broadcast) lands in exactly one
+    * place. `hotFact` is the fact source the HOT branch reads (the
+    * table-name variant swaps in a file-split-parallel re-read). */
+  private def splitJoin(fact: DataFrame, hotFact: DataFrame, dim: DataFrame,
+                        key: String, hot: Seq[Any]): DataFrame = {
     require(hot.forall(_ != null), "hot keys must be non-null")
     if (hot.isEmpty) return fact.join(dim, Seq(key))
     val cold = fact.filter(!col(key).isin(hot: _*))
       .join(dim.filter(!col(key).isin(hot: _*)), Seq(key))
-    val hotJ = fact.filter(col(key).isin(hot: _*))
+    val hotJ = hotFact.filter(col(key).isin(hot: _*))
       .join(broadcast(dim.filter(col(key).isin(hot: _*))), Seq(key))
     cold.unionByName(hotJ)
   }
@@ -114,16 +128,8 @@ object Skew {
     * zero-Exchange SPJ. */
   def hotIsolatedJoinTables(s: org.apache.spark.sql.SparkSession,
                             factTable: String, dimTable: String, key: String,
-                            hot: Seq[Any]): DataFrame = {
-    val fact = s.table(factTable)
-    val dim = s.table(dimTable)
-    require(hot.forall(_ != null), "hot keys must be non-null")
-    if (hot.isEmpty) return fact.join(dim, Seq(key))
-    val cold = fact.filter(!col(key).isin(hot: _*))
-      .join(dim.filter(!col(key).isin(hot: _*)), Seq(key))
-    val hotF = s.read.option("bucket_grouping", "false").table(factTable)
-      .filter(col(key).isin(hot: _*))
-    val hotJ = hotF.join(broadcast(dim.filter(col(key).isin(hot: _*))), Seq(key))
-    cold.unionByName(hotJ)
-  }
+                            hot: Seq[Any]): DataFrame =
+    splitJoin(s.table(factTable),
+      hotFact = s.read.option("bucket_grouping", "false").table(factTable),
+      s.table(dimTable), key, hot)
 }

@@ -1993,10 +1993,13 @@ object Snapshots {
   // immutable per (loc, version), so the count of entries naming a given
   // active-file set is a constant — computed once (distributed), then a
   // map hit on every later plan of the same (version, pruned-file-set).
+  // Keyed by the FULL digest of the sorted set (BloomSidecar
+  // .pathSetDigest): the count is correctness-bearing, so a 32-bit hash
+  // collision between two pruned subsets must be impossible, not rare.
   private val dvCountCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long, Int), java.lang.Long](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long, String), java.lang.Long](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Int), java.lang.Long]): Boolean =
+          e: java.util.Map.Entry[(String, Long, String), java.lang.Long]): Boolean =
         size() > 256
     })
 
@@ -2019,7 +2022,7 @@ object Snapshots {
         else try {
           val active = files.map(normPath).sorted
           val key = (normPath(loc), version,
-            scala.util.hashing.MurmurHash3.orderedHash(active))
+            BloomSidecar.pathSetDigest(active))
           val hit = dvCountCache.get(key)
           val deleted: Long =
             if (hit != null) hit.longValue()

@@ -14,9 +14,10 @@ import org.apache.spark.sql.SparkSession
   * Layout: `<root>/<ns...>/<name>/_view/v<NNNNN>.txt` — a directory is a
   * view iff it has a `_view` log, a table iff it has `_manifests`; the
   * two refuse to coexist at one identifier, checked on both create
-  * paths. REPLACE publishes the next version (the full definition
-  * history stays readable, same as table manifests); DROP removes the
-  * directory.
+  * paths — and a directory holding anything else (a NAMESPACE's child
+  * tables) refuses a view outright. REPLACE publishes the next version
+  * (the full definition history stays readable, same as table
+  * manifests); DROP removes only the `_view` subtree it owns.
   *
   * Reference analog: the reference era chained jobs where SQL users
   * write views (`CORE/mapreduce/lib/chain/ChainMapper.java` composes
@@ -88,6 +89,20 @@ object Views {
              replace: Boolean = false, ifNotExists: Boolean = false): Long = {
     require(Snapshots.latestVersion(s, loc) == 0,
       s"a TABLE already exists at $loc; a view cannot shadow it")
+    // an identifier directory holding anything but `_view` is a
+    // NAMESPACE (child tables/views live under it) or foreign content —
+    // a view must not take the name: its metadata would shadow the
+    // namespace, and a later DROP VIEW must never be able to touch
+    // children it didn't create
+    val dirP = new Path(loc)
+    val dirF = Snapshots.fs(s, loc)
+    if (dirF.exists(dirP)) {
+      val foreign = dirF.listStatus(dirP).map(_.getPath.getName)
+        .filterNot(_ == "_view")
+      require(foreign.isEmpty,
+        s"$loc is a namespace or holds foreign content " +
+          s"(${foreign.take(3).mkString(", ")}…); a view cannot shadow it")
+    }
     val cur = versions(s, loc)
     if (cur.nonEmpty && !replace) {
       if (ifNotExists) return cur.last._1
@@ -113,10 +128,18 @@ object Views {
     throw new IllegalStateException(s"lost the view publish race 64 times at $loc")
   }
 
-  /** Drop the view (its whole definition history). False if absent. */
+  /** Drop the view (its whole definition history). False if absent.
+    * Deletes ONLY the `_view` subtree it owns — never the identifier
+    * directory while anything else lives there (defense in depth with
+    * [[define]]'s foreign-content refusal: even a view created next to
+    * later-arrived content can't take that content down with it). */
   def drop(s: SparkSession, loc: String): Boolean = {
     if (!exists(s, loc)) return false
+    val f = Snapshots.fs(s, loc)
+    val ok = f.delete(viewDir(loc), true)
     val p = new Path(loc)
-    Snapshots.fs(s, loc).delete(p, true)
+    if (ok && f.exists(p) && f.listStatus(p).isEmpty)
+      f.delete(p, false) // leave no empty husk behind
+    ok
   }
 }

@@ -781,6 +781,49 @@ object OpsQueries {
             |ORDER BY lang, source""".stripMargin)
   }
 
+  /** TRANSPARENT MV routing under the oracle
+    * ([[graft.sources.v2.MvRewrite]]): the user's aggregate SQL over the
+    * BASE table is served from the materialized view — in-query require
+    * proves the plan reads the MV's files — while the DuckDB oracle
+    * recomputes from the raw rows: the hash gate certifies the routed
+    * plan returns exactly the recompute. The staleness contract is
+    * pinned in-query too: after an unrefreshed append the SAME SQL reads
+    * the base (fresh rows visible, rewrite backed off), and a refresh
+    * routes it again. At 100 TB this is the dashboard query served from
+    * an MV-sized scan with the user changing nothing. */
+  private def snapshotSqlMvRewrite(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft-warehouse/snapcat_dml"
+    Seq("docs_rwbase", "docs_rw").foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$n")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.graft_snap_dml",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
+    val docs = Tables.documents(s, d)
+    graft.ops.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 2 === 0), s"$root/docs_rwbase") // v1
+    s.sql("""CALL graft_snap_dml.system.create_mv(
+            |  'docs_rw', 'docs_rwbase', 'lang', 'n_chars')""".stripMargin)
+    def q() = s.sql(
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(n_chars) AS sum_chars, count(n_chars) AS nn_chars
+        |FROM graft_snap_dml.docs_rwbase
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+    // the routed relation's ident is "mv:<loc>@v<tip>" (inputFiles
+    // can't see through the custom DSv2 scan, so the plan is the proof)
+    def routed(df: DataFrame) = df.queryExecution.optimizedPlan.toString
+      .contains(s"mv:$root/docs_rw@")
+    require(routed(q()), "a fresh MV must serve the aggregate")
+    graft.ops.Snapshots.commitAppend(
+      docs.filter(col("doc_id") % 2 === 1), s"$root/docs_rwbase") // v2
+    require(!routed(q()), "a stale MV must never serve")
+    s.sql("CALL graft_snap_dml.system.refresh_mv('docs_rw')")
+    val fin = q()
+    require(routed(fin), "the refreshed MV must serve again")
+    fin
+  }
+
   /** RANGE retention through PURE SQL: `DELETE FROM t WHERE ts < cutoff`
     * takes the sidecar-classified path ([[graft.ops.Snapshots.commitDeleteRange]])
     * — files whose [min, max] sits wholly under the cutoff DROP from the
@@ -2404,6 +2447,12 @@ object OpsQueries {
              |   OR doc_id % 3 = 2
              |GROUP BY lang, source
              |ORDER BY lang, source""".stripMargin)),
+    Q("snapshot_sql_mv_rewrite", snapshotSqlMvRewrite,
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  count(n_chars) AS nn_chars
+             |FROM documents
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
     Q("snapshot_sql_view", snapshotSqlView,
       Some("""SELECT o_orderpriority AS prio, count(*) AS n_open,
              |  CAST(round(max(o_totalprice) * 100) AS BIGINT) AS max_price

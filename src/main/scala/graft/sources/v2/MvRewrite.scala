@@ -88,9 +88,16 @@ case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             agg.aggregateExpressions.map(ne => columnFor(ne, d, resolver)
               .map(c => ne -> c))
           if (mapped.exists(_.isEmpty)) None
-          else if (!Mv.baseVersionOfTip(session, mvLoc)
-              .contains(table.snapshotVersion)) None // STALE: never serve it
-          else build(mvLoc, mapped.flatten)
+          else {
+            // freshness AND the version to serve read from ONE tip: a
+            // refresh racing this plan could otherwise advance the MV
+            // between the header check and the relation build, serving
+            // content for a newer base version than the query pinned
+            val tip = Snapshots.latestVersion(session, mvLoc)
+            if (tip <= 0 || !Mv.baseVersionAt(session, mvLoc, tip)
+                .contains(table.snapshotVersion)) None // STALE: never serve
+            else build(mvLoc, tip, mapped.flatten)
+          }
         }
     }.nextOption()
   }
@@ -122,11 +129,10 @@ case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Project(MV columns aliased to the aggregate's exprIds) over a
-    * PINNED relation of the MV's tip. */
-  private def build(mvLoc: String,
+    * relation PINNED at exactly the tip whose freshness header the
+    * caller verified. */
+  private def build(mvLoc: String, tip: Long,
                     mapping: Seq[(NamedExpression, String)]): Option[LogicalPlan] = {
-    val tip = Snapshots.latestVersion(session, mvLoc)
-    if (tip <= 0) return None
     val schema = Snapshots.versionSchema(session, mvLoc, tip).getOrElse(
       return None)
     val mvTable = new SnapshotTable(s"mv:$mvLoc@v$tip", session, mvLoc, tip,

@@ -191,15 +191,15 @@ case class SnapshotViewSubstitution(session: SparkSession)
       SnapshotViews.viewLocation(session, parts)
         .flatMap(loc => Views.definition(session, loc)) match {
         case Some((text, aliases)) =>
-          val expansions = plan.collect {
-            case sa: SubqueryAlias
-              if sa.identifier.name == parts.last &&
-                sa.identifier.qualifier == parts.init => sa
-          }.size
-          if (expansions >= MaxNesting)
+          // recursion = SELF-NESTING depth (the view expanded inside its
+          // own expansion), not total occurrences: a wide plan that
+          // references one view from 16+ sibling branches is legitimate
+          // and must not trip the guard
+          if (SnapshotViewSubstitution.selfNestingDepth(plan, parts)
+              >= MaxNesting)
             throw new IllegalStateException(
-              s"view ${parts.mkString(".")} expands more than $MaxNesting " +
-                "times in one plan — a recursive view definition " +
+              s"view ${parts.mkString(".")} expands inside itself more " +
+                s"than $MaxNesting deep — a recursive view definition " +
                 "(constructible only via CREATE OR REPLACE) is not supported")
           val parsed = session.sessionState.sqlParser.parseQuery(text)
           val aliased =
@@ -212,8 +212,24 @@ case class SnapshotViewSubstitution(session: SparkSession)
 }
 
 object SnapshotViewSubstitution {
-  /** Max expansions of ONE view within a single plan — the recursion
-    * bound (nested distinct views are unlimited; each name gets its own
-    * count). */
+  /** Max SELF-NESTING depth of one view (its expansion inside its own
+    * expansion) — the recursion bound. Distinct views nest unlimited;
+    * sibling references to one view count once each, not cumulatively. */
   val MaxNesting = 16
+
+  /** Deepest chain of same-name SubqueryAliases on any root-to-leaf
+    * path (children and subquery expressions both descend). */
+  private[v2] def selfNestingDepth(plan: LogicalPlan,
+                                   parts: Seq[String]): Int = {
+    def walk(p: LogicalPlan, depth: Int): Int = {
+      val d = p match {
+        case sa: SubqueryAlias if sa.identifier.name == parts.last &&
+            sa.identifier.qualifier == parts.init => depth + 1
+        case _ => depth
+      }
+      val below = p.children ++ p.subqueries
+      if (below.isEmpty) d else (d +: below.map(walk(_, d))).max
+    }
+    walk(plan, 0)
+  }
 }

@@ -488,10 +488,13 @@ object AdversarialProbe {
     // CATALOG-level MV (ops/Mv, round 15): refresh folds the base's
     // CHANGE FEED — O(delta + touched buckets), cursor atomic in the
     // manifest — where full = true re-scans the base. A 10k-row / 10-key
-    // delta against a 12M-row snapshot base: the delta fold must not
-    // lose to the recompute (gate), and the speedup prints as the
-    // headline. Content equality is asserted, not assumed: the fold and
-    // the recompute land the same rows or the probe fails.
+    // delta against a 48M-row snapshot base (big enough that the
+    // recompute's base scan dominates its fixed costs — the regime the
+    // verb exists for; at 12M both sides were ~1.5s of overhead): the
+    // delta fold must not lose to the recompute (gate), and the speedup
+    // prints as the headline. Content equality is asserted, not
+    // assumed: the fold and the recompute land the same rows or the
+    // probe fails.
     val mvcBase = "/tmp/graft-probe/mvc_base"
     val mvcMv = "/tmp/graft-probe/mvc_mv"
     Seq(mvcBase, mvcMv).foreach { l =>
@@ -499,7 +502,7 @@ object AdversarialProbe {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
     graft.ops.Snapshots.commitAppend(
-      spark.range(12000000L).select((col("id") % 100000L).as("k"),
+      spark.range(48000000L).select((col("id") % 100000L).as("k"),
         (col("id") % 997L).as("v")), mvcBase)
     time("catalog-MV build (bucketed x64, reference)", reps = 1) {
       graft.ops.Mv.create(spark, mvcMv, mvcBase,

@@ -165,6 +165,22 @@ class BloomSidecarSpec extends SparkTestBase {
     assert(BloomSidecar.ndvCounts(spark, loc, 3L, files2).isEmpty)
   }
 
+  test("a same-version re-attach with more columns invalidates the ndv cache") {
+    val loc = "/tmp/graft-test/ndv_reattach"
+    fixture(loc)
+    BloomSidecar.attachNdv(spark, loc, 1L, Seq("grp"))
+    val files = Snapshots.versionFiles(spark, loc, 1L)
+    val before = BloomSidecar.ndvCounts(spark, loc, 1L, files) // caches
+    assert(before.keySet == Set("grp"))
+    // the sidecar is rewritten at the SAME version with a wider column
+    // set — the cached verdict is stale and must not be served
+    BloomSidecar.attachNdv(spark, loc, 1L, Seq("grp", "k"))
+    val after = BloomSidecar.ndvCounts(spark, loc, 1L, files)
+    assert(after.keySet == Set("grp", "k"),
+      s"re-attach must invalidate the cached counts: $after")
+    assert(after("grp") == before("grp"))
+  }
+
   test("a no-change re-attach is a pure no-op on the data parquets") {
     val loc = "/tmp/graft-test/bloom_noop"
     fixture(loc)

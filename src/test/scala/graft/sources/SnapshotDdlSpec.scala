@@ -308,6 +308,40 @@ class SnapshotDdlSpec extends SparkTestBase {
       .exists(_.getString(1) == "graft_tmp_v"))
   }
 
+  test("a view cannot shadow a namespace; DROP VIEW never touches foreign content") {
+    import spark.implicits._
+    init()
+    // a namespace directory with a child table must refuse a view at
+    // its own name — a later DROP VIEW could otherwise take the
+    // children down with it (the data-loss class this guard closes)
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "v"), s"$root/nsg/t1")
+    val e = intercept[Exception](
+      spark.sql("CREATE VIEW sqlddl.nsg AS SELECT 1 AS one"))
+    assert(e.getMessage.contains("namespace") ||
+      e.getMessage.contains("foreign"), e.getMessage)
+    assert(Snapshots.read(spark, s"$root/nsg/t1").count() == 1)
+    // foreign content that lands NEXT TO an existing view survives the
+    // view's drop: DROP deletes only the _view subtree it owns
+    spark.sql("CREATE VIEW sqlddl.v_guard AS SELECT 2 AS two")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stray = new Path(s"$root/v_guard/keepme.txt")
+    val out = fs.create(stray, true)
+    try out.write("precious".getBytes("UTF-8")) finally out.close()
+    spark.sql("DROP VIEW sqlddl.v_guard")
+    assert(fs.exists(stray), "DROP VIEW must not delete foreign files")
+    assert(!graft.ops.Views.exists(spark, s"$root/v_guard"))
+    // and a dropped view with no neighbors leaves no empty husk
+    spark.sql("CREATE VIEW sqlddl.v_clean AS SELECT 3 AS three")
+    spark.sql("DROP VIEW sqlddl.v_clean")
+    assert(!fs.exists(new Path(s"$root/v_clean")))
+    // WIDE reuse is legitimate: one view referenced from 20 sibling
+    // branches must not trip the recursion guard (self-nesting only)
+    spark.sql("CREATE VIEW sqlddl.v_leaf AS SELECT 1 AS x")
+    val wide = (1 to 20).map(_ => "SELECT x FROM sqlddl.v_leaf")
+      .mkString(" UNION ALL ")
+    assert(spark.sql(wide).count() == 20)
+  }
+
   test("a view over a time-travel read stays pinned") {
     import spark.implicits._
     init()
