@@ -124,6 +124,27 @@ object Mv {
       .flatMap { case (_, p) => Snapshots.headerLines(s, p)
         .find(_.startsWith("#mvbase=")).map(_.stripPrefix("#mvbase=").toLong) }
 
+  /** `<base>.mvs` metadata rows: every MV registered over `baseLoc`
+    * with its definition and staleness — `fresh` is exactly the
+    * transparent-rewrite serving condition (cursor == base tip), and
+    * `versions_behind` is how much change feed the next refresh folds.
+    * Dangling pointers (dropped MVs) are skipped, same as the rule. */
+  def mvsMeta(s: SparkSession, baseLoc: String): DataFrame = {
+    import s.implicits._
+    val tip = Snapshots.latestVersion(s, baseLoc)
+    usersOf(s, baseLoc).flatMap { mvLoc =>
+      readDef(s, mvLoc).filter(_.baseLoc == baseLoc).map { d =>
+        val cursor = baseVersionOfTip(s, mvLoc)
+        (mvLoc, d.keys.mkString(","), d.sums.mkString(","),
+          Snapshots.latestVersion(s, mvLoc),
+          cursor.getOrElse(-1L), tip,
+          cursor.contains(tip),
+          cursor.map(c => math.max(0L, tip - c)).getOrElse(-1L))
+      }
+    }.toDF("mv_location", "keys", "sums", "mv_version",
+      "base_cursor", "base_tip", "fresh", "versions_behind")
+  }
+
   /** The aggregate both build and refresh maintain. */
   private def aggExprs(sums: Seq[String]): Seq[Column] =
     count(lit(1)).as("n") +: sums.flatMap(c => Seq(

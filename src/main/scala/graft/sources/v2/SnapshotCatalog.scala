@@ -154,6 +154,12 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog
       case "refs" =>
         Some(new SnapshotMetaTable(full,
           () => graft.ops.Refs.refsMeta(spark, baseLoc)))
+      case "mvs" =>
+        // the MVs registered over this base, with STALENESS as data: a
+        // dashboard query on `t.mvs` answers "will my aggregate route,
+        // and how far behind is it?" before anyone debugs a plan
+        Some(new SnapshotMetaTable(full,
+          () => graft.ops.Mv.mvsMeta(spark, baseLoc)))
       case "constraints" =>
         Some(new SnapshotMetaTable(full,
           () => graft.ops.Constraints.meta(spark, baseLoc)))

@@ -175,6 +175,18 @@ class MvSpec extends SparkTestBase {
     spark.sql("CALL mvcat.system.create_mv('mv5c', 'base5', 'k')")
     assert(spark.sql("SELECT * FROM mvcat.mv5c").columns.toSeq
       == Seq("k", "n"))
+    // <base>.mvs observability: per-MV staleness as a metadata table
+    val meta = spark.sql(
+      """SELECT mv_location, fresh, versions_behind
+        |FROM mvcat.base5.mvs ORDER BY mv_location""".stripMargin)
+      .as[(String, Boolean, Long)].collect().toSeq
+    assert(meta == Seq((s"$root/mv5", true, 0L), (s"$root/mv5c", true, 0L)),
+      s"mvs meta: $meta")
+    Snapshots.commitAppend(Seq((4L, "z", 1L)).toDF("id", "k", "v"),
+      s"$root/base5")
+    val stale = spark.sql("SELECT fresh, versions_behind FROM mvcat.base5.mvs")
+      .as[(Boolean, Long)].collect().toSeq
+    assert(stale == Seq((false, 1L), (false, 1L)), s"stale meta: $stale")
   }
 
   test("a bucketed MV rewrites only the touched buckets; the rest carry by reference") {
