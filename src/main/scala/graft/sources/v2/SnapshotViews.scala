@@ -121,6 +121,9 @@ class SnapshotViewParser(session: SparkSession, delegate: ParserInterface)
   extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
+    // MATERIALIZED VIEW statements are not in Spark's grammar at all,
+    // so they intercept on the raw text BEFORE delegation
+    SnapshotMvSql.intercept(session, delegate, sqlText).getOrElse(
     delegate.parsePlan(sqlText) match {
       case cv: CreateView =>
         cv.child match {
@@ -154,7 +157,7 @@ class SnapshotViewParser(session: SparkSession, delegate: ParserInterface)
           case _ => sv
         }
       case p => p
-    }
+    })
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)

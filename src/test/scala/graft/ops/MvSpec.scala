@@ -224,6 +224,53 @@ class MvSpec extends SparkTestBase {
     assert(!mvContent(mv).exists(_._1 == "k1"))
   }
 
+  test("CREATE/REFRESH MATERIALIZED VIEW: the standard SQL spelling") {
+    fresh("base8"); fresh("mv8")
+    import spark.implicits._
+    Snapshots.commitAppend(Seq((1L, "x", 3L), (2L, "y", 4L), (3L, "x", 5L))
+      .toDF("id", "k", "v"), s"$root/base8")
+    val c = spark.sql(
+      """CREATE MATERIALIZED VIEW mvcat.mv8 AS
+        |SELECT k, count(*), sum(v), count(v) FROM mvcat.base8
+        |GROUP BY k""".stripMargin).as[(Long, Long)].collect().head
+    assert(c == ((1L, 1L)), s"create returned $c")
+    assert(spark.sql("SELECT k, n, s_v, c_v FROM mvcat.mv8 ORDER BY k")
+      .as[(String, Long, Long, Long)].collect().toSeq
+      == Seq(("x", 2L, 8L, 2L), ("y", 1L, 4L, 1L)))
+    // and it serves the user's aggregate transparently
+    assert(spark.sql(
+      "SELECT k, sum(v) AS sv FROM mvcat.base8 GROUP BY k")
+      .queryExecution.optimizedPlan.toString.contains("mv:"))
+    Snapshots.commitAppend(Seq((4L, "y", 6L)).toDF("id", "k", "v"),
+      s"$root/base8")
+    val r = spark.sql("REFRESH MATERIALIZED VIEW mvcat.mv8")
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(r == ((2L, 1L, 2L, 1L, true)), s"refresh returned $r")
+    val r2 = spark.sql("REFRESH MATERIALIZED VIEW mvcat.mv8")
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(!r2._5, "no-op refresh must report refreshed = false")
+    assert(mvContent(s"$root/mv8") == recompute(s"$root/base8"))
+    // unsupported shapes refuse at CREATE with the general tool named
+    Seq(
+      "CREATE MATERIALIZED VIEW mvcat.mv8b AS SELECT k, max(v) FROM mvcat.base8 GROUP BY k",
+      "CREATE MATERIALIZED VIEW mvcat.mv8b AS SELECT k, count(*) FROM mvcat.base8 WHERE v > 3 GROUP BY k",
+      "CREATE MATERIALIZED VIEW mvcat.mv8b AS SELECT upper(k), count(*) FROM mvcat.base8 GROUP BY upper(k)",
+      "CREATE MATERIALIZED VIEW mvcat.mv8b AS SELECT id FROM mvcat.base8"
+    ).foreach { sql =>
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains("create_mv"), s"$sql -> ${e.getMessage}")
+    }
+    // MATERIALIZED VIEW syntax outside a snapshot catalog still errors
+    // through Spark's own parser, not ours
+    intercept[Exception](spark.sql(
+      "CREATE MATERIALIZED VIEW not_a_catalog_view AS SELECT 1 AS x"))
+    // FULL refresh re-anchors through the SQL spelling too
+    val rf = spark.sql("REFRESH MATERIALIZED VIEW FULL mvcat.mv8")
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(rf._5 && rf._3 == 2L, s"full refresh returned $rf")
+    assert(mvContent(s"$root/mv8") == recompute(s"$root/base8"))
+  }
+
   test("replication ships mv.def with the sibling base re-rooted; the replica refreshes") {
     val base = fresh("base6"); val mv = fresh("mv6")
     Snapshots.commitAppend(docs(Seq((1L, "a", 1L), (2L, "b", 2L))), base)
