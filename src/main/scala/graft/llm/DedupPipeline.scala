@@ -27,10 +27,18 @@ object DedupPipeline {
     import org.apache.spark.sql.Observation
     // the pin truncates lineage each round — without it the plan nests
     // one join deeper per iteration and re-analysis/recovery cost grows
-    // superlinearly (55s -> ~15s on a 120k-edge graph)
+    // superlinearly (55s -> ~15s on a 120k-edge graph).
+    // Symmetrize by EXPLODING each pair into its two directions rather
+    // than a self-union: the union's two branches each re-executed the
+    // whole upstream candidate pipeline (measured: the two heaviest
+    // stages of dedup_clusters were duplicate signature builds); the
+    // explode emits both directions in one pass over ONE execution.
     val edges = graft.ops.Checkpoints.pin(
-      pairs.select(col("id1"), col("id2"))
-        .union(pairs.select(col("id2").as("id1"), col("id1").as("id2"))),
+      pairs
+        .select(explode(array(
+          struct(col("id1"), col("id2")),
+          struct(col("id2").as("id1"), col("id1").as("id2")))).as("e"))
+        .select(col("e.id1").as("id1"), col("e.id2").as("id2")),
       checkpointDir)
     // `pinned` tracks the current round's checkpoint ROOT — `labels` is a
     // projection over it, which release() (root-match-only) ignores

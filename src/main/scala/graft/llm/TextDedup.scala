@@ -24,16 +24,28 @@ object TextDedup {
     * Codegen-friendly: split + transform over a sequence + explode — no
     * UDFs (higher-order functions stay inside WholeStageCodegen).
     */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shingleArrays(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("arr")).as("shingle"))
+
+  /** (id, arr): the distinct word n-gram shingle SET per document, kept
+    * as an array — the un-exploded form of [[shingles]]
+    * (`explode(arr)` ≡ the shingle relation; docs with fewer than `n`
+    * words carry an empty array, which explode drops). The array form is
+    * what lets [[minhashSignaturesFromArrays]] compute signatures with
+    * ZERO shuffle and [[verifyJaccardArrays]] verify candidates with a
+    * map-side `array_intersect` — per-doc state stays bounded by
+    * document length, exactly like the exploded form. */
+  def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val parts = (0 until n).map(j => s"element_at(w, i + $j)").mkString(", ' ', ")
     docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
       .select(col("id"),
-        explode(expr(
+        expr(
           s"""CASE WHEN size(w) >= $n
              |THEN array_distinct(transform(sequence(1, size(w) - ${n - 1}),
              |     i -> concat($parts)))
-             |ELSE array() END""".stripMargin)).as("shingle"))
+             |ELSE array() END""".stripMargin).as("arr"))
   }
 
   /** Exact dedup: hash-groupBy on a normalized content digest; keeps the
@@ -61,6 +73,17 @@ object TextDedup {
       .select(col("id"),
         array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
   }
+
+  // NOTE (r15 optimization round): a zero-shuffle array formulation of
+  // the signatures (per-doc `transform(sequence(0,127), k ->
+  // array_min(transform(hs, h -> xxhash64(h, k))))` over the shingle
+  // array, string hash hoisted) was implemented and MEASURED SLOWER
+  // (dedup_minhash_lsh 2.4 s → 5.1 s at sf0.1): Spark's higher-order
+  // functions evaluate their lambdas interpreted with per-element
+  // boxing, while the exploded groupBy form hashes and min-combines
+  // inside whole-stage codegen — the removed shuffle (one partial row
+  // of numHashes longs per doc per partition) is far cheaper than the
+  // interpreted inner loop. Kept the codegen'd aggregate.
 
   /** LSH banding: (id, band, band_hash) — one row per band. Docs sharing
     * any (band, band_hash) bucket become candidate pairs. bands*rowsPerBand
@@ -130,6 +153,35 @@ object TextDedup {
         (col("inter").cast("double") / (col("s1.n") + col("s2.n") - col("inter")))
           .as("jaccard"))
   }
+
+  /** Exact Jaccard for the candidate pairs from the shingle-ARRAY
+    * relation: attach each side's array with an equi-join, intersect
+    * map-side (`array_intersect` over the distinct arrays ≡ the exact
+    * intersection count), divide. Bit-identical to [[verifyJaccard]] —
+    * same long counts into the same single double division; a shingle
+    * shared by a pair has global df ≥ 2 by definition, so the df-filter
+    * there never changes the intersection it computes.
+    *
+    * Plan shape (guide §2.4/§3.1): the LSH candidate relation is tiny
+    * relative to the corpus, so BOTH attach joins build on the pair
+    * side (broadcast at bench scale, shuffled-hash beyond) and the
+    * shingle-array relation streams ONCE per side with no groupBy, no
+    * df relation, no intersection-count shuffle — the exploded
+    * formulation paid 5 exchanges (df groupBy, df join, the double
+    * candidate join's agg, two size joins) to compute the same three
+    * integers this computes in one projection. Per-row cost is
+    * O(|arr1| + |arr2|), bounded by document length, corpus-size-free. */
+  def verifyJaccardArrays(cands: DataFrame, shArr: DataFrame): DataFrame =
+    cands
+      .join(shArr.as("va"), col("id1") === col("va.id"))
+      .join(shArr.as("vb"), col("id2") === col("vb.id"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("va.arr"), col("vb.arr"))).cast("long").as("inter"),
+        size(col("va.arr")).cast("long").as("n1"),
+        size(col("vb.arr")).cast("long").as("n2"))
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+          .as("jaccard"))
 
   /** Exact Jaccard via ONE self-join of the shared (df>=2) shingle
     * relation: each shared shingle contributes one (id1, id2) row, the
@@ -219,20 +271,29 @@ object TextDedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.8, shingleN: Int = 3,
                  numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    // the shingle relation feeds four consumers (signatures, doc sizes,
-    // shingle dfs, the intersection join) — cache it once instead of
-    // re-running the split/explode per branch. persist (not
+    // the shingle-ARRAY relation feeds three consumers (signatures and
+    // both sides of the verify join) — cache it once instead of
+    // re-running the split/transform per branch. persist (not
     // localCheckpoint): lazy, so no job runs at plan construction, and
     // lineage is kept, so a lost executor recomputes its blocks instead
     // of failing the job. The cache entry lives in the session's
     // CacheManager until the caller unpersists (Verify/Bench clear the
     // cache between queries; long-lived sessions should
     // spark.catalog.clearCache() or use the lower-level pieces directly).
-    val sh = shingles(docs, idCol, textCol, shingleN)
+    //
+    // r15 shape: ONE cached relation (the shingle arrays) feeds the
+    // codegen'd signature aggregate (via a cheap explode) and both
+    // sides of the array-intersect verify ([[verifyJaccardArrays]]) —
+    // the verify step's five exchanges (df groupBy + df join +
+    // intersection agg + two size joins) collapse into two small-side
+    // joins over the cache. Output bit-identical (same hash chain,
+    // same counts, same division).
+    val shArr = shingleArrays(docs, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shArr.select(col("id"), explode(col("arr")).as("shingle"))
     val cands = candidatesFromBands(
       lshBands(minhashSignatures(sh, numHashes), bands, numHashes / bands))
-    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+    verifyJaccardArrays(cands, shArr).filter(col("jaccard") >= threshold)
   }
 
   /** Exact n-gram Jaccard similarity join with lossless prefix filtering
@@ -249,14 +310,17 @@ object TextDedup {
     import org.apache.spark.sql.expressions.Window
     // same multi-consumer reuse (and the same persist-not-checkpoint
     // rationale) as minhashLsh: df ranking, prefix build, and the verify
-    // join all read the shingle relation
-    val sh = shingles(docs, idCol, textCol, shingleN)
+    // join all read the shingle-array relation
+    val shArr = shingleArrays(docs, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-doc shingle count rides out of the array for free (size(arr))
+    // instead of a second count() window pass over the exploded relation
+    val sh = shArr.select(col("id"), size(col("arr")).as("nsh"),
+      explode(col("arr")).as("shingle"))
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val ranked = sh.join(df, "shingle")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
-      .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("id"))))
     val prefix = ranked
       .filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold) + lit(1))
       .select(col("id"), col("shingle"), col("nsh"))
@@ -271,7 +335,13 @@ object TextDedup {
           col("y.nsh") >= col("x.nsh") * threshold)
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
-    verifyJaccardSplit(cands, sh, dfCap).filter(col("jaccard") >= threshold)
+    // r15: candidate-driven array-intersect verification — the
+    // hot-shingle df² blowup [[verifyJaccardSplit]] guards against is a
+    // property of the shingle-level SELF-join; the per-pair
+    // array_intersect touches each candidate's own two arrays only, so
+    // the split machinery (and its five extra exchanges) is unnecessary
+    // on this path. Identical output for any candidate superset.
+    verifyJaccardArrays(cands, shArr).filter(col("jaccard") >= threshold)
   }
 
   /** The persisted-index half of incremental dedup: the corpus's LSH band
@@ -322,12 +392,13 @@ object TextDedup {
                             index: DataFrame, idCol: String, textCol: String,
                             threshold: Double = 0.8, shingleN: Int = 3,
                             numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val newSh = shingles(newDocs, idCol, textCol, shingleN)
+    val newArr = shingleArrays(newDocs, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // band relation persists too: it feeds BOTH the in-batch bucket kernel
     // and the index probe join, and recomputing it re-runs the whole
     // numHashes-column signature aggregation (measured 2× on the bench)
-    val newBands = lshBands(minhashSignatures(newSh, numHashes),
+    val newBands = lshBands(minhashSignatures(
+      newArr.select(col("id"), explode(col("arr")).as("shingle")), numHashes),
       bands, numHashes / bands)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // within-batch pairs: the usual one-shuffle bucket kernel
@@ -346,20 +417,20 @@ object TextDedup {
     // re-shingle only the corpus docs that collided with the batch
     val candIds = cands.select(col("id1").as("cid"))
       .unionByName(cands.select(col("id2").as("cid"))).distinct()
-    val corpusCandSh = shingles(
+    val corpusCandArr = shingleArrays(
       corpusDocs.join(candIds, corpusDocs(idCol) === col("cid"), "left_semi"),
       idCol, textCol, shingleN)
     // the batch may re-ingest an id the corpus already holds (the id1<id2
     // canonical form would otherwise double its shingle set): batch wins.
-    // The combined relation persists: verifyJaccard reads it four ways
-    // (sizes, the df filter, both sides of the intersection join), and
-    // unpersisted the semi-join + explode re-ran per consumer — this was
-    // the gap that made ingest cost 3× the equivalent full dedup's verify
-    val sh = newSh.unionByName(
-      corpusCandSh.join(newSh.select(col("id")).distinct(), Seq("id"),
+    // The combined relation persists: the verify join reads it from both
+    // sides, and unpersisted the semi-join + shingle build re-ran per
+    // consumer — this was the gap that made ingest cost 3× the
+    // equivalent full dedup's verify
+    val shArr = newArr.unionByName(
+      corpusCandArr.join(newArr.select(col("id")).distinct(), Seq("id"),
         "left_anti"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    verifyJaccard(cands, sh).filter(col("jaccard") >= threshold)
+    verifyJaccardArrays(cands, shArr).filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over word-frequency features. bit b = sign of

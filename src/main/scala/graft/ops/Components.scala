@@ -33,10 +33,20 @@ object Components {
   def labelsBounded(edges: DataFrame, srcCol: String, dstCol: String,
                     rounds: Int,
                     checkpointDir: Option[String] = None): DataFrame = {
-    // symmetrize once; labels flow both directions each round
+    // symmetrize once; labels flow both directions each round.
+    // Symmetrize by EXPLODING each edge into its two directions instead
+    // of a self-union: the two branches of a union over an un-pinned
+    // plan each re-run the caller's edge build (for the registered
+    // queries that is a full orders⋈lineitem join — executed twice);
+    // the explode emits both directions in ONE pass over one execution
+    // of the build (guide §2.4: remove duplicate work the optimizer
+    // cannot see through a union).
     val sym = Checkpoints.pin(
-      edges.select(col(srcCol).as("id1"), col(dstCol).as("id2"))
-        .union(edges.select(col(dstCol).as("id1"), col(srcCol).as("id2")))
+      edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+        .select(explode(array(
+          struct(col("s").as("id1"), col("d").as("id2")),
+          struct(col("d").as("id1"), col("s").as("id2")))).as("e"))
+        .select(col("e.id1").as("id1"), col("e.id2").as("id2"))
         .distinct(),
       checkpointDir)
     var labels = Checkpoints.pin(

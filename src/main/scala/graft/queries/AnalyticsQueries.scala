@@ -413,8 +413,13 @@ object AnalyticsQueries {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).cast("long").as("cn"),
         (col("l_suppkey") * 2 + 1).cast("long").as("sn"))
-    val edges = base.select(col("cn").as("src"), col("sn").as("dst"))
-      .unionByName(base.select(col("sn").as("src"), col("cn").as("dst")))
+    // symmetrize by exploding both directions in ONE pass — a self-union
+    // of the un-materialized base plan would run the orders⋈lineitem
+    // join once per branch (guide §2.4)
+    val edges = base.select(explode(array(
+        struct(col("cn").as("src"), col("sn").as("dst")),
+        struct(col("sn").as("src"), col("cn").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val sources = Tables.customer(s, d).filter(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).cast("long").as("n"))
     graft.ops.GraphPaths.shortestHops(edges, "src", "dst", sources, "n", 3)
