@@ -81,7 +81,7 @@ object EditSimilarity {
     checkArgs(t, prefixLen)
     requireIntegralId(docs, idCol)
     val k = t + 1
-    val truncated = truncate(docs, idCol, textCol, prefixLen)
+    val truncated = parallelize(truncate(docs, idCol, textCol, prefixLen))
     val base = strip(truncated, lcpOf(truncated))
     val long = base.filter(col("l") >= k)
 
@@ -181,8 +181,8 @@ object EditSimilarity {
     checkArgs(t, prefixLen)
     requireIntegralId(probe, probeId); requireIntegralId(ref, refId)
     val k = t + 1
-    val truncP = truncate(probe, probeId, probeText, prefixLen)
-    val truncR = truncate(ref, refId, refText, prefixLen)
+    val truncP = parallelize(truncate(probe, probeId, probeText, prefixLen))
+    val truncR = parallelize(truncate(ref, refId, refText, prefixLen))
     val lcp = lcpOf(truncP.unionByName(truncR))
     val baseP = strip(truncP, lcp)
     val baseR = strip(truncR, lcp)
@@ -229,6 +229,21 @@ object EditSimilarity {
       prefixLen: Int): DataFrame =
     docs.select(col(idCol).cast("long").as("id"),
       substring(col(textCol), 1, prefixLen).as("s0"))
+
+  /** The segment/probe fan-out and the banded DP are CPU-bound per-row
+    * work fed straight off the corpus scan — a corpus that arrives in
+    * fewer splits than the cluster has slots (one small parquet file at
+    * bench scale) runs the ENTIRE candidate machinery in those few
+    * tasks (measured: a single 2.5 s task was the whole of
+    * dedup_edit_distance at sf0.1). Spread the truncated relation —
+    * id + ≤prefixLen chars per row, far smaller than the raw corpus —
+    * across the slots first; when the scan already has enough splits
+    * (any real 100 TB corpus), this is a no-op branch, not an extra
+    * shuffle. */
+  private def parallelize(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
 
   /** Corpus-wide longest-common-prefix length as a 1-row broadcast
     * scalar: LCP(all strings) == LCP(lexicographic min, lexicographic
@@ -315,12 +330,25 @@ object EditSimilarity {
   }
 
   /** Exact verification: banded Levenshtein on the candidate pairs only
-    * (returns -1 past the threshold — filtered). */
+    * (returns -1 past the threshold — filtered).
+    *
+    * The candidate relation is explicitly re-hashed to the session's
+    * shuffle-partition count first: its bytes are tiny (two longs per
+    * pair), so AQE's byte-based coalescing collapses the post-distinct
+    * read to ONE partition — and the verify's per-row cost (an O(t·n)
+    * DP per pair) is the expensive part, which then ran single-threaded
+    * (measured: a 2.6 s one-task stage was the whole of
+    * dedup_edit_distance's cost at sf0.1). The explicit count pins the
+    * partitioning against coalescing; the extra exchange moves only
+    * pair ids (guide §2.5: byte-sized partitions are not CPU-sized
+    * partitions). */
   private def verify(pairs: DataFrame, baseA: DataFrame, baseB: DataFrame,
       t: Int): DataFrame = {
     val s1 = baseA.select(col("id").as("id1"), col("s").as("s1"))
     val s2 = baseB.select(col("id").as("id2"), col("s").as("s2"))
     pairs
+      .repartition(pairs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id1"), col("id2"))
       .join(s1, "id1").join(s2, "id2")
       .withColumn("dist", levenshtein(col("s1"), col("s2"), t))
       .filter(col("dist") >= 0)

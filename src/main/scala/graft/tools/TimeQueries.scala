@@ -28,8 +28,17 @@ object TimeQueries {
     // stage-level attribution (SPARK_GRAFT_STAGES=1): wall + task time +
     // shuffle bytes per stage, printed for the slowest stages of each query
     val stages = new scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, Long, Long)]
+    val jobs = new scala.collection.mutable.HashMap[Int, Long] // id -> start
+    val jobSpans = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
     if (showStages) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.synchronized { jobs(j.jobId) = j.time }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobs.synchronized { jobs.remove(j.jobId).foreach(t0 =>
+            jobSpans += ((t0, j.time))) }
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = sc.stageInfo
@@ -47,7 +56,10 @@ object TimeQueries {
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to runs).flatMap { r =>
-        if (r == runs) stages.synchronized(stages.clear()) // keep only last run's stages
+        if (r == runs) { // keep only last run's stages/jobs
+          stages.synchronized(stages.clear())
+          jobs.synchronized { jobSpans.clear() }
+        }
         val t0 = System.nanoTime()
         try {
           spark.sparkContext.setJobDescription(name)
@@ -68,6 +80,18 @@ object TimeQueries {
         }
         val all = stages.synchronized(stages.toList)
         println(f"  STAGES n=${all.size}  wallSum=${all.map(_._2).sum}%d ms  taskSum=${all.map(_._3).sum}%d ms  gcSum=${all.map(_._6).sum}%d ms")
+        // merged job-span coverage: wall time with >=1 job running; the
+        // query wall minus this = pure driver-side time (planning, FS,
+        // commit) with NO job in flight
+        val spans = jobs.synchronized(jobSpans.sortBy(_._1).toList)
+        var covered = 0L; var cur = Long.MinValue
+        var end = Long.MinValue
+        spans.foreach { case (s0, e0) =>
+          if (s0 > end) { if (end > cur) covered += end - cur; cur = s0; end = e0 }
+          else if (e0 > end) end = e0
+        }
+        if (end > cur) covered += end - cur
+        println(f"  JOBS n=${spans.size}  inJobWall=${covered}%d ms")
       }
     }
     spark.stop()
