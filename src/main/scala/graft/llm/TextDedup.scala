@@ -24,9 +24,17 @@ object TextDedup {
     * Codegen-friendly: split + transform over a sequence + explode — no
     * UDFs (higher-order functions stay inside WholeStageCodegen).
     */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    shingleArrays(docs, idCol, textCol, n)
-      .select(col("id"), explode(col("arr")).as("shingle"))
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(j => s"element_at(w, i + $j)").mkString(", ' ', ")
+    docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
+      .select(col("id"),
+        explode(expr(
+          s"""CASE WHEN size(w) >= $n
+             |THEN array_distinct(transform(sequence(1, size(w) - ${n - 1}),
+             |     i -> concat($parts)))
+             |ELSE array() END""".stripMargin)).as("shingle"))
+  }
 
   /** (id, arr): the distinct word n-gram shingle SET per document, kept
     * as an array — the un-exploded form of [[shingles]]
