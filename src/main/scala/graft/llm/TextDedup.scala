@@ -343,13 +343,11 @@ object TextDedup {
           col("y.nsh") >= col("x.nsh") * threshold)
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
-    // r15: candidate-driven array-intersect verification — the
-    // hot-shingle df² blowup [[verifyJaccardSplit]] guards against is a
-    // property of the shingle-level SELF-join; the per-pair
-    // array_intersect touches each candidate's own two arrays only, so
-    // the split machinery (and its five extra exchanges) is unnecessary
-    // on this path. Identical output for any candidate superset.
-    verifyJaccardArrays(cands, shArr).filter(col("jaccard") >= threshold)
+    // verify stays on the split join here (measured: at this LOW
+    // threshold the prefix filter admits a dense candidate set whose
+    // per-pair array_intersect cost exceeds the split join's exchanges —
+    // the array form won only on the sparse high-threshold LSH paths)
+    verifyJaccardSplit(cands, sh, dfCap).filter(col("jaccard") >= threshold)
   }
 
   /** The persisted-index half of incremental dedup: the corpus's LSH band

@@ -41,13 +41,21 @@ object Components {
     // the explode emits both directions in ONE pass over one execution
     // of the build (guide §2.4: remove duplicate work the optimizer
     // cannot see through a union).
+    // ... and pin it PARTITIONED AND SORTED on the probe key: every
+    // round's join requires hash(id1) distribution and id1 ordering, so
+    // establishing them once in the pinned relation leaves each round
+    // exchanging and sorting only the O(|nodes|) label side — without
+    // this the corpus-sized sym relation re-exchanged and re-sorted
+    // every round (guide §2.4: two operations keyed the same way share
+    // one exchange).
     val sym = Checkpoints.pin(
       edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
         .select(explode(array(
           struct(col("s").as("id1"), col("d").as("id2")),
           struct(col("d").as("id1"), col("s").as("id2")))).as("e"))
         .select(col("e.id1").as("id1"), col("e.id2").as("id2"))
-        .distinct(),
+        .distinct()
+        .repartition(col("id1")).sortWithinPartitions("id1"),
       checkpointDir)
     var labels = Checkpoints.pin(
       sym.select(col("id1").as("node")).distinct()

@@ -36,8 +36,13 @@ object GraphPaths {
                    sources: DataFrame, sourceCol: String, maxHops: Int,
                    checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    // cached PARTITIONED AND SORTED on the relaxation key: each round's
+    // join then exchanges and sorts only the O(|reached|) distance side
+    // while the corpus-sized edge relation is read in place (same
+    // partition-once rationale as Components/PageRank)
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().persist()
+      col(dstCol).cast("long").as("dst")).distinct()
+      .repartition(col("src")).sortWithinPartitions("src").persist()
     var dist = sources.select(col(sourceCol).cast("long").as("node"))
       .distinct().select(col("node"), lit(0L).as("d"))
     (1 to maxHops).foreach { _ =>
