@@ -141,6 +141,48 @@ object MaterializedView {
     finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 
+  /** One full steady-state Δ-cycle — [[restoreChanged]] then the
+    * [[refreshBucketed]] fold — with the change feed aggregated ONCE:
+    * the two phases need the identical Δ-aggregate and changed-partition
+    * list, and calling them separately re-ran the feed aggregation and
+    * its driver collect per phase (the feed itself is scanned twice).
+    * Same writes, same healing semantics, half the Δ-side jobs. */
+  def refreshCycle(spark: SparkSession, table: String, path: String,
+                   delta: DataFrame, keyCol: String, valueCol: Column,
+                   opCol: Column, nParts: Int = 16): Unit = {
+    val dAgg = deltaAgg(delta, keyCol, valueCol, opCol).persist()
+    try {
+      val changed = withPart(dAgg, nParts).select(col("p")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        spark.read.parquet(path)
+          .filter(col("p").isInCollection(changed))
+          .select("k", "n", "s", "p")
+          .write.mode("overwrite").insertInto(table)
+        val cur = spark.table(table)
+          .filter(col("p").isInCollection(changed)).drop("p")
+        val merged = withPart(merge(cur, dAgg), nParts).persist()
+        try {
+          merged.select("k", "n", "s", "p").write.mode("overwrite")
+            .insertInto(table)
+          val present = merged.select(col("p")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          val emptied = changed.filterNot(present)
+          if (emptied.nonEmpty) {
+            val loc = Outputs.managedLocation(spark, table)
+            val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            emptied.foreach(p =>
+              fs.delete(new org.apache.hadoop.fs.Path(loc, s"p=$p"), true))
+            spark.sql(s"REFRESH TABLE $table")
+          }
+        } finally merged.unpersist()
+      } finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prevMode)
+    } finally dAgg.unpersist()
+  }
+
   /** Fold a change feed into the STORED view, Δ-sized end to end: reads
     * only the changed partitions (partition filter) shuffle-free on the
     * MV side (bucketed scan), rewrites only those partitions (dynamic

@@ -392,13 +392,14 @@ object OpsQueries {
     graft.llm.IndexStore.ensure(s, dir) {
       graft.ops.MaterializedView.savePristine(base, "o_custkey", vc, s"$dir/mv")
     }
-    if (!s.catalog.tableExists(tbl))
+    if (!s.catalog.tableExists(tbl)) {
       graft.ops.MaterializedView.seedFromPristine(s, s"$dir/mv", tbl)
-    else
-      graft.ops.MaterializedView.restoreChanged(
+      graft.ops.MaterializedView.refreshBucketed(
+        s, tbl, delta, "o_custkey", vc, col("op"))
+    } else
+      // steady state: restore + fold with the feed aggregated once
+      graft.ops.MaterializedView.refreshCycle(
         s, tbl, s"$dir/mv", delta, "o_custkey", vc, col("op"))
-    graft.ops.MaterializedView.refreshBucketed(
-      s, tbl, delta, "o_custkey", vc, col("op"))
     s.table(tbl)
       .select(col("k").as("o_custkey"), col("n").as("n_orders"),
         (col("s") / 100.0).as("total_price"))
