@@ -240,10 +240,8 @@ object EditSimilarity {
     * across the slots first; when the scan already has enough splits
     * (any real 100 TB corpus), this is a no-op branch, not an extra
     * shuffle. */
-  private def parallelize(df: DataFrame): DataFrame = {
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
-  }
+  private def parallelize(df: DataFrame): DataFrame =
+    graft.core.Spread.toSlots(df)
 
   /** Corpus-wide longest-common-prefix length as a 1-row broadcast
     * scalar: LCP(all strings) == LCP(lexicographic min, lexicographic

@@ -26,8 +26,8 @@ object TextDedup {
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val parts = (0 until n).map(j => s"element_at(w, i + $j)").mkString(", ' ', ")
-    docs
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
+    graft.core.Spread.toSlots(
+        docs.select(col(idCol).as("id"), split(col(textCol), " ").as("w")))
       .select(col("id"),
         explode(expr(
           s"""CASE WHEN size(w) >= $n
@@ -296,7 +296,10 @@ object TextDedup {
     // intersection agg + two size joins) collapse into two small-side
     // joins over the cache. Output bit-identical (same hash chain,
     // same counts, same division).
-    val shArr = shingleArrays(docs, idCol, textCol, shingleN)
+    // spread the corpus across the task slots before the CPU-bound
+    // shingle/signature build (guide §2.5/§6; no-op at real split counts)
+    val shArr = shingleArrays(graft.core.Spread.toSlots(
+        docs.select(col(idCol), col(textCol))), idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sh = shArr.select(col("id"), explode(col("arr")).as("shingle"))
     val cands = candidatesFromBands(
@@ -398,7 +401,8 @@ object TextDedup {
                             index: DataFrame, idCol: String, textCol: String,
                             threshold: Double = 0.8, shingleN: Int = 3,
                             numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val newArr = shingleArrays(newDocs, idCol, textCol, shingleN)
+    val newArr = shingleArrays(graft.core.Spread.toSlots(
+        newDocs.select(col(idCol), col(textCol))), idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // band relation persists too: it feeds BOTH the in-batch bucket kernel
     // and the index probe join, and recomputing it re-runs the whole
@@ -451,8 +455,9 @@ object TextDedup {
     * shuffle, which moves one 64-column partial row per (id, partition). */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         wordHash: Column => Column = xxhash64(_)): DataFrame = {
-    val occ = docs
-      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("word"))
+    val occ = graft.core.Spread.toSlots(
+        docs.select(col(idCol).as("id"), split(col(textCol), " ").as("ws")))
+      .select(col("id"), explode(col("ws")).as("word"))
       .filter(col("word") =!= "")
       .withColumn("h", wordHash(col("word")))
     val bitSums = (0 until 64).map(b =>
