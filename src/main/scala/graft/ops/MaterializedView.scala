@@ -128,7 +128,8 @@ object MaterializedView {
     * refresh corrupted is in the same changed set and gets rewritten. */
   def restoreChanged(spark: SparkSession, table: String, path: String,
                      delta: DataFrame, keyCol: String, valueCol: Column,
-                     opCol: Column, nParts: Int = 16): Unit = {
+                     opCol: Column, nParts: Int = 16,
+                     nBuckets: Int = 16): Unit = {
     val dAgg = deltaAgg(delta, keyCol, valueCol, opCol)
     val changed = withPart(dAgg, nParts).select(col("p")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -137,6 +138,7 @@ object MaterializedView {
     try spark.read.parquet(path)
       .filter(col("p").isInCollection(changed))
       .select("k", "n", "s", "p")
+      .repartition(nBuckets, col("k")) // bucket-aligned: one file per (p, bucket)
       .write.mode("overwrite").insertInto(table)
     finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
@@ -149,7 +151,8 @@ object MaterializedView {
     * Same writes, same healing semantics, half the Δ-side jobs. */
   def refreshCycle(spark: SparkSession, table: String, path: String,
                    delta: DataFrame, keyCol: String, valueCol: Column,
-                   opCol: Column, nParts: Int = 16): Unit = {
+                   opCol: Column, nParts: Int = 16,
+                   nBuckets: Int = 16): Unit = {
     val dAgg = deltaAgg(delta, keyCol, valueCol, opCol).persist()
     try {
       val changed = withPart(dAgg, nParts).select(col("p")).distinct()
@@ -160,12 +163,15 @@ object MaterializedView {
         spark.read.parquet(path)
           .filter(col("p").isInCollection(changed))
           .select("k", "n", "s", "p")
+          .repartition(nBuckets, col("k")) // bucket-aligned (see restoreChanged)
           .write.mode("overwrite").insertInto(table)
         val cur = spark.table(table)
           .filter(col("p").isInCollection(changed)).drop("p")
         val merged = withPart(merge(cur, dAgg), nParts).persist()
         try {
-          merged.select("k", "n", "s", "p").write.mode("overwrite")
+          merged.select("k", "n", "s", "p")
+            .repartition(nBuckets, col("k"))
+            .write.mode("overwrite")
             .insertInto(table)
           val present = merged.select(col("p")).distinct()
             .collect().map(_.getLong(0)).toSet
@@ -191,14 +197,16 @@ object MaterializedView {
     * directories are removed explicitly. */
   def refreshBucketed(spark: SparkSession, table: String, delta: DataFrame,
                       keyCol: String, valueCol: Column, opCol: Column,
-                      nParts: Int = 16): Unit = {
+                      nParts: Int = 16, nBuckets: Int = 16): Unit = {
     val (merged0, changed) = bucketedRefreshPlan(
       spark, table, delta, keyCol, valueCol, opCol, nParts)
     val merged = merged0.persist() // Δ+changed-partition sized; read twice
     try {
       val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try merged.select("k", "n", "s", "p").write.mode("overwrite")
+      try merged.select("k", "n", "s", "p")
+        .repartition(nBuckets, col("k")) // bucket-aligned (see restoreChanged)
+        .write.mode("overwrite")
         .insertInto(table)
       finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
       val present = merged.select(col("p")).distinct()

@@ -80,7 +80,15 @@ object Outputs {
     val wh = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), table)
     wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
-    val w = df.write.bucketBy(nBuckets, keyCol).sortBy(keyCol)
+    // align the write distribution with the bucket function (the Iceberg
+    // write.distribution-mode=hash idiom): repartition(n, key) assigns
+    // partition = pmod(murmur3(key), n) — exactly the bucket id — so each
+    // task holds ONE bucket and writes one file per partition directory.
+    // Unaligned, every task writes a file for every bucket it happens to
+    // hold: measured 513 parquet files (≈2x the (p, bucket) floor) and
+    // ~25 s of writer-init task CPU for a 15k-row MV.
+    val w = df.repartition(nBuckets, col(keyCol))
+      .write.bucketBy(nBuckets, keyCol).sortBy(keyCol)
     partitionCol.fold(w)(p => w.partitionBy(p)).saveAsTable(table)
   }
 

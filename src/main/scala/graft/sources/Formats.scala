@@ -27,7 +27,17 @@ object Formats {
   // the empty field — now marks null. The two stay distinct.
   private val csvOpts = Map("header" -> "true", "nullValue" -> "\\N")
 
-  /** Write `df` to `dir` as `format`, read it back with `df`'s schema. */
+  /** Write `df` to `dir` as `format`, read it back with `df`'s schema.
+    *
+    * r15 note: spreading an under-parallelized input across the task
+    * slots before the write ([[graft.core.Spread]]) was tried and
+    * REVERTED — the roundtrip's payload IS every column of every row, so
+    * the repartition serializes the same ~25 MB in the same single
+    * scan task the serial encode used (measured: 1.0 s exchange map task
+    * replacing a 0.8 s serial ORC encode, net zero), while fragmenting
+    * the output into one file per slot. Write parallelism here is
+    * input-split parallelism, which any real multi-split source already
+    * has (guide §2.3: don't shuffle the payload to buy nothing). */
   def roundtrip(df: DataFrame, format: String, dir: String): DataFrame = {
     val opts = format match {
       case "csv" => csvOpts
