@@ -61,6 +61,10 @@ object Components {
       sym.select(col("id1").as("node")).distinct()
         .withColumn("rep", col("node")),
       checkpointDir)
+    // pin EVERY round (r15 re-check: a cadence-2 pin was measured SLOWER
+    // — labels fans out twice per round, so the unpinned intermediate
+    // round is recomputed once per branch of the next round's join+union,
+    // and the duplicated propagation work exceeds the saved pin job)
     for (_ <- 1 to rounds) {
       val next = Checkpoints.pin(
         sym.join(labels, sym("id1") === labels("node"))

@@ -712,17 +712,37 @@ object LlmQueries {
     val emb = Tables.embeddings(s, d)
     val ids = (0L until 8L)
     def pairs(df: DataFrame) = df.select(col("query_id"), col("neighbor_id"))
-    val exactCos = pairs(knnBrute(s, d))
-    val exactL2 = pairs(knnAnnPqExh(s, d))
+    // the six kernels are independent and each pays bounded driver
+    // collects (query set, centroids, codebooks) plus index loads —
+    // construct them CONCURRENTLY so those small jobs overlap instead of
+    // queueing (guide §2.6; IndexStore.ensure is per-path locked, so
+    // kernels sharing an index serialize only on its build). The
+    // assembled plan and its result are unchanged.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val (exactCos, exactL2, ivf, lsh, pq, ivfpq) = try {
+      val fs = (
+        Future(pairs(knnBrute(s, d))),
+        Future(pairs(knnAnnPqExh(s, d))),
+        Future(pairs(graft.llm.Ivf.annKnn(emb, ids, "vec_id", "embedding",
+          dim, k = 5, nlist = 16, nprobe = 6, corpusKey = d))),
+        Future(pairs(knnAnnLsh(s, d))),
+        Future(pairs(graft.llm.Pq.annKnn(emb, ids, "vec_id", "embedding",
+          dim, k = 5, m = 16, ksub = 16, corpusKey = d))),
+        Future(pairs(graft.llm.Pq.ivfAdcKnn(emb, ids, "vec_id", "embedding",
+          dim, k = 5, nlist = 16, nprobe = 6, m = 16, ksub = 16,
+          corpusKey = d))))
+      (Await.result(fs._1, Duration.Inf), Await.result(fs._2, Duration.Inf),
+        Await.result(fs._3, Duration.Inf), Await.result(fs._4, Duration.Inf),
+        Await.result(fs._5, Duration.Inf), Await.result(fs._6, Duration.Inf))
+    } finally pool.shutdown()
     val variants: Seq[(String, DataFrame, DataFrame, Int)] = Seq(
-      ("ivf", pairs(graft.llm.Ivf.annKnn(emb, ids, "vec_id", "embedding",
-        dim, k = 5, nlist = 16, nprobe = 6, corpusKey = d)), exactCos, 24),
-      ("lsh", pairs(knnAnnLsh(s, d)), exactCos, 32),
-      ("pq", pairs(graft.llm.Pq.annKnn(emb, ids, "vec_id", "embedding",
-        dim, k = 5, m = 16, ksub = 16, corpusKey = d)), exactL2, 28),
-      ("ivfpq", pairs(graft.llm.Pq.ivfAdcKnn(emb, ids, "vec_id", "embedding",
-        dim, k = 5, nlist = 16, nprobe = 6, m = 16, ksub = 16,
-        corpusKey = d)), exactL2, 20))
+      ("ivf", ivf, exactCos, 24),
+      ("lsh", lsh, exactCos, 32),
+      ("pq", pq, exactL2, 28),
+      ("ivfpq", ivfpq, exactL2, 20))
     variants.map { case (name, ann, exact, floor) =>
       ann.join(exact, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("hits"))
