@@ -326,6 +326,17 @@ object TextDedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // per-doc shingle count rides out of the array for free (size(arr))
     // instead of a second count() window pass over the exploded relation
+    // r15 NOTE: widening this pipeline's caches to the task slots (the
+    // [[graft.core.Spread]] treatment that cut the sparse LSH paths ~30%)
+    // was tried in BOTH spots — spreading docs before shingleArrays, and
+    // repartition+persist of this exploded relation — and measured 1.5–
+    // 2.4 s SLOWER (3.49 → 5.0/5.9 at sf0.1): a multi-partition
+    // InMemoryRelation reports a much larger estimated size (per-batch
+    // buffer overhead × partitions), which pushes the cached relation
+    // past the broadcast threshold and flips the dense verify join's
+    // broadcasts to sort-merge (plan check: 10 BHJ → 30 BHJ + 2 SMJ with
+    // duplicated subtrees). The serial one-partition cache reads cost
+    // less than the lost broadcasts; kept as-is.
     val sh = shArr.select(col("id"), size(col("arr")).as("nsh"),
       explode(col("arr")).as("shingle"))
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
