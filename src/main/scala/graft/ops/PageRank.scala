@@ -45,28 +45,21 @@ object PageRank {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().persist()
-    // both static relations persist: every iteration references nodes
-    // (teleport row set) and ed (edge+degree) — without the pins each
-    // round would recompute the upstream edge build (a corpus-sized
-    // join in the registered query) once per reference.
-    // Materialized EAGERLY (one count each, reading through the cache):
-    // lazily-persisted, they are first computed INSIDE the single
-    // unrolled-iterations action, where AQE materializes independent
-    // leaf stages concurrently — branches racing the cold cache
-    // re-execute the corpus-sized edge build instead of reading blocks.
+    // both static relations persist LAZILY: every iteration references
+    // nodes (teleport row set) and ed (edge+degree) — without the pins
+    // each round would recompute the upstream edge build (a corpus-sized
+    // join in the registered query) once per reference. An r15 experiment
+    // measured the two plausible "improvements" both SLOWER on this
+    // fixture: eager materialization (nodes.count(); ed.count()) adds
+    // two serial jobs the lazy form overlaps with the main action's
+    // concurrent leaf stages (+1.5 s), and caching ed
+    // repartition+sortWithinPartitions(src) pays a corpus-sized exchange
+    // up front that the per-round SMJ re-sorts do not amortize at this
+    // iteration count (+2.5 s) — see OPTIMIZATION_r15.md.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
-    // ed is cached PARTITIONED AND SORTED by src: every iteration's
-    // contribution join requires exactly that distribution+ordering, so
-    // the sort-merge join re-sorts and re-exchanges only the O(|nodes|)
-    // rank side each round while the corpus-sized edge relation is read
-    // in place (the cached scan reports its partitioning and ordering) —
-    // without this the plan re-sorted all of ed once per iteration
-    // (guide §2.4: establish the partitioning once).
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .repartition(col("src")).sortWithinPartitions("src")
       .persist()
-    nodes.count(); ed.count()
     val teleport = 15L * scale / 100L
     var ranks = nodes.select(col("node"), lit(scale).as("pr"))
     (1 to iterations).foreach { _ =>

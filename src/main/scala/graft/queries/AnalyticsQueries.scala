@@ -270,11 +270,8 @@ object AnalyticsQueries {
     * unrolls the identical recurrence as chained CTEs (see
     * `ops/PageRank.scala`). */
   private def pagerank(s: SparkSession, d: String): DataFrame = {
-    // spread the streamed (lineitem) side: the broadcast join + edge
-    // build otherwise runs in the scan's single row-group task
     val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(graft.core.Spread.toSlots(
-          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))),
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).cast("long").as("src"),
         (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
@@ -354,11 +351,8 @@ object AnalyticsQueries {
     * ([[graft.llm.DedupPipeline.components]]) on a fixture converging
     * within the bound. */
   private def connectedComponents(s: SparkSession, d: String): DataFrame = {
-    // same streamed-side spread as pagerank: the edge build is CPU-bound
-    // work fed off a one-row-group scan
     val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(graft.core.Spread.toSlots(
-          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))),
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).cast("long").as("src"),
         (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
@@ -415,8 +409,7 @@ object AnalyticsQueries {
     * fixpoint prefix hash-checks against the oracle's unrolled CTEs. */
   private def shortestHops(s: SparkSession, d: String): DataFrame = {
     val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(graft.core.Spread.toSlots(
-          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))),
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).cast("long").as("cn"),
         (col("l_suppkey") * 2 + 1).cast("long").as("sn"))
