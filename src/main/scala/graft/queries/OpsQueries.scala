@@ -1358,12 +1358,19 @@ object OpsQueries {
     s.conf.set("spark.sql.catalog.graft_snap_dml",
       classOf[graft.sources.v2.SnapshotCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
-    graft.ops.Snapshots.commitAppend(
-      Tables.orders(s, d).repartition(4), s"$root/orders_spj")
-    graft.ops.Snapshots.commitAppend(
-      Tables.lineitem(s, d).repartition(4), s"$root/lines_spj")
-    s.sql("CALL graft_snap_dml.system.bucket('orders_spj', 'o_orderkey', 8)")
-    s.sql("CALL graft_snap_dml.system.bucket('lines_spj', 'l_orderkey', 8)")
+    // the two tables' builds are independent — overlap commit+re-layout
+    // per table on two driver threads (guide §2.6; Par scaladoc)
+    graft.core.Par.pair(
+      {
+        graft.ops.Snapshots.commitAppend(
+          Tables.orders(s, d).repartition(4), s"$root/orders_spj")
+        s.sql("CALL graft_snap_dml.system.bucket('orders_spj', 'o_orderkey', 8)")
+      },
+      {
+        graft.ops.Snapshots.commitAppend(
+          Tables.lineitem(s, d).repartition(4), s"$root/lines_spj")
+        s.sql("CALL graft_snap_dml.system.bucket('lines_spj', 'l_orderkey', 8)")
+      })
     val q =
       """SELECT o.o_orderkey, l.l_linenumber, o.o_totalprice, l.l_quantity
         |FROM graft_snap_dml.orders_spj o
@@ -1391,18 +1398,26 @@ object OpsQueries {
       classOf[graft.sources.v2.SnapshotCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
     val orders = Tables.orders(s, d)
-    graft.ops.Snapshots.commitAppend(
-      orders.filter(col("o_orderkey") % 3 === 0).repartition(4),
-      s"$root/orders_spja")
-    graft.ops.Snapshots.commitAppend(
-      Tables.lineitem(s, d).repartition(4), s"$root/lines_spja")
-    s.sql("CALL graft_snap_dml.system.bucket('orders_spja', 'o_orderkey', 8)")
-    s.sql("CALL graft_snap_dml.system.bucket('lines_spja', 'l_orderkey', 8)")
-    // two ingest batches land WITHOUT re-bucketing the table
-    graft.ops.BucketLayout.appendBucketed(s, s"$root/orders_spja",
-      orders.filter(col("o_orderkey") % 3 === 1))
-    graft.ops.BucketLayout.appendBucketed(s, s"$root/orders_spja",
-      orders.filter(col("o_orderkey") % 3 === 2))
+    // per-table build chains are independent — overlap them (guide §2.6);
+    // within the orders chain the two ingest batches stay sequential
+    // (same table: ordered versions, no CAS contention)
+    graft.core.Par.pair(
+      {
+        graft.ops.Snapshots.commitAppend(
+          orders.filter(col("o_orderkey") % 3 === 0).repartition(4),
+          s"$root/orders_spja")
+        s.sql("CALL graft_snap_dml.system.bucket('orders_spja', 'o_orderkey', 8)")
+        // two ingest batches land WITHOUT re-bucketing the table
+        graft.ops.BucketLayout.appendBucketed(s, s"$root/orders_spja",
+          orders.filter(col("o_orderkey") % 3 === 1))
+        graft.ops.BucketLayout.appendBucketed(s, s"$root/orders_spja",
+          orders.filter(col("o_orderkey") % 3 === 2))
+      },
+      {
+        graft.ops.Snapshots.commitAppend(
+          Tables.lineitem(s, d).repartition(4), s"$root/lines_spja")
+        s.sql("CALL graft_snap_dml.system.bucket('lines_spja', 'l_orderkey', 8)")
+      })
     val q =
       """SELECT o.o_orderkey, l.l_linenumber, o.o_totalprice, l.l_quantity
         |FROM graft_snap_dml.orders_spja o
@@ -1437,18 +1452,24 @@ object OpsQueries {
     s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
     val orders = Tables.orders(s, d)
     orders.createOrReplaceTempView("orders_src_spji")
-    graft.ops.Snapshots.commitAppend(
-      orders.filter(col("o_orderkey") % 3 === 0).repartition(4),
-      s"$root/orders_spji")
-    graft.ops.Snapshots.commitAppend(
-      Tables.lineitem(s, d).repartition(4), s"$root/lines_spji")
-    s.sql("CALL graft_snap_dml.system.bucket('orders_spji', 'o_orderkey', 8)")
-    s.sql("CALL graft_snap_dml.system.bucket('lines_spji', 'l_orderkey', 8)")
-    // two ingest batches through PURE SQL — no Scala API anywhere
-    s.sql("""INSERT INTO graft_snap_dml.orders_spji
-            |SELECT * FROM orders_src_spji WHERE o_orderkey % 3 = 1""".stripMargin)
-    s.sql("""INSERT INTO graft_snap_dml.orders_spji
-            |SELECT * FROM orders_src_spji WHERE o_orderkey % 3 = 2""".stripMargin)
+    // per-table build chains are independent — overlap them (guide §2.6)
+    graft.core.Par.pair(
+      {
+        graft.ops.Snapshots.commitAppend(
+          orders.filter(col("o_orderkey") % 3 === 0).repartition(4),
+          s"$root/orders_spji")
+        s.sql("CALL graft_snap_dml.system.bucket('orders_spji', 'o_orderkey', 8)")
+        // two ingest batches through PURE SQL — no Scala API anywhere
+        s.sql("""INSERT INTO graft_snap_dml.orders_spji
+                |SELECT * FROM orders_src_spji WHERE o_orderkey % 3 = 1""".stripMargin)
+        s.sql("""INSERT INTO graft_snap_dml.orders_spji
+                |SELECT * FROM orders_src_spji WHERE o_orderkey % 3 = 2""".stripMargin)
+      },
+      {
+        graft.ops.Snapshots.commitAppend(
+          Tables.lineitem(s, d).repartition(4), s"$root/lines_spji")
+        s.sql("CALL graft_snap_dml.system.bucket('lines_spji', 'l_orderkey', 8)")
+      })
     val loc = s"$root/orders_spji"
     val v = graft.ops.Snapshots.latestVersion(s, loc)
     require(graft.ops.Snapshots.versionLayout(s, loc, v)
@@ -1483,13 +1504,19 @@ object OpsQueries {
     s.conf.set("spark.sql.catalog.graft_snap_dml",
       classOf[graft.sources.v2.SnapshotCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
-    graft.ops.Snapshots.commitAppend(
-      Tables.orders(s, d).repartition(4), s"$root/orders_bsp")
-    graft.ops.Snapshots.commitAppend(
-      Tables.lineitem(s, d).repartition(4), s"$root/lines_bsp")
-    s.sql("CALL graft_snap_dml.system.bucket('orders_bsp', 'o_orderkey', 4)")
-    s.sql("CALL graft_snap_dml.system.bucket('lines_bsp', 'l_orderkey', 8)")
-    s.sql("CALL graft_snap_dml.system.bucket_split('orders_bsp', 2)")
+    // per-table build chains are independent — overlap them (guide §2.6)
+    graft.core.Par.pair(
+      {
+        graft.ops.Snapshots.commitAppend(
+          Tables.orders(s, d).repartition(4), s"$root/orders_bsp")
+        s.sql("CALL graft_snap_dml.system.bucket('orders_bsp', 'o_orderkey', 4)")
+        s.sql("CALL graft_snap_dml.system.bucket_split('orders_bsp', 2)")
+      },
+      {
+        graft.ops.Snapshots.commitAppend(
+          Tables.lineitem(s, d).repartition(4), s"$root/lines_bsp")
+        s.sql("CALL graft_snap_dml.system.bucket('lines_bsp', 'l_orderkey', 8)")
+      })
     require(graft.ops.Snapshots.versionLayout(s, s"$root/orders_bsp", -1L)
         .contains("bucket,8,o_orderkey"), "split must scale the layout header")
     val q =
@@ -1519,15 +1546,21 @@ object OpsQueries {
       classOf[graft.sources.v2.SnapshotCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
     val lines = Tables.lineitem(s, d)
-    graft.ops.Snapshots.commitAppend(
-      lines.select("l_orderkey", "l_linenumber", "l_quantity").repartition(4),
-      s"$root/lines_spjm")
-    graft.ops.Snapshots.commitAppend(
-      lines.filter(col("l_returnflag") === "R")
-        .select("l_orderkey", "l_linenumber", "l_extendedprice").repartition(4),
-      s"$root/rets_spjm")
-    s.sql("CALL graft_snap_dml.system.bucket('lines_spjm', 'l_orderkey,l_linenumber', 4)")
-    s.sql("CALL graft_snap_dml.system.bucket('rets_spjm', 'l_orderkey,l_linenumber', 4)")
+    // per-table build chains are independent — overlap them (guide §2.6)
+    graft.core.Par.pair(
+      {
+        graft.ops.Snapshots.commitAppend(
+          lines.select("l_orderkey", "l_linenumber", "l_quantity").repartition(4),
+          s"$root/lines_spjm")
+        s.sql("CALL graft_snap_dml.system.bucket('lines_spjm', 'l_orderkey,l_linenumber', 4)")
+      },
+      {
+        graft.ops.Snapshots.commitAppend(
+          lines.filter(col("l_returnflag") === "R")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice").repartition(4),
+          s"$root/rets_spjm")
+        s.sql("CALL graft_snap_dml.system.bucket('rets_spjm', 'l_orderkey,l_linenumber', 4)")
+      })
     require(graft.ops.Snapshots.versionLayout(s, s"$root/lines_spjm", -1L)
         .contains("bucket,4*4,l_orderkey,l_linenumber"),
       "composite layout header missing")
@@ -1599,15 +1632,20 @@ object OpsQueries {
     s.sql("""CREATE TABLE graft_snap_dml.lines_ctb
             |  (l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE)
             |PARTITIONED BY (bucket(8, l_orderkey))""".stripMargin)
-    s.sql("""INSERT INTO graft_snap_dml.orders_ctb
-            |SELECT o_orderkey, o_custkey, o_totalprice
-            |FROM orders_src_ctb WHERE o_orderkey % 2 = 0""".stripMargin)
-    s.sql("""INSERT INTO graft_snap_dml.orders_ctb
-            |SELECT o_orderkey, o_custkey, o_totalprice
-            |FROM orders_src_ctb WHERE o_orderkey % 2 = 1""".stripMargin)
-    s.sql("""INSERT INTO graft_snap_dml.lines_ctb
-            |SELECT l_orderkey, l_linenumber, l_quantity
-            |FROM lines_src_ctb""".stripMargin)
+    // the two tables' ingests are independent — overlap them (guide
+    // §2.6); the orders INSERTs stay sequential (same table)
+    graft.core.Par.pair(
+      {
+        s.sql("""INSERT INTO graft_snap_dml.orders_ctb
+                |SELECT o_orderkey, o_custkey, o_totalprice
+                |FROM orders_src_ctb WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql("""INSERT INTO graft_snap_dml.orders_ctb
+                |SELECT o_orderkey, o_custkey, o_totalprice
+                |FROM orders_src_ctb WHERE o_orderkey % 2 = 1""".stripMargin)
+      },
+      s.sql("""INSERT INTO graft_snap_dml.lines_ctb
+              |SELECT l_orderkey, l_linenumber, l_quantity
+              |FROM lines_src_ctb""".stripMargin))
     Seq(s"$root/orders_ctb" -> "bucket,8,o_orderkey",
         s"$root/lines_ctb" -> "bucket,8,l_orderkey").foreach { case (loc, want) =>
       val v = graft.ops.Snapshots.latestVersion(s, loc)
