@@ -2128,13 +2128,18 @@ object OpsQueries {
       classOf[graft.sources.v2.SnapshotCatalog].getName)
     s.conf.set("spark.sql.catalog.graft_snap_dml.root", root)
     val orders = Tables.orders(s, d)
-    graft.ops.Snapshots.commitAppend(
-      orders.repartitionByRange(8, col("o_orderkey")), loc)
-    s.sql("CALL graft_snap_dml.system.attach_stats('orders_rp', 'o_orderkey')")
-    orders.filter(col("o_orderkey") <= 1200L)
-      .select(col("o_orderkey").as("k"),
-        when(col("o_orderkey") <= 600L, lit("hot")).otherwise(lit("cold")).as("tag"))
-      .write.mode("overwrite").parquet(s"$root/orders_rp_dim")
+    // fact build (commit + stats) and dim write are independent —
+    // overlap them (guide §2.6)
+    graft.core.Par.pair(
+      {
+        graft.ops.Snapshots.commitAppend(
+          orders.repartitionByRange(8, col("o_orderkey")), loc)
+        s.sql("CALL graft_snap_dml.system.attach_stats('orders_rp', 'o_orderkey')")
+      },
+      orders.filter(col("o_orderkey") <= 1200L)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") <= 600L, lit("hot")).otherwise(lit("cold")).as("tag"))
+        .write.mode("overwrite").parquet(s"$root/orders_rp_dim"))
     s.read.parquet(s"$root/orders_rp_dim").createOrReplaceTempView("graft_rp_dim")
     val df = s.sql(
       """SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus, f.o_totalprice,
