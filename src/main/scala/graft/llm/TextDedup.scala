@@ -25,9 +25,15 @@ object TextDedup {
     * UDFs (higher-order functions stay inside WholeStageCodegen).
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    // NO Spread here (r15 second-session A/B): every direct consumer of
+    // the exploded relation (gram df counts, ranking, decontamination)
+    // groupBys or joins right after — a shuffle that spreads the work
+    // anyway — so widening the scan first is a pure extra exchange
+    // (decontaminate_fuzzy 0.88→1.38, hybrid_rrf ~+0.5 with it). The one
+    // consumer whose CPU-bound build DOES need input-split parallelism
+    // (the band-index signature build) spreads at its own call site.
     val parts = (0 until n).map(j => s"element_at(w, i + $j)").mkString(", ' ', ")
-    graft.core.Spread.toSlots(
-        docs.select(col(idCol).as("id"), split(col(textCol), " ").as("w")))
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
       .select(col("id"),
         explode(expr(
           s"""CASE WHEN size(w) >= $n
@@ -374,7 +380,13 @@ object TextDedup {
   def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, numHashes: Int = 128,
                        bands: Int = 32): DataFrame =
-    lshBands(minhashSignatures(shingles(docs, idCol, textCol, shingleN),
+    // spread the corpus across task slots BEFORE the CPU-bound
+    // shingle+signature build (guide §2.5/§6): this one-shot index build
+    // is the measured case where a one-row-group scan serialized ~2.5 s
+    // of per-row work; no-op at real split counts
+    lshBands(minhashSignatures(
+      shingles(graft.core.Spread.toSlots(
+        docs.select(col(idCol), col(textCol))), idCol, textCol, shingleN),
       numHashes), bands, numHashes / bands)
 
   /** Persist a [[minhashBandIndex]] relation, partitioned by `band`: an
@@ -466,8 +478,11 @@ object TextDedup {
     * shuffle, which moves one 64-column partial row per (id, partition). */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         wordHash: Column => Column = xxhash64(_)): DataFrame = {
-    val occ = graft.core.Spread.toSlots(
-        docs.select(col(idCol).as("id"), split(col(textCol), " ").as("ws")))
+    // NO Spread (r15 second-session A/B): the bit-sum groupBy shuffles
+    // the partial rows anyway and the exchange of the word arrays cost
+    // more than the serialized explode saved (dedup_simhash 1.04→1.43
+    // with it)
+    val occ = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
       .select(col("id"), explode(col("ws")).as("word"))
       .filter(col("word") =!= "")
       .withColumn("h", wordHash(col("word")))
